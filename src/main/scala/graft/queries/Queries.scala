@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** The 40-query contract (SURVEY.md §2): one entry per operator.
+  *
+  * Two implementation surfaces, both entering the same Catalyst
+  * pipeline:
+  *   - native DataFrame-API implementations ([[Relational]] and
+  *     friends) — the idiomatic engine;
+  *   - the validated Spark-SQL texts ([[QueryTexts.spark]]) as the SQL
+  *     compatibility surface and fallback.
+  * A native implementation must stay row-identical to the oracle; the
+  * SQL text remains available for differential testing.
+  */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** Run the validated Spark-SQL text over the registered table views. */
+  def sql(key: String): QueryFn = (spark, sfDir) => {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(QueryTexts.spark(key))
+  }
+
+  /** Native DataFrame-API implementations; keys here shadow the SQL path. */
+  private def native: Map[String, QueryFn] = Relational.queries
+
+  val all: Map[String, QueryFn] =
+    QueryTexts.spark.keys.map(k => k -> native.getOrElse(k, sql(k))).toMap
+
+  val oracle: Map[String, String] = QueryTexts.oracle
+}

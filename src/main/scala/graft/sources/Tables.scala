@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table catalog for the ten-parquet-table universe (SURVEY.md §1,
+  * FIXTURES.md). One parquet file per table under an sf directory.
+  *
+  * Design note for scale: every read here is a plain columnar parquet
+  * scan — Catalyst pushes filters and prunes columns into the scan, so
+  * queries written against these tables/views keep `PushedFilters` /
+  * narrow `ReadSchema` for free. At cluster scale the same code reads a
+  * directory of many files and parallelizes by row-group; nothing below
+  * is single-file-specific.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table as a DataFrame.
+    *
+    * `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4.1.2
+    * refuses to read natively (PARQUET_TYPE_ILLEGAL). Fix per
+    * SURVEY.md §1: read nanos as long, rebuild the timestamp with
+    * integer division (float division loses precision above 2^53).
+    * Lossless here: every generated ts has zero sub-microsecond part.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** Register all ten tables as temp views named after themselves.
+    * Idempotent and cheap (footer reads only); cached per (session, dir)
+    * so per-query calls don't re-register.
+    */
+  private val registered = scala.collection.mutable.Set.empty[(SparkSession, String)]
+
+  def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (!registered.contains((spark, sfDir))) {
+      names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      registered += ((spark, sfDir))
+    }
+  }
+}
