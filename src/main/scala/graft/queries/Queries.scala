@@ -25,7 +25,8 @@ object Queries {
   }
 
   /** Native DataFrame-API implementations; keys here shadow the SQL path. */
-  private def native: Map[String, QueryFn] = Relational.queries
+  private def native: Map[String, QueryFn] =
+    Relational.queries ++ Analytics.queries ++ Pipeline.queries
 
   val all: Map[String, QueryFn] =
     QueryTexts.spark.keys.map(k => k -> native.getOrElse(k, sql(k))).toMap
