@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language
+  * identification, quality scoring, token counting.
+  *
+  * Scores are computed in INTEGER arithmetic (parts-per-million via
+  * integer DIV) rather than floating point: fp sums are
+  * order-dependent across partitionings/engines, so a float-scored
+  * classifier could flip predictions between runs — ppm integers make
+  * every score exactly reproducible anywhere (SURVEY.md §5).
+  */
+object TextAnalysis {
+
+  /** (doc_id, lang, tok) occurrences, empty tokens dropped. */
+  def tokenOccurrences(docs: DataFrame, extraCols: String*): DataFrame = {
+    val keep = (Seq("doc_id") ++ extraCols).map(col)
+    docs.select(keep :+ explode(split(lower(col("text")), " ")).as("tok"): _*)
+      .filter(col("tok") =!= "")
+  }
+
+  /** Unigram-frequency language ID, self-trained: build per-language
+    * token profiles (counts normalized to ppm of the language's token
+    * mass by integer division), score every doc against every
+    * language, predict the argmax (ties broken by language name).
+    *
+    * Returns (doc_id, lang, pred_lang). The profile is tiny
+    * (languages x vocabulary) and broadcast; scoring is one shuffle on
+    * (doc, language). At 100 TB the profile would be trained on a
+    * sample and the scoring pass stays identical.
+    */
+  def langIdPredictions(docs: DataFrame): DataFrame = {
+    val t = tokenOccurrences(docs, "lang")
+    val profile = t.groupBy(col("lang").as("pl"), col("tok").as("ptok"))
+      .agg(count(lit(1)).as("c"))
+    val tot = t.groupBy(col("lang").as("plang")).agg(count(lit(1)).as("tc"))
+    val scored = t
+      .crossJoin(broadcast(tot))
+      .join(broadcast(profile), col("pl") === col("plang") && col("ptok") === col("tok"), "left")
+      .groupBy("doc_id", "lang", "plang")
+      .agg(sum(expr("(coalesce(c, 0) * 1000000) DIV tc")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("plang").as("pred_lang"))
+  }
+
+  /** Per-doc integer quality score in [0, 1e6]: weighted blend of
+    * lexical diversity (distinct/total tokens), stopword sparsity, and
+    * a capped mean-token-length term. One groupBy(doc_id) pass.
+    * Output: per-doc grouping cols + ntok + score.
+    */
+  def qualityScores(docs: DataFrame, stopwords: Seq[String], groupCol: String): DataFrame = {
+    val t = tokenOccurrences(docs, groupCol)
+    t.groupBy("doc_id", groupCol)
+      .agg(count(lit(1)).as("ntok"),
+        countDistinct(col("tok")).as("nuniq"),
+        sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0)).as("nstop"),
+        sum(length(col("tok"))).as("sumlen"))
+      .withColumn("score", expr(
+        """(6 * ((nuniq * 1000000) DIV ntok)
+           | + 3 * (1000000 - ((nstop * 1000000) DIV ntok))
+           | + 1 * (least((sumlen * 100) DIV ntok, 800) * 1250)) DIV 10""".stripMargin))
+  }
+}

@@ -29,7 +29,8 @@ object Queries {
     Relational.queries ++ Analytics.queries ++ Pipeline.queries
 
   val all: Map[String, QueryFn] =
-    QueryTexts.spark.keys.map(k => k -> native.getOrElse(k, sql(k))).toMap
+    QueryTexts.spark.keys.map(k => k -> native.getOrElse(k, sql(k))).toMap ++
+      Extensions.queries
 
-  val oracle: Map[String, String] = QueryTexts.oracle
+  val oracle: Map[String, String] = QueryTexts.oracle ++ Extensions.oracle
 }

@@ -120,18 +120,22 @@ object Relational {
         .orderBy("a", "b")
     }),
 
-    // Range join: equi on user_id does the hashing; the time-range
-    // conjuncts filter within each user's bucket. Skewed users would
-    // be the 100 TB hazard — AQE skew-join splitting handles it.
+    // Range "join" without the join: per event, the number of
+    // same-user events in (ts, ts+5min] is a RANGE-frame count over
+    // one sort on (user_id, ts) — [0,5min] minus the [0,0] ties. One
+    // WindowExec instead of a pair-materializing self-join: at 100 TB
+    // the pair join explodes on hot users; this stays linear per user.
     "q09_join_range" -> ((s, dir) => {
-      val e1 = t(s, dir, "events").as("e1")
-      val e2 = t(s, dir, "events").as("e2")
-      e1.join(e2, col("e1.user_id") === col("e2.user_id") &&
-                  col("e2.ts") > col("e1.ts") &&
-                  col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTE"))
-        .groupBy(col("e1.event_type"))
-        .agg(cnt.as("follow_within_5m"))
-        .orderBy(col("e1.event_type"))
+      val us = unix_micros(col("ts"))
+      val within = Window.partitionBy("user_id").orderBy(us).rangeBetween(0, 300000000L)
+      val ties = Window.partitionBy("user_id").orderBy(us).rangeBetween(0, 0)
+      t(s, dir, "events")
+        .select(col("event_type"),
+          (cnt.over(within) - cnt.over(ties)).as("follows"))
+        .groupBy("event_type")
+        .agg(sum(col("follows")).as("follow_within_5m"))
+        .filter(col("follow_within_5m") > 0)
+        .orderBy("event_type")
     }),
 
     // As-of join as a running window aggregate (graft.operators.Windows):
