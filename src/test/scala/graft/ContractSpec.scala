@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-contract invariants (SURVEY.md §5.5): every declared
+  * query must have an oracle, run at sf0.001, and the flagship must
+  * return rows — so Verify can never silently skip a query.
+  */
+class ContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("every query key has an oracle and vice versa") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("entry() returns rows (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries run at sf0.001 and return at least one row") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, TestSpark.sf0001).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with empty results: $empty")
+  }
+
+  test("oracle SQL mentions only tables that exist") {
+    val tables = graft.sources.Tables.names.toSet
+    // cheap sanity: every oracle references at least one known table
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(tables.exists(t => sql.contains(t)), s"$name oracle references no known table")
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Windows}
+
+/** Per-operator unit tests on tiny in-memory data with hand-computed
+  * expected results — independent of the parquet fixtures and the
+  * DuckDB oracle.
+  */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("Windows.sessionize splits on gaps > 30min and numbers sessions per user") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:10:00"), 2L), // same session (10m gap)
+      (1L, ts("2024-01-01 01:00:00"), 3L), // new session (50m gap)
+      (2L, ts("2024-01-01 00:00:00"), 4L)  // other user -> own session
+    ).toDF("user_id", "ts", "event_id")
+    val out = Windows.sessionize(df, col("user_id"), col("ts"), col("event_id"), 1800000L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("Windows.asOfPrior finds the latest prior matching ts, not later ones") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (1L, ts("2024-01-01 00:05:00"), 2L, "purchase"), // sees signup@00:00
+      (1L, ts("2024-01-01 00:10:00"), 3L, "signup"),
+      (1L, ts("2024-01-01 00:15:00"), 4L, "purchase"), // sees signup@00:10
+      (2L, ts("2024-01-01 00:20:00"), 5L, "purchase")  // no signup -> null
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = df.withColumn("asof",
+        Windows.asOfPrior(col("user_id"), col("ts"), col("event_id"), col("event_type") === "signup"))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "asof").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(2L).contains(ts("2024-01-01 00:00:00")))
+    assert(out(4L).contains(ts("2024-01-01 00:10:00")))
+    assert(out(5L).isEmpty)
+  }
+
+  test("Windows.topKPerGroup keeps exactly k rows per group, ranked") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 10)).toDF("g", "v")
+    val out = Windows.topKPerGroup(df, 2, col("g"), col("v").desc)
+      .select("g", "v", "rn").as[(String, Int, Int)].collect().toSet
+    assert(out == Set(("a", 3, 1), ("a", 2, 2), ("b", 10, 1)))
+  }
+
+  test("Dedup.shingles produces ordered 3-gram set, short docs dropped") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.shingles(df).as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("Dedup.jaccardAllPairs computes exact set jaccard") {
+    // doc1 = {s1,s2,s3}, doc2 = {s2,s3,s4}: J = 2/4 = 0.5
+    val items = Seq((1L, "s1"), (1L, "s2"), (1L, "s3"),
+                    (2L, "s2"), (2L, "s3"), (2L, "s4")).toDF("doc_id", "sh")
+    val out = Dedup.jaccardAllPairs(items).as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 0.5)))
+  }
+
+  test("Dedup.simhashSignature: identical docs share signatures, bits are binary") {
+    val toks = Seq((1L, "alpha"), (1L, "beta"), (2L, "alpha"), (2L, "beta"),
+                   (3L, "gamma"), (3L, "delta")).toDF("doc_id", "tok")
+    val sigs = Dedup.simhashSignature(toks, 16).as[(Long, String)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+  }
+
+  test("Dedup.minhashSignature + lshCandidates pair up identical docs") {
+    val items = Seq((1L, "s1"), (1L, "s2"), (2L, "s1"), (2L, "s2"), (3L, "zz"))
+      .toDF("doc_id", "sh")
+    val sig = Dedup.minhashSignature(items, 4)
+    val cand = Dedup.lshCandidates(sig, Seq(Seq(1, 2), Seq(3, 4)))
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L)))
+  }
+
+  test("Multimodal decode stub: features are deterministic byte facts") {
+    val docs = Seq((1L, "en", "hello world", 11L)).toDF("doc_id", "lang", "text", "n_chars")
+    val f = Multimodal.decodeFeatures(Multimodal.ingest(docs)).collect().head
+    assert(f.byte_len == 11L)
+    assert(f.content_hash == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(f.frames == 0L)
+  }
+}

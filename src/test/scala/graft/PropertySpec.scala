@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Vectors
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+/** Algebraic invariants over the sf0.001 fixtures (SURVEY.md §5.4) —
+  * properties that must hold regardless of data values.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def dir = TestSpark.sf0001
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q22: |UNION ALL| = |A| + |B| and |UNION| <= |UNION ALL|") {
+    val rows = q("q22_union").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = Tables.load(spark, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING").count()
+    val b = c.filter(col("c_acctbal") > 5000).count()
+    assert(rows("all") == a + b)
+    assert(rows("dedup") <= rows("all"))
+  }
+
+  test("q35: n_unique + n_dupes_removed = n_total = row count") {
+    val r = q("q35_dedup_exact").collect().head
+    val (nu, nt, nd) = (r.getLong(r.fieldIndex("n_unique")),
+      r.getLong(r.fieldIndex("n_total")), r.getLong(r.fieldIndex("n_dupes_removed")))
+    assert(nu + nd == nt)
+    assert(nt == Tables.load(spark, dir, "documents").count())
+  }
+
+  test("q17: rank and row_number within [1, partition size]") {
+    val df = q("q17_win_rank")
+    val bad = df.filter(col("rnk") < 1 || col("rn") < 1 || col("drnk") > col("rnk") ||
+      col("rnk") > col("rn")).count() // rank <= row_number, dense <= rank
+    assert(bad == 0)
+  }
+
+  test("cosine similarity is within [-1, 1] for all embedding pairs vs query") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("v"))
+    val out = e.crossJoin(qv)
+      .select(Vectors.cosineSimilarity(col("embedding"), col("v")).as("c"))
+      .agg(min("c"), max("c")).collect().head
+    assert(out.getDouble(0) >= -1.0000001 && out.getDouble(1) <= 1.0000001)
+  }
+
+  test("q34: sessions per user never exceed events per user") {
+    val bad = q("q34_sessionize").filter(col("n_sessions") > col("n_events")).count()
+    assert(bad == 0)
+  }
+
+  test("rollup grand total equals ungrouped total (q13)") {
+    val total = q("q13_rollup").filter(col("g_yr") === 1 && col("g_st") === 1)
+      .select("n").collect().head.getLong(0)
+    assert(total == Tables.load(spark, dir, "orders").count())
+  }
+
+  test("quality scores are within [0, 1e6]") {
+    val s = TextAnalysis.qualityScores(Tables.load(spark, dir, "documents"),
+      Seq("the", "a"), "source")
+    assert(s.filter(col("score") < 0 || col("score") > 1000000).count() == 0)
+  }
+
+  test("lang-id predicts only languages that exist in the corpus") {
+    val langs = Tables.load(spark, dir, "documents")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    val preds = TextAnalysis.langIdPredictions(Tables.load(spark, dir, "documents"))
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(langs))
+  }
+
+  test("q50: verified pairs never exceed candidates") {
+    val r = q("q50_dedup_lsh_bands").collect().head
+    assert(r.getLong(r.fieldIndex("n_verified")) <= r.getLong(r.fieldIndex("n_candidates")))
+  }
+}
