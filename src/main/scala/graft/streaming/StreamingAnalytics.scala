@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming twins of the streaming-shaped batch queries
+  * (SURVEY.md §2 q32-q34). Each transform is source-agnostic: apply it
+  * to `spark.readStream...` for incremental execution (micro-batch,
+  * state-store-backed, watermark-governed late-data drops) or to a
+  * batch DataFrame for the oracle-checkable one-shot answer — the
+  * aggregation semantics are identical by construction, which is
+  * exactly what the batch q32-q34 pin down.
+  *
+  * Scale: all three group by (time bucket, key), so state is
+  * partitioned by key across executors; the 1-hour/30-min watermarks
+  * bound state size to the window horizon per key.
+  */
+object StreamingAnalytics {
+
+  /** Tumbling 1h counts per event_type — twin of q32. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Sliding 1h windows every 15min — twin of q33 (each event lands in
+    * 4 windows; the built-in `window(slide)` does the q33 explode). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_seconds(col("win.start")).as("win_start_s"),
+              col("event_type"), col("n"))
+
+  /** 30-min-gap sessions per user — twin of q34's sessionize; the
+    * state store merges/extends sessions as events arrive. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sess"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess.start").as("session_start"), col("n_events"))
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+import graft.streaming.StreamingAnalytics
+
+/** Streaming twins (q32-q34): (a) batch/stream semantic equivalence on
+  * the same transform, (b) true incremental execution through
+  * MemoryStream + micro-batches + state store.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** The three twins applied to the BATCH events table must agree with
+    * the oracle-checked batch queries. */
+  test("tumblingCounts on batch events == q32 rows") {
+    val events = Tables.load(spark, TestSpark.sf0001, "events")
+    val twin = StreamingAnalytics.tumblingCounts(events)
+      .orderBy("win_start", "event_type").limit(200)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val batch = SparkEntry.queries("q32_window_tumbling")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(twin.toSeq == batch.toSeq)
+  }
+
+  test("slidingCounts on batch events == q33 rows") {
+    val events = Tables.load(spark, TestSpark.sf0001, "events")
+    val twin = StreamingAnalytics.slidingCounts(events)
+      .orderBy("win_start_s", "event_type").limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batch = SparkEntry.queries("q33_window_sliding")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(twin.toSeq == batch.toSeq)
+  }
+
+  test("sessionCounts on batch events == q34 session totals per user") {
+    val events = Tables.load(spark, TestSpark.sf0001, "events")
+    val twin = StreamingAnalytics.sessionCounts(events)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = SparkEntry.queries("q34_sessionize")(spark, TestSpark.sf0001)
+      .select("user_id", "n_sessions", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(twin.toSeq == batch.toSeq)
+  }
+
+  /** Incremental execution: feed micro-batches through MemoryStream
+    * and assert the state-store-backed aggregation converges to the
+    * batch answer. */
+  test("tumblingCounts runs incrementally over MemoryStream micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingAnalytics.tumblingCounts(events).writeStream
+      .format("memory").queryName("tumbling_test").outputMode("complete").start()
+    try {
+      mem.addData((ts("2024-01-01 00:10:00"), "click", 1.0),
+                  (ts("2024-01-01 00:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:40:00"), "click", 3.0),
+                  (ts("2024-01-01 01:10:00"), "view", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling_test")
+        .select("win_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(out == Set(
+        (ts("2024-01-01 00:00:00"), "click", 3L),
+        (ts("2024-01-01 01:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionCounts merges sessions incrementally in the state store") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = StreamingAnalytics.sessionCounts(events).writeStream
+      .format("memory").queryName("session_test").outputMode("complete").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 02:00:00"))) // > 30min gap -> new session
+      q.processAllAvailable()
+      val out = spark.table("session_test")
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(out == Set(
+        (1L, ts("2024-01-01 00:00:00"), 2L),
+        (1L, ts("2024-01-01 02:00:00"), 1L)))
+    } finally q.stop()
+  }
+}
