@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the plan properties the 100 TB
+  * design story depends on (pushdown, broadcast joins, partial+final
+  * aggregation, top-k without global sort, codegen) asserted against
+  * the actual planner output, so a refactor that silently loses one
+  * fails CI — not just the benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q01: timestamp filter and projection reach the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // pruned read schema: only the 4 selected cols + filter col
+    assert(!p.contains("l_returnflag"), "scan reads pruned columns only")
+  }
+
+  test("q03: dimension side broadcasts") {
+    assert(plan("q03_join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("q04: multiway join broadcasts the dimension chain") {
+    val p = plan("q04_join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(500))
+  }
+
+  test("q06/q07: EXISTS/NOT EXISTS plan as semi/anti joins") {
+    assert(plan("q06_join_semi").contains("LeftSemi"))
+    assert(plan("q07_join_anti").contains("LeftAnti"))
+  }
+
+  test("q09: range count is a window, not a pair join") {
+    val p = plan("q09_join_range")
+    assert(p.contains("Window"), p.take(500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(500))
+  }
+
+  test("q11: aggregation is partial+final hash aggregate over a pruned scan") {
+    val p = plan("q11_agg_hash")
+    assert(p.contains("partial_sum"), p.take(500))             // map-side combine
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500)) // + final
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(500))
+  }
+
+  test("q21: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan("q21_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("no accidental cartesian products anywhere in the contract") {
+    // Broadcast nested-loop joins against 1-row/broadcast sides are fine;
+    // a CartesianProduct over two big sides is never intended.
+    val offenders = SparkEntry.queries.keys.filter(plan(_).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("q38/q44: ANN query side is broadcast") {
+    assert(plan("q38_knn_cosine").contains("Broadcast"))
+    assert(plan("q44_ann_lsh").contains("BroadcastHashJoin"))
+  }
+}
