@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** The codegen'd FloatVectorDot must be bit-identical to the
+  * higher-order-function fold it replaces — on real embeddings, for
+  * dot, norm, and full cosine (including the null-array case).
+  */
+class VectorExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("codegen dot == HOF dot, bit-for-bit, on all embedding pairs vs query") {
+    val e = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("v"))
+    val diff = e.crossJoin(qv)
+      .select(Vectors.dot(col("embedding"), col("v")).as("a"),
+              Vectors.dotHof(col("embedding"), col("v")).as("b"))
+      .filter(col("a") =!= col("b")) // exact comparison, not tolerance
+      .count()
+    assert(diff == 0)
+  }
+
+  test("codegen cosine == HOF cosine, bit-for-bit") {
+    val e = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("v"))
+    val diff = e.crossJoin(qv)
+      .select(Vectors.cosineSimilarity(col("embedding"), col("v")).as("a"),
+              Vectors.cosineSimilarityHof(col("embedding"), col("v")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("null array yields null, interpreted and codegen paths agree") {
+    val df = Seq((Some(Seq(1.0f, 2.0f)), None: Option[Seq[Float]]))
+      .toDF("a", "b")
+    val r = df.select(Vectors.dot(col("a"), col("b")).as("d")).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("known value: dot([1,2,3],[4,5,6]) = 32") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    assert(df.select(Vectors.dot(col("a"), col("b"))).collect().head.getDouble(0) == 32.0)
+  }
+}
