@@ -201,6 +201,21 @@ object Relational {
                  col("lang").asc_nulls_first, col("source").asc_nulls_first)
     }),
 
+    // Explicit GROUPING SETS incl. the grand total — Spark 4's
+    // Dataset.groupingSets API (one Expand + single aggregate, same
+    // plan the SQL text produces).
+    "q15_grouping_sets" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      e.groupingSets(Seq(Seq(col("event_type")), Seq(col("day")), Seq()),
+          col("event_type"), col("day"))
+        .agg(grouping(col("event_type")).as("g_t"),
+             grouping(col("day")).as("g_d"),
+             cnt.as("n"))
+        .orderBy(col("g_t"), col("g_d"),
+                 col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+    }),
+
     "q16_having" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_custkey")

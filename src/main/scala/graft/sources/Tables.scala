@@ -37,6 +37,22 @@ object Tables {
         spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
+  /** Ingest a table from CSV or JSON-lines with an explicit schema —
+    * the reference's ingestion path (schema-declared tables fed from
+    * delimited files). An explicit schema keeps ingestion one pass
+    * (no inference scan) and type-stable at any size; both formats
+    * split across executors by file/offset, so ingestion parallelism
+    * scales with input bytes.
+    */
+  def loadAs(spark: SparkSession, path: String, format: String,
+             schema: org.apache.spark.sql.types.StructType,
+             header: Boolean = true): DataFrame = format match {
+    case "csv"  => spark.read.schema(schema).option("header", header).csv(path)
+    case "json" => spark.read.schema(schema).json(path)
+    case "parquet" => spark.read.schema(schema).parquet(path)
+    case other => throw new IllegalArgumentException(s"unsupported format: $other")
+  }
+
   /** Register all ten tables as temp views named after themselves.
     * Idempotent and cheap (footer reads only); cached per (session, dir)
     * so per-query calls don't re-register.
