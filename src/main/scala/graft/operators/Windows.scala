@@ -44,6 +44,32 @@ object Windows {
     df.withColumn("session_id", sum(newSession).over(cum))
   }
 
+  /** General two-table as-of join: every `left` row gains an `asof`
+    * struct holding the latest `right` row whose `tsCol` is <= the
+    * left row's (same `key`), or null if none precedes it.
+    *
+    * Implemented as union + one running `last(_, ignoreNulls)` window
+    * rather than a time-range join: one shuffle/sort on the key, no
+    * pair materialization, and naturally skew-tolerant — the classic
+    * scalable as-of formulation (same idea as q10, generalized to two
+    * tables). Right rows sort before left rows at equal timestamps, so
+    * "as of" is inclusive.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String): DataFrame = {
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(right.columns.map(col): _*)
+    val lpart = left.select(col(key).as("_k"), col(tsCol).as("_t"), lit(1).as("_is_left"),
+      lStruct.as("_l"), lit(null).cast(right.select(rStruct).schema.head.dataType).as("_r"))
+    val rpart = right.select(col(key).as("_k"), col(tsCol).as("_t"), lit(0).as("_is_left"),
+      lit(null).cast(left.select(lStruct).schema.head.dataType).as("_l"), rStruct.as("_r"))
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lpart.union(rpart)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+      .select(col("_l.*"), col("_asof").as("asof"))
+  }
+
   /** Top-k rows per group by `ordering`, with `rn` (1-based rank kept
     * in the output). Executes as WindowExec + filter — no global sort.
     */

@@ -62,6 +62,7 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (!registered.contains((spark, sfDir))) {
       names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      graft.functions.GraftFunctions.register(spark)
       registered += ((spark, sfDir))
     }
   }
