@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** The engine facade a reference user switches to: one object that
+  * owns a correctly-configured session (UTC, AQE, ns-timestamp read,
+  * right shuffle width), the table catalog, the SQL entry point with
+  * graft functions registered, and the named contract queries.
+  */
+final class Graft(val spark: SparkSession, val dataDir: String) {
+  Tables.registerAll(spark, dataDir)
+
+  /** SQL entry point over the registered tables (+ graft_* functions). */
+  def sql(text: String): DataFrame = spark.sql(text)
+
+  /** A catalog table as a DataFrame. */
+  def table(name: String): DataFrame = Tables.load(spark, dataDir, name)
+
+  /** A named contract query (SURVEY.md §2). */
+  def query(key: String): DataFrame = SparkEntry.queries(key)(spark, dataDir)
+
+  def close(): Unit = spark.stop()
+}
+
+object Graft {
+  /** Local engine with the session configuration every entry point
+    * needs; `cores` also sizes shuffle parallelism (small local runs
+    * should not default to 200 reducers).
+    */
+  def local(dataDir: String, cores: Int = Runtime.getRuntime.availableProcessors()): Graft = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new Graft(spark, dataDir)
+  }
+}
