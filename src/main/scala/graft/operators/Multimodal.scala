@@ -56,4 +56,23 @@ object Multimodal {
 
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
     media.mapPartitions(decodePartition _)(Encoders.product[MediaFeatures])
+
+  /** One sampled "frame" of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Deterministic frame sampling: chunk the payload into
+    * `frameBytes`-sized frames and keep every `everyN`-th (video
+    * frame-sampling shape; here byte chunks stand in for decoded
+    * frames). Flat-maps partition-parallel — output size is
+    * payload/(frameBytes*everyN) per record, never collected to the
+    * driver.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int, everyN: Int): Dataset[Frame] = {
+    require(frameBytes > 0 && everyN > 0)
+    media.mapPartitions(_.flatMap { r =>
+      r.content.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, idx) if idx % everyN == 0 => Frame(r.doc_id, idx, chunk)
+      }
+    })(Encoders.product[Frame])
+  }
 }
