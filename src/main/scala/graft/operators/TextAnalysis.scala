@@ -37,11 +37,17 @@ object TextAnalysis {
     val profile = t.groupBy(col("lang").as("pl"), col("tok").as("ptok"))
       .agg(count(lit(1)).as("c"))
     val tot = t.groupBy(col("lang").as("plang")).agg(count(lit(1)).as("tc"))
-    val scored = t
+    // Pre-aggregate per-doc token multiplicities BEFORE fanning out
+    // across languages: scoring weights each distinct token by its
+    // occurrence count (occ * ppm == summing ppm per occurrence,
+    // exactly, in integers), so the language fan-out shuffles distinct
+    // doc-tokens (~vocab-bounded) instead of every occurrence.
+    val docToks = t.groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("occ"))
+    val scored = docToks
       .crossJoin(broadcast(tot))
       .join(broadcast(profile), col("pl") === col("plang") && col("ptok") === col("tok"), "left")
       .groupBy("doc_id", "lang", "plang")
-      .agg(sum(expr("(coalesce(c, 0) * 1000000) DIV tc")).as("score"))
+      .agg(sum(expr("occ * ((coalesce(c, 0) * 1000000) DIV tc)")).as("score"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("plang").as("pred_lang"))

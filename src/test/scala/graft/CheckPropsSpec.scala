@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Vectors
+import graft.operators.Dedup
+
+/** ScalaCheck properties for the operator library on generated data —
+  * invariants that must hold for ANY input, not just the fixtures.
+  * (Driven through Spark on small generated DataFrames; generator
+  * sizes kept tiny so each property runs in seconds.)
+  */
+class CheckPropsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+
+  private def check(name: String)(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name: $r")
+  }
+
+  test("jaccard is symmetric-in-structure, bounded, and 1.0 for identical docs") {
+    val genDoc = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.distinct)
+    check("jaccard")(Prop.forAll(genDoc, genDoc) { (d1, d2) =>
+      val items = (d1.map((1L, _)) ++ d2.map((2L, _)) ++ d1.map((3L, _))).toDF("doc_id", "sh")
+      val jc = Dedup.jaccardAllPairs(items).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val bounded = jc.values.forall(v => v >= 0.0 && v <= 1.0)
+      // doc 3 is a copy of doc 1 -> jaccard exactly 1.0
+      val dupExact = jc.get((1L, 3L)).forall(_ == 1.0) && jc.contains((1L, 3L))
+      bounded && dupExact
+    })
+  }
+
+  test("cosine(v, k*v) == 1 for positive scale; |cosine| <= 1 for any pair") {
+    val genVec = Gen.listOfN(8, Gen.choose(-100, 100).map(_ / 10.0f))
+      .suchThat(v => v.exists(_ != 0.0f))
+    check("cosine")(Prop.forAll(genVec, genVec.suchThat(v => v.exists(_ != 0.0f)),
+        Gen.choose(1, 5)) { (a, b, k) =>
+      val df = Seq((a, a.map(_ * k), b)).toDF("a", "ka", "b")
+      val r = df.select(
+        Vectors.cosineSimilarity(col("a"), col("ka")),
+        Vectors.cosineSimilarity(col("a"), col("b"))).collect().head
+      math.abs(r.getDouble(0) - 1.0) < 1e-9 && math.abs(r.getDouble(1)) <= 1.0 + 1e-12
+    })
+  }
+
+  test("simhash of a doc equals simhash of the same doc with tokens duplicated x2") {
+    // SimHash votes scale linearly with term frequency; doubling every
+    // count never flips a bit's sign.
+    val genToks = Gen.nonEmptyListOf(Gen.identifier.map(_.take(6))).map(_.take(10))
+    check("simhash-scale")(Prop.forAll(genToks) { toks =>
+      val single = toks.map((1L, _))
+      val doubled = (toks ++ toks).map((2L, _))
+      val sigs = Dedup.simhashSignature((single ++ doubled).toDF("doc_id", "tok"), 16)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      sigs(1L) == sigs(2L)
+    })
+  }
+}
