@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Second extension wave (q51-q55): classic analytics operators beyond
+  * the original contract — pivot, exact-moment statistics, window
+  * distribution functions, array aggregation, and fuzzy string
+  * matching. Same t2 gate as everything else (oracles in [[oracle]]).
+  */
+object Extended {
+
+  private def cnt = count(lit(1))
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  def queries: Map[String, Queries.QueryFn] = Map(
+
+    // PIVOT: status categories become revenue columns via the pivot
+    // API (explicit value list => no extra distinct pass at scale);
+    // missing cells coalesce to 0 to match the conditional-agg oracle.
+    "q51_pivot" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("yr", expr("EXTRACT(year FROM o_orderdate)"))
+      val zero = lit(0).cast(DecimalType(28, 2))
+      val rev = o.groupBy("yr").pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec2(col("o_totalprice"))))
+        .select(col("yr"),
+          coalesce(col("F"), zero).as("rev_f"),
+          coalesce(col("O"), zero).as("rev_o"),
+          coalesce(col("P"), zero).as("rev_p"))
+      rev.join(o.groupBy("yr").agg(cnt.as("n")), "yr").orderBy("yr")
+    }),
+
+    // Correlation/stddev from EXACT decimal moments: the five sums are
+    // decimal (associative, partitioning-independent), only the final
+    // closed-form formula runs in double — so the result is
+    // deterministic, unlike native corr()/stddev() whose double sums
+    // are order-dependent (SURVEY.md §5 rule applied to statistics).
+    "q52_stats_agg" -> ((s, dir) => {
+      val x = dec2(col("l_quantity"))
+      val y = dec2(col("l_extendedprice"))
+      val m = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(cnt.as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      val (n, sx, sy, sxx, syy, sxy) =
+        (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"),
+          col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      m.select(col("l_returnflag"), col("n"),
+          round((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("corr_qty_price"),
+          round(sqrt((n * sxx - sx * sx) / (n * n)), 6).as("stddev_pop_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Distribution window functions over a provably-unique ordering.
+    "q53_win_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("c_mktsegment", "c_custkey")
+        .limit(200)
+    }),
+
+    // Array aggregation: collect + sort (sort_array makes collect_list
+    // order-independent => deterministic) + containment.
+    "q54_array_funcs" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus").agg(lit(1))
+        .select("l_returnflag", "l_linestatus")
+      t.groupBy("l_returnflag")
+        .agg(sort_array(collect_list(col("l_linestatus"))).as("statuses"),
+             cnt.as("n_statuses"))
+        .withColumn("has_f", array_contains(col("statuses"), "F"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Fuzzy match: Levenshtein join between two keyed slices — the
+    // edit-distance verification kernel of fuzzy dedup (run AFTER
+    // blocking at scale; the slices here are the blocks).
+    "q55_fuzzy_match" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+      val p1 = p.filter(col("p_partkey") < 100).select(col("p_partkey").as("a"), col("p_name").as("na"))
+      val p2 = p.filter(col("p_partkey") >= 100 && col("p_partkey") < 200)
+        .select(col("p_partkey").as("b"), col("p_name").as("nb"))
+      p1.crossJoin(broadcast(p2))
+        .select(col("a"), col("b"), levenshtein(col("na"), col("nb")).as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy("dist", "a", "b")
+        .limit(100)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q51_pivot" -> """
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+  SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev_f,
+  SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev_o,
+  SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev_p,
+  COUNT(*) AS n
+FROM orders GROUP BY yr ORDER BY yr""",
+
+    "q52_stats_agg" -> """
+WITH m AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price,
+  ROUND(SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS stddev_pop_qty
+FROM m ORDER BY l_returnflag""",
+
+    "q53_win_distribution" -> """
+SELECT c_custkey, c_mktsegment,
+  NTILE(4) OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+  ROUND(CUME_DIST() OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_custkey LIMIT 200""",
+
+    "q54_array_funcs" -> """
+WITH t AS (SELECT l_returnflag, l_linestatus FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag,
+  list_sort(list(l_linestatus)) AS statuses,
+  len(list(l_linestatus)) AS n_statuses,
+  list_contains(list(l_linestatus), 'F') AS has_f
+FROM t GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q55_fuzzy_match" -> """
+WITH p1 AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 100),
+     p2 AS (SELECT p_partkey, p_name FROM part WHERE p_partkey >= 100 AND p_partkey < 200)
+SELECT p1.p_partkey AS a, p2.p_partkey AS b, levenshtein(p1.p_name, p2.p_name) AS dist
+FROM p1 CROSS JOIN p2
+WHERE levenshtein(p1.p_name, p2.p_name) <= 3
+ORDER BY dist, a, b LIMIT 100"""
+  ).map { case (k, v) => k -> v.trim }
+}

@@ -30,7 +30,8 @@ object Queries {
 
   val all: Map[String, QueryFn] =
     QueryTexts.spark.keys.map(k => k -> native.getOrElse(k, sql(k))).toMap ++
-      Extensions.queries
+      Extensions.queries ++ Extended.queries
 
-  val oracle: Map[String, String] = QueryTexts.oracle ++ Extensions.oracle
+  val oracle: Map[String, String] =
+    QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle
 }
