@@ -8,7 +8,8 @@ import graft.sources.Tables
   * right shuffle width), the table catalog, the SQL entry point with
   * graft functions registered, and the named contract queries.
   */
-final class Graft(val spark: SparkSession, val dataDir: String) {
+final class Graft(val spark: SparkSession, val dataDir: String,
+                  stopOnClose: Boolean = true) {
   Tables.registerAll(spark, dataDir)
 
   /** SQL entry point over the registered tables (+ graft_* functions). */
@@ -20,24 +21,45 @@ final class Graft(val spark: SparkSession, val dataDir: String) {
   /** A named contract query (SURVEY.md §2). */
   def query(key: String): DataFrame = SparkEntry.queries(key)(spark, dataDir)
 
-  def close(): Unit = spark.stop()
+  /** Stops the SparkContext only if this engine created it (a
+    * newSession()-derived engine must not kill its siblings). */
+  def close(): Unit = if (stopOnClose) spark.stop()
 }
 
 object Graft {
   /** Local engine with the session configuration every entry point
     * needs; `cores` also sizes shuffle parallelism (small local runs
     * should not default to 200 reducers).
+    *
+    * One SparkContext exists per JVM: the first engine sets
+    * master/cores; later engines get an ISOLATED session (own temp
+    * views + session confs) over the shared context via newSession(),
+    * so two engines on different data dirs never clobber each other's
+    * catalogs. `close()` stops the shared context only for the engine
+    * that created it.
     */
   def local(dataDir: String, cores: Int = Runtime.getRuntime.availableProcessors()): Graft = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val existing = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val (spark, ownsContext) = existing match {
+      case Some(s) =>
+        val ns = s.newSession()
+        Seq("spark.sql.shuffle.partitions" -> cores.toString,
+          "spark.sql.session.timeZone" -> "UTC",
+          "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+          .foreach { case (k, v) => ns.conf.set(k, v) }
+        (ns, false)
+      case None =>
+        val s = SparkSession.builder()
+          .master(s"local[$cores]")
+          .appName("graft")
+          .config("spark.sql.shuffle.partitions", cores)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        (s, true)
+    }
     spark.sparkContext.setLogLevel("WARN")
-    new Graft(spark, dataDir)
+    new Graft(spark, dataDir, stopOnClose = ownsContext)
   }
 }

@@ -53,13 +53,16 @@ object Dedup {
     * component columns — hash-partitionable, skew governed by band
     * width (wider band = smaller buckets).
     */
-  def lshCandidates(sig: DataFrame, bands: Seq[Seq[Int]]): DataFrame =
+  def lshCandidates(sig: DataFrame, bands: Seq[Seq[Int]]): DataFrame = {
+    require(bands.nonEmpty && bands.forall(_.nonEmpty),
+      s"lshCandidates needs at least one non-empty band, got $bands")
     bands.map { band =>
       val cond = band.map(i => col(s"a.h$i") === col(s"b.h$i"))
         .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
       sig.as("a").join(sig.as("b"), cond)
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
     }.reduce(_ union _).distinct()
+  }
 
   /** Exact set-Jaccard for ALL pairs of docs sharing at least one
     * item, in a single pass: the item self-join yields one row per

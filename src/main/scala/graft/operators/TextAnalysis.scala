@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** (doc_id, lang, tok) occurrences, empty tokens dropped. */
+  /** (doc_id, [extraCols...], tok) occurrences, empty tokens dropped.
+    * Tokenization is defined ONCE in [[graft.functions.Text.tokens]] —
+    * all operators must agree on what a token is. */
   def tokenOccurrences(docs: DataFrame, extraCols: String*): DataFrame = {
     val keep = (Seq("doc_id") ++ extraCols).map(col)
-    docs.select(keep :+ explode(split(lower(col("text")), " ")).as("tok"): _*)
+    docs.select(keep :+ explode(graft.functions.Text.tokens(col("text"))).as("tok"): _*)
       .filter(col("tok") =!= "")
   }
 

@@ -138,8 +138,11 @@ object Extensions {
         .select(col("doc_id"), md5(col("sh")).as("h"))
       val fp = h.groupBy("doc_id")
         .agg(array_sort(collect_list(col("h"))).as("hs"))
+        // try_element_at: ANSI mode (Spark 4 default) makes plain
+        // element_at THROW past the array end; docs with <4 shingles
+        // must pad with '' instead (matching the oracle's ELSE '').
         .select(col("doc_id"), md5(concat_ws("|",
-          (1 to 4).map(i => coalesce(element_at(col("hs"), i), lit(""))): _*)).as("f"))
+          (1 to 4).map(i => coalesce(try_element_at(col("hs"), lit(i)), lit(""))): _*)).as("f"))
       Dedup.groupStats(fp.groupBy("f").agg(cnt.as("n")), "n_shared")
         .withColumnRenamed("n_groups", "n_fingerprints")
     }),

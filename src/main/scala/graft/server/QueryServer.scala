@@ -58,7 +58,8 @@ final class QueryServer(engine: Graft, port: Int) {
     case m: collection.Map[_, _] =>
       m.map { case (k, x) => jsonStr(String.valueOf(k)) + ":" + jsonValue(x) }
         .mkString("{", ",", "}")
-    case other => jsonStr(other.toString) // timestamps, dates, strings, binary
+    case b: Array[Byte] => jsonStr(java.util.Base64.getEncoder.encodeToString(b))
+    case other => jsonStr(other.toString) // timestamps, dates, strings
   }
 
   server.createContext("/health", (ex: HttpExchange) =>
@@ -70,7 +71,8 @@ final class QueryServer(engine: Graft, port: Int) {
       val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val limit = Option(ex.getRequestURI.getQuery)
         .flatMap(_.split("&").collectFirst {
-          case kv if kv.startsWith("limit=") => kv.drop(6).toInt })
+          case kv if kv.startsWith("limit=") => kv.drop(6) })
+        .flatMap(_.toIntOption) // malformed limit -> default, not a dropped connection
         .getOrElse(1000)
       try {
         val df = engine.sql(sql)

@@ -57,13 +57,16 @@ object Tables {
     * Idempotent and cheap (footer reads only); cached per (session, dir)
     * so per-query calls don't re-register.
     */
-  private val registered = scala.collection.mutable.Set.empty[(SparkSession, String)]
+  private val registered = scala.collection.mutable.Map.empty[SparkSession, String]
 
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
-    if (!registered.contains((spark, sfDir))) {
+    // Keyed by session, value = the dir currently backing its views:
+    // switching dirs re-registers (views are named after the tables, so
+    // a stale memo would silently serve the previous dir's data).
+    if (!registered.get(spark).contains(sfDir)) {
       names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
       graft.functions.GraftFunctions.register(spark)
-      registered += ((spark, sfDir))
+      registered(spark) = sfDir
     }
   }
 }
