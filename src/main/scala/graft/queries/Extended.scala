@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
+import graft.functions.Vectors
+import graft.operators.AnnSearch
 import graft.sources.Tables
 
 /** Second extension wave (q51-q55): classic analytics operators beyond
@@ -93,6 +95,24 @@ object Extended {
         .filter(col("dist") <= 3)
         .orderBy("dist", "a", "b")
         .limit(100)
+    }),
+
+    // IVF ANN (graft.operators.AnnSearch): per-label centroids form
+    // the inverted file; every vector (and the query) is assigned to
+    // its nearest centroid, then exact cosine re-ranks only the
+    // query's bucket (nprobe=1). Complements q44's LSH: trained coarse
+    // quantizer vs hash buckets.
+    "q56_ann_ivf" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val b = AnnSearch.assignBuckets(e, AnnSearch.centroids(e, dims = 64)).localCheckpoint()
+      val qv = b.filter(col("vec_id") === 0)
+        .select(col("embedding").as("v"), col("bucket").as("qbucket"))
+      b.join(broadcast(qv), col("bucket") === col("qbucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          round(Vectors.cosineSimilarity(col("embedding"), col("v")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
     })
   )
 
@@ -145,6 +165,30 @@ WITH p1 AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 100),
 SELECT p1.p_partkey AS a, p2.p_partkey AS b, levenshtein(p1.p_name, p2.p_name) AS dist
 FROM p1 CROSS JOIN p2
 WHERE levenshtein(p1.p_name, p2.p_name) <= 3
-ORDER BY dist, a, b LIMIT 100"""
+ORDER BY dist, a, b LIMIT 100""",
+
+    "q56_ann_ivf" -> """
+WITH cm AS (
+  SELECT label, r.pos, CAST(ROUND(AVG(CAST(embedding[CAST(r.pos AS INT)] AS DECIMAL(18,9))), 6) AS DOUBLE) c
+  FROM embeddings CROSS JOIN range(1, 65) r(pos) GROUP BY label, r.pos),
+cent AS (SELECT label AS clabel, list(c ORDER BY pos) cent FROM cm GROUP BY label),
+assign AS (
+  SELECT e.vec_id, e.label, e.embedding, c.clabel,
+    list_sum(list_transform(list_zip(e.embedding, c.cent),
+      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))) d2
+  FROM embeddings e CROSS JOIN cent c),
+bucketed AS (
+  SELECT vec_id, label, embedding, clabel AS bucket,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn
+  FROM assign),
+b AS (SELECT vec_id, label, embedding, bucket FROM bucketed WHERE rn = 1),
+qv AS (SELECT embedding v, bucket FROM b WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+  ROUND(list_sum(list_transform(list_zip(e.embedding, qv.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+  /(SQRT(list_sum(list_transform(e.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+   *SQRT(list_sum(list_transform(qv.v, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),6) cos_sim
+FROM b e JOIN qv ON e.bucket = qv.bucket
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 5"""
   ).map { case (k, v) => k -> v.trim }
 }
