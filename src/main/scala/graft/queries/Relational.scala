@@ -341,7 +341,11 @@ object Relational {
           round(log(col("l_extendedprice")), 6).as("lg"),
           round(pow(col("l_quantity"), 2), 6).as("pw"),
           (col("l_quantity").cast("int") % 7).as("md"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in this synthetic
+        // lineitem (FIXTURES.md): at sf0.1 ties reach the LIMIT-100
+        // prefix and engines break them differently. Ordering by every
+        // output column makes any remaining ties identical rows.
+        .orderBy("l_orderkey", "l_linenumber", "r0", "ab", "ce", "fl", "sq", "lg", "pw", "md")
         .limit(100)
     }),
 

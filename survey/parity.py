@@ -84,7 +84,7 @@ SELECT l_orderkey, l_linenumber,
        ABS(l_quantity - 25) AS ab, CEIL(l_discount * 100) AS ce, FLOOR(l_tax * 100) AS fl,
        ROUND(SQRT(l_quantity), 6) AS sq, ROUND(LN(l_extendedprice), 6) AS lg,
        ROUND(POWER(l_quantity, 2), 6) AS pw, MOD(CAST(l_quantity AS INT), 7) AS md
-FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"""
+FROM lineitem ORDER BY l_orderkey, l_linenumber, r0, ab, ce, fl, sq, lg, pw, md LIMIT 100"""
 
 S["q28_json"] = """
 SELECT event_type,
