@@ -1,0 +1,51 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.operators.{Dedup, TextAnalysis}
+
+/** End-to-end training-data curation pipeline composed from the
+  * operator library — the workload the engine is built for:
+  *
+  *   ingest -> language ID -> quality filter -> near-dup removal
+  *          -> token accounting
+  *
+  * Run: `sbt "runMain graft.examples.PipelineDemo [sfDir]"`.
+  * Every stage is a DataFrame transform; at cluster scale the same
+  * code runs over a partitioned lake instead of one parquet file.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val dataDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val engine = Graft.local(dataDir)
+    val docs = engine.table("documents")
+    println(s"[pipeline] ingested:       ${docs.count()} docs")
+
+    // 1. language ID: keep docs whose predicted language matches the
+    //    declared one (drops mislabeled/ambiguous docs)
+    val langOk = TextAnalysis.langIdPredictions(docs)
+      .filter(col("pred_lang") === col("lang"))
+      .select("doc_id")
+    val docsLang = docs.join(langOk, "doc_id")
+    println(s"[pipeline] language-clean: ${docsLang.count()} docs")
+
+    // 2. quality filter: integer-ppm score floor
+    val quality = TextAnalysis.qualityScores(docsLang, Seq("the", "a"), "source")
+      .filter(col("score") >= 500000)
+      .select("doc_id")
+    val docsQual = docsLang.join(quality, "doc_id")
+    println(s"[pipeline] quality-pass:   ${docsQual.count()} docs")
+
+    // 3. near-dup removal (MinHash + LSH + exact-Jaccard verify)
+    val deduped = Dedup.dedupCorpus(docsQual, threshold = 0.7)
+    println(s"[pipeline] deduplicated:   ${deduped.count()} docs")
+
+    // 4. token accounting for the surviving corpus
+    val tokens = deduped
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    println(s"[pipeline] corpus tokens:  ${tokens.count()}")
+
+    engine.close()
+  }
+}

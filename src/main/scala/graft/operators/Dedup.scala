@@ -125,6 +125,24 @@ object Dedup {
         concat((1 to nBits).map(b => when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("sg"))
   }
 
+  /** End-to-end near-dup removal: returns `docs` minus every document
+    * that has a verified near-duplicate with a smaller doc_id (the
+    * standard greedy keep-first policy — no transitive closure needed,
+    * and by construction no surviving pair is a verified duplicate).
+    * Pipeline: shingle -> MinHash(k) -> LSH bands -> exact-Jaccard
+    * verify >= `threshold` -> anti-join the losers. Every stage is the
+    * shuffle-partitionable form documented above.
+    */
+  def dedupCorpus(docs: DataFrame, threshold: Double, k: Int = 8,
+                  bands: Seq[Seq[Int]] = Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8))): DataFrame = {
+    val sh = shingles(docs)
+    val cand = lshCandidates(minhashSignature(sh, k), bands)
+    val losers = jaccardVerify(cand, sh)
+      .filter(col("jc") >= threshold)
+      .select(col("j").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Collapse (key -> group size) stats used by the dedup reports:
     * n_groups, n_docs, n_dupes (sum of size-1 over groups > 1). */
   def groupStats(grouped: DataFrame, dupesCol: String): DataFrame =
