@@ -53,6 +53,30 @@ object Tables {
     case other => throw new IllegalArgumentException(s"unsupported format: $other")
   }
 
+  /** Write a DataFrame as a parquet dataset, optionally
+    * hive-partitioned by columns — the lake-layout sink: partition
+    * columns become directories, so equality predicates on them prune
+    * whole directories at 100 TB.
+    */
+  def writeAs(df: DataFrame, path: String, format: String = "parquet",
+              partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
+  /** Persist a DataFrame as a BUCKETED catalog table: rows are
+    * pre-hashed into `buckets` files by `bucketCols`. Two tables
+    * bucketed the same way join WITHOUT any shuffle (asserted in
+    * SourcesSpec) — the layout that deletes the biggest exchange at
+    * 100 TB. Requires `saveAsTable` (bucket metadata lives in the
+    * catalog, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** Register all ten tables as temp views named after themselves.
     * Idempotent and cheap (footer reads only); cached per (session, dir)
     * so per-query calls don't re-register.

@@ -43,6 +43,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported format"))
   }
 
+  test("partitioned write prunes directories on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    Tables.writeAs(docs, dir, partitionBy = Seq("lang"))
+    val back = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    assert(back.count() == docs.filter("lang = 'en'").count())
+    // partition filter appears as PartitionFilters, not a data filter
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan.take(400))
+  }
+
+  test("co-bucketed tables join with zero shuffle") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    // a previous JVM's managed-table location survives the in-memory
+    // catalog — drop both name and location before re-creating
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+    val customer = Tables.load(spark, TestSpark.sf0001, "customer")
+    Tables.writeBucketed(orders.withColumnRenamed("o_custkey", "custkey"), "b_orders", 4, Seq("custkey"))
+    Tables.writeBucketed(customer.withColumnRenamed("c_custkey", "custkey"), "b_customer", 4, Seq("custkey"))
+    // disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_customer"), "custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n${plan.take(600)}")
+      assert(joined.count() == orders.count()) // every order has a customer
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("catalog serves all ten tables; events.ts is a usable timestamp") {
     Tables.names.foreach { n =>
       val df = Tables.load(spark, TestSpark.sf0001, n)

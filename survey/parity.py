@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Cross-engine parity check: run every battery query on DuckDB and on
 Spark 4.1.2 (Spark-SQL translation) at sf0.01 and diff normalized rows."""
-import sys, time, json
-sys.path.insert(0, "/tmp")
+import sys, time, json, os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from battery import Q as DUCK_Q, TABLES, setup
 import duckdb
 
