@@ -125,6 +125,41 @@ object Dedup {
         concat((1 to nBits).map(b => when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("sg"))
   }
 
+  /** Exact connected components over an undirected pair list (i, j):
+    * every node gets `root` = the minimum doc_id reachable from it, so
+    * a component is the set sharing a root. Iterative min-label
+    * propagation with a per-round convergence count — the standard
+    * distributed pattern (each round is one join + aggregate, no
+    * driver-side graph state; iterations ~ component diameter, which
+    * for near-dup clusters is tiny). `localCheckpoint` per round keeps
+    * the plan from growing linearly with iterations.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("root", col("doc")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc").as("b"), col("root").as("brand")), "b")
+        .groupBy(col("a").as("doc")).agg(min("brand").as("nroot"))
+      val updated = labels.join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+        .localCheckpoint()
+      val changed = updated.as("u")
+        .join(labels.select(col("doc"), col("root").as("old")), "doc")
+        .filter(col("root") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** End-to-end near-dup removal: returns `docs` minus every document
     * that has a verified near-duplicate with a smaller doc_id (the
     * standard greedy keep-first policy — no transitive closure needed,

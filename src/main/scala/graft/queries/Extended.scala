@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.Vectors
-import graft.operators.AnnSearch
+import graft.operators.{AnnSearch, Dedup}
 import graft.sources.Tables
 
 /** Second extension wave (q51-q55): classic analytics operators beyond
@@ -113,6 +113,23 @@ object Extended {
           round(Vectors.cosineSimilarity(col("embedding"), col("v")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(5)
+    }),
+
+    // Exact near-dup GROUPS: the q50 candidate+verify pipeline, then
+    // transitive closure via iterative connected components
+    // (Dedup.connectedComponents) — the upgrade from greedy pairwise
+    // removal to true duplicate clusters. Oracle: recursive CTE.
+    "q57_dedup_components" -> ((s, dir) => {
+      val sh = Dedup.shingles(Tables.load(s, dir, "documents")).localCheckpoint()
+      val cand = Dedup.lshCandidates(
+        Dedup.minhashSignature(sh, k = 8).localCheckpoint(),
+        bands = Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8)))
+      val pairs = Dedup.jaccardVerify(cand, sh).filter(col("jc") >= 0.7).select("i", "j")
+      Dedup.connectedComponents(pairs)
+        .groupBy("root").agg(cnt.as("sz"))
+        .agg(cnt.as("n_components"),
+          sum(col("sz")).as("n_docs_in_dupes"),
+          max(col("sz")).as("max_component"))
     })
   )
 
@@ -189,6 +206,41 @@ SELECT e.vec_id, e.label,
    *SQRT(list_sum(list_transform(qv.v, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),6) cos_sim
 FROM b e JOIN qv ON e.bucket = qv.bucket
 WHERE e.vec_id <> 0
-ORDER BY cos_sim DESC, e.vec_id LIMIT 5"""
+ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
+
+    "q57_dedup_components" -> """
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
+t AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
+sig AS (SELECT doc_id,
+  MIN(md5('0'||sh)) h1, MIN(md5('1'||sh)) h2, MIN(md5('2'||sh)) h3, MIN(md5('3'||sh)) h4,
+  MIN(md5('4'||sh)) h5, MIN(md5('5'||sh)) h6, MIN(md5('6'||sh)) h7, MIN(md5('7'||sh)) h8
+  FROM t GROUP BY doc_id),
+cand0 AS (
+  SELECT a.doc_id i, b.doc_id j FROM sig a JOIN sig b
+    ON a.h1=b.h1 AND a.h2=b.h2 AND a.h3=b.h3 AND a.h4=b.h4 AND a.doc_id < b.doc_id
+  UNION ALL SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+    ON a.h5=b.h5 AND a.h6=b.h6 AND a.h7=b.h7 AND a.h8=b.h8 AND a.doc_id < b.doc_id),
+-- explicit DISTINCT: DuckDB 1.0 does not dedup a bare UNION inside a
+-- non-recursive CTE when the WITH block is RECURSIVE (observed: 453
+-- rows instead of 254), which doubles ci and breaks the Jaccard
+cand AS (SELECT DISTINCT i, j FROM cand0),
+card AS (SELECT doc_id, COUNT(*) nt FROM t GROUP BY doc_id),
+inter AS (SELECT c.i, c.j, COUNT(*) ci FROM cand c
+          JOIN t ta ON ta.doc_id = c.i JOIN t tb ON tb.doc_id = c.j AND ta.sh = tb.sh
+          GROUP BY c.i, c.j),
+pairs AS (SELECT x.i, x.j FROM inter x
+          JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
+          WHERE CAST(x.ci AS DOUBLE)/(ca.nt + cb.nt - x.ci) >= 0.7),
+edges AS (SELECT i a, j b FROM pairs UNION SELECT j, i FROM pairs),
+reach(doc, peer) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.peer FROM edges e JOIN reach r ON r.doc = e.b),
+roots AS (SELECT doc, MIN(peer) root FROM reach GROUP BY doc),
+comp AS (SELECT root, COUNT(*) sz FROM roots GROUP BY root)
+SELECT COUNT(*) n_components, SUM(sz) n_docs_in_dupes, MAX(sz) max_component
+FROM comp"""
   ).map { case (k, v) => k -> v.trim }
 }

@@ -83,6 +83,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(cand == Set((1L, 2L)))
   }
 
+  test("Dedup.connectedComponents merges transitive chains to the min id") {
+    // chain 1-2-3, chain 10-20, isolated pair 30-40
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L), (30L, 40L)).toDF("i", "j")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 20L -> 10L,
+      30L -> 30L, 40L -> 30L))
+  }
+
+  test("connectedComponents handles a long path (diameter > 2 iterations)") {
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("i", "j")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(cc.forall(_._2 == 1L) && cc.length == 10)
+  }
+
   test("Multimodal decode stub: features are deterministic byte facts") {
     val docs = Seq((1L, "en", "hello world", 11L)).toDF("doc_id", "lang", "text", "n_chars")
     val f = Multimodal.decodeFeatures(Multimodal.ingest(docs)).collect().head
