@@ -21,23 +21,26 @@ object PipelineDemo {
     val docs = engine.table("documents")
     println(s"[pipeline] ingested:       ${docs.count()} docs")
 
+    // localCheckpoint after each stage: the five stage-count actions
+    // would otherwise recompute every upstream stage per count
     // 1. language ID: keep docs whose predicted language matches the
     //    declared one (drops mislabeled/ambiguous docs)
     val langOk = TextAnalysis.langIdPredictions(docs)
       .filter(col("pred_lang") === col("lang"))
       .select("doc_id")
-    val docsLang = docs.join(langOk, "doc_id")
+    val docsLang = docs.join(langOk, "doc_id").localCheckpoint()
     println(s"[pipeline] language-clean: ${docsLang.count()} docs")
 
     // 2. quality filter: integer-ppm score floor
     val quality = TextAnalysis.qualityScores(docsLang, Seq("the", "a"), "source")
       .filter(col("score") >= 500000)
       .select("doc_id")
-    val docsQual = docsLang.join(quality, "doc_id")
+    val docsQual = docsLang.join(quality, "doc_id").localCheckpoint()
     println(s"[pipeline] quality-pass:   ${docsQual.count()} docs")
 
-    // 3. near-dup removal (MinHash + LSH + exact-Jaccard verify)
-    val deduped = Dedup.dedupCorpus(docsQual, threshold = 0.7)
+    // 3. near-dup removal (MinHash + LSH + exact-Jaccard verify ->
+    //    duplicate clusters -> one representative per cluster)
+    val deduped = Dedup.dedupCorpus(docsQual, threshold = 0.7).localCheckpoint()
     println(s"[pipeline] deduplicated:   ${deduped.count()} docs")
 
     // 4. token accounting for the surviving corpus

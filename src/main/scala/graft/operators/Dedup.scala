@@ -134,7 +134,7 @@ object Dedup {
     * for near-dup clusters is tiny). `localCheckpoint` per round keeps
     * the plan from growing linearly with iterations.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
       .distinct().localCheckpoint()
@@ -157,24 +157,34 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // Partially-propagated labels are silently WRONG (components split
+    // at the truncation frontier) — fail loudly instead. Iterations
+    // needed = component diameter; raise maxIter for long chains.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "component diameter exceeds maxIter; raise it")
     labels
   }
 
-  /** End-to-end near-dup removal: returns `docs` minus every document
-    * that has a verified near-duplicate with a smaller doc_id (the
-    * standard greedy keep-first policy — no transitive closure needed,
-    * and by construction no surviving pair is a verified duplicate).
+  /** End-to-end near-dup removal: verified pairs are closed into
+    * duplicate CLUSTERS ([[connectedComponents]] — revisions of one
+    * template chain transitively) and one representative per cluster
+    * survives (the minimum doc_id = the component root). This is the
+    * cluster-representative policy: nothing outside a cluster is ever
+    * dropped, and exactly size-1 docs are dropped per cluster.
     * Pipeline: shingle -> MinHash(k) -> LSH bands -> exact-Jaccard
-    * verify >= `threshold` -> anti-join the losers. Every stage is the
-    * shuffle-partitionable form documented above.
+    * verify >= `threshold` -> components -> anti-join non-roots. Every
+    * stage is the shuffle-partitionable form documented above.
     */
   def dedupCorpus(docs: DataFrame, threshold: Double, k: Int = 8,
                   bands: Seq[Seq[Int]] = Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8))): DataFrame = {
     val sh = shingles(docs)
     val cand = lshCandidates(minhashSignature(sh, k), bands)
-    val losers = jaccardVerify(cand, sh)
-      .filter(col("jc") >= threshold)
-      .select(col("j").as("doc_id")).distinct()
+    val pairs = jaccardVerify(cand, sh)
+      .filter(col("jc") >= threshold).select("i", "j")
+    val losers = connectedComponents(pairs)
+      .filter(col("doc") =!= col("root"))
+      .select(col("doc").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 

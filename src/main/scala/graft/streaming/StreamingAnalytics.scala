@@ -38,6 +38,19 @@ object StreamingAnalytics {
       .select(unix_seconds(col("win.start")).as("win_start_s"),
               col("event_type"), col("n"))
 
+  /** Streaming exact dedup: drop events whose `idCols` were already
+    * seen within the watermark horizon — the streaming twin of q35's
+    * content-hash dedup (hash the payload upstream into an id column
+    * for content dedup). `dropDuplicatesWithinWatermark` keys state on
+    * the ids alone, so a redelivery RESTAMPED with a different event
+    * time is still dropped; state is evicted as the watermark advances.
+    */
+  def dedupStream(events: DataFrame, watermarkCol: String, horizon: String,
+                  idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(watermarkCol, horizon)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** 30-min-gap sessions per user — twin of q34's sessionize; the
     * state store merges/extends sessions as events arrive. */
   def sessionCounts(events: DataFrame): DataFrame =

@@ -13,22 +13,22 @@ class PipelineOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("dedupCorpus removes every verified near-dup and nothing else") {
+  test("dedupCorpus keeps exactly one representative per duplicate cluster") {
     val docs = Tables.load(spark, TestSpark.sf0001, "documents")
     val cleaned = Dedup.dedupCorpus(docs, threshold = 0.7).localCheckpoint()
     val sh = Dedup.shingles(docs)
-    val verified = Dedup.jaccardVerify(
+    val pairs = Dedup.jaccardVerify(
       Dedup.lshCandidates(Dedup.minhashSignature(sh, 8), Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8))), sh)
-      .filter(col("jc") >= 0.7)
-    val nLosers = verified.select("j").distinct().count()
+      .filter(col("jc") >= 0.7).select("i", "j")
+    val comps = Dedup.connectedComponents(pairs)
+    val nLosers = comps.filter(col("doc") =!= col("root")).count()
     assert(cleaned.count() == docs.count() - nLosers)
-    // no surviving pair is still a verified duplicate
-    val surviving = cleaned.select(col("doc_id"))
-    val leftover = verified
-      .join(surviving.withColumnRenamed("doc_id", "i"), "i")
-      .join(surviving.withColumnRenamed("doc_id", "j"), "j")
-      .count()
-    assert(leftover == 0L)
+    // every cluster's root survives, every non-root is gone
+    val surviving = cleaned.select(col("doc_id")).as[Long].collect().toSet
+    comps.collect().foreach { r =>
+      val (doc, root) = (r.getLong(0), r.getLong(1))
+      assert(surviving.contains(doc) == (doc == root), s"doc=$doc root=$root")
+    }
   }
 
   test("explicit dedup: two identical docs collapse to the smaller id") {
@@ -40,6 +40,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val kept = Dedup.dedupCorpus(docs, threshold = 0.9)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(10L, 30L))
+  }
+
+  test("a duplicate cluster of three collapses to one representative") {
+    // a 3-doc cluster (identical content -> all bands fire) keeps min only
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, base), (2L, base), (3L, base),
+      (9L, "completely different words forming another document body here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L))
   }
 
   test("ANN results are dominated by the exact brute-force ranking") {

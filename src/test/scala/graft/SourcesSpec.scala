@@ -72,14 +72,16 @@ class SourcesSpec extends AnyFunSuite {
     val customer = Tables.load(spark, TestSpark.sf0001, "customer")
     Tables.writeBucketed(orders.withColumnRenamed("o_custkey", "custkey"), "b_orders", 4, Seq("custkey"))
     Tables.writeBucketed(customer.withColumnRenamed("c_custkey", "custkey"), "b_customer", 4, Seq("custkey"))
-    // disable broadcast so the join would otherwise shuffle both sides
+    // disable broadcast so the join would otherwise shuffle both sides;
+    // restore whatever the session had, not a hard-coded default
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = spark.table("b_orders").join(spark.table("b_customer"), "custkey")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n${plan.take(600)}")
       assert(joined.count() == orders.count()) // every order has a customer
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("catalog serves all ten tables; events.ts is a usable timestamp") {

@@ -77,6 +77,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops redelivered events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("event_id", "ts")
+    val q = StreamingAnalytics.dedupStream(events, "ts", "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:00:01")), (2L, ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      // batch 2 redelivers event 1 RESTAMPED 500ms later (the retry
+      // case a (id, ts)-keyed dedup would miss) and adds event 3
+      mem.addData((1L, ts("2024-01-01 00:00:01.500")), (3L, ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // event 1 exactly once
+    } finally q.stop()
+  }
+
   test("sessionCounts merges sessions incrementally in the state store") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
