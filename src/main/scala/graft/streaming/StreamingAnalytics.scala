@@ -51,6 +51,16 @@ object StreamingAnalytics {
       .withWatermark(watermarkCol, horizon)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-static enrichment: join a stream against a (small) static
+    * dimension — the broadcast is re-usable every micro-batch, no
+    * state store involved. The standard lookup-enrichment shape; for
+    * dims too big to broadcast the same call plans a shuffled join
+    * per micro-batch.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             joinType: String = "left"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, joinType)
+
   /** 30-min-gap sessions per user — twin of q34's sessionize; the
     * state store merges/extends sessions as events arrive. */
   def sessionCounts(events: DataFrame): DataFrame =

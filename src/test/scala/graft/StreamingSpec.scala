@@ -96,6 +96,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrich joins a stream against a static dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val events = mem.toDF().toDF("user_id", "value")
+    val q = StreamingAnalytics.enrich(events, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      mem.addData((1L, 5.0), (3L, 7.0)) // user 3 not in dim -> null tier
+      q.processAllAvailable()
+      val out = spark.table("enrich_test")
+        .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+      assert(out == Map(1L -> Some("gold"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("sessionCounts merges sessions incrementally in the state store") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
