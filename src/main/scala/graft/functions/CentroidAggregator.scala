@@ -24,9 +24,13 @@ class CentroidAggregator(dims: Int)
   override def zero: (Array[Double], Long) = (Array.ofDim[Double](dims), 0L)
 
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    // a short/null vector would silently bias the mean toward zero on
+    // its missing components — reject malformed input loudly
+    require(v != null && v.length == dims,
+      s"expected $dims-dim vector, got ${if (v == null) "null" else v.length.toString}")
     val (sums, n) = b
     var i = 0
-    while (i < dims && i < v.length) { sums(i) += v(i); i += 1 }
+    while (i < dims) { sums(i) += v(i); i += 1 }
     (sums, n + 1)
   }
 

@@ -70,6 +70,12 @@ object Dedup {
     * directly — candidates and |A∩B| come out of the same shuffle.
     * Output: (i, j, jc). Pairs sharing nothing never appear (their
     * Jaccard is 0 by definition).
+    *
+    * PRECONDITION (here and in [[jaccardVerify]]): `items` must be
+    * DISTINCT per (doc_id, item) — [[shingles]] already is; raw
+    * tokenize output is NOT (duplicate rows inflate both intersection
+    * and cardinality and can push jc past 1). Call `.distinct()` first
+    * for multiset inputs.
     */
   def jaccardAllPairs(items: DataFrame, itemCol: String = "sh"): DataFrame = {
     val card = items.groupBy("doc_id").agg(count(lit(1)).as("nt"))
@@ -146,14 +152,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc").as("b"), col("root").as("brand")), "b")
         .groupBy(col("a").as("doc")).agg(min("brand").as("nroot"))
+      // carry the previous root through the round so convergence is a
+      // filter+count on the already-materialized result, not a second
+      // full join against the old labels
       val updated = labels.join(nbrMin, Seq("doc"), "left")
-        .select(col("doc"),
+        .select(col("doc"), col("root").as("old_root"),
           least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
         .localCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.select(col("doc"), col("root").as("old")), "doc")
-        .filter(col("root") =!= col("old")).count()
-      labels = updated
+      val changed = updated.filter(col("root") =!= col("old_root")).count()
+      labels = updated.select("doc", "root")
       converged = changed == 0
       it += 1
     }

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Note: uses an internal `_salt` working column — an existing
+    * `_salt` column on either input would be clobbered (the library's
+    * operators reserve `_`-prefixed and documented output names:
+    * `_salt`, `rn`, `session_id`, `asof`). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, saltBy: Column): DataFrame = {
     val salted = big.withColumn("_salt", pmod(hash(saltBy), lit(salts)))

@@ -17,10 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * VectorExprSpec against the HOF implementation and by the unchanged
   * DuckDB oracle parity of q38/q43/q44.
   *
-  * Contract: both inputs are array<float> with no null elements (the
-  * embeddings domain); a null ARRAY yields null. Lengths may differ —
-  * the shorter bound wins (same as zip_with would only if equal
-  * lengths; callers use fixed-width vectors).
+  * Null semantics match the HOF twin exactly: a null ARRAY or any null
+  * ELEMENT yields null. Lengths may differ — the shorter bound wins
+  * (same as zip_with only for equal lengths; callers use fixed-width
+  * vectors).
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,6 +36,8 @@ case class FloatVectorDot(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  // nullable even for non-null arrays: null ELEMENTS produce null
+  override def nullable: Boolean = true
   override def prettyName: String = "float_vector_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -45,6 +47,9 @@ case class FloatVectorDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      // null element => null result, matching the HOF twin's
+      // cast/multiply null propagation (bit-identity contract)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -60,6 +65,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $s;

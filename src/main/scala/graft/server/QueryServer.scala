@@ -35,15 +35,7 @@ final class QueryServer(engine: Graft, port: Int) {
     try os.write(bytes) finally os.close()
   }
 
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jsonStr(s: String): String = graft.util.Json.escape(s)
 
   private def jsonValue(v: Any): String = v match {
     case null => "null"
@@ -86,7 +78,14 @@ final class QueryServer(engine: Graft, port: Int) {
           val msg = Option(e.getMessage).toSeq
             .flatMap(_.linesIterator).map(_.trim).find(_.nonEmpty)
             .getOrElse(e.getClass.getSimpleName)
-          respond(ex, 400, s"""{"error":${jsonStr(msg)}}""")
+          // client errors (bad SQL) are 400; engine/executor failures
+          // are 500 so retrying clients can tell them apart
+          val code = e match {
+            case _: org.apache.spark.sql.AnalysisException => 400
+            case _: org.apache.spark.sql.catalyst.parser.ParseException => 400
+            case _ => 500
+          }
+          respond(ex, code, s"""{"error":${jsonStr(msg)}}""")
       }
     }
   })

@@ -81,7 +81,9 @@ object Tables {
     * Idempotent and cheap (footer reads only); cached per (session, dir)
     * so per-query calls don't re-register.
     */
-  private val registered = scala.collection.mutable.Map.empty[SparkSession, String]
+  // weak keys: a closed/discarded session must not be pinned in memory
+  // by the catalog memo (long-lived multi-engine JVMs)
+  private val registered = scala.collection.mutable.WeakHashMap.empty[SparkSession, String]
 
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
     // Keyed by session, value = the dir currently backing its views:

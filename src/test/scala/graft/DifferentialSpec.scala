@@ -14,11 +14,15 @@ class DifferentialSpec extends AnyFunSuite {
 
   QueryTexts.spark.keys.toSeq.sorted.foreach { key =>
     test(s"$key: native == SQL text") {
-      val native = Queries.all(key)(spark, TestSpark.sf0001)
-        .collect().map(_.toString)
-      val viaSql = Queries.sql(key)(spark, TestSpark.sf0001)
-        .collect().map(_.toString)
-      assert(native.toSeq == viaSql.toSeq)
+      val nativeDf = Queries.all(key)(spark, TestSpark.sf0001)
+      val sqlDf = Queries.sql(key)(spark, TestSpark.sf0001)
+      // schema too: Row.toString alone would mask type/name drift
+      // (LONG vs INT, DECIMAL vs DOUBLE) that the oracle gate catches late
+      assert(nativeDf.schema.map(f => (f.name, f.dataType)) ==
+        sqlDf.schema.map(f => (f.name, f.dataType)),
+        s"schema drift: ${nativeDf.schema.simpleString} vs ${sqlDf.schema.simpleString}")
+      assert(nativeDf.collect().map(_.toString).toSeq ==
+        sqlDf.collect().map(_.toString).toSeq)
     }
   }
 }

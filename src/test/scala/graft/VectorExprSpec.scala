@@ -42,6 +42,14 @@ class VectorExprSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("null ELEMENT yields null in both codegen and HOF paths") {
+    val df = Seq((Seq(Some(1.0f), None), Seq(Some(2.0f), Some(3.0f))))
+      .toDF("a", "b")
+    val r = df.select(Vectors.dot(col("a"), col("b")).as("d"),
+                      Vectors.dotHof(col("a"), col("b")).as("h")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("known value: dot([1,2,3],[4,5,6]) = 32") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     assert(df.select(Vectors.dot(col("a"), col("b"))).collect().head.getDouble(0) == 32.0)
