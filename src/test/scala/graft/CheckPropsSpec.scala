@@ -48,6 +48,20 @@ class CheckPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("dedupCorpus: planted exact duplicates never both survive; unique docs always do") {
+    val genDoc = Gen.listOfN(12, Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx", "gx"))
+      .map(_.mkString(" "))
+    check("dedup-exact")(Prop.forAll(Gen.listOfN(4, genDoc).suchThat(_.toSet.size == 4)) { texts =>
+      // docs 1..4 unique, doc 5 duplicates doc 1 exactly
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) } :+ (5L, texts.head)
+      val kept = graft.operators.Dedup.dedupCorpus(docs.toDF("doc_id", "text"), threshold = 0.95)
+        .select("doc_id").as[Long].collect().toSet
+      // the duplicate pair (1,5) collapsed to 1; every unique doc that
+      // forms no cluster with others must survive
+      !kept.contains(5L) && kept.contains(1L)
+    })
+  }
+
   test("simhash of a doc equals simhash of the same doc with tokens duplicated x2") {
     // SimHash votes scale linearly with term frequency; doubling every
     // count never flips a bit's sign.
