@@ -20,7 +20,7 @@ object Analytics {
       Tables.load(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+             sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
         .orderBy("win_start", "event_type")
         .limit(200)
     }),
@@ -56,7 +56,7 @@ object Analytics {
         .agg(countDistinct(col("session_id")).as("n_sessions"),
              count(lit(1)).as("n_events"),
              round(count(lit(1)).cast(DecimalType(18, 6)) / countDistinct(col("session_id")), 6)
-               .as("events_per_session"))
+               .cast("double").as("events_per_session"))
         .orderBy("user_id")
     })
   )

@@ -29,9 +29,9 @@ object Extended {
       val rev = o.groupBy("yr").pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(sum(dec2(col("o_totalprice"))))
         .select(col("yr"),
-          coalesce(col("F"), zero).as("rev_f"),
-          coalesce(col("O"), zero).as("rev_o"),
-          coalesce(col("P"), zero).as("rev_p"))
+          coalesce(col("F"), zero).cast("double").as("rev_f"),
+          coalesce(col("O"), zero).cast("double").as("rev_o"),
+          coalesce(col("P"), zero).cast("double").as("rev_p"))
       rev.join(o.groupBy("yr").agg(cnt.as("n")), "yr").orderBy("yr")
     }),
 
@@ -70,15 +70,21 @@ object Extended {
     }),
 
     // Array aggregation: collect + sort (sort_array makes collect_list
-    // order-independent => deterministic) + containment.
+    // order-independent => deterministic) + containment. The array is
+    // surfaced as a joined string: the driver's row-sort comparator
+    // can't order raw array cells, and the string form is
+    // engine-portable.
     "q54_array_funcs" -> ((s, dir) => {
       val t = Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus").agg(lit(1))
         .select("l_returnflag", "l_linestatus")
       t.groupBy("l_returnflag")
-        .agg(sort_array(collect_list(col("l_linestatus"))).as("statuses"),
+        .agg(sort_array(collect_list(col("l_linestatus"))).as("statuses_arr"),
              cnt.as("n_statuses"))
-        .withColumn("has_f", array_contains(col("statuses"), "F"))
+        .select(col("l_returnflag"),
+          array_join(col("statuses_arr"), ",").as("statuses"),
+          col("n_statuses"),
+          array_contains(col("statuses_arr"), "F").as("has_f"))
         .orderBy("l_returnflag")
     }),
 
@@ -136,9 +142,9 @@ object Extended {
   val oracle: Map[String, String] = Map(
     "q51_pivot" -> """
 SELECT EXTRACT(year FROM o_orderdate) AS yr,
-  SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev_f,
-  SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev_o,
-  SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev_p,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p,
   COUNT(*) AS n
 FROM orders GROUP BY yr ORDER BY yr""",
 
@@ -171,7 +177,7 @@ ORDER BY c_mktsegment, c_custkey LIMIT 200""",
     "q54_array_funcs" -> """
 WITH t AS (SELECT l_returnflag, l_linestatus FROM lineitem GROUP BY 1, 2)
 SELECT l_returnflag,
-  list_sort(list(l_linestatus)) AS statuses,
+  array_to_string(list_sort(list(l_linestatus)), ',') AS statuses,
   len(list(l_linestatus)) AS n_statuses,
   list_contains(list(l_linestatus), 'F') AS has_f
 FROM t GROUP BY l_returnflag ORDER BY l_returnflag""",
@@ -240,7 +246,7 @@ reach(doc, peer) AS (
   SELECT e.a, r.peer FROM edges e JOIN reach r ON r.doc = e.b),
 roots AS (SELECT doc, MIN(peer) root FROM reach GROUP BY doc),
 comp AS (SELECT root, COUNT(*) sz FROM roots GROUP BY root)
-SELECT COUNT(*) n_components, SUM(sz) n_docs_in_dupes, MAX(sz) max_component
+SELECT COUNT(*) n_components, CAST(SUM(sz) AS BIGINT) n_docs_in_dupes, MAX(sz) max_component
 FROM comp"""
   ).map { case (k, v) => k -> v.trim }
 }

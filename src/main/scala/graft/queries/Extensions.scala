@@ -51,7 +51,7 @@ object Extensions {
       Dedup.jaccardAllPairs(sh)
         .filter(col("jc") >= 0.2)
         .agg(cnt.as("n_pairs"),
-          round(avg(col("jc").cast(DecimalType(18, 9))), 6).as("avg_j"),
+          round(avg(col("jc").cast(DecimalType(18, 9))), 6).cast("double").as("avg_j"),
           round(max(col("jc")), 6).as("max_j"))
     }),
 
@@ -107,7 +107,7 @@ object Extensions {
           stopwords = Seq("the", "a"), groupCol = "source")
         .groupBy("source")
         .agg(cnt.as("n_docs"),
-          round(avg(col("score").cast(DecimalType(18, 6))), 6).as("avg_score"),
+          round(avg(col("score").cast(DecimalType(18, 6))), 6).cast("double").as("avg_score"),
           min(col("score")).as("min_score"),
           max(col("score")).as("max_score"),
           sum(when(col("score") < 500000, 1).otherwise(0)).as("n_low"))
@@ -175,7 +175,7 @@ object Extensions {
       Dedup.jaccardVerify(cand, sh)
         .agg(cnt.as("n_candidates"),
           sum(when(col("jc") >= 0.7, 1).otherwise(0)).as("n_verified"),
-          round(avg(col("jc").cast(DecimalType(18, 9))), 6).as("avg_jaccard"))
+          round(avg(col("jc").cast(DecimalType(18, 9))), 6).cast("double").as("avg_jaccard"))
     })
   )
 
@@ -193,8 +193,8 @@ bitsum AS (SELECT doc_id, b, SUM(c) s FROM contrib GROUP BY doc_id, b),
 sig AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) sg
         FROM bitsum GROUP BY doc_id),
 grp AS (SELECT sg, COUNT(*) n FROM sig GROUP BY sg)
-SELECT COUNT(*) n_groups, SUM(n) n_docs,
-       SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) n_near_dupes
+SELECT COUNT(*) n_groups, CAST(SUM(n) AS BIGINT) n_docs,
+       CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) n_near_dupes
 FROM grp""",
 
     "q42_dedup_ngram_jaccard" -> """
@@ -208,7 +208,7 @@ inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
 jac AS (SELECT x.i, x.j, CAST(x.ci AS DOUBLE)/(ca.nt + cb.nt - x.ci) jc
         FROM inter x
         JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j)
-SELECT COUNT(*) n_pairs, ROUND(AVG(CAST(jc AS DECIMAL(18,9))),6) avg_j, ROUND(MAX(jc),6) max_j
+SELECT COUNT(*) n_pairs, CAST(ROUND(AVG(CAST(jc AS DECIMAL(18,9))),6) AS DOUBLE) avg_j, ROUND(MAX(jc),6) max_j
 FROM jac WHERE jc >= 0.2""",
 
     "q43_dedup_embedding" -> """
@@ -264,16 +264,16 @@ scored AS (
    + 1 * (least((sumlen * 100) // ntok, 800) * 1250)) // 10 AS score
   FROM per_doc)
 SELECT source, COUNT(*) n_docs,
-       ROUND(AVG(CAST(score AS DECIMAL(18,6))), 6) avg_score,
-       MIN(score) min_score, MAX(score) max_score,
-       SUM(CASE WHEN score < 500000 THEN 1 ELSE 0 END) n_low
+       CAST(ROUND(AVG(CAST(score AS DECIMAL(18,6))), 6) AS DOUBLE) avg_score,
+       CAST(MIN(score) AS BIGINT) min_score, CAST(MAX(score) AS BIGINT) max_score,
+       CAST(SUM(CASE WHEN score < 500000 THEN 1 ELSE 0 END) AS BIGINT) n_low
 FROM scored GROUP BY source ORDER BY source""",
 
     "q47_token_count" -> """
 SELECT lang, COUNT(*) n_docs,
-       SUM(len(string_split(text, ' '))) sum_ws_tokens,
-       SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) sum_re_tokens,
-       SUM((n_chars + 3) // 4) sum_bpe_est
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) sum_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) sum_re_tokens,
+       CAST(SUM((n_chars + 3) // 4) AS BIGINT) sum_bpe_est
 FROM documents GROUP BY lang ORDER BY lang""",
 
     "q48_fingerprint" -> """
@@ -286,15 +286,15 @@ fp AS (SELECT doc_id, md5(concat(
          MAX(CASE WHEN rn=3 THEN h ELSE '' END), '|', MAX(CASE WHEN rn=4 THEN h ELSE '' END))) f
        FROM rk WHERE rn <= 4 GROUP BY doc_id),
 grp AS (SELECT f, COUNT(*) n FROM fp GROUP BY f)
-SELECT COUNT(*) n_fingerprints, SUM(n) n_docs,
-       SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) n_shared
+SELECT COUNT(*) n_fingerprints, CAST(SUM(n) AS BIGINT) n_docs,
+       CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) n_shared
 FROM grp""",
 
     "q49_multimodal_features" -> """
 SELECT lang, COUNT(*) n_media,
-       SUM(octet_length(encode(text))) sum_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) sum_bytes,
        COUNT(DISTINCT md5(text)) n_distinct_content,
-       SUM(octet_length(encode(text)) // 100) sum_frames
+       CAST(SUM(octet_length(encode(text)) // 100) AS BIGINT) sum_frames
 FROM documents GROUP BY lang ORDER BY lang""",
 
     "q50_dedup_lsh_bands" -> """
@@ -318,8 +318,8 @@ jac AS (SELECT c.i, c.j, CAST(COALESCE(x.ci,0) AS DOUBLE)/(ca.nt + cb.nt - COALE
         FROM cand c LEFT JOIN inter x ON x.i = c.i AND x.j = c.j
         JOIN card ca ON ca.doc_id = c.i JOIN card cb ON cb.doc_id = c.j)
 SELECT COUNT(*) n_candidates,
-       SUM(CASE WHEN jc >= 0.7 THEN 1 ELSE 0 END) n_verified,
-       ROUND(AVG(CAST(jc AS DECIMAL(18,9))), 6) avg_jaccard
+       CAST(SUM(CASE WHEN jc >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) n_verified,
+       CAST(ROUND(AVG(CAST(jc AS DECIMAL(18,9))), 6) AS DOUBLE) avg_jaccard
 FROM jac"""
   ).map { case (k, v) => k -> v.trim }
 }

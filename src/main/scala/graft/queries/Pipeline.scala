@@ -44,9 +44,9 @@ object Pipeline {
       Tables.load(s, dir, "documents")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("n_chars").cast(DecimalType(18, 2))), 6).as("avg_chars"),
+          round(avg(col("n_chars").cast(DecimalType(18, 2))), 6).cast("double").as("avg_chars"),
           round(percentile(col("n_chars"), lit(0.5)).cast(DecimalType(18, 6)), 6)
-            .as("median_chars"),
+            .cast("double").as("median_chars"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy("lang")
@@ -76,7 +76,7 @@ object Pipeline {
                 explode(sequence(lit(1), lit(8))).as("pos"))
         .groupBy("label", "pos")
         .agg(round(avg(element_at(col("embedding"), col("pos")).cast(DecimalType(18, 9))), 6)
-          .as("centroid"))
+          .cast("double").as("centroid"))
         .orderBy("label", "pos")
     }),
 

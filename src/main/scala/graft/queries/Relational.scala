@@ -57,7 +57,7 @@ object Relational {
     "q03_join_inner" -> ((s, dir) => {
       t(s, dir, "orders").join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(cnt.as("n"), sum(dec2(col("o_totalprice"))).as("revenue"))
+        .agg(cnt.as("n"), sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
         .orderBy("c_mktsegment")
     }),
 
@@ -74,7 +74,7 @@ object Relational {
         .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
-        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("revenue"))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -159,10 +159,10 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec2(col("l_quantity"))).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("sum_disc_price"),
-          round(avg(dec2(col("l_quantity"))), 6).as("avg_qty"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).cast("double").as("sum_disc_price"),
+          round(avg(dec2(col("l_quantity"))), 6).cast("double").as("avg_qty"),
           cnt.as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -184,7 +184,7 @@ object Relational {
         .rollup("yr", "o_orderstatus")
         .agg(grouping(col("yr")).as("g_yr"),
              grouping(col("o_orderstatus")).as("g_st"),
-             sum(dec2(col("o_totalprice"))).as("revenue"),
+             sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
              cnt.as("n"))
         .orderBy(col("g_yr"), col("g_st"),
                  col("yr").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
@@ -196,7 +196,7 @@ object Relational {
         .agg(grouping(col("lang")).as("g_l"),
              grouping(col("source")).as("g_s"),
              cnt.as("n"),
-             round(avg(dec2(col("n_chars"))), 6).as("avg_chars"))
+             round(avg(dec2(col("n_chars"))), 6).cast("double").as("avg_chars"))
         .orderBy(col("g_l"), col("g_s"),
                  col("lang").asc_nulls_first, col("source").asc_nulls_first)
     }),
@@ -219,7 +219,7 @@ object Relational {
     "q16_having" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_custkey")
-        .agg(cnt.as("n"), sum(dec2(col("o_totalprice"))).as("tot"))
+        .agg(cnt.as("n"), sum(dec2(col("o_totalprice"))).cast("double").as("tot"))
         .filter(col("n") >= 5)
         .orderBy(col("n").desc, col("o_custkey"))
         .limit(50)
@@ -243,10 +243,10 @@ object Relational {
       val ma = w.rowsBetween(-3, Window.currentRow)
       t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
-          round(dec2(col("value")), 2).as("value"),
-          round(dec2(lag(col("value"), 1).over(w)), 2).as("prev_value"),
-          round(dec2(lead(col("value"), 1).over(w)), 2).as("next_value"),
-          round(avg(dec2(col("value"))).over(ma), 6).as("ma4"))
+          round(dec2(col("value")), 2).cast("double").as("value"),
+          round(dec2(lag(col("value"), 1).over(w)), 2).cast("double").as("prev_value"),
+          round(dec2(lead(col("value"), 1).over(w)), 2).cast("double").as("next_value"),
+          round(avg(dec2(col("value"))).over(ma), 6).cast("double").as("ma4"))
         .orderBy("user_id", "event_id")
         .limit(200)
     }),
@@ -270,7 +270,7 @@ object Relational {
       Windows.topKPerGroup(
           t(s, dir, "events"), 5, col("event_type"), col("value").desc, col("event_id"))
         .select(col("event_type"), col("event_id"),
-                round(dec2(col("value")), 2).as("value"), col("rn"))
+                round(dec2(col("value")), 2).cast("double").as("value"), col("rn"))
         .orderBy("event_type", "rn")
     }),
 
@@ -278,7 +278,7 @@ object Relational {
     // full shuffle-sort.
     "q21_sort_limit" -> ((s, dir) => {
       t(s, dir, "orders")
-        .select(col("o_orderkey"), round(dec2(col("o_totalprice")), 2).as("o_totalprice"))
+        .select(col("o_orderkey"), round(dec2(col("o_totalprice")), 2).cast("double").as("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(50)
     }),
@@ -333,7 +333,7 @@ object Relational {
     "q26_math_funcs" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(dec2(col("l_extendedprice")), 0).as("r0"),
+          round(dec2(col("l_extendedprice")), 0).cast("double").as("r0"),
           abs(col("l_quantity") - 25).as("ab"),
           ceil(col("l_discount") * 100).as("ce"),
           floor(col("l_tax") * 100).as("fl"),
@@ -407,7 +407,7 @@ object Relational {
       c.join(broadcast(perNation), col("c_nationkey") === col("nk"))
         .filter(col("c_acctbal") > col("nation_avg"))
         .select(col("c_custkey"), col("c_nationkey"),
-                round(dec2(col("c_acctbal")), 2).as("bal"))
+                round(dec2(col("c_acctbal")), 2).cast("double").as("bal"))
         .orderBy("c_custkey")
         .limit(100)
     })

@@ -19,7 +19,7 @@ class AggregatorSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     val oracle = SparkEntry.queries("q39_vector_centroid")(spark, TestSpark.sf0001)
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue()).toMap
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     // q39 covers dims 1..8 for every label
     oracle.foreach { case ((label, pos), expected) =>
       val actual = agg(label)(pos - 1)
