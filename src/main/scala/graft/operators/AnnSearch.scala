@@ -44,9 +44,18 @@ object AnnSearch {
 
   /** Assign each vector to its nearest centroid (ties by centroid
     * label): adds a `bucket` column. The centroid table is tiny and
-    * broadcast; assignment is one scan of the vectors. */
-  def assignBuckets(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+    * broadcast; assignment is one scan of the vectors.
+    *
+    * `idCol` is the row-identity column of `emb` (any input shape
+    * works, not just the embeddings table). Reserved working column
+    * names (must not exist on `emb`): `clabel`, `cent`, `d2`, `rn` —
+    * the same convention Skew.saltedJoin documents for `_salt`. */
+  def assignBuckets(emb: DataFrame, cents: DataFrame,
+                    idCol: String = "vec_id"): DataFrame = {
+    val reserved = Seq("clabel", "cent", "d2", "rn").filter(emb.columns.contains)
+    require(reserved.isEmpty,
+      s"assignBuckets reserves working columns ${reserved.mkString(", ")} — rename them on the input")
+    val w = Window.partitionBy(idCol).orderBy(col("d2"), col("clabel"))
     emb.crossJoin(broadcast(cents))
       .withColumn("d2", sqDist(col("embedding"), col("cent")))
       .withColumn("rn", row_number().over(w))

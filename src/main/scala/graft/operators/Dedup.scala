@@ -38,11 +38,14 @@ object Dedup {
   /** k-component MinHash signature per doc over an exploded
     * (doc_id, item) relation: columns h1..hk. One shuffle on doc_id;
     * each component is `min(md5(prefix || item))` with a distinct
-    * prefix acting as an independent hash function.
+    * prefix acting as an independent hash function. The prefix is
+    * `"<i>:"` — the ':' delimiter cannot appear in the index, so
+    * prefixes stay unambiguous for k > 10 ("1:"+"0abc" vs "10:"+"abc"),
+    * keeping the components independent.
     */
   def minhashSignature(items: DataFrame, k: Int, itemCol: String = "sh"): DataFrame = {
     val comps = (0 until k).map(i =>
-      min(md5(concat(lit(i.toString), col(itemCol)))).as(s"h${i + 1}"))
+      min(md5(concat(lit(s"$i:"), col(itemCol)))).as(s"h${i + 1}"))
     items.groupBy("doc_id").agg(comps.head, comps.tail: _*)
   }
 

@@ -54,15 +54,30 @@ object Windows {
     * scalable as-of formulation (same idea as q10, generalized to two
     * tables). Right rows sort before left rows at equal timestamps, so
     * "as of" is inclusive.
+    *
+    * `rightTiebreak` names right-table columns that make the ordering
+    * total when multiple right rows share (key, ts) — without it the
+    * attached row would be partition-order-dependent, violating the
+    * library's determinism rule (the same rule asOfPrior and sessionize
+    * enforce via their explicit tiebreak column). The LAST right row in
+    * tiebreak order wins.
     */
-  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String): DataFrame = {
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               rightTiebreak: Seq[String] = Nil): DataFrame = {
     val lStruct = struct(left.columns.map(col): _*)
     val rStruct = struct(right.columns.map(col): _*)
-    val lpart = left.select(col(key).as("_k"), col(tsCol).as("_t"), lit(1).as("_is_left"),
+    val tbNames = rightTiebreak.indices.map(i => s"_tb$i")
+    val rTb = rightTiebreak.zip(tbNames).map { case (c, n) => col(c).as(n) }
+    val lTb = rightTiebreak.zip(tbNames).map { case (c, n) =>
+      lit(null).cast(right.select(col(c)).schema.head.dataType).as(n) }
+    val lpart = left.select(Seq(col(key).as("_k"), col(tsCol).as("_t"), lit(1).as("_is_left"),
       lStruct.as("_l"), lit(null).cast(right.select(rStruct).schema.head.dataType).as("_r"))
-    val rpart = right.select(col(key).as("_k"), col(tsCol).as("_t"), lit(0).as("_is_left"),
+      ++ lTb: _*)
+    val rpart = right.select(Seq(col(key).as("_k"), col(tsCol).as("_t"), lit(0).as("_is_left"),
       lit(null).cast(left.select(lStruct).schema.head.dataType).as("_l"), rStruct.as("_r"))
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_is_left"))
+      ++ rTb: _*)
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t") +: col("_is_left") +: tbNames.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lpart.union(rpart)
       .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))

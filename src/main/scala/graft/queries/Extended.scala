@@ -220,8 +220,8 @@ d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
 s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
 t AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
 sig AS (SELECT doc_id,
-  MIN(md5('0'||sh)) h1, MIN(md5('1'||sh)) h2, MIN(md5('2'||sh)) h3, MIN(md5('3'||sh)) h4,
-  MIN(md5('4'||sh)) h5, MIN(md5('5'||sh)) h6, MIN(md5('6'||sh)) h7, MIN(md5('7'||sh)) h8
+  MIN(md5('0:'||sh)) h1, MIN(md5('1:'||sh)) h2, MIN(md5('2:'||sh)) h3, MIN(md5('3:'||sh)) h4,
+  MIN(md5('4:'||sh)) h5, MIN(md5('5:'||sh)) h6, MIN(md5('6:'||sh)) h7, MIN(md5('7:'||sh)) h8
   FROM t GROUP BY doc_id),
 cand0 AS (
   SELECT a.doc_id i, b.doc_id j FROM sig a JOIN sig b

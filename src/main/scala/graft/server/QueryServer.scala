@@ -20,9 +20,20 @@ import graft.Graft
   * `df.write` to storage. Errors return HTTP 400 with the analysis
   * message (never a stack trace).
   */
-final class QueryServer(engine: Graft, port: Int) {
+final class QueryServer(engine: Graft, port: Int,
+                        bindHost: String = "127.0.0.1") {
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // Loopback by default: the endpoint executes arbitrary SQL with no
+  // authentication, so exposing it beyond the host must be an explicit
+  // caller decision (bindHost = "0.0.0.0").
+  private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
+
+  // Without an executor every handler runs on the single dispatcher
+  // thread — one long query would block /health and all other
+  // requests. A small pool keeps the front-end responsive; Spark
+  // itself schedules the heavy work.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** Actual bound port (useful when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
@@ -91,7 +102,7 @@ final class QueryServer(engine: Graft, port: Int) {
   })
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 /** Standalone entry point:

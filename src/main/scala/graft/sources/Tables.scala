@@ -30,9 +30,20 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        // The nanosAsLong flag is session-global and only consulted at
+        // plan time (schema resolution happens inside this block), so
+        // save/restore it — leaving it flipped would silently change
+        // nanos-parquet semantics for every OTHER read in the session.
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
       case _ =>
         spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -32,6 +32,23 @@ class AsOfSkewSpec extends AnyFunSuite {
       (2L, 200.0, None)))
   }
 
+  test("asOfJoin rightTiebreak makes equal-(key,ts) right rows deterministic") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:20"), 101.0)).toDF("sym", "ts", "price")
+    // two quotes at the SAME (sym, ts): without a tiebreak the attached
+    // row is partition-order-dependent; with one, the LAST in tiebreak
+    // order must win — every repartitioning agrees.
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:20"), 100.5, 7L),
+      (1L, ts("2024-01-01 10:00:20"), 100.9, 9L)
+    ).toDF("sym", "ts", "bid", "qid")
+    (1 to 4).foreach { n =>
+      val out = Windows.asOfJoin(trades, quotes.repartition(n), "sym", "ts",
+          rightTiebreak = Seq("qid"))
+        .select(col("asof.qid")).collect().map(_.getLong(0)).toSeq
+      assert(out == Seq(9L), s"repartition($n)")
+    }
+  }
+
   test("saltedJoin returns exactly the plain equi-join's rows") {
     val big = (1 to 500).map(i => (i % 3L, i.toLong)).toDF("k", "v")   // hot keys 0,1,2
     val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "tag")
