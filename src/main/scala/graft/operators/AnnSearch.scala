@@ -43,23 +43,38 @@ object AnnSearch {
       lit(0.0), (acc, x) => acc + x)
 
   /** Assign each vector to its nearest centroid (ties by centroid
-    * label): adds a `bucket` column. The centroid table is tiny and
-    * broadcast; assignment is one scan of the vectors.
+    * label): adds a `bucket` column. The centroid table collapses to a
+    * single broadcast row (an array of (clabel, cent) structs sorted by
+    * label), and the argmin is a left-to-right fold over that array
+    * INSIDE the vector scan — zero shuffles, embarrassingly parallel,
+    * where a window/row_number argmin would shuffle and sort
+    * |vectors| x |centroids| rows. A strict `<` on the fold keeps the
+    * first (= smallest-label) centroid on distance ties, identical to
+    * the previous ORDER BY (d2, clabel) semantics.
     *
-    * `idCol` is the row-identity column of `emb` (any input shape
-    * works, not just the embeddings table). Reserved working column
-    * names (must not exist on `emb`): `clabel`, `cent`, `d2`, `rn` —
-    * the same convention Skew.saltedJoin documents for `_salt`. */
+    * Reserved working column names (must not exist on `emb`): `_cs`,
+    * `bucket` — the same convention Skew.saltedJoin documents for
+    * `_salt`. */
   def assignBuckets(emb: DataFrame, cents: DataFrame,
                     idCol: String = "vec_id"): DataFrame = {
-    val reserved = Seq("clabel", "cent", "d2", "rn").filter(emb.columns.contains)
+    val reserved = Seq("_cs", "bucket").filter(emb.columns.contains)
     require(reserved.isEmpty,
       s"assignBuckets reserves working columns ${reserved.mkString(", ")} — rename them on the input")
-    val w = Window.partitionBy(idCol).orderBy(col("d2"), col("clabel"))
-    emb.crossJoin(broadcast(cents))
-      .withColumn("d2", sqDist(col("embedding"), col("cent")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(emb.columns.map(col) :+ col("clabel").as("bucket"): _*)
+    val centArr = cents
+      .agg(sort_array(collect_list(struct(col("clabel"), col("cent")))).as("_cs"))
+    val first = element_at(col("_cs"), 1)
+    val best = aggregate(
+      col("_cs"),
+      struct(first.getField("clabel").as("l"),
+        sqDist(col("embedding"), first.getField("cent")).as("d")),
+      (acc, c) => {
+        val d2 = sqDist(col("embedding"), c.getField("cent"))
+        when(d2 < acc.getField("d"),
+          struct(c.getField("clabel").as("l"), d2.as("d"))).otherwise(acc)
+      },
+      acc => acc.getField("l"))
+    emb.crossJoin(broadcast(centArr))
+      .withColumn("bucket", best)
+      .drop("_cs")
   }
 }
