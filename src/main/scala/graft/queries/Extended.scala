@@ -220,8 +220,10 @@ d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
 s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
 t AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
 sig AS (SELECT doc_id,
-  MIN(md5('0:'||sh)) h1, MIN(md5('1:'||sh)) h2, MIN(md5('2:'||sh)) h3, MIN(md5('3:'||sh)) h4,
-  MIN(md5('4:'||sh)) h5, MIN(md5('5:'||sh)) h6, MIN(md5('6:'||sh)) h7, MIN(md5('7:'||sh)) h8
+  MIN(substr(md5(sh), 1, 4)) h1, MIN(substr(md5(sh), 5, 4)) h2,
+  MIN(substr(md5(sh), 9, 4)) h3, MIN(substr(md5(sh), 13, 4)) h4,
+  MIN(substr(md5(sh), 17, 4)) h5, MIN(substr(md5(sh), 21, 4)) h6,
+  MIN(substr(md5(sh), 25, 4)) h7, MIN(substr(md5(sh), 29, 4)) h8
   FROM t GROUP BY doc_id),
 cand0 AS (
   SELECT a.doc_id i, b.doc_id j FROM sig a JOIN sig b
