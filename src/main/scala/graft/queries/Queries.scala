@@ -30,8 +30,8 @@ object Queries {
 
   val all: Map[String, QueryFn] =
     QueryTexts.spark.keys.map(k => k -> native.getOrElse(k, sql(k))).toMap ++
-      Extensions.queries ++ Extended.queries
+      Extensions.queries ++ Extended.queries ++ DecisionSupport.queries
 
   val oracle: Map[String, String] =
-    QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle
+    QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++ DecisionSupport.oracle
 }

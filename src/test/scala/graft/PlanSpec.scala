@@ -15,6 +15,12 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString
 
+  /** Formatted explain — the only mode that prints scan metadata
+    * (PushedFilters, ReadSchema) untruncated. */
+  private def planFormatted(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   test("q01: timestamp filter and projection reach the parquet scan") {
     val p = plan("q01_scan_filter_project")
     assert(p.contains("PushedFilters: ["), p)
@@ -64,5 +70,29 @@ class PlanSpec extends AnyFunSuite {
   test("q38/q44: ANN query side is broadcast") {
     assert(plan("q38_knn_cosine").contains("Broadcast"))
     assert(plan("q44_ann_lsh").contains("BroadcastHashJoin"))
+  }
+
+  test("q60: every predicate reaches the lineitem scan") {
+    val p = planFormatted("q60_scan_agg")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"))
+      assert(p.contains(f), s"missing pushed filter $f\n${p.take(800)}")
+  }
+
+  test("q62: correlated-avg rewrite is all broadcast joins (fact table never shuffles)") {
+    val p = plan("q62_correlated_ratio")
+    assert(!p.contains("SortMergeJoin"), p.take(500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(500))
+  }
+
+  test("q63: HAVING prunes the aggregate before the joins") {
+    val p = plan("q63_having_in")
+    // the sum filter must sit directly on the aggregate, not above the joins
+    assert(p.contains("(sqd"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-50 must not global-sort")
+  }
+
+  test("q64: no-big-orders is a broadcast anti join") {
+    assert(plan("q64_anti_scalar").contains("LeftAnti"))
   }
 }
