@@ -40,4 +40,41 @@ class ApproxSpec extends AnyFunSuite {
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6, 8))
     assert(frames.forall(_.frame.length == 100))
   }
+
+  test("HLL sketch per group estimates distinct parts within 5%") {
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+    val est = graft.operators.Sketches.distinctSketch(li, Seq("l_returnflag"), col("l_partkey"))
+    val joined = est.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (e, x) = (r.getAs[Long]("estimate").toDouble, r.getAs[Long]("exact").toDouble)
+      assert(math.abs(e - x) / x < 0.05, s"${r.get(0)}: exact=$x est=$e")
+    }
+  }
+
+  test("HLL merge: union of per-flag sketches equals a global rebuild's estimate") {
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+    val daily = graft.operators.Sketches.distinctSketch(li, Seq("l_returnflag"), col("l_partkey"))
+      .withColumn("all", lit(1))
+    // merged rollup answers the global question WITHOUT rescanning lineitem
+    val merged = graft.operators.Sketches.mergeEstimate(daily, Seq("all"))
+      .collect().head.getAs[Long]("estimate")
+    val direct = graft.operators.Sketches.distinctSketch(li.withColumn("all", lit(1)), Seq("all"), col("l_partkey"))
+      .collect().head.getAs[Long]("estimate")
+    // HLL union of HLL sketches is lossless: identical estimate
+    assert(merged == direct, s"merged=$merged direct=$direct")
+  }
+
+  test("approx quantiles bracket exact percentiles of o_totalprice") {
+    val o = Tables.load(spark, TestSpark.sf0001, "orders").withColumn("g", lit(1))
+    val approx = graft.operators.Sketches.approxQuantiles(
+      o, Seq("g"), col("o_totalprice"), Seq(0.25, 0.5, 0.75))
+      .collect().head.getAs[scala.collection.Seq[Double]]("quantiles")
+    val exact = o.agg(percentile(col("o_totalprice"), array(lit(0.25), lit(0.5), lit(0.75))))
+      .collect().head.getAs[scala.collection.Seq[Double]](0)
+    approx.zip(exact).foreach { case (a, x) =>
+      assert(math.abs(a - x) / x < 0.02, s"approx=$a exact=$x") }
+  }
 }
