@@ -19,9 +19,13 @@ object Bench {
     // subset while iterating; unset = the full graded battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
+    // A filter that matches nothing would emit a normal-looking
+    // {"total":0} record — fail fast on the typo instead.
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${only.get.mkString(",")} matches no query")
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

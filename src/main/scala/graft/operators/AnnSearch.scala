@@ -44,35 +44,29 @@ object AnnSearch {
 
   /** Assign each vector to its nearest centroid (ties by centroid
     * label): adds a `bucket` column. The centroid table collapses to a
-    * single broadcast row (an array of (clabel, cent) structs sorted by
-    * label), and the argmin is a left-to-right fold over that array
-    * INSIDE the vector scan — zero shuffles, embarrassingly parallel,
-    * where a window/row_number argmin would shuffle and sort
-    * |vectors| x |centroids| rows. A strict `<` on the fold keeps the
-    * first (= smallest-label) centroid on distance ties, identical to
-    * the previous ORDER BY (d2, clabel) semantics.
+    * single broadcast row (an array of (clabel, cent) structs), and the
+    * argmin is `array_min` over per-centroid (distance, label) structs
+    * computed INSIDE the vector scan — zero shuffles, embarrassingly
+    * parallel, where a window/row_number argmin would shuffle and sort
+    * |vectors| x |centroids| rows. Struct ordering compares (d, label)
+    * lexicographically with NaN ordered greatest — exactly the previous
+    * ORDER BY (d2, clabel) semantics, including NaN distances — and
+    * each distance is computed once per (vector, centroid) pair.
     *
-    * Reserved working column names (must not exist on `emb`): `_cs`,
-    * `bucket` — the same convention Skew.saltedJoin documents for
-    * `_salt`. */
-  def assignBuckets(emb: DataFrame, cents: DataFrame,
-                    idCol: String = "vec_id"): DataFrame = {
+    * An empty centroid table yields an empty result (as the join
+    * formulation did). Reserved working column names (must not exist on
+    * `emb`): `_cs`, `bucket` — the same convention Skew.saltedJoin
+    * documents for `_salt`. */
+  def assignBuckets(emb: DataFrame, cents: DataFrame): DataFrame = {
     val reserved = Seq("_cs", "bucket").filter(emb.columns.contains)
     require(reserved.isEmpty,
       s"assignBuckets reserves working columns ${reserved.mkString(", ")} — rename them on the input")
     val centArr = cents
-      .agg(sort_array(collect_list(struct(col("clabel"), col("cent")))).as("_cs"))
-    val first = element_at(col("_cs"), 1)
-    val best = aggregate(
-      col("_cs"),
-      struct(first.getField("clabel").as("l"),
-        sqDist(col("embedding"), first.getField("cent")).as("d")),
-      (acc, c) => {
-        val d2 = sqDist(col("embedding"), c.getField("cent"))
-        when(d2 < acc.getField("d"),
-          struct(c.getField("clabel").as("l"), d2.as("d"))).otherwise(acc)
-      },
-      acc => acc.getField("l"))
+      .agg(collect_list(struct(col("clabel"), col("cent"))).as("_cs"))
+      .filter(size(col("_cs")) > 0)
+    val best = array_min(transform(col("_cs"),
+      c => struct(sqDist(col("embedding"), c.getField("cent")).as("d"),
+        c.getField("clabel").as("l")))).getField("l")
     emb.crossJoin(broadcast(centArr))
       .withColumn("bucket", best)
       .drop("_cs")

@@ -68,4 +68,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     // and both searched a real bucket (non-empty results)
     assert(lsh.nonEmpty && ivf.nonEmpty)
   }
+
+  test("assignBuckets: empty centroid table yields empty output, not a crash") {
+    val e = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val none = AnnSearch.centroids(e.filter(col("label") === -1), dims = 64)
+    assert(AnnSearch.assignBuckets(e, none).isEmpty)
+  }
+
+  test("assignBuckets: NaN distances lose to every real distance (ordering, not IEEE <)") {
+    import spark.implicits._
+    // centroid c1 at the vector itself (d=0); c0 has a NaN coordinate,
+    // so its squared distance is NaN — under IEEE `<` a NaN first
+    // element would win every comparison, under ordering it sorts last
+    val emb = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val cents = Seq(("c0", Array(Double.NaN, 0.0)),
+      ("c1", Array(1.0, 2.0))).toDF("clabel", "cent")
+    val got = AnnSearch.assignBuckets(emb, cents).select("bucket").as[String].collect()
+    assert(got.toSeq == Seq("c1"), s"NaN distance must sort last, got ${got.toSeq}")
+  }
 }

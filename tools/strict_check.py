@@ -50,6 +50,9 @@ def main(sf_dir, out_dir, only):
     for t in TABLES:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_ok, fails = 0, []
+    # unknown names must FAIL, not silently shrink the checked set to 0
+    for name in sorted(only - set(oracle)):
+        fails.append((name, "UNKNOWN query name (not in oracle_sql.json)"))
     for name, sql in sorted(oracle.items()):
         if only and name not in only: continue
         try:
