@@ -69,4 +69,33 @@ object StreamingAnalytics {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sess"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sess.start").as("session_start"), col("n_events"))
+
+  /** Stream-stream interval join — the streaming twin of the q09 range
+    * join: each left event pairs with the right-side events of the same
+    * key whose timestamp falls in (left.ts, left.ts + `horizon`].
+    *
+    * Both sides MUST be watermarked and the join condition MUST bound
+    * right.ts relative to left.ts from both directions — that is what
+    * lets Spark evict state: a buffered left row can be dropped once
+    * the right watermark passes left.ts + horizon, and vice versa, so
+    * state is bounded by rate x horizon per key instead of growing
+    * forever. State is hash-partitioned on `key` across executors, the
+    * same shuffle key the batch q09 uses.
+    *
+    * Column contract: both inputs need (`key`, `ts`); right-side
+    * payload columns survive with a `r_` prefix.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   horizon: String = "5 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right
+      .select(col(key).as(s"r_$key") +:
+        right.columns.filterNot(_ == key).map(c => col(c).as(s"r_$c")): _*)
+      .withWatermark("r_ts", watermark).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.r_$key") &&
+        col("r.r_ts") > col("l.ts") &&
+        col("r.r_ts") <= col("l.ts") + expr(s"INTERVAL $horizon"))
+  }
 }

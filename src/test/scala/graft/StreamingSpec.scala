@@ -131,4 +131,39 @@ class StreamingSpec extends AnyFunSuite {
         (1L, ts("2024-01-01 02:00:00"), 1L)))
     } finally q.stop()
   }
+
+  test("intervalJoin on batch events == q09 follow-within-5m counts") {
+    val events = Tables.load(spark, TestSpark.sf0001, "events")
+    val twin = StreamingAnalytics.intervalJoin(events, events, "user_id")
+      .groupBy("event_type").agg(count(lit(1)).as("follow_within_5m"))
+      .filter(col("follow_within_5m") > 0).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val batch = SparkEntry.queries("q09_join_range")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(twin.toSeq == batch.toSeq)
+  }
+
+  test("intervalJoin matches across two live streams, bounded by the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, Timestamp, String)]
+    val rmem = MemoryStream[(Long, Timestamp, String)]
+    val l = lmem.toDF().toDF("user_id", "ts", "kind")
+    val r = rmem.toDF().toDF("user_id", "ts", "kind")
+    val q = StreamingAnalytics.intervalJoin(l, r, "user_id")
+      .select("user_id", "kind", "r_kind")
+      .writeStream.format("memory").queryName("interval_test").outputMode("append").start()
+    try {
+      // left arrives first; the matching right lands in a LATER
+      // micro-batch (buffered left state must produce the match)
+      lmem.addData((1L, ts("2024-01-01 00:00:00"), "click"))
+      q.processAllAvailable()
+      rmem.addData((1L, ts("2024-01-01 00:02:00"), "view"),   // within 5m -> match
+                   (1L, ts("2024-01-01 00:10:00"), "late"),   // outside horizon
+                   (2L, ts("2024-01-01 00:02:00"), "other"))  // wrong key
+      q.processAllAvailable()
+      val out = spark.table("interval_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(out == Set((1L, "click", "view")))
+    } finally q.stop()
+  }
 }
