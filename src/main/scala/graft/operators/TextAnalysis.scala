@@ -72,4 +72,33 @@ object TextAnalysis {
            | + 3 * (1000000 - ((nstop * 1000000) DIV ntok))
            | + 1 * (least((sumlen * 100) DIV ntok, 800) * 1250)) DIV 10""".stripMargin))
   }
+
+  /** Gopher-style repetition signals per document:
+    *   - `dup_word_frac`: 1 - distinct/total tokens — computed entirely
+    *     INSIDE the scan (size/array_distinct on the token array, no
+    *     explode, no shuffle);
+    *   - `top_bigram_frac`: share of the most frequent 2-gram —
+    *     bigrams explode once, then two hash aggregations on doc_id
+    *     (counts, then max/total), all map-side-combining.
+    * Both ratios are doubles over per-doc exact integers, so they are
+    * partitioning-independent. High values flag boilerplate/spam for
+    * corpus filtering. Output: (doc_id, n_tokens, dup_word_frac,
+    * top_bigram_frac); docs with < 2 tokens are dropped (no bigram is
+    * defined, mirroring the shingle rule in Dedup.shingles).
+    */
+  def repetitionSignals(docs: DataFrame, docId: String = "doc_id",
+                        text: String = "text"): DataFrame = {
+    val toks = docs.select(col(docId).as("doc_id"),
+      split(lower(col(text)), " ").as("l")).filter(size(col("l")) >= 2)
+    val perDoc = toks.select(col("doc_id"), size(col("l")).as("n_tokens"),
+      size(array_distinct(col("l"))).as("nd"))
+    val bigrams = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))")).as("bg"))
+    val top = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("maxc"), sum(col("c")).as("tot"))
+    perDoc.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1) - col("nd").cast("double") / col("n_tokens"), 6).as("dup_word_frac"),
+        round(col("maxc").cast("double") / col("tot"), 6).as("top_bigram_frac"))
+  }
 }

@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
-/** Third extension wave (q58-q64): TPC-H-derived decision-support
+/** Third extension wave (q58-q65): TPC-H-derived decision-support
   * shapes adapted to this schema (no partsupp/commitdate columns
-  * exist — see TESTDATA.md). Each adds a composite plan shape the
-  * q01-q57 contract does not cover:
+  * exist — see TESTDATA.md), plus the q65 repetition-quality signals.
+  * Each adds a composite plan shape the q01-q57 contract does not
+  * cover:
   *
   *   - q58: aggregate-of-aggregate distribution (TPC-H Q13)
   *   - q59: argmax-of-aggregate via exact-decimal max equality (Q15)
@@ -139,7 +140,15 @@ object DecisionSupport {
         .groupBy("c_mktsegment")
         .agg(cnt.as("numcust"), sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
         .orderBy("c_mktsegment")
-    })
+    }),
+
+    // Gopher-style repetition quality signals (operators.TextAnalysis
+    // .repetitionSignals): dup-word fraction computed inside the scan,
+    // top-bigram fraction from one explode + two hash aggs. The corpus-
+    // filtering signal a training-data pipeline runs alongside q45/q46.
+    "q65_repetition" -> ((s, dir) =>
+      graft.operators.TextAnalysis.repetitionSignals(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id").limit(25))
   )
 
   /** DuckDB oracles (validated on DuckDB 1.0.0 at sf0.01 and sf0.1
@@ -199,6 +208,19 @@ SELECT c_mktsegment, COUNT(*) numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
 FROM customer
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM pos) > (SELECT SUM(b) FROM pos)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q65_repetition" -> """
+WITH d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
+t AS (SELECT doc_id, len(l) nt, len(list_distinct(l)) nd FROM d WHERE len(l) >= 2),
+i AS (SELECT doc_id, unnest(generate_series(1, len(l)-1)) i, l FROM d WHERE len(l) >= 2),
+bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] bg FROM i),
+bc AS (SELECT doc_id, bg, COUNT(*) c FROM bg GROUP BY doc_id, bg),
+tb AS (SELECT doc_id, MAX(c) maxc, SUM(c) tot FROM bc GROUP BY doc_id)
+SELECT t.doc_id, t.nt n_tokens,
+  CAST(ROUND(1 - CAST(nd AS DOUBLE)/nt, 6) AS DOUBLE) dup_word_frac,
+  CAST(ROUND(CAST(maxc AS DOUBLE)/tot, 6) AS DOUBLE) top_bigram_frac
+FROM t JOIN tb ON tb.doc_id = t.doc_id
+ORDER BY t.doc_id LIMIT 25"""
   ).map { case (k, v) => k -> v.trim }
 }
