@@ -35,6 +35,12 @@ object TextAnalysis {
     * sample and the scoring pass stays identical.
     */
   def langIdPredictions(docs: DataFrame): DataFrame = {
+    // The tokenize pass is recomputed for profile/totals/scoring
+    // rather than checkpointed: measured at sf0.1, an eager
+    // localCheckpoint of the shared aggregate costs MORE than the two
+    // extra codegen'd tokenize scans it saves (3.7s vs 3.0s) — it
+    // breaks whole-stage pipelines and serializes the broadcast
+    // builds behind a materialization job.
     val t = tokenOccurrences(docs, "lang")
     val profile = t.groupBy(col("lang").as("pl"), col("tok").as("ptok"))
       .agg(count(lit(1)).as("c"))
@@ -50,9 +56,12 @@ object TextAnalysis {
       .join(broadcast(profile), col("pl") === col("plang") && col("ptok") === col("tok"), "left")
       .groupBy("doc_id", "lang", "plang")
       .agg(sum(expr("occ * ((coalesce(c, 0) * 1000000) DIV tc)")).as("score"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("plang").as("pred_lang"))
+    // argmax(score, ties -> smallest language) as min(struct(-score,
+    // lang)): a partial+final hash aggregate — no window shuffle+sort.
+    // Scores are exact integers, so negation is lossless.
+    scored.groupBy("doc_id", "lang")
+      .agg(min(struct(negate(col("score")).as("ns"), col("plang"))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.plang").as("pred_lang"))
   }
 
   /** Per-doc integer quality score in [0, 1e6]: weighted blend of
