@@ -222,6 +222,18 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Train/eval contamination: distinct `train` doc_ids sharing at
+    * least one n-token shingle with any doc in `evalDocs` — the
+    * decontamination primitive (leaked eval text must leave the
+    * training corpus). The eval shingle set is DISTINCT and typically
+    * orders of magnitude smaller than the training corpus, so the
+    * semi join broadcasts it at real scale; the training side streams
+    * through one shingle pass, never a pair join. */
+  def contaminatedDocs(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame =
+    shingles(train, n)
+      .join(shingles(evalDocs, n).select("sh").distinct(), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+
   /** Collapse (key -> group size) stats used by the dedup reports:
     * n_groups, n_docs, n_dupes (sum of size-1 over groups > 1). */
   def groupStats(grouped: DataFrame, dupesCol: String): DataFrame =

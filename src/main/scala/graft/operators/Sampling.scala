@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for corpus curation.
+  *
+  * Everything here is content-addressed via md5 of a row id — never
+  * `rand()` (not reproducible across runs) and never engine-native
+  * `hash()` (differs between engines and Spark versions). A split or
+  * sample computed this way is identical on any engine, any cluster
+  * size, any run — which is what makes train/val/test membership
+  * auditable years after the training run, and lets an oracle check it.
+  *
+  * Scale notes: [[deterministicSplit]] is a pure per-row projection
+  * (no shuffle, no state — survives any data size trivially);
+  * [[stratifiedTake]] shuffles on the stratum key only and its window
+  * never materializes more than one stratum partition per task.
+  */
+object Sampling {
+
+  /** Uniform split key of an id column: lowercase md5 hex. Uniformity
+    * comes from md5; portability from fixed-width lowercase hex, which
+    * compares lexicographically = numerically in every engine. */
+  def splitKey(id: Column): Column = md5(id.cast("string"))
+
+  /** Assign every row a named split by hex thresholds on [[splitKey]].
+    * `splits` are (name, upperBoundHex) pairs checked in ascending
+    * bound order; rows at or above every bound land in `default`.
+    * A bound is a hex-string prefix: "c" keeps hashes starting 0-b,
+    * i.e. 12/16 = 75% in expectation; "e" the next 12.5%; etc.
+    * Adds a `split` column; no shuffle, fully deterministic. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         splits: Seq[(String, String)], default: String): DataFrame = {
+    require(splits.nonEmpty, "need at least one (name, bound) split")
+    require(splits.map(_._2) == splits.map(_._2).sorted,
+      s"split bounds must be ascending, got ${splits.map(_._2)}")
+    val k = splitKey(col(idCol))
+    val first = when(k < lit(splits.head._2), lit(splits.head._1))
+    val chained = splits.tail.foldLeft(first) {
+      case (acc, (name, bound)) => acc.when(k < lit(bound), lit(name))
+    }
+    df.withColumn("split", chained.otherwise(lit(default)))
+  }
+
+  /** Deterministic pseudo-random sample of up to `k` rows per stratum:
+    * rows ranked by ([[splitKey]], id) within each stratum, rank <= k
+    * kept (as `rn`). The md5 ordering is uniform, so this is a fair
+    * sample, yet stable across engines/runs; the id tiebreak makes the
+    * ordering total even on hash collisions. One shuffle on the
+    * stratum column. */
+  def stratifiedTake(df: DataFrame, strataCol: String, k: Int,
+                     idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(splitKey(col(idCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

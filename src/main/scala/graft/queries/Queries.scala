@@ -30,8 +30,10 @@ object Queries {
 
   val all: Map[String, QueryFn] =
     QueryTexts.spark.keys.map(k => k -> native.getOrElse(k, sql(k))).toMap ++
-      Extensions.queries ++ Extended.queries ++ DecisionSupport.queries
+      Extensions.queries ++ Extended.queries ++ DecisionSupport.queries ++
+      Curation.queries
 
   val oracle: Map[String, String] =
-    QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++ DecisionSupport.oracle
+    QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
+      DecisionSupport.oracle ++ Curation.oracle
 }
