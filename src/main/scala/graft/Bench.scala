@@ -25,7 +25,11 @@ object Bench {
       val dim = spark.range(7).selectExpr("id AS k", "id * 2 AS v")
       t.join(broadcast(dim), "k").groupBy("k")
         .agg(sum("id"), count(lit(1))).collect()                  // scan+bcast join+agg
-      t.join(dim, "k").selectExpr("k", "id").orderBy("id").limit(5).collect() // SMJ+sort
+      // hint("merge") forces a real SortMergeJoin (the 7-row dim would
+      // auto-broadcast otherwise) and the un-limited orderBy keeps a
+      // full SortExec in the plan (a limit would plan
+      // TakeOrderedAndProject instead).
+      t.join(dim.hint("merge"), "k").selectExpr("k", "id").orderBy("id").collect()
       t.select(row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("k").orderBy("id")).as("rn")).filter(col("rn") === 1).count() // window
       t.select(explode(split(col("s"), "0")).as("x")).groupBy("x").count().count() // explode

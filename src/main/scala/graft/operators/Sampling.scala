@@ -34,8 +34,18 @@ object Sampling {
   def deterministicSplit(df: DataFrame, idCol: String,
                          splits: Seq[(String, String)], default: String): DataFrame = {
     require(splits.nonEmpty, "need at least one (name, bound) split")
-    require(splits.map(_._2) == splits.map(_._2).sorted,
-      s"split bounds must be ascending, got ${splits.map(_._2)}")
+    // Bounds must be lowercase hex (uppercase sorts before 'a' in ASCII
+    // and would silently skew proportions) and STRICTLY ascending
+    // (a duplicate bound silently assigns its split zero rows) — in the
+    // module whose whole point is auditable membership, misassignment
+    // must be loud.
+    splits.foreach { case (name, bound) =>
+      require(bound.nonEmpty && bound.forall(c => c.isDigit || ('a' <= c && c <= 'f')),
+        s"split '$name' bound '$bound' is not lowercase hex")
+    }
+    val bounds = splits.map(_._2)
+    require(bounds.zip(bounds.tail).forall { case (a, b) => a < b },
+      s"split bounds must be strictly ascending, got $bounds")
     val k = splitKey(col(idCol))
     val first = when(k < lit(splits.head._2), lit(splits.head._1))
     val chained = splits.tail.foldLeft(first) {

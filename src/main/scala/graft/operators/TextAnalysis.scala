@@ -98,7 +98,7 @@ object TextAnalysis {
   def repetitionSignals(docs: DataFrame, docId: String = "doc_id",
                         text: String = "text"): DataFrame = {
     val toks = docs.select(col(docId).as("doc_id"),
-      split(lower(col(text)), " ").as("l")).filter(size(col("l")) >= 2)
+      graft.functions.Text.tokens(col(text)).as("l")).filter(size(col("l")) >= 2)
     val perDoc = toks.select(col("doc_id"), size(col("l")).as("n_tokens"),
       size(array_distinct(col("l"))).as("nd"))
     val bigrams = toks.select(col("doc_id"), explode(expr(
