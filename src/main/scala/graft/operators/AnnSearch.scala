@@ -71,4 +71,51 @@ object AnnSearch {
       .withColumn("bucket", best)
       .drop("_cs")
   }
+
+  /** The `nprobe` nearest centroid labels per vector, as a `buckets`
+    * array ordered nearest-first (ties by label, same struct ordering
+    * as [[assignBuckets]] — element 1 of the array IS assignBuckets'
+    * `bucket`). Used on the QUERY side of an IVF search: probing more
+    * buckets trades extra candidate scans for recall, the standard IVF
+    * recall knob. Same zero-shuffle broadcast shape as
+    * [[assignBuckets]]; reserved columns: `_cs`, `buckets`. */
+  def probeBuckets(emb: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val reserved = Seq("_cs", "buckets").filter(emb.columns.contains)
+    require(reserved.isEmpty,
+      s"probeBuckets reserves working columns ${reserved.mkString(", ")} — rename them on the input")
+    val centArr = cents
+      .agg(collect_list(struct(col("clabel"), col("cent"))).as("_cs"))
+      .filter(size(col("_cs")) > 0)
+    val ranked = array_sort(transform(col("_cs"),
+      c => struct(sqDist(col("embedding"), c.getField("cent")).as("d"),
+        c.getField("clabel").as("l"))))
+    emb.crossJoin(broadcast(centArr))
+      .withColumn("buckets", transform(slice(ranked, 1, nprobe), x => x.getField("l")))
+      .drop("_cs")
+  }
+
+  /** IVF search: exact-cosine top-`k` base vectors per query, scanning
+    * only the base lists of each query's probed buckets.
+    *
+    * `base` needs (vec_id, embedding, bucket) — from [[assignBuckets]];
+    * `queries` needs (qid, qemb, buckets) — from [[probeBuckets]] with
+    * the embedding column renamed. Plan shape: queries explode to
+    * (qid, probe) — |queries| x nprobe rows, broadcast when queries are
+    * few — then an equi-join on bucket prunes the base scan to probed
+    * lists; ranking is one window per qid over candidates only. Base
+    * norms are computed once per candidate row, queries' once per
+    * exploded row; ties broken by vec_id so top-k is total-ordered. */
+  def searchIvf(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val probes = queries.select(col("qid"), col("qemb"),
+      explode(col("buckets")).as("probe"))
+    val scored = base.join(broadcast(probes), col("bucket") === col("probe"))
+      .select(col("qid"), col("vec_id"),
+        (graft.functions.Vectors.dot(col("qemb"), col("embedding")) /
+          (graft.functions.Vectors.l2Norm(col("qemb")) *
+            graft.functions.Vectors.l2Norm(col("embedding")))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "vec_id", "cos", "rn")
+  }
 }

@@ -61,6 +61,7 @@ object Tables {
     case "csv"  => spark.read.schema(schema).option("header", header).csv(path)
     case "json" => spark.read.schema(schema).json(path)
     case "parquet" => spark.read.schema(schema).parquet(path)
+    case "orc" => spark.read.schema(schema).orc(path)
     case other => throw new IllegalArgumentException(s"unsupported format: $other")
   }
 
@@ -73,6 +74,32 @@ object Tables {
               partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite").format(format)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
+  /** Compact a dataset into `numFiles` files of clustered, sorted rows
+    * — the small-files/maintenance sink. Streaming ingestion and
+    * per-task writes leave thousands of KB-sized files whose per-file
+    * open/footer cost dominates a 100 TB scan; compaction rewrites to
+    * a bounded file count. `clusterCols` range-partitions the data so
+    * each output file owns a contiguous key range, and rows are sorted
+    * within files — min/max footer stats then let predicate pushdown
+    * skip whole files AND row groups on those columns. With no
+    * clusterCols it is a plain coalesce-style rewrite.
+    * `maxRecordsPerFile` (0 = unlimited) caps file size against skewed
+    * ranges.
+    */
+  def compact(df: DataFrame, path: String, numFiles: Int,
+              clusterCols: Seq[String] = Nil, format: String = "parquet",
+              maxRecordsPerFile: Long = 0L): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val arranged =
+      if (clusterCols.nonEmpty)
+        df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+          .sortWithinPartitions(clusterCols.map(col): _*)
+      else df.repartition(numFiles)
+    arranged.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .format(format).save(path)
   }
 
   /** Persist a DataFrame as a BUCKETED catalog table: rows are

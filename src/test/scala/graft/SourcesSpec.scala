@@ -36,6 +36,44 @@ class SourcesSpec extends AnyFunSuite {
       Set((1L, "alpha", 1.5), (2L, "beta", 2.5)))
   }
 
+  test("orc round-trip: writeAs orc, loadAs orc with declared schema") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    val src = Tables.load(spark, TestSpark.sf0001, "nation")
+    Tables.writeAs(src, dir, format = "orc")
+    val back = Tables.loadAs(spark, dir, "orc", src.schema)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
+  test("compact bounds file count and keeps files key-disjoint and sorted") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // fragment: 50 tiny input partitions
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders").repartition(50)
+    Tables.compact(orders, dir, numFiles = 4, clusterCols = Seq("o_orderkey"))
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.length <= 4, s"expected <= 4 data files, got ${files.length}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    // range clustering: per-file [min,max] o_orderkey intervals don't overlap
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // rows are sorted within each file (footer min/max useful per row group)
+    val disorder = back
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag("o_orderkey", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("prev") > col("o_orderkey")).count()
+    assert(disorder == 0, "rows not sorted within compacted files")
+  }
+
   test("unsupported format is rejected with a clear error") {
     val e = intercept[IllegalArgumentException] {
       Tables.loadAs(spark, "/tmp/x", "xml", schema)
