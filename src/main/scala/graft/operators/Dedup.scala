@@ -25,14 +25,24 @@ object Dedup {
     * candidate pairs vs 254 on the sf0.1 documents table).
     */
   def shingles(docs: DataFrame, n: Int = 3,
-               docId: String = "doc_id", text: String = "text"): DataFrame = {
+               docId: String = "doc_id", text: String = "text"): DataFrame =
+    shingleArrays(docs, n, docId, text)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+
+  /** Distinct n-token shingles per document as ONE array row:
+    * (doc_id, shs). Distinctness is per document, so `array_distinct`
+    * computes it INSIDE the row — where an explode + global
+    * `.distinct()` would shuffle the entire shingle relation (billions
+    * of rows at corpus scale) just to dedup within each doc_id. Zero
+    * shuffles; [[shingles]] is the exploded view of this. */
+  def shingleArrays(docs: DataFrame, n: Int = 3,
+                    docId: String = "doc_id", text: String = "text"): DataFrame = {
     val idx = (0 until n).map(k => s"element_at(l, i + $k)").mkString(", ' ', ")
     docs
       .select(col(docId).as("doc_id"), split(lower(col(text)), " ").as("l"))
       .filter(size(col("l")) >= n)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, size(l) - ${n - 1}), i -> concat($idx))")).as("sh"))
-      .distinct()
+        array_distinct(expr(s"transform(sequence(1, size(l) - ${n - 1}), i -> concat($idx))")).as("shs"))
   }
 
   /** k-component MinHash signature per doc over an exploded
@@ -63,6 +73,38 @@ object Dedup {
         (0 until k).map(i =>
           min(md5(concat(lit(s"$i:"), col(itemCol)))).as(s"h${i + 1}"))
     items.groupBy("doc_id").agg(comps.head, comps.tail: _*)
+  }
+
+  /** [[minhashSignature]] computed per row from [[shingleArrays]]
+    * output — the same h1..hk values with ZERO shuffles: each
+    * component is an `array_min` fold over the in-row digest array,
+    * where the exploded form needs a groupBy(doc_id) exchange of every
+    * (doc, item) row. This is the signature path to prefer whenever
+    * the item sets are already materialized per row. Same hex-window
+    * scheme (k dividing 32: k windows of one md5; otherwise one
+    * prefixed md5 per component), so the two forms are
+    * value-identical (differential-tested in OperatorSpec). */
+  def minhashSignatureFromArrays(arrs: DataFrame, k: Int,
+                                 itemsCol: String = "shs"): DataFrame = {
+    // rows with empty item arrays are dropped, exactly as the exploded
+    // form has no rows (hence no group) for them
+    val nonEmpty = arrs.filter(size(col(itemsCol)) > 0)
+    val withDigests =
+      if (k > 0 && 32 % k == 0)
+        // one md5 per item, materialized as a working column so the k
+        // window-minima share it (CollapseProject keeps non-trivial
+        // expressions referenced more than once in their own Project)
+        nonEmpty.withColumn("_dg", transform(col(itemsCol), s => md5(s)))
+      else nonEmpty.withColumn("_dg", col(itemsCol))
+    val comps =
+      if (k > 0 && 32 % k == 0) {
+        val w = 32 / k
+        (0 until k).map(i =>
+          array_min(transform(col("_dg"), d => substring(d, i * w + 1, w))).as(s"h${i + 1}"))
+      } else
+        (0 until k).map(i =>
+          array_min(transform(col("_dg"), s => md5(concat(lit(s"$i:"), s)))).as(s"h${i + 1}"))
+    withDigests.select(col("doc_id") +: comps: _*)
   }
 
   /** Candidate near-dup pairs (i < j) from banded MinHash signatures:
@@ -212,8 +254,9 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, threshold: Double, k: Int = 8,
                   bands: Seq[Seq[Int]] = Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8))): DataFrame = {
-    val sh = shingles(docs)
-    val cand = lshCandidates(minhashSignature(sh, k), bands)
+    val arr = shingleArrays(docs)
+    val sh = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val cand = lshCandidates(minhashSignatureFromArrays(arr, k), bands)
     val pairs = jaccardVerify(cand, sh)
       .filter(col("jc") >= threshold).select("i", "j")
     val losers = connectedComponents(pairs)

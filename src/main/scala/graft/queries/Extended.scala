@@ -126,9 +126,11 @@ object Extended {
     // (Dedup.connectedComponents) — the upgrade from greedy pairwise
     // removal to true duplicate clusters. Oracle: recursive CTE.
     "q57_dedup_components" -> ((s, dir) => {
-      val sh = Dedup.shingles(Tables.load(s, dir, "documents")).localCheckpoint()
+      val arr = Dedup.shingleArrays(Tables.load(s, dir, "documents"))
+        .repartition(col("doc_id")).localCheckpoint()
+      val sh = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
       val cand = Dedup.lshCandidates(
-        Dedup.minhashSignature(sh, k = 8).localCheckpoint(),
+        Dedup.minhashSignatureFromArrays(arr, k = 8).localCheckpoint(),
         bands = Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8)))
       val pairs = Dedup.jaccardVerify(cand, sh).filter(col("jc") >= 0.7).select("i", "j")
       Dedup.connectedComponents(pairs)

@@ -76,6 +76,23 @@ object Tables {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
+  /** Rebalance a pathologically under-partitioned input for map-heavy
+    * derivation. A single-row-group parquet file is unsplittable — the
+    * whole scan is ONE task, and any expensive per-row work fused into
+    * the scan stage (tokenize/shingle/hash/vector folds) serializes on
+    * one core. This repartitions such inputs to the session's shuffle
+    * parallelism, moving only the raw input bytes (tiny relative to
+    * the derived work). Inputs already split across at least half the
+    * target parallelism are returned unchanged — at real scale, files
+    * and row groups provide natural splits and this is a no-op, so it
+    * never adds a shuffle where the layout is healthy. Use it on
+    * compute-bound pipelines, NOT filter-heavy scans (there the
+    * pushed-down filter should run before any exchange). */
+  def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+
   /** Compact a dataset into `numFiles` files of clustered, sorted rows
     * — the small-files/maintenance sink. Streaming ingestion and
     * per-task writes leave thousands of KB-sized files whose per-file

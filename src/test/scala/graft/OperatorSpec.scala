@@ -83,6 +83,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(cand == Set((1L, 2L)))
   }
 
+  test("minhashSignatureFromArrays is value-identical to the exploded form") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sf0001, "documents")
+    for (k <- Seq(8, 3)) { // hex-window scheme and prefix fallback
+      val exploded = Dedup.minhashSignature(Dedup.shingles(docs), k)
+      val inline = Dedup.minhashSignatureFromArrays(Dedup.shingleArrays(docs), k)
+      assert(exploded.exceptAll(inline).count() == 0 &&
+        inline.exceptAll(exploded).count() == 0, s"k=$k signatures diverge")
+    }
+    // empty item arrays are dropped like groupless docs in the exploded form
+    val withEmpty = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]))
+      .toDF("doc_id", "shs")
+    assert(Dedup.minhashSignatureFromArrays(withEmpty, 8).count() == 1)
+  }
+
   test("Dedup.connectedComponents merges transitive chains to the min id") {
     // chain 1-2-3, chain 10-20, isolated pair 30-40
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L), (30L, 40L)).toDF("i", "j")
