@@ -166,4 +166,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(out == Set((1L, "click", "view")))
     } finally q.stop()
   }
+
+  test("deterministicSplit runs unchanged on a stream and agrees with batch") {
+    // The curation split is a pure per-row projection, so the SAME
+    // operator call works on an unbounded stream — and because
+    // membership is content-addressed (md5, no rand/state), the stream
+    // assigns every doc exactly what batch does.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val docs = mem.toDF().toDF("doc_id")
+    val q = graft.operators.Sampling
+      .deterministicSplit(docs, "doc_id", Seq("train" -> "c", "val" -> "e"), "test")
+      .writeStream.format("memory").queryName("split_test").outputMode("append").start()
+    try {
+      mem.addData(1L to 50L: _*)
+      q.processAllAvailable()
+      mem.addData(51L to 100L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("split_test")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.operators.Sampling
+        .deterministicSplit((1L to 100L).toDF("doc_id"), "doc_id",
+          Seq("train" -> "c", "val" -> "e"), "test")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch && streamed.size == 100)
+    } finally q.stop()
+  }
 }
