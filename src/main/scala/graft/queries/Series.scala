@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.TimeSeries
 import graft.sources.Tables
 
-/** Time-series wave (q70): dense/regularized series operators over the
-  * events stream — the batch form of the gap-handling every streaming
-  * dashboard needs. Same t2 gate as every other wave. */
+/** Time-series wave (q70-q71): dense/regularized series and sequenced
+  * funnel analytics over the events stream — the batch forms of the
+  * gap-handling and conversion tracking every streaming dashboard
+  * needs. Same t2 gate as every other wave. */
 object Series {
 
   private def cnt = count(lit(1))
@@ -25,6 +26,30 @@ object Series {
       TimeSeries.gapFill(hourly, "user_id", "h", "n")
         .orderBy("user_id", "h")
         .limit(200)
+    }),
+
+    // Sequenced conversion funnel: first 'view', then a 'click' within
+    // an hour of it, then a 'purchase' within an hour of that click —
+    // per-user stage times via chained conditional min-aggregates.
+    // Each stage is one hash agg + an equi join on user_id (all
+    // co-partitioned on the same key), and the stage frames shrink
+    // monotonically, so later joins broadcast at any scale.
+    "q71_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val hour = expr("INTERVAL 1 HOUR")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + hour)
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + hour)
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.agg(cnt.as("n_view"))
+        .crossJoin(s2.agg(cnt.as("n_view_click")))
+        .crossJoin(s3.agg(cnt.as("n_view_click_purchase")))
     })
   )
 
@@ -40,6 +65,18 @@ f AS (SELECT g.user_id, g.h, COALESCE(n, 0) n
 SELECT user_id, h, n,
   COALESCE(LAST_VALUE(CASE WHEN n > 0 THEN n END IGNORE NULLS)
            OVER (PARTITION BY user_id ORDER BY h), 0) carried
-FROM f ORDER BY user_id, h LIMIT 200"""
+FROM f ORDER BY user_id, h LIMIT 200""",
+
+    "q71_funnel" -> """
+WITH s1 AS (SELECT user_id, min(ts) t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+       GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM s1) n_view,
+       (SELECT COUNT(*) FROM s2) n_view_click,
+       (SELECT COUNT(*) FROM s3) n_view_click_purchase"""
   ).map { case (k, v) => k -> v.trim }
 }
