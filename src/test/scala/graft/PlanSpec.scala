@@ -95,4 +95,36 @@ class PlanSpec extends AnyFunSuite {
   test("q64: no-big-orders is a broadcast anti join") {
     assert(plan("q64_anti_scalar").contains("LeftAnti"))
   }
+
+  test("q48: the fingerprint is a pure projection — no exchange before the final group") {
+    // exactly two exchanges: the group-by-fingerprint shuffle and the
+    // single-row stats agg; the bottom-4 md5 selection itself must add
+    // none (in-row slice/array_sort/transform)
+    val p = plan("q48_fingerprint")
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(800))
+    assert(!p.contains("CollectList"), "bottom-k must not buffer collect_list\n" + p.take(500))
+  }
+
+  test("q56: IVF bucket assignment has no window/sort — argmin is in-scan") {
+    val p = plan("q56_ann_ivf")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("Broadcast"), "centroid array must broadcast")
+  }
+
+  test("q66: the split is a projection — no exchange before the report agg") {
+    val p = plan("q66_hash_split")
+    // one exchange for groupBy(split, lang) + possibly one for the sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(800))
+  }
+
+  test("q67: eval shingle set broadcasts into the semi join") {
+    val p = plan("q67_contamination")
+    assert(p.contains("LeftSemi"), p.take(500))
+  }
+
+  test("q70: gap-fill grid is sequence+explode, not a time-range join") {
+    val p = plan("q70_gap_fill")
+    assert(p.contains("Generate"), p.take(500))     // in-row sequence explode
+    assert(!p.contains("CartesianProduct"), p.take(500))
+  }
 }
