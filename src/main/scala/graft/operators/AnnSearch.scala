@@ -57,20 +57,32 @@ object AnnSearch {
     * formulation did). Reserved working column names (must not exist on
     * `emb`): `_cs`, `bucket` — the same convention Skew.saltedJoin
     * documents for `_salt`. */
-  def assignBuckets(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val reserved = Seq("_cs", "bucket").filter(emb.columns.contains)
+  /** Shared prologue of [[assignBuckets]]/[[probeBuckets]]: rejects
+    * reserved columns on the input and crossJoins the single broadcast
+    * row holding all centroids as a `_cs` array of (clabel, cent)
+    * structs (empty centroid table => empty result). Centroid fixes
+    * (NaN handling, empty-table semantics) live HERE, once. */
+  private def withCentroidArray(emb: DataFrame, cents: DataFrame,
+                                outCol: String): DataFrame = {
+    val reserved = Seq("_cs", outCol).filter(emb.columns.contains)
     require(reserved.isEmpty,
-      s"assignBuckets reserves working columns ${reserved.mkString(", ")} — rename them on the input")
+      s"reserved working columns ${reserved.mkString(", ")} — rename them on the input")
     val centArr = cents
       .agg(collect_list(struct(col("clabel"), col("cent"))).as("_cs"))
       .filter(size(col("_cs")) > 0)
-    val best = array_min(transform(col("_cs"),
-      c => struct(sqDist(col("embedding"), c.getField("cent")).as("d"),
-        c.getField("clabel").as("l")))).getField("l")
     emb.crossJoin(broadcast(centArr))
-      .withColumn("bucket", best)
-      .drop("_cs")
   }
+
+  /** Per-centroid (distance, label) structs for one embedding — the
+    * ordering key both argmin and rank share. */
+  private def distStructs: Column = transform(col("_cs"),
+    c => struct(sqDist(col("embedding"), c.getField("cent")).as("d"),
+      c.getField("clabel").as("l")))
+
+  def assignBuckets(emb: DataFrame, cents: DataFrame): DataFrame =
+    withCentroidArray(emb, cents, "bucket")
+      .withColumn("bucket", array_min(distStructs).getField("l"))
+      .drop("_cs")
 
   /** The `nprobe` nearest centroid labels per vector, as a `buckets`
     * array ordered nearest-first (ties by label, same struct ordering
@@ -81,17 +93,9 @@ object AnnSearch {
     * [[assignBuckets]]; reserved columns: `_cs`, `buckets`. */
   def probeBuckets(emb: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val reserved = Seq("_cs", "buckets").filter(emb.columns.contains)
-    require(reserved.isEmpty,
-      s"probeBuckets reserves working columns ${reserved.mkString(", ")} — rename them on the input")
-    val centArr = cents
-      .agg(collect_list(struct(col("clabel"), col("cent"))).as("_cs"))
-      .filter(size(col("_cs")) > 0)
-    val ranked = array_sort(transform(col("_cs"),
-      c => struct(sqDist(col("embedding"), c.getField("cent")).as("d"),
-        c.getField("clabel").as("l"))))
-    emb.crossJoin(broadcast(centArr))
-      .withColumn("buckets", transform(slice(ranked, 1, nprobe), x => x.getField("l")))
+    withCentroidArray(emb, cents, "buckets")
+      .withColumn("buckets",
+        transform(slice(array_sort(distStructs), 1, nprobe), x => x.getField("l")))
       .drop("_cs")
   }
 
@@ -101,20 +105,26 @@ object AnnSearch {
     * `base` needs (vec_id, embedding, bucket) — from [[assignBuckets]];
     * `queries` needs (qid, qemb, buckets) — from [[probeBuckets]] with
     * the embedding column renamed. Plan shape: queries explode to
-    * (qid, probe) — |queries| x nprobe rows, broadcast when queries are
-    * few — then an equi-join on bucket prunes the base scan to probed
-    * lists; ranking is one window per qid over candidates only. Base
-    * norms are computed once per candidate row, queries' once per
-    * exploded row; ties broken by vec_id so top-k is total-ordered. */
+    * (qid, probe) — |queries| x nprobe rows — then an equi-join on
+    * bucket prunes the base scan to probed lists; the planner
+    * broadcasts the probe side when it is small and falls back to a
+    * shuffle join for mass query batches (no forced hint — a forced
+    * broadcast would OOM the driver on millions of queries). Ranking
+    * is one window per qid over candidates only; base norms are
+    * computed once per candidate row, queries' once per exploded row;
+    * ties broken by vec_id so top-k is total-ordered. A zero-norm
+    * vector yields cos = NaN; the rank orders by -cos ascending, where
+    * NaN sorts GREATEST — so NaN candidates rank LAST, never
+    * displacing real neighbors (the assignBuckets NaN convention). */
   def searchIvf(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val probes = queries.select(col("qid"), col("qemb"),
       explode(col("buckets")).as("probe"))
-    val scored = base.join(broadcast(probes), col("bucket") === col("probe"))
+    val scored = base.join(probes, col("bucket") === col("probe"))
       .select(col("qid"), col("vec_id"),
         (graft.functions.Vectors.dot(col("qemb"), col("embedding")) /
           (graft.functions.Vectors.l2Norm(col("qemb")) *
             graft.functions.Vectors.l2Norm(col("embedding")))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val w = Window.partitionBy("qid").orderBy(negate(col("cos")), col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("qid", "vec_id", "cos", "rn")
   }

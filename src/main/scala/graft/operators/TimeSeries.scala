@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 /** Time-series regularization: turn a sparse per-key series of
   * aggregated buckets into a dense one — every step between each key's
   * first and last observation exists, gaps filled with zero and the
-  * last observed value carried forward. The standard prep before
-  * charting, anomaly scoring, or feature windows over event streams.
+  * last NON-ZERO value carried forward. Designed for count/positive
+  * series (where a filled gap and an observed zero are the same "no
+  * activity" fact); a series with meaningful zero or negative
+  * observations needs a sentinel-based variant, because zero-fill
+  * makes those indistinguishable from gaps.
   *
   * Scale shape: bounds are one hash agg on the key; the grid is an
   * in-row `sequence` explode (rows bounded by span/step per key, never
@@ -20,8 +23,9 @@ object TimeSeries {
 
   /** Dense version of `series` (key, ts, value): adds missing `step`
     * buckets per key with `value` = 0, plus a `carried` column = the
-    * most recent non-zero value at or before each bucket (0 until the
-    * first observation). `series` must be pre-aggregated: one row per
+    * most recent POSITIVE value at or before each bucket (0 until the
+    * first positive observation) — see the object note on why carry
+    * skips zeros. `series` must be pre-aggregated: one row per
     * (key, bucket). Reserved working columns: `_h0`, `_h1`, `carried`.
     */
   def gapFill(series: DataFrame, key: String, ts: String, value: String,

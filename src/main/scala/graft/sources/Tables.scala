@@ -87,7 +87,10 @@ object Tables {
     * and row groups provide natural splits and this is a no-op, so it
     * never adds a shuffle where the layout is healthy. Use it on
     * compute-bound pipelines, NOT filter-heavy scans (there the
-    * pushed-down filter should run before any exchange). */
+    * pushed-down filter should run before any exchange). Call it on
+    * (near-)source relations: the partition-count probe walks the
+    * physical plan, and on a derived frame containing exchanges it
+    * would materialize those stages eagerly under AQE. */
   def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
@@ -109,6 +112,15 @@ object Tables {
               clusterCols: Seq[String] = Nil, format: String = "parquet",
               maxRecordsPerFile: Long = 0L): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    // In-place compaction (output path == input files' directory) would
+    // fail at write time with Spark's cannot-overwrite-a-read-path
+    // error AFTER doing the repartition work — fail fast and spell out
+    // the write-then-swap recipe instead.
+    val target = new java.io.File(path).getAbsolutePath + "/"
+    val inPlace = df.inputFiles.exists(f =>
+      (new java.io.File(f.stripPrefix("file:")).getAbsolutePath + "/").startsWith(target))
+    require(!inPlace,
+      s"compact cannot overwrite its own input ($path) — write to a sibling dir, then swap")
     val arranged =
       if (clusterCols.nonEmpty)
         df.repartitionByRange(numFiles, clusterCols.map(col): _*)

@@ -74,6 +74,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(disorder == 0, "rows not sorted within compacted files")
   }
 
+  test("compact refuses in-place overwrite of its own input") {
+    val dir = Files.createTempDirectory("graft_inplace").toString + "/t"
+    val src = Tables.load(spark, TestSpark.sf0001, "region")
+    Tables.writeAs(src, dir)
+    val e = intercept[IllegalArgumentException] {
+      Tables.compact(spark.read.parquet(dir), dir, numFiles = 1)
+    }
+    assert(e.getMessage.contains("cannot overwrite its own input"))
+  }
+
+  test("rebalance splits a single-partition input, leaves healthy layouts alone") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val target = spark.sessionState.conf.numShufflePartitions
+    assume(docs.rdd.getNumPartitions * 2 < target) // single row group => 1 task
+    assert(Tables.rebalance(docs).rdd.getNumPartitions == target)
+    val healthy = docs.repartition(target)
+    // already at target parallelism: returned as-is, no extra exchange
+    assert(Tables.rebalance(healthy) eq healthy)
+  }
+
   test("unsupported format is rejected with a clear error") {
     val e = intercept[IllegalArgumentException] {
       Tables.loadAs(spark, "/tmp/x", "xml", schema)
