@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.TimeSeries
 import graft.sources.Tables
 
-/** Time-series wave (q70-q71): dense/regularized series and sequenced
-  * funnel analytics over the events stream — the batch forms of the
-  * gap-handling and conversion tracking every streaming dashboard
-  * needs. Same t2 gate as every other wave. */
+/** Time-series wave (q70-q72): dense/regularized series, sequenced
+  * funnel analytics, and transition matrices over the events stream —
+  * the batch forms of the gap-handling, conversion tracking, and
+  * behavior modeling every streaming dashboard needs. Same t2 gate as
+  * every other wave. */
 object Series {
 
   private def cnt = count(lit(1))
@@ -50,6 +51,21 @@ object Series {
       s1.agg(cnt.as("n_view"))
         .crossJoin(s2.agg(cnt.as("n_view_click")))
         .crossJoin(s3.agg(cnt.as("n_view_click_purchase")))
+    }),
+
+    // Event-type transition matrix (first-order Markov counts): each
+    // user's stream ordered by (ts, event_id) — a provably-unique key,
+    // so LAG is total-ordered — then one hash agg over (prev, curr).
+    // One window shuffle on user_id, one agg shuffle on the 5x5 matrix.
+    "q72_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .select(col("event_type").as("curr"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy("prev", "curr").agg(cnt.as("n"))
+        .orderBy("prev", "curr")
     })
   )
 
@@ -77,6 +93,14 @@ s3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN s2 ON s2.user_id = e.us
        GROUP BY e.user_id)
 SELECT (SELECT COUNT(*) FROM s1) n_view,
        (SELECT COUNT(*) FROM s2) n_view_click,
-       (SELECT COUNT(*) FROM s3) n_view_click_purchase"""
+       (SELECT COUNT(*) FROM s3) n_view_click_purchase""",
+
+    "q72_transitions" -> """
+WITH o AS (SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+           FROM events)
+SELECT prev, event_type AS curr, COUNT(*) n
+FROM o WHERE prev IS NOT NULL
+GROUP BY prev, curr ORDER BY prev, curr"""
   ).map { case (k, v) => k -> v.trim }
 }
