@@ -42,21 +42,6 @@ object AnnSearch {
     aggregate(zip_with(v, cent, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Assign each vector to its nearest centroid (ties by centroid
-    * label): adds a `bucket` column. The centroid table collapses to a
-    * single broadcast row (an array of (clabel, cent) structs), and the
-    * argmin is `array_min` over per-centroid (distance, label) structs
-    * computed INSIDE the vector scan — zero shuffles, embarrassingly
-    * parallel, where a window/row_number argmin would shuffle and sort
-    * |vectors| x |centroids| rows. Struct ordering compares (d, label)
-    * lexicographically with NaN ordered greatest — exactly the previous
-    * ORDER BY (d2, clabel) semantics, including NaN distances — and
-    * each distance is computed once per (vector, centroid) pair.
-    *
-    * An empty centroid table yields an empty result (as the join
-    * formulation did). Reserved working column names (must not exist on
-    * `emb`): `_cs`, `bucket` — the same convention Skew.saltedJoin
-    * documents for `_salt`. */
   /** Shared prologue of [[assignBuckets]]/[[probeBuckets]]: rejects
     * reserved columns on the input and crossJoins the single broadcast
     * row holding all centroids as a `_cs` array of (clabel, cent)
@@ -79,6 +64,21 @@ object AnnSearch {
     c => struct(sqDist(col("embedding"), c.getField("cent")).as("d"),
       c.getField("clabel").as("l")))
 
+  /** Assign each vector to its nearest centroid (ties by centroid
+    * label): adds a `bucket` column. The centroid table collapses to a
+    * single broadcast row (an array of (clabel, cent) structs), and the
+    * argmin is `array_min` over per-centroid (distance, label) structs
+    * computed INSIDE the vector scan — zero shuffles, embarrassingly
+    * parallel, where a window/row_number argmin would shuffle and sort
+    * |vectors| x |centroids| rows. Struct ordering compares (d, label)
+    * lexicographically with NaN ordered greatest — exactly the previous
+    * ORDER BY (d2, clabel) semantics, including NaN distances — and
+    * each distance is computed once per (vector, centroid) pair.
+    *
+    * An empty centroid table yields an empty result (as the join
+    * formulation did). Reserved working column names (must not exist on
+    * `emb`): `_cs`, `bucket` — the same convention Skew.saltedJoin
+    * documents for `_salt`. */
   def assignBuckets(emb: DataFrame, cents: DataFrame): DataFrame =
     withCentroidArray(emb, cents, "bucket")
       .withColumn("bucket", array_min(distStructs).getField("l"))
@@ -112,10 +112,12 @@ object AnnSearch {
     * broadcast would OOM the driver on millions of queries). Ranking
     * is one window per qid over candidates only; base norms are
     * computed once per candidate row, queries' once per exploded row;
-    * ties broken by vec_id so top-k is total-ordered. A zero-norm
-    * vector yields cos = NaN; the rank orders by -cos ascending, where
-    * NaN sorts GREATEST — so NaN candidates rank LAST, never
-    * displacing real neighbors (the assignBuckets NaN convention). */
+    * ties broken by vec_id so top-k is total-ordered. Degenerate
+    * candidates never displace real neighbors: a zero-norm vector
+    * yields cos = NaN, and the rank orders by -cos ASCENDING NULLS
+    * LAST, where NaN sorts greatest — so NaN ranks after every real
+    * similarity (the assignBuckets NaN convention) and a NULL cosine
+    * (null/mismatched-length embedding) ranks after even those. */
   def searchIvf(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val probes = queries.select(col("qid"), col("qemb"),
       explode(col("buckets")).as("probe"))
@@ -124,7 +126,8 @@ object AnnSearch {
         (graft.functions.Vectors.dot(col("qemb"), col("embedding")) /
           (graft.functions.Vectors.l2Norm(col("qemb")) *
             graft.functions.Vectors.l2Norm(col("embedding")))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(negate(col("cos")), col("vec_id"))
+    val w = Window.partitionBy("qid")
+      .orderBy(negate(col("cos")).asc_nulls_last, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("qid", "vec_id", "cos", "rn")
   }

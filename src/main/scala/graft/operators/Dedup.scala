@@ -254,13 +254,15 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, threshold: Double, k: Int = 8,
                   bands: Seq[Seq[Int]] = Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8))): DataFrame = {
-    // The in-row signature path fuses shingle+md5+minhash into the
-    // scan stage, so an under-split input (one file / one row group)
-    // would serialize ALL the hash work on one core — repartition the
-    // compact array relation by doc_id first. At healthy scale this
-    // one arr-sized shuffle is small next to the band self-joins and
-    // the shingle-level verify shuffles downstream.
-    val arr = shingleArrays(docs).repartition(col("doc_id"))
+    // The in-row signature path fuses tokenize+shingle+md5+minhash
+    // into the scan stage, so an under-split input (one file / one row
+    // group) would serialize all of it on one core — repartition the
+    // RAW docs BEFORE shingling, so the shuffle moves the smallest
+    // relation (text, not shingle arrays) and every derivation step
+    // runs parallel. At healthy scale this one raw-corpus shuffle is
+    // small next to the band self-joins and shingle-level verify
+    // shuffles downstream.
+    val arr = shingleArrays(docs.repartition(col("doc_id")))
     val sh = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
     val cand = lshCandidates(minhashSignatureFromArrays(arr, k), bands)
     val pairs = jaccardVerify(cand, sh)

@@ -24,13 +24,27 @@ object Profile {
     * At 100 TB set `exact = false`: HLL `approx_count_distinct` keeps
     * the pass single-width with ~2% error. */
   def profile(df: DataFrame, cols: Seq[String] = Nil, exact: Boolean = true): DataFrame = {
-    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(df.columns.length == df.columns.distinct.length,
+      "profile needs unique column names — alias duplicates (e.g. post-join) first")
+    // min/max/distinct need an ordering; default mode silently skips
+    // non-orderable columns (maps etc.), explicit requests fail loudly
+    def orderable(c: String): Boolean = df.schema(c).dataType match {
+      case _: MapType => false
+      case _ => true
+    }
+    val cs =
+      if (cols.nonEmpty) cols
+      else df.columns.toSeq.filter(orderable)
     require(cs.nonEmpty, "profile needs at least one column")
     val missing = cs.filterNot(df.columns.contains)
     require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
+    val bad = cs.filterNot(orderable)
+    require(bad.isEmpty, s"non-orderable columns cannot be profiled: ${bad.mkString(", ")}")
     val aggs = cs.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}__nulls"),
+        // coalesce: sum over ZERO rows is SQL NULL — an empty input
+        // must profile as all-zero counts, not NPE
+        coalesce(sum(when(col(c).isNull, 1).otherwise(0)), lit(0L)).as(s"${c}__nulls"),
         (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
           .as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Time-series regularization: turn a sparse per-key series of
   * aggregated buckets into a dense one — every step between each key's
   * first and last observation exists, gaps filled with zero and the
-  * last NON-ZERO value carried forward. Designed for count/positive
+  * last POSITIVE value carried forward. Designed for count/positive
   * series (where a filled gap and an observed zero are the same "no
   * activity" fact); a series with meaningful zero or negative
   * observations needs a sentinel-based variant, because zero-fill

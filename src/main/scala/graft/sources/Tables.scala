@@ -115,10 +115,24 @@ object Tables {
     // In-place compaction (output path == input files' directory) would
     // fail at write time with Spark's cannot-overwrite-a-read-path
     // error AFTER doing the repartition work — fail fast and spell out
-    // the write-then-swap recipe instead.
-    val target = new java.io.File(path).getAbsolutePath + "/"
-    val inPlace = df.inputFiles.exists(f =>
-      (new java.io.File(f.stripPrefix("file:")).getAbsolutePath + "/").startsWith(target))
+    // the write-then-swap recipe instead. Comparison is on Hadoop Path
+    // URIs (scheme + authority + decoded path, local paths
+    // canonicalized), so hdfs:///s3a:// targets, %20-encoded local
+    // paths, and symlinked temp dirs all compare correctly.
+    def norm(p: org.apache.hadoop.fs.Path): (String, String) = {
+      val u = p.toUri
+      val scheme = Option(u.getScheme).getOrElse("file")
+      val auth = Option(u.getAuthority).getOrElse("")
+      val dir =
+        if (scheme == "file") new java.io.File(u.getPath).getCanonicalPath
+        else u.getPath
+      (s"$scheme://$auth", dir.stripSuffix("/") + "/")
+    }
+    val t = norm(new org.apache.hadoop.fs.Path(path))
+    val inPlace = df.inputFiles.exists { f =>
+      val i = norm(new org.apache.hadoop.fs.Path(f))
+      i._1 == t._1 && i._2.startsWith(t._2)
+    }
     require(!inPlace,
       s"compact cannot overwrite its own input ($path) — write to a sibling dir, then swap")
     val arranged =

@@ -38,6 +38,21 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
 
+  test("empty input profiles as zero counts, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, String)].toDF("id", "s")
+    val p = Profile.profile(empty).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("id") == ((0L, 0L, 0L)) && p("s") == ((0L, 0L, 0L)))
+  }
+
+  test("map columns are skipped by default, rejected when explicit") {
+    import spark.implicits._
+    val df = Seq((1, Map("a" -> 1))).toDF("id", "m")
+    assert(Profile.profile(df).collect().map(_.getString(0)).toSeq == Seq("id"))
+    intercept[IllegalArgumentException] { Profile.profile(df, Seq("m")) }
+  }
+
   test("unknown columns are rejected") {
     val docs = Tables.load(spark, TestSpark.sf0001, "documents")
     intercept[IllegalArgumentException] { Profile.profile(docs, Seq("nope")) }
