@@ -59,4 +59,46 @@ class StatefulSpec extends AnyFunSuite {
       assert(wins.forall(_._2 == 1L))
     } finally q.stop()
   }
+
+  test("streaming funnel advances across micro-batches and closes missed windows") {
+    import graft.streaming.StatefulOps.{StageAdvance, TypedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TypedEvent]
+    // idleEviction doubles as the watermark delay: batch 2 delivers
+    // events ~1.5h behind batch 1's max event time, so the horizon
+    // must exceed that or they are (correctly) dropped as late
+    val q = StatefulOps.funnel(mem.toDS(), Seq("view", "click", "purchase"),
+        withinMs = 3600000L, idleEvictionMs = 14400000L)
+      .writeStream.format("memory").queryName("funnel_test").outputMode("append").start()
+    try {
+      // batch 1: user 1 views; user 2 views then clicks past the hour
+      mem.addData(
+        TypedEvent(1L, ts("2024-01-01 00:00:00"), "view"),
+        TypedEvent(2L, ts("2024-01-01 00:00:00"), "view"),
+        TypedEvent(2L, ts("2024-01-01 02:00:00"), "click")) // window closed
+      q.processAllAvailable()
+      // batch 2: user 1 clicks within the hour (state carried), then purchases
+      mem.addData(
+        TypedEvent(1L, ts("2024-01-01 00:30:00"), "click"),
+        TypedEvent(1L, ts("2024-01-01 00:45:00"), "purchase"),
+        TypedEvent(2L, ts("2024-01-01 02:10:00"), "click")) // dead: no revival
+      q.processAllAvailable()
+      val out = spark.table("funnel_test").as[StageAdvance].collect()
+        .map(a => (a.user_id, a.stage)).toSet
+      assert(out == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+    } finally q.stop()
+  }
+
+  test("batch funnel reproduces q71's stage totals") {
+    import graft.streaming.StatefulOps.TypedEvent
+    val events = graft.sources.Tables.load(spark, TestSpark.sf0001, "events")
+      .selectExpr("user_id", "ts", "event_type").as[TypedEvent]
+    val advances = StatefulOps.funnel(events, Seq("view", "click", "purchase"))
+      .groupBy("stage").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expect = SparkEntry.queries("q71_funnel")(spark, TestSpark.sf0001).collect()(0)
+    assert(advances.getOrElse(1, 0L) == expect.getLong(0), "stage 1 == n_view")
+    assert(advances.getOrElse(2, 0L) == expect.getLong(1), "stage 2 == n_view_click")
+    assert(advances.getOrElse(3, 0L) == expect.getLong(2), "stage 3 == n_view_click_purchase")
+  }
 }
