@@ -36,9 +36,18 @@ object AnnSearch {
         x => x.getField("c")).as("cent"))
 
   /** Squared L2 distance between a float embedding and a double
-    * centroid array — fixed-order HOF fold (matches the oracle's
-    * list_sum/list_transform exactly). */
+    * centroid array — codegen'd primitive loop
+    * ([[graft.plans.FloatDoubleSqDist]]) with the same left-to-right
+    * double fold as the oracle's list_sum/list_transform (bit-identity
+    * differential-tested against [[sqDistHof]] in VectorExprSpec). */
   private def sqDist(v: Column, cent: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.FloatDoubleSqDist(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cent)))
+
+  /** HOF twin of [[sqDist]] — differential-test surface only. */
+  private[graft] def sqDistHof(v: Column, cent: Column): Column =
     aggregate(zip_with(v, cent, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, x) => acc + x)
 

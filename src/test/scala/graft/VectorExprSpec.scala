@@ -54,4 +54,34 @@ class VectorExprSpec extends AnyFunSuite {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     assert(df.select(Vectors.dot(col("a"), col("b"))).collect().head.getDouble(0) == 32.0)
   }
+
+  test("codegen sqDist == HOF sqDist, bit-for-bit, over real embeddings x centroids") {
+    import graft.operators.AnnSearch
+    val emb = graft.sources.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val cents = AnnSearch.centroids(emb, dims = 64)
+    // compare every (vector, centroid) distance through both paths
+    val both = emb.crossJoin(cents)
+      .select(AnnSearch.sqDistHof(col("embedding"), col("cent")).as("h"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.plans.FloatDoubleSqDist(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("embedding")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("cent")))).as("c"))
+    assert(both.filter(col("h") =!= col("c")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("sqDist known value and null element") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0d, 4.0d))).toDF("a", "b")
+    val d = df.select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.FloatDoubleSqDist(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("b"))))).collect().head
+    assert(d.getDouble(0) == 8.0) // (1-3)^2 + (2-4)^2
+    val dfn = Seq((Seq(Some(1.0f), None), Seq(Some(3.0d), Some(4.0d)))).toDF("a", "b")
+    val r = dfn.select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.FloatDoubleSqDist(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("b"))))).collect().head
+    assert(r.isNullAt(0))
+  }
 }
