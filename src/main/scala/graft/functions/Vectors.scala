@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.plans.FloatVectorDot
+import graft.plans.{FloatDoubleSqDist, FloatVectorDot}
 
 /** Column-level vector math over `ArrayType(FloatType)` embeddings.
   *
@@ -25,6 +25,12 @@ object Vectors {
 
   /** L2 norm = sqrt(self dot). */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Squared L2 distance between a float-array column and a
+    * double-array centroid column ([[FloatDoubleSqDist]]). */
+  def sqDist(v: Column, cent: Column): Column =
+    ColumnBridge.column(FloatDoubleSqDist(
+      ColumnBridge.expression(v), ColumnBridge.expression(cent)))
 
   /** Cosine similarity of two float-array columns (double precision). */
   def cosineSimilarity(a: Column, b: Column): Column =

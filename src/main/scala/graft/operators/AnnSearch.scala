@@ -36,15 +36,17 @@ object AnnSearch {
         x => x.getField("c")).as("cent"))
 
   /** Squared L2 distance between a float embedding and a double
-    * centroid array — codegen'd primitive loop
-    * ([[graft.plans.FloatDoubleSqDist]]) with the same left-to-right
-    * double fold as the oracle's list_sum/list_transform (bit-identity
-    * differential-tested against [[sqDistHof]] in VectorExprSpec). */
+    * centroid array — one flat primitive eval loop
+    * ([[graft.plans.FloatDoubleSqDist]] via Vectors.sqDist) with the
+    * same left-to-right double fold as the oracle's
+    * list_sum/list_transform (bit-identity differential-tested against
+    * [[sqDistHof]] in VectorExprSpec). Inside the `transform` lambda
+    * below it runs interpreted (HOFs are CodegenFallback) — the win
+    * over the old nested aggregate(zip_with(...)) is one loop per
+    * distance instead of per-element closure dispatch (measured
+    * q56 1.5 -> 1.0 s at sf0.1). */
   private def sqDist(v: Column, cent: Column): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.plans.FloatDoubleSqDist(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cent)))
+    graft.functions.Vectors.sqDist(v, cent)
 
   /** HOF twin of [[sqDist]] — differential-test surface only. */
   private[graft] def sqDistHof(v: Column, cent: Column): Column =

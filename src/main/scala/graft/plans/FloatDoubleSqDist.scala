@@ -1,76 +1,39 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 
-/** Codegen'd squared L2 distance between a float vector and a double
-  * centroid, accumulated in double — the IVF assignment hot path
-  * (|vectors| x |centroids| evaluations per pass).
+/** Squared L2 distance between a float vector and a double centroid,
+  * accumulated in double — the IVF assignment hot path
+  * (|vectors| x |centroids| evaluations per pass). One flat primitive
+  * loop replacing the nested interpreted `aggregate(zip_with(...))`
+  * fold (see [[FloatArrayFold]] for where codegen applies); the
+  * accumulation order is IDENTICAL to the HOF fold, so distances are
+  * bit-for-bit the same — differential-tested in VectorExprSpec and
+  * pinned by q56's unchanged oracle parity.
   *
-  * Same design as [[FloatVectorDot]]: the HOF
-  * `aggregate(zip_with(...))` formulation is interpreted per element;
-  * this compiles into whole-stage codegen as a primitive loop. The
-  * accumulation order (left-to-right, (x - y)^2 in double) is
-  * IDENTICAL to the HOF fold, so distances are bit-for-bit the same —
-  * differential-tested in VectorExprSpec and pinned by q56's unchanged
-  * oracle parity.
-  *
-  * Null semantics match the HOF twin on the fixed-width inputs the
-  * engine uses: a null ARRAY or null ELEMENT yields null; on length
-  * mismatch the shorter bound wins (zip_with would null-pad — callers
-  * use fixed-width vectors).
+  * Length-mismatched arrays yield NULL — the engine's convention for
+  * malformed embeddings (zip_with null-pads, and searchIvf ranks NULL
+  * last), so a truncated vector can never be assigned a
+  * plausible-looking bucket from a partial sum.
   */
 case class FloatDoubleSqDist(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends FloatArrayFold {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<float>, array<double>), got " +
-          s"${l.simpleString} and ${r.simpleString}")
-    }
-  override def dataType: DataType = DoubleType
-  // nullable even for non-null arrays: null ELEMENTS produce null
-  override def nullable: Boolean = true
+  override protected def leftElem: DataType = FloatType
+  override protected def rightElem: DataType = DoubleType
+  override protected def nullOnLengthMismatch: Boolean = true
   override def prettyName: String = "float_double_sq_dist"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val d = x.getFloat(i).toDouble - y.getDouble(i)
-      s += d * d
-      i += 1
-    }
-    s
+  override protected def combine(acc: Double, x: ArrayData, y: ArrayData, i: Int): Double = {
+    val d = x.getFloat(i).toDouble - y.getDouble(i)
+    acc + d * d
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val s = ctx.freshName("s")
-      val d = ctx.freshName("d")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  double $d = (double) $a.getFloat($i) - $b.getDouble($i);
-         |  $s += $d * $d;
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+  override protected def combineCode(a: String, b: String, i: String, s: String): String =
+    s"""double d$s = (double) $a.getFloat($i) - $b.getDouble($i);
+       |    $s += d$s * d$s;""".stripMargin
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatDoubleSqDist =
     copy(left = newLeft, right = newRight)

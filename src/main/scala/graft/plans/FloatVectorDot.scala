@@ -1,76 +1,38 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{DataType, FloatType}
 
-/** Codegen'd dot product of two float arrays, accumulated in double.
+/** Dot product of two float arrays, accumulated in double.
   *
   * Replaces the `aggregate(zip_with(...))` higher-order-function
-  * formulation on the vector hot path: HOFs are interpreted
-  * per-element per-row (lambda closure dispatch, boxed rows), while
-  * this compiles to a tight primitive loop inside whole-stage codegen.
-  * The accumulation order (left-to-right, double) is IDENTICAL to the
-  * HOF fold, so results are bit-for-bit the same — verified by
+  * formulation on the vector hot path: one flat primitive loop per
+  * call instead of per-element lambda dispatch, and a whole-stage
+  * codegen loop in plain projections (see [[FloatArrayFold]]). The
+  * accumulation order (left-to-right, double) is IDENTICAL to the HOF
+  * fold, so results are bit-for-bit the same — verified by
   * VectorExprSpec against the HOF implementation and by the unchanged
   * DuckDB oracle parity of q38/q43/q44.
   *
-  * Null semantics match the HOF twin exactly: a null ARRAY or any null
-  * ELEMENT yields null. Lengths may differ — the shorter bound wins
-  * (same as zip_with only for equal lengths; callers use fixed-width
-  * vectors).
+  * Null semantics: a null ARRAY, any null ELEMENT, or length-mismatched
+  * arrays yield null — the zip_with null-pad convention, and what
+  * searchIvf's NULL-ranks-last contract relies on for malformed
+  * embeddings.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends FloatArrayFold {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
-  override def dataType: DataType = DoubleType
-  // nullable even for non-null arrays: null ELEMENTS produce null
-  override def nullable: Boolean = true
+  override protected def leftElem: DataType = FloatType
+  override protected def rightElem: DataType = FloatType
+  override protected def nullOnLengthMismatch: Boolean = true
   override def prettyName: String = "float_vector_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      // null element => null result, matching the HOF twin's
-      // cast/multiply null propagation (bit-identity contract)
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
-    }
-    s
-  }
+  override protected def combine(acc: Double, x: ArrayData, y: ArrayData, i: Int): Double =
+    acc + x.getFloat(i).toDouble * y.getFloat(i).toDouble
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val s = ctx.freshName("s")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+  override protected def combineCode(a: String, b: String, i: String, s: String): String =
+    s"$s += (double) $a.getFloat($i) * (double) $b.getFloat($i);"
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatVectorDot =
     copy(left = newLeft, right = newRight)

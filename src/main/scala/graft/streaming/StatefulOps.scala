@@ -55,7 +55,7 @@ object StatefulOps {
       }
     }
     events
-      .withWatermark("ts", s"${idleEvictionMs / 1000} seconds")
+      .withWatermark("ts", millisAsDelay(idleEvictionMs))
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(f)(
         Encoders.product[RunningStats], Encoders.product[Alert])
@@ -63,28 +63,33 @@ object StatefulOps {
 
   final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
 
-  /** Funnel progress: (stage completed so far, ms deadline for the
-    * next stage, terminal flag). Constant-size per user. */
-  final case class FunnelState(stage: Int, deadline: Long, dead: Boolean)
+  /** Funnel progress: (stages completed so far, ms deadline for the
+    * next stage). Constant-size per user. */
+  final case class FunnelState(stage: Int, deadline: Long)
   final case class StageAdvance(user_id: Long, stage: Int, ts: Timestamp)
 
   /** Streaming conversion funnel — the incremental twin of q71: a user
     * advances from stage i to i+1 on the first `stages(i)` event
     * strictly after the previous stage's time and within `withinMs` of
     * it; the first stage has no deadline. Emits one StageAdvance per
-    * advance, as it happens — counting rows per stage reproduces the
-    * batch funnel's stage totals (tested equivalent to q71).
+    * advance, as it happens. The stage windows are fixed at
+    * (t_i, t_i + withinMs] (single-shot, q71's semantics), so a
+    * past-deadline event simply never advances — it does NOT
+    * terminate the user, which keeps the machine correct when an
+    * in-window event arrives LATER than a past-deadline one within
+    * the watermark's allowed lateness.
     *
-    * Per-user state is three fields; EventTimeTimeout drops users idle
+    * Per-user state is two fields; EventTimeTimeout drops users idle
     * past the watermark + eviction horizon, so state is O(active
-    * users). Events are processed in event-time order WITHIN each
-    * micro-batch (sorted); cross-batch order is the source's
-    * responsibility up to the watermark, as with every append-mode
-    * state machine. A window-missing stage event marks the user
-    * terminal (the funnel is single-shot, matching q71's fixed
-    * (t_i, t_i + withinMs] windows); an event at exactly the previous
-    * stage's timestamp neither advances nor kills (strictly-after
-    * semantics).
+    * users). The bounded-state tradeoff: batch-equivalence to q71
+    * holds for users whose funnel activity gaps stay inside
+    * `idleEvictionMs` — a user evicted and returning is treated as
+    * new (and can re-emit stage advances). Size the horizon to the
+    * funnel span, or accept horizon-approximate totals; exact totals
+    * over unbounded idleness would need unbounded state. Events are
+    * processed in event-time order within each micro-batch (sorted);
+    * an event at exactly the previous stage's timestamp neither
+    * advances nor closes anything (strictly-after semantics).
     */
   def funnel(events: Dataset[TypedEvent], stages: Seq[String],
              withinMs: Long = 3600000L,
@@ -97,24 +102,26 @@ object StatefulOps {
         state.remove()
         Iterator.empty
       } else {
-        var st = state.getOption.getOrElse(FunnelState(0, 0L, dead = false))
-        val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+        var st = state.getOption.getOrElse(FunnelState(0, 0L))
+        // null event_type cannot advance any stage but must not NPE the
+        // sort's tie-break either
+        val batch = it.toSeq.sortBy(e => (e.ts.getTime, Option(e.event_type).getOrElse("")))
         val out = Seq.newBuilder[StageAdvance]
         batch.foreach { e =>
-          if (!st.dead && st.stage < nStages) {
+          if (st.stage < nStages) {
             if (st.stage == 0) {
               if (e.event_type == stages.head) {
-                st = FunnelState(1, e.ts.getTime + withinMs, dead = false)
+                st = FunnelState(1, e.ts.getTime + withinMs)
                 out += StageAdvance(userId, 1, e.ts)
               }
             } else if (e.event_type == stages(st.stage)) {
               val tPrev = st.deadline - withinMs
               if (e.ts.getTime > tPrev && e.ts.getTime <= st.deadline) {
-                st = FunnelState(st.stage + 1, e.ts.getTime + withinMs, dead = false)
+                st = FunnelState(st.stage + 1, e.ts.getTime + withinMs)
                 out += StageAdvance(userId, st.stage, e.ts)
-              } else if (e.ts.getTime > st.deadline) {
-                st = st.copy(dead = true) // window closed — single-shot funnel
-              } // ts == tPrev: not strictly after, keep waiting
+              }
+              // outside (tPrev, deadline]: no advance, window stays
+              // fixed — late in-window arrivals can still convert
             }
           }
         }
@@ -125,9 +132,14 @@ object StatefulOps {
       }
     }
     events
-      .withWatermark("ts", s"${idleEvictionMs / 1000} seconds")
+      .withWatermark("ts", millisAsDelay(idleEvictionMs))
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(f)(
         Encoders.product[FunnelState], Encoders.product[StageAdvance])
   }
+
+  /** Watermark delay string for an ms horizon, rounded UP so the
+    * watermark never drops events the ms-precise timeout considers
+    * in-bounds (integer /1000 truncation would). */
+  private def millisAsDelay(ms: Long): String = s"${(ms + 999) / 1000} seconds"
 }

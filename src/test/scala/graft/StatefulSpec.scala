@@ -60,7 +60,7 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming funnel advances across micro-batches and closes missed windows") {
+  test("streaming funnel advances across micro-batches; past-deadline events never advance") {
     import graft.streaming.StatefulOps.{StageAdvance, TypedEvent}
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TypedEvent]
@@ -81,7 +81,7 @@ class StatefulSpec extends AnyFunSuite {
       mem.addData(
         TypedEvent(1L, ts("2024-01-01 00:30:00"), "click"),
         TypedEvent(1L, ts("2024-01-01 00:45:00"), "purchase"),
-        TypedEvent(2L, ts("2024-01-01 02:10:00"), "click")) // dead: no revival
+        TypedEvent(2L, ts("2024-01-01 02:10:00"), "click")) // still past deadline
       q.processAllAvailable()
       val out = spark.table("funnel_test").as[StageAdvance].collect()
         .map(a => (a.user_id, a.stage)).toSet

@@ -19,7 +19,7 @@ class VectorExprSpec extends AnyFunSuite {
     val diff = e.crossJoin(qv)
       .select(Vectors.dot(col("embedding"), col("v")).as("a"),
               Vectors.dotHof(col("embedding"), col("v")).as("b"))
-      .filter(col("a") =!= col("b")) // exact comparison, not tolerance
+      .filter(!(col("a") <=> col("b"))) // null-safe exact comparison
       .count()
     assert(diff == 0)
   }
@@ -30,7 +30,7 @@ class VectorExprSpec extends AnyFunSuite {
     val diff = e.crossJoin(qv)
       .select(Vectors.cosineSimilarity(col("embedding"), col("v")).as("a"),
               Vectors.cosineSimilarityHof(col("embedding"), col("v")).as("b"))
-      .filter(col("a") =!= col("b"))
+      .filter(!(col("a") <=> col("b")))
       .count()
     assert(diff == 0)
   }
@@ -62,26 +62,22 @@ class VectorExprSpec extends AnyFunSuite {
     // compare every (vector, centroid) distance through both paths
     val both = emb.crossJoin(cents)
       .select(AnnSearch.sqDistHof(col("embedding"), col("cent")).as("h"),
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.plans.FloatDoubleSqDist(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("embedding")),
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("cent")))).as("c"))
-    assert(both.filter(col("h") =!= col("c")).count() == 0)
+        Vectors.sqDist(col("embedding"), col("cent")).as("c"))
+    assert(both.filter(!(col("h") <=> col("c"))).count() == 0)
     assert(both.count() > 0)
   }
 
   test("sqDist known value and null element") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(3.0d, 4.0d))).toDF("a", "b")
-    val d = df.select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.plans.FloatDoubleSqDist(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a")),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("b"))))).collect().head
-    assert(d.getDouble(0) == 8.0) // (1-3)^2 + (2-4)^2
+    assert(df.select(Vectors.sqDist(col("a"), col("b"))).collect().head.getDouble(0) == 8.0)
     val dfn = Seq((Seq(Some(1.0f), None), Seq(Some(3.0d), Some(4.0d)))).toDF("a", "b")
-    val r = dfn.select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.plans.FloatDoubleSqDist(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a")),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("b"))))).collect().head
-    assert(r.isNullAt(0))
+    assert(dfn.select(Vectors.sqDist(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("length-mismatched arrays yield NULL in dot and sqDist (malformed-vector guard)") {
+    val d1 = Seq((Seq(1.0f, 2.0f), Seq(3.0f))).toDF("a", "b")
+    assert(d1.select(Vectors.dot(col("a"), col("b"))).collect().head.isNullAt(0))
+    val d2 = Seq((Seq(1.0f, 2.0f), Seq(3.0d))).toDF("a", "b")
+    assert(d2.select(Vectors.sqDist(col("a"), col("b"))).collect().head.isNullAt(0))
   }
 }
