@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.plans.FloatVectorDot
+import graft.plans.{FloatDoubleSqDist, FloatVectorDot}
 
 /** SQL-surface registration of graft's custom Catalyst expressions, so
   * the `spark.sql(...)` entry point (the reference's native surface)
@@ -32,9 +32,15 @@ object GraftFunctions {
       Multiply(Sqrt(FloatVectorDot(a, a)), Sqrt(FloatVectorDot(b, b))))
   }
 
+  private def sqDistBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_sqdist takes exactly 2 arguments")
+    FloatDoubleSqDist(children.head, children(1))
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("graft_dot", dotBuilder _, "dot product of two array<float> (double accum, codegen)"),
-    ("graft_cosine", cosineBuilder _, "cosine similarity of two array<float>"))
+    ("graft_cosine", cosineBuilder _, "cosine similarity of two array<float>"),
+    ("graft_sqdist", sqDistBuilder _, "squared L2 distance of array<float> vs array<double> centroid"))
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -70,4 +70,13 @@ class AsOfSkewSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
+
+  test("graft_sqdist is callable from the SQL surface") {
+    graft.sources.Tables.registerAll(spark, TestSpark.sf0001)
+    val r = spark.sql(
+      """SELECT graft_sqdist(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                    array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS d
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 8.0)
+  }
 }
