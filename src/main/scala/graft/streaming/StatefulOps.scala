@@ -142,4 +142,62 @@ object StatefulOps {
     * watermark never drops events the ms-precise timeout considers
     * in-bounds (integer /1000 truncation would). */
   private def millisAsDelay(ms: Long): String = s"${(ms + 999) / 1000} seconds"
+
+  final case class Bucket(key: Long, ts: Timestamp, n: Long)
+  final case class FilledBucket(key: Long, ts: Timestamp, n: Long, carried: Long)
+  /** (ms of the last emitted bucket, last positive value seen). */
+  final case class GapState(lastMs: Long, carried: Long)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.gapFill]]: emits a
+    * DENSE per-key series from a sparse stream of aggregated buckets.
+    * Gap buckets (value 0, carried = last positive value) are emitted
+    * LAZILY when the next observation arrives — the batch operator
+    * only fills between observations, so no event-time timers are
+    * needed and the incremental output equals the batch output row for
+    * row (tested in StatefulSpec). Input precondition matches the
+    * batch operator: one row per (key, bucket); buckets at or before
+    * the last emitted one are ignored (watermark-late duplicates).
+    * State is two longs per key, EventTimeTimeout-evicted after
+    * `idleEvictionMs` — an evicted key's next bucket starts a new
+    * dense segment rather than filling an unbounded idle span, which
+    * is also the memory-safety argument: gap emission per event is
+    * bounded by span/step, state by active keys. */
+  def gapFillStream(buckets: Dataset[Bucket], stepMs: Long = 3600000L,
+                    idleEvictionMs: Long = 86400000L): Dataset[FilledBucket] = {
+    require(stepMs > 0, s"stepMs must be positive, got $stepMs")
+    val f = (key: Long, it: Iterator[Bucket], state: GroupState[GapState]) => {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var st = state.getOption.getOrElse(GapState(Long.MinValue, 0L))
+        val batch = it.toSeq.sortBy(b => (b.ts.getTime, b.n))
+        val out = Seq.newBuilder[FilledBucket]
+        batch.foreach { b =>
+          val t = b.ts.getTime
+          if (t > st.lastMs) {
+            if (st.lastMs != Long.MinValue) {
+              var g = st.lastMs + stepMs
+              while (g < t) {
+                out += FilledBucket(key, new Timestamp(g), 0L, st.carried)
+                g += stepMs
+              }
+            }
+            val carried = if (b.n > 0) b.n else st.carried
+            out += FilledBucket(key, b.ts, b.n, carried)
+            st = GapState(t, carried)
+          } // else: late duplicate of an emitted bucket — ignored
+        }
+        state.update(st)
+        if (batch.nonEmpty)
+          state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + idleEvictionMs)
+        out.result().iterator
+      }
+    }
+    buckets
+      .withWatermark("ts", millisAsDelay(idleEvictionMs))
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(f)(
+        Encoders.product[GapState], Encoders.product[FilledBucket])
+  }
 }

@@ -89,6 +89,45 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gapFillStream emits gaps incrementally when the next bucket arrives") {
+    import graft.streaming.StatefulOps.{Bucket, FilledBucket}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Bucket]
+    val q = StatefulOps.gapFillStream(mem.toDS())
+      .writeStream.format("memory").queryName("gapfill_test").outputMode("append").start()
+    try {
+      mem.addData(Bucket(1L, ts("2024-01-01 00:00:00"), 5L))
+      q.processAllAvailable()
+      assert(spark.table("gapfill_test").count() == 1) // no gaps yet
+      // next observation 3 hours later: two zero-gap rows materialize
+      mem.addData(Bucket(1L, ts("2024-01-01 03:00:00"), 2L))
+      q.processAllAvailable()
+      val out = spark.table("gapfill_test").as[FilledBucket].collect()
+        .map(b => (b.ts, b.n, b.carried)).sortBy(_._1.getTime).toSeq
+      assert(out == Seq(
+        (ts("2024-01-01 00:00:00"), 5L, 5L),
+        (ts("2024-01-01 01:00:00"), 0L, 5L),
+        (ts("2024-01-01 02:00:00"), 0L, 5L),
+        (ts("2024-01-01 03:00:00"), 2L, 2L)))
+    } finally q.stop()
+  }
+
+  test("batch gapFillStream equals the batch gapFill operator row for row") {
+    import graft.streaming.StatefulOps.Bucket
+    import org.apache.spark.sql.functions._
+    val hourly = graft.sources.Tables.load(spark, TestSpark.sf0001, "events")
+      .filter(col("user_id") <= 3)
+      .groupBy(col("user_id").as("key"), date_trunc("hour", col("ts")).as("ts"))
+      .agg(count(lit(1)).as("n"))
+    val streamed = StatefulOps.gapFillStream(hourly.as[Bucket])
+      .select(col("key").as("user_id"), col("ts").as("h"), col("n"), col("carried"))
+    val batch = graft.operators.TimeSeries.gapFill(
+      hourly.withColumnRenamed("key", "user_id").withColumnRenamed("ts", "h"),
+      "user_id", "h", "n")
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
   test("batch funnel reproduces q71's stage totals") {
     import graft.streaming.StatefulOps.TypedEvent
     val events = graft.sources.Tables.load(spark, TestSpark.sf0001, "events")
