@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.TimeSeries
 import graft.sources.Tables
 
-/** Time-series wave (q70-q72): dense/regularized series, sequenced
-  * funnel analytics, and transition matrices over the events stream —
+/** Time-series/reshaping wave (q70-q73): dense/regularized series,
+  * funnels, transition matrices, and unpivot/melt —
   * the batch forms of the gap-handling, conversion tracking, and
   * behavior modeling every streaming dashboard needs. Same t2 gate as
   * every other wave. */
@@ -53,6 +53,23 @@ object Series {
         .crossJoin(s3.agg(cnt.as("n_view_click_purchase")))
     }),
 
+    // UNPIVOT/melt — the inverse of q51's pivot: measure columns
+    // become (measure, value) rows via ONE scan (Spark's unpivot plans
+    // an Expand, where the UNION ALL oracle formulation scans three
+    // times), then an exact-decimal rollup per measure.
+    "q73_unpivot" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_discount").as("discount"),
+            col("l_extendedprice").as("extendedprice"),
+            col("l_quantity").as("quantity")),
+          "measure", "v")
+        .groupBy("measure")
+        .agg(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"), cnt.as("n"))
+        .orderBy("measure")
+    }),
+
     // Event-type transition matrix (first-order Markov counts): each
     // user's stream ordered by (ts, event_id) — a provably-unique key,
     // so LAG is total-ordered — then one hash agg over (prev, curr).
@@ -94,6 +111,14 @@ s3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN s2 ON s2.user_id = e.us
 SELECT (SELECT COUNT(*) FROM s1) n_view,
        (SELECT COUNT(*) FROM s2) n_view_click,
        (SELECT COUNT(*) FROM s3) n_view_click_purchase""",
+
+    "q73_unpivot" -> """
+SELECT measure, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) total, COUNT(*) n
+FROM (
+  SELECT 'discount' measure, l_discount v FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'quantity', l_quantity FROM lineitem
+) GROUP BY measure ORDER BY measure""",
 
     "q72_transitions" -> """
 WITH o AS (SELECT user_id, event_type,
