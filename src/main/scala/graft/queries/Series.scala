@@ -70,6 +70,26 @@ object Series {
         .orderBy("measure")
     }),
 
+    // Window navigation functions (first/nth/last value) over a full
+    // unbounded frame — the remaining window family after q17's ranks,
+    // q18's lag/lead, and q53's distributions. The ordering
+    // (c_acctbal, c_custkey) is provably unique, so nth_value is
+    // deterministic; the frame must be spelled UNBOUNDED FOLLOWING or
+    // last_value degenerates to the current row in both engines.
+    "q74_win_navigation" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          first(col("c_acctbal")).over(w).cast("double").as("seg_min_bal"),
+          nth_value(col("c_acctbal"), 3).over(w).cast("double").as("seg_third_bal"),
+          last(col("c_acctbal")).over(w).cast("double").as("seg_max_bal"))
+        .orderBy("c_mktsegment", "c_custkey")
+        .limit(200)
+    }),
+
     // Event-type transition matrix (first-order Markov counts): each
     // user's stream ordered by (ts, event_id) — a provably-unique key,
     // so LAG is total-ordered — then one hash agg over (prev, curr).
@@ -119,6 +139,16 @@ FROM (
   UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
   UNION ALL SELECT 'quantity', l_quantity FROM lineitem
 ) GROUP BY measure ORDER BY measure""",
+
+    "q74_win_navigation" -> """
+SELECT c_custkey, c_mktsegment,
+  CAST(FIRST_VALUE(c_acctbal) OVER w AS DOUBLE) seg_min_bal,
+  CAST(NTH_VALUE(c_acctbal, 3) OVER w AS DOUBLE) seg_third_bal,
+  CAST(LAST_VALUE(c_acctbal) OVER w AS DOUBLE) seg_max_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY c_mktsegment, c_custkey LIMIT 200""",
 
     "q72_transitions" -> """
 WITH o AS (SELECT user_id, event_type,
