@@ -90,6 +90,22 @@ object Series {
         .limit(200)
     }),
 
+    // Cohort retention matrix: users bucketed by first-activity week
+    // (their cohort), counted in every week they return — the standard
+    // product-analytics triangle. Two hash aggs + one equi join on
+    // user_id; the per-user cohort frame is |users| rows and
+    // broadcast-able at any scale. Weeks cast to DATE on both engines
+    // (DuckDB's week-trunc is a DATE, Spark's a TIMESTAMP).
+    "q75_retention" -> ((s, dir) => {
+      val uw = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+        .distinct()
+      val fw = uw.groupBy("user_id").agg(min(col("w")).as("cohort"))
+      uw.join(fw, Seq("user_id"))
+        .groupBy("cohort", "w").agg(cnt.as("n_users"))
+        .orderBy("cohort", "w")
+    }),
+
     // Event-type transition matrix (first-order Markov counts): each
     // user's stream ordered by (ts, event_id) — a provably-unique key,
     // so LAG is total-ordered — then one hash agg over (prev, curr).
@@ -149,6 +165,13 @@ FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ORDER BY c_mktsegment, c_custkey LIMIT 200""",
+
+    "q75_retention" -> """
+WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) w FROM events),
+fw AS (SELECT user_id, min(w) cohort FROM uw GROUP BY user_id)
+SELECT fw.cohort, uw.w, COUNT(*) n_users
+FROM uw JOIN fw ON fw.user_id = uw.user_id
+GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q72_transitions" -> """
 WITH o AS (SELECT user_id, event_type,
