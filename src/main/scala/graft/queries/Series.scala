@@ -106,6 +106,24 @@ object Series {
         .orderBy("cohort", "w")
     }),
 
+    // Inter-event time histogram: per-user gap to the previous event
+    // (LAG over the provably-unique ordering), bucketed by exact
+    // integer microsecond arithmetic (SURVEY.md §5 — engine-portable,
+    // unlike second-boundary date_diff), counted per 10-minute bucket.
+    // Window shuffles once on user_id; the histogram agg input is one
+    // row per event with map-side partials.
+    "q76_gap_histogram" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .select(col("ts"), lag(col("ts"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(expr("(unix_micros(ts) - unix_micros(prev)) DIV 600000000").as("bucket_10min"))
+        .groupBy("bucket_10min").agg(cnt.as("n"))
+        .orderBy("bucket_10min")
+        .limit(100)
+    }),
+
     // Event-type transition matrix (first-order Markov counts): each
     // user's stream ordered by (ts, event_id) — a provably-unique key,
     // so LAG is total-ordered — then one hash agg over (prev, curr).
@@ -172,6 +190,14 @@ fw AS (SELECT user_id, min(w) cohort FROM uw GROUP BY user_id)
 SELECT fw.cohort, uw.w, COUNT(*) n_users
 FROM uw JOIN fw ON fw.user_id = uw.user_id
 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q76_gap_histogram" -> """
+WITH d AS (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+           FROM events),
+g AS (SELECT (epoch_us(ts) - epoch_us(prev)) // 600000000 AS bucket_10min
+      FROM d WHERE prev IS NOT NULL)
+SELECT CAST(bucket_10min AS BIGINT) bucket_10min, COUNT(*) n
+FROM g GROUP BY 1 ORDER BY 1 LIMIT 100""",
 
     "q72_transitions" -> """
 WITH o AS (SELECT user_id, event_type,
