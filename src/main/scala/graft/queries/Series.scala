@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.TimeSeries
 import graft.sources.Tables
 
-/** Time-series/reshaping wave (q70-q73): dense/regularized series,
+/** Time-series/reshaping wave (q70-q76): dense/regularized series,
   * funnels, transition matrices, and unpivot/melt —
   * the batch forms of the gap-handling, conversion tracking, and
   * behavior modeling every streaming dashboard needs. Same t2 gate as

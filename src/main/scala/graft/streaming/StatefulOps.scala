@@ -153,10 +153,19 @@ object StatefulOps {
     * Gap buckets (value 0, carried = last positive value) are emitted
     * LAZILY when the next observation arrives — the batch operator
     * only fills between observations, so no event-time timers are
-    * needed and the incremental output equals the batch output row for
-    * row (tested in StatefulSpec). Input precondition matches the
-    * batch operator: one row per (key, bucket); buckets at or before
-    * the last emitted one are ignored (watermark-late duplicates).
+    * needed.
+    *
+    * PRECONDITION: buckets must arrive per-key in event-time order
+    * (e.g. produced by an upstream windowed aggregation that emits
+    * finalized windows as the watermark passes); one row per
+    * (key, bucket). Under that precondition the incremental output
+    * equals the batch output row for row (tested in StatefulSpec).
+    * The requirement is inherent to append-mode output, not an
+    * implementation shortcut: once a zero gap row is emitted it cannot
+    * be retracted, so a bucket arriving BEHIND the key's last emitted
+    * bucket is unprocessable and is dropped (it would contradict
+    * already-emitted rows).
+    *
     * State is two longs per key, EventTimeTimeout-evicted after
     * `idleEvictionMs` — an evicted key's next bucket starts a new
     * dense segment rather than filling an unbounded idle span, which
@@ -186,11 +195,20 @@ object StatefulOps {
             val carried = if (b.n > 0) b.n else st.carried
             out += FilledBucket(key, b.ts, b.n, carried)
             st = GapState(t, carried)
-          } // else: late duplicate of an emitted bucket — ignored
+          } // else: behind the emitted frontier — unprocessable in
+            // append mode (see scaladoc precondition), dropped
         }
         state.update(st)
-        if (batch.nonEmpty)
-          state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + idleEvictionMs)
+        // Arm the eviction timer from the EMITTED frontier, not the
+        // batch max: a batch of only behind-frontier rows must not
+        // rewind the timer and evict the key early. Clamp above the
+        // current watermark — Spark rejects timeouts at or below it.
+        // (In batch execution there is no watermark and the accessor
+        // throws; timeouts never fire there, so the clamp is moot.)
+        if (st.lastMs != Long.MinValue) {
+          val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(Long.MinValue)
+          state.setTimeoutTimestamp(math.max(st.lastMs + idleEvictionMs, wm + 1))
+        }
         out.result().iterator
       }
     }
