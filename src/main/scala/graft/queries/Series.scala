@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.TimeSeries
 import graft.sources.Tables
 
-/** Time-series/reshaping wave (q70-q76): dense/regularized series,
+/** Time-series/reshaping wave (q70-q77): dense/regularized series,
   * funnels, transition matrices, and unpivot/melt —
   * the batch forms of the gap-handling, conversion tracking, and
   * behavior modeling every streaming dashboard needs. Same t2 gate as
@@ -124,6 +124,24 @@ object Series {
         .limit(100)
     }),
 
+    // Percent-of-total: each customer's ppm share of their segment's
+    // balance via an UNORDERED partition window (sum OVER partition,
+    // no frame/order — the one window form q17-q76 never used). All
+    // arithmetic in exact integer cents and ppm DIV; positive balances
+    // only, because integer division of negatives floors in DuckDB but
+    // truncates in Spark.
+    "q77_pct_of_total" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+        .withColumn("share_ppm", expr("cents * 1000000 DIV sum(cents) OVER (PARTITION BY c_mktsegment)"))
+        .select("c_custkey", "c_mktsegment", "share_ppm")
+        .orderBy("c_mktsegment", "c_custkey")
+        .limit(200)
+    }),
+
     // Event-type transition matrix (first-order Markov counts): each
     // user's stream ordered by (ts, event_id) — a provably-unique key,
     // so LAG is total-ordered — then one hash agg over (prev, curr).
@@ -198,6 +216,14 @@ g AS (SELECT (epoch_us(ts) - epoch_us(prev)) // 600000000 AS bucket_10min
       FROM d WHERE prev IS NOT NULL)
 SELECT CAST(bucket_10min AS BIGINT) bucket_10min, COUNT(*) n
 FROM g GROUP BY 1 ORDER BY 1 LIMIT 100""",
+
+    "q77_pct_of_total" -> """
+WITH c AS (SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) cents
+           FROM customer WHERE c_acctbal > 0)
+SELECT c_custkey, c_mktsegment,
+  CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) share_ppm
+FROM c ORDER BY c_mktsegment, c_custkey LIMIT 200""",
 
     "q72_transitions" -> """
 WITH o AS (SELECT user_id, event_type,
