@@ -48,4 +48,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.count() == 5_000_000L)
     assert(out.filter(col("name") === "d7").count() == 50_000L)
   }
+
+  test("100k-doc dedupCorpus: candidates scale with dup density, clusters exact") {
+    // 100k docs in 20k template groups of 5 ids each (id % 20000).
+    // 20000 % 5 == 0, so all five ids of a template share id % 5:
+    // 16k templates (k%5<4) are 5 exact copies -> one representative
+    // each; 4k templates (k%5==4) are 5 UNrelated singles -> all kept.
+    // EVERY token embeds the template (or doc) id, so no shingle is
+    // shared across groups — the hot-shingle trap a shared prefix
+    // would create (one shingle in 80k docs => a quadratic LSH bucket)
+    // is deliberately absent, mirroring real post-normalization
+    // shingling. Copies have identical signatures and must pair;
+    // singles never.
+    val tpl = col("id") % 20000
+    def tok(c: org.apache.spark.sql.Column, s: String) = concat(lit(" "), c, lit(s))
+    val docs = spark.range(100_000L)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 5 < 4,
+          concat(tpl, lit("a"), tok(tpl, "b"), tok(tpl, "c"), tok(tpl, "d"),
+            tok(tpl, "e"), tok(tpl, "f")))
+          .otherwise(
+            concat(col("id"), lit("u"), tok(col("id"), "v"), tok(col("id"), "w"),
+              tok(col("id"), "x"), tok(col("id"), "y"), tok(col("id"), "z")))
+          .as("text"))
+    val kept = graft.operators.Dedup.dedupCorpus(docs, threshold = 0.9)
+    // 16k cliques -> 16k representatives; 4k x 5 singles all survive
+    assert(kept.count() == 36_000L)
+  }
+
+  test("1M-bucket gapFill emits the exact span-bounded grid") {
+    // 1000 keys x sparse buckets at hours 0 and 999 => 1000 dense rows
+    // per key, 999 of them zero-gap fills (grid is span-bounded).
+    val series = spark.range(2000L)
+      .select((col("id") % 1000).as("k"),
+        expr("timestamp_micros((id DIV 1000) * 999 * 3600000000)").as("h"),
+        lit(1L).as("n"))
+      .groupBy("k", "h").agg(sum("n").as("n"))
+    val filled = graft.operators.TimeSeries.gapFill(series, "k", "h", "n")
+    assert(filled.count() == 1000L * 1000L)
+    assert(filled.filter(col("n") === 0).count() == 1000L * 998L)
+  }
 }
