@@ -76,4 +76,63 @@ class PropertySpec extends AnyFunSuite {
     val r = q("q50_dedup_lsh_bands").collect().head
     assert(r.getLong(r.fieldIndex("n_verified")) <= r.getLong(r.fieldIndex("n_candidates")))
   }
+
+  test("q70: the filled series is dense and carried is always >= observed gaps") {
+    val rows = q("q70_gap_fill").collect()
+    // within the LIMIT window, consecutive rows of one user are exactly
+    // one hour apart (density) and zero rows carry a prior value
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { rs =>
+      val hs = rs.map(_.getTimestamp(1).getTime).sorted
+      hs.sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 3600000L, "series must be dense")
+        case _ =>
+      }
+    }
+    assert(rows.forall(r => r.getLong(2) > 0 || r.getLong(3) >= 0))
+  }
+
+  test("q71: funnel stage counts are monotone non-increasing") {
+    val r = q("q71_funnel").collect().head
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2))
+  }
+
+  test("q72: transition matrix mass = events minus one per active user") {
+    val total = q("q72_transitions").agg(sum("n")).collect().head.getLong(0)
+    val ev = Tables.load(spark, dir, "events")
+    val users = ev.select("user_id").distinct().count()
+    assert(total == ev.count() - users)
+  }
+
+  test("q75: week-1 retention equals the total user count") {
+    val rows = q("q75_retention").collect()
+    val users = Tables.load(spark, dir, "events").select("user_id").distinct().count()
+    // every user is active in their own cohort week
+    val firstCells = rows.filter(r => r.getDate(0) == r.getDate(1))
+      .map(_.getLong(2)).sum
+    assert(firstCells == users)
+  }
+
+  test("q76: histogram mass = events minus one per active user") {
+    // LIMIT 100 could truncate; re-derive without limit via the same shape
+    val total = q("q76_gap_histogram").agg(sum("n")).collect().head.getLong(0)
+    val ev = Tables.load(spark, dir, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(total <= expected && total > 0)
+  }
+
+  test("q77: ppm shares sum to just under 1e6 per segment") {
+    val bySeg = q("q77_pct_of_total").collect().groupBy(_.getString(1))
+    // the LIMIT window covers whole segments alphabetically only for the
+    // first segment; check each fully-covered segment's share sum
+    val c = Tables.load(spark, dir, "customer").filter(col("c_acctbal") > 0)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySeg.foreach { case (seg, rs) =>
+      if (rs.length.toLong == c(seg)) { // segment fully inside the LIMIT
+        val s = rs.map(_.getLong(2)).sum
+        assert(s <= 1000000L && s > 1000000L - rs.length, s"segment $seg sum $s")
+      }
+    }
+  }
 }
