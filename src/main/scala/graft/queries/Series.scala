@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.TimeSeries
 import graft.sources.Tables
 
-/** Time-series/reshaping wave (q70-q77): dense/regularized series,
+/** Time-series/reshaping wave (q70-q78): dense/regularized series,
   * funnels, transition matrices, and unpivot/melt —
   * the batch forms of the gap-handling, conversion tracking, and
   * behavior modeling every streaming dashboard needs. Same t2 gate as
@@ -142,6 +142,19 @@ object Series {
         .limit(200)
     }),
 
+    // Bag-semantics set operations: EXCEPT ALL / INTERSECT ALL keep
+    // multiplicities (q23 covers the DISTINCT set forms) — Catalyst
+    // rewrites both to aggregations over per-side counts, so they stay
+    // hash-partitionable like any groupBy at scale.
+    "q78_setops_all" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val ex = a.exceptAll(b).agg(cnt.as("n")).select(lit("except_all").as("op"), col("n"))
+      val in = a.intersectAll(b).agg(cnt.as("n")).select(lit("intersect_all").as("op"), col("n"))
+      ex.union(in).orderBy("op")
+    }),
+
     // Event-type transition matrix (first-order Markov counts): each
     // user's stream ordered by (ts, event_id) — a provably-unique key,
     // so LAG is total-ordered — then one hash agg over (prev, curr).
@@ -224,6 +237,14 @@ WITH c AS (SELECT c_custkey, c_mktsegment,
 SELECT c_custkey, c_mktsegment,
   CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) share_ppm
 FROM c ORDER BY c_mktsegment, c_custkey LIMIT 200""",
+
+    "q78_setops_all" -> """
+WITH a AS (SELECT o_custkey k FROM orders WHERE o_totalprice > 100000),
+     b AS (SELECT o_custkey k FROM orders WHERE o_orderstatus = 'F')
+SELECT 'except_all' op, COUNT(*) n FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'intersect_all', COUNT(*) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+ORDER BY op""",
 
     "q72_transitions" -> """
 WITH o AS (SELECT user_id, event_type,
