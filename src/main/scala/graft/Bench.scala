@@ -11,6 +11,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 1-min loadavg sampled BEFORE any work: the environment signal
+    // (BASELINE.md documents 1.4x swings from external load). Sampled
+    // at the end it would mostly measure this bench's own 32 threads.
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val warmT0 = System.nanoTime()
     // Initialize Spark machinery (codegen compiler, shuffle scheduler,
     // vectorized parquet reader/writer, broadcast + sort-merge join and
     // window paths) outside any query's timing, on SYNTHETIC range data
@@ -38,6 +44,7 @@ object Bench {
       }
       rm(new java.io.File(w))
     }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // SPARK_GRAFT_ONLY=q42,q57 — comma-separated name prefixes to time a
     // subset while iterating; unset = the full graded battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
@@ -62,7 +69,21 @@ object Bench {
     val total = results.map(_._2).sum
     // a failed query must be visible in the output, not a fast "success"
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load":$load,"warmup_sec":$warmupSec}"""
+    // The consumer captures a byte-limited TAIL of stdout: a single
+    // ~4 KB line gets its HEAD (metric/value and the first queries) cut
+    // off and fails to parse. So: full record to a file, the long
+    // per-query line first, and a SHORT self-contained total line LAST
+    // — the one guaranteed to survive any tail truncation intact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(s"""{"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"sf":"$sfDir","load":$load,"warmup_sec":$warmupSec,"full":"$outPath"}""")
     spark.stop()
   }
 }

@@ -83,9 +83,15 @@ object Dedup {
     * the item sets are already materialized per row. Same hex-window
     * scheme (k dividing 32: k windows of one md5; otherwise one
     * prefixed md5 per component), so the two forms are
-    * value-identical (differential-tested in OperatorSpec). */
+    * value-identical (differential-tested in OperatorSpec).
+    *
+    * Reserved working column (must not exist on `arrs`): `_dg` — the
+    * library's reserved-column convention (AnnSearch `_cs`,
+    * Skew `_salt`, TimeSeries gapFill). */
   def minhashSignatureFromArrays(arrs: DataFrame, k: Int,
                                  itemsCol: String = "shs"): DataFrame = {
+    require(!arrs.columns.contains("_dg"),
+      "reserved working column _dg — rename it on the input")
     // rows with empty item arrays are dropped, exactly as the exploded
     // form has no rows (hence no group) for them
     val nonEmpty = arrs.filter(size(col(itemsCol)) > 0)
@@ -137,15 +143,40 @@ object Dedup {
     * tokenize output is NOT (duplicate rows inflate both intersection
     * and cardinality and can push jc past 1). Call `.distinct()` first
     * for multiset inputs.
+    *
+    * `maxDf` is the hot-item guard, and at corpus scale it is NOT
+    * optional: an item shared by m docs emits m^2/2 rows into one
+    * reducer of the self-join, and boilerplate shingles ("all rights
+    * reserved...") reach m in the millions — a semantic blowup no AQE
+    * skew-split can save, because the pairs really exist. With
+    * maxDf > 0, items with document frequency above it are dropped
+    * BEFORE the self-join (one groupBy(item) count + semi join — both
+    * hash-partitionable), and the result is the exact Jaccard over the
+    * df-filtered item space: cardinalities and intersections both
+    * exclude hot items, so jc stays a true [0,1] Jaccard of the
+    * filtered sets (the stopword-removal semantics standard in dedup
+    * practice). Docs whose every item is hot drop out entirely, like
+    * docs sharing nothing. maxDf = 0 (default) disables the cap —
+    * exact all-pairs semantics, safe only when the df distribution is
+    * known to be bounded. Worst-case pair fan-out is maxDf^2/2 per
+    * item, chosen by the caller.
     */
-  def jaccardAllPairs(items: DataFrame, itemCol: String = "sh"): DataFrame = {
-    val card = items.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+  def jaccardAllPairs(items: DataFrame, itemCol: String = "sh",
+                      maxDf: Int = 0): DataFrame = {
+    require(maxDf >= 0, s"maxDf must be >= 0 (0 = uncapped), got $maxDf")
+    val kept =
+      if (maxDf == 0) items
+      else items.join(
+        items.groupBy(itemCol).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDf).select(itemCol),
+        Seq(itemCol), "left_semi")
+    val card = kept.groupBy("doc_id").agg(count(lit(1)).as("nt"))
     // Kept as a codegen'd self-join + partial-agg count: a grouped
     // collect_list + in-bucket pair transform was measured 2.5x SLOWER
     // here (hot buckets materialize m^2/2 structs in one array row,
     // while the join streams them straight into the partial count).
-    val inter = items.as("a")
-      .join(items.as("b"),
+    val inter = kept.as("a")
+      .join(kept.as("b"),
         col(s"a.$itemCol") === col(s"b.$itemCol") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("ci"))

@@ -55,7 +55,11 @@ object Curation {
 
     // Mixture weights: each source's share of total token mass as an
     // integer ppm (exact integer division — no fp nondeterminism).
-    // Two hash aggs; the grand total is a 1-row broadcast.
+    // Two hash aggs; the grand total is a 1-row broadcast. The ppm
+    // numerator is widened to DECIMAL(38,0): toks * 1e6 overflows
+    // int64 past ~9.2e12 total tokens — inside full-corpus scale —
+    // and ANSI Spark would throw where DuckDB silently promotes to
+    // HUGEINT. DIV brings it back to a plain BIGINT ppm (< 1e6).
     "q68_mixing_weights" -> ((s, dir) => {
       val t = Tables.load(s, dir, "documents")
         .select(col("source"),
@@ -63,7 +67,7 @@ object Curation {
         .groupBy("source").agg(cnt.as("n_docs"), sum(col("ntok")).as("toks"))
       t.crossJoin(broadcast(t.agg(sum(col("toks")).as("tt"))))
         .select(col("source"), col("n_docs"), col("toks"),
-          expr("toks * 1000000 DIV tt").as("weight_ppm"))
+          expr("CAST(toks AS DECIMAL(38,0)) * 1000000 DIV tt").as("weight_ppm"))
         .orderBy("source")
     }),
 
@@ -106,7 +110,8 @@ WITH t AS (SELECT source,
              CAST(SUM(len(list_filter(string_split(lower(text),' '), x -> x <> ''))) AS BIGINT) AS toks,
              COUNT(*) AS n_docs
            FROM documents GROUP BY source)
-SELECT source, n_docs, toks, CAST(toks * 1000000 // (SELECT SUM(toks) FROM t) AS BIGINT) AS weight_ppm
+SELECT source, n_docs, toks,
+  CAST(CAST(toks AS HUGEINT) * 1000000 // (SELECT SUM(toks) FROM t) AS BIGINT) AS weight_ppm
 FROM t ORDER BY source""",
 
     "q69_stratified_sample" -> """

@@ -34,15 +34,22 @@ object Tables {
         // plan time (schema resolution happens inside this block), so
         // save/restore it — leaving it flipped would silently change
         // nanos-parquet semantics for every OTHER read in the session.
-        val key = "spark.sql.legacy.parquet.nanosAsLong"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "true")
-        try
-          spark.read.parquet(s"$sfDir/events.parquet")
-            .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None    => spark.conf.unset(key)
+        // The whole set/read/restore window is synchronized on the
+        // session: concurrent loads (QueryServer's thread pool) must
+        // not interleave set/restore or one thread's restore would
+        // strip the flag out from under another thread's schema
+        // resolution.
+        spark.synchronized {
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "true")
+          try
+            spark.read.parquet(s"$sfDir/events.parquet")
+              .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None    => spark.conf.unset(key)
+          }
         }
       case _ =>
         spark.read.parquet(s"$sfDir/$name.parquet")

@@ -76,6 +76,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(kept.count() == 36_000L)
   }
 
+  test("hot-shingle maxDf cap bounds jaccardAllPairs at 10k-doc df") {
+    // One boilerplate shingle appears in ALL 10k docs — uncapped, the
+    // self-join would push 10k^2/2 ≈ 50M rows through one reducer (the
+    // q42 hazard). With maxDf = 100 the hot item is dropped before the
+    // join and only the real per-pair overlap survives: docs (2k, 2k+1)
+    // share exactly "u<k>", every doc keeps one private item, so the
+    // capped sets are {u<k>, p<id>} and every paired jc is exactly
+    // |{u}| / |{u, p_i, p_j}| = 1/3.
+    val ids = spark.range(10_000L).select(col("id").as("doc_id"))
+    val items = ids.select(col("doc_id"), lit("HOT").as("sh"))
+      .union(ids.select(col("doc_id"), concat(lit("u"), expr("doc_id DIV 2")).as("sh")))
+      .union(ids.select(col("doc_id"), concat(lit("p"), col("doc_id")).as("sh")))
+    val out = graft.operators.Dedup.jaccardAllPairs(items, maxDf = 100)
+      .localCheckpoint()
+    assert(out.count() == 5000L)
+    assert(out.filter(abs(col("jc") - 1.0 / 3) < 1e-12).count() == 5000L)
+  }
+
   test("1M-bucket gapFill emits the exact span-bounded grid") {
     // 1000 keys x sparse buckets at hours 0 and 999 => 1000 dense rows
     // per key, 999 of them zero-gap fills (grid is span-bounded).
