@@ -22,10 +22,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AnnSearch {
 
-  /** Per-`labelCol` element-wise centroids as ordered double arrays:
-    * (clabel, cent). `dims` = embedding width. */
-  def centroids(emb: DataFrame, dims: Int, labelCol: String = "label"): DataFrame =
-    emb
+  /** Element-wise mean vector per `labelCol` group as an ordered double
+    * array: (clabel, cent). Exact-decimal averages rounded to 6 digits
+    * — partitioning-independent, so the same data gives bit-identical
+    * centroids on any cluster size. Two shuffles over |vecs| x dims
+    * rows. */
+  private def meanCentroids(vecs: DataFrame, dims: Int, labelCol: String): DataFrame =
+    vecs
       .select(col(labelCol).as("clabel"), explode(sequence(lit(1), lit(dims))).as("pos"),
         col("embedding"))
       .groupBy("clabel", "pos")
@@ -34,6 +37,77 @@ object AnnSearch {
       .groupBy("clabel")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cent"))
+
+  /** Per-`labelCol` element-wise centroids as ordered double arrays:
+    * (clabel, cent). `dims` = embedding width. A stand-in quantizer for
+    * corpora that carry labels; unlabeled corpora train with
+    * [[kmeansCentroids]]. */
+  def centroids(emb: DataFrame, dims: Int, labelCol: String = "label"): DataFrame =
+    meanCentroids(emb, dims, labelCol)
+
+  /** Trained IVF quantizer: deterministic sampled k-means. Output
+    * (clabel, cent) — drop-in for [[centroids]] in
+    * [[assignBuckets]]/[[probeBuckets]]/[[searchIvf]], for corpora with
+    * no labels (the real-world case).
+    *
+    * Everything is deterministic, on any engine or cluster size:
+    *   - the training sample is content-addressed (md5(vec_id) below a
+    *     hex-prefix `sampleBound`, the [[graft.operators.Sampling]]
+    *     convention — no rand(), no partition-order dependence);
+    *   - seeds are the first `k` sample vectors in (md5(vec_id),
+    *     vec_id) order — a uniform pseudo-random draw that is still a
+    *     total order (TakeOrderedAndProject, no driver collect);
+    *   - each Lloyd round reassigns with the same argmin as
+    *     [[assignBuckets]] (struct ordering, NaN greatest) and
+    *     recomputes means in exact decimal rounded to 6 digits
+    *     ([[meanCentroids]]), so round results never depend on
+    *     partitioning or fp reduction order;
+    *   - the iteration count is FIXED (no data-dependent convergence
+    *     stop), so two runs always do identical work.
+    *
+    * A cluster that loses all members keeps its previous centroid
+    * (coalesce against the prior round) — k never silently shrinks.
+    *
+    * Scale shape per round: one zero-shuffle broadcast argmin over the
+    * SAMPLE + the two meanCentroids shuffles (sample x dims rows); the
+    * full corpus is only touched once, by the final [[assignBuckets]]
+    * the caller does. Centroids stay distributed (k rows,
+    * localCheckpoint per round to keep the plan flat); the driver never
+    * holds a vector.
+    *
+    * `sampleBound`: lowercase-hex md5 prefix bound ("4" keeps 4/16 =
+    * 25% in expectation); None trains on every vector. Reserved
+    * working columns on `emb`: `_cs`, `bucket`.
+    */
+  def kmeansCentroids(emb: DataFrame, dims: Int, k: Int, iters: Int = 5,
+                      sampleBound: Option[String] = Some("4"),
+                      vecIdCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    sampleBound.foreach(b =>
+      require(b.nonEmpty && b.forall(c => c.isDigit || ('a' <= c && c <= 'f')),
+        s"sampleBound '$b' is not lowercase hex"))
+    val key = md5(col(vecIdCol).cast("string"))
+    val sample = sampleBound.fold(emb)(b => emb.filter(key < lit(b)))
+      .select(col(vecIdCol), col("embedding"))
+    val seedOrd = Seq(key, col(vecIdCol))
+    // row_number over k rows: the unpartitioned window is fine — the
+    // frame was already reduced to k rows by TakeOrderedAndProject
+    var cents = sample.orderBy(seedOrd: _*).limit(k)
+      .withColumn("clabel", row_number().over(Window.orderBy(seedOrd: _*)))
+      .select(col("clabel"),
+        transform(col("embedding"), x => x.cast("double")).as("cent"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = assignBuckets(sample, cents)
+      cents = cents
+        .join(meanCentroids(assigned, dims, "bucket")
+          .withColumnRenamed("cent", "ncent"), Seq("clabel"), "left")
+        .select(col("clabel"), coalesce(col("ncent"), col("cent")).as("cent"))
+        .localCheckpoint()
+    }
+    cents
+  }
 
   /** Squared L2 distance between a float embedding and a double
     * centroid array — one flat primitive eval loop

@@ -71,4 +71,56 @@ class AnnProbeSpec extends AnyFunSuite {
     // guards against a broken probe path, not a quality target
     assert(r3 > 0.3, s"recall@3=$r3 unexpectedly low")
   }
+
+  // ---- trained quantizer (kmeansCentroids) on a CLUSTERED corpus ----
+  // The fixture embeddings are structureless noise, so they can't show
+  // what training buys (docs/SCALING.md documents this); this corpus
+  // has 8 real clusters: cluster c spikes dims c+1 and c+9 to 5.0,
+  // plus deterministic jitter in [-0.1, 0.1) on every dim. True
+  // neighbors of any point are its own cluster, so a correct trained
+  // quantizer reaches high recall at nprobe=1 — label-mean centroids
+  // can't even be built here (there are no labels).
+  private val CDIMS = 16
+  private lazy val clustered = spark.range(2000L)
+    .select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(1, $CDIMS), d ->
+        CAST(CASE WHEN d = id % 8 + 1 OR d = id % 8 + 9 THEN 5.0 ELSE 0.0 END
+             + (pmod(id * 37 + d * 101, 97) / 97.0) * 0.2 - 0.1 AS FLOAT))""")
+        .as("embedding"))
+    .localCheckpoint()
+  private lazy val kcents =
+    graft.operators.AnnSearch.kmeansCentroids(clustered, dims = CDIMS, k = 8, iters = 5)
+
+  test("kmeansCentroids is deterministic and keeps k centroids") {
+    val a = kcents.orderBy("clabel").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val b = AnnSearch.kmeansCentroids(clustered, dims = CDIMS, k = 8, iters = 5)
+      .orderBy("clabel").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(a.length == 8 && a.sameElements(b))
+  }
+
+  test("trained IVF: recall@5 > 0.8 at nprobe=1 on the clustered corpus") {
+    val K5 = 5
+    val qIds = Seq(3L, 123L, 456L, 789L, 1500L, 1999L)
+    val q = clustered.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val brute = clustered.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (Vectors.dot(col("qemb"), col("embedding")) /
+          (Vectors.l2Norm(col("qemb")) * Vectors.l2Norm(col("embedding")))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = brute.withColumn("rn", row_number().over(w)).filter(col("rn") <= K5)
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val base = AnnSearch.assignBuckets(clustered, kcents)
+    val probes = AnnSearch.probeBuckets(clustered.filter(col("vec_id").isin(qIds: _*)), kcents, 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("buckets"))
+    val got = AnnSearch.searchIvf(base, probes, K5 + 1) // +1: query matches itself
+      .filter(col("qid") =!= col("vec_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).take(K5).toSet }
+    val recall = qIds.map(id => exact(id).intersect(got.getOrElse(id, Set.empty)).size).sum
+      .toDouble / (K5 * qIds.size)
+    assert(recall > 0.8, s"trained-IVF recall@5 at nprobe=1 = $recall")
+  }
 }

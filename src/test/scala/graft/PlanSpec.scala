@@ -127,4 +127,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p.take(500))     // in-row sequence explode
     assert(!p.contains("CartesianProduct"), p.take(500))
   }
+
+  test("day=-partitioned layout: a date predicate prunes partitions at the scan") {
+    // SCALING.md's 100 TB scan claim, demonstrated: write events as a
+    // day=-partitioned directory (Tables.writeAs, the lake-layout
+    // sink), then prove an equality predicate on the partition column
+    // (a) lands in PartitionFilters — pruning happens at the DRIVER
+    // from directory names, before any file is opened — and (b)
+    // actually reads fewer files than the full scan.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("events-partitioned").toString
+    val ev = graft.sources.Tables.load(spark, TestSpark.sf0001, "events")
+      .withColumn("day", to_date(col("ts")))
+    graft.sources.Tables.writeAs(ev, dir, partitionBy = Seq("day"))
+    val all = spark.read.parquet(dir)
+    val days = all.select("day").distinct().count()
+    assert(days > 1, s"fixture spans $days day(s) — partitioning proves nothing")
+    val oneDay = all.select(min(col("day"))).collect().head.getDate(0).toString
+
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+      df.collect() // execute so scan metrics (numFiles) are populated
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.head
+    }
+    val prunedDf = all.filter(col("day") === lit(oneDay))
+    assert(prunedDf.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(day"),
+      "partition predicate must appear as a PartitionFilter, not a data Filter")
+    val prunedFiles = scanOf(prunedDf).metrics("numFiles").value
+    val allFiles = scanOf(all).metrics("numFiles").value
+    assert(prunedFiles < allFiles,
+      s"pruned scan read $prunedFiles of $allFiles files — no pruning happened")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
 }
