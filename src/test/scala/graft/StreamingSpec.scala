@@ -96,6 +96,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream over the documents corpus == q35 exact-dedup counts") {
+    // the batch-equivalence gate the other twins have: stream every
+    // document's content hash through the state-store dedup in two
+    // micro-batches (so cross-batch duplicates exercise the state) and
+    // land on exactly q35's n_unique survivors
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(graft.functions.Text.contentHash(col("text")).as("th"), col("doc_id"))
+      .collect().map(r => (r.getString(0), ts("2024-01-01 00:00:00"), r.getLong(1)))
+    val nUnique = SparkEntry.queries("q35_dedup_exact")(spark, TestSpark.sf0001)
+      .collect().head.getLong(0)
+    val mem = MemoryStream[(String, Timestamp, Long)]
+    val stream = mem.toDF().toDF("th", "ts", "doc_id")
+    val q = StreamingAnalytics.dedupStream(stream, "ts", "1 hour", Seq("th"))
+      .writeStream.format("memory").queryName("dedup_corpus_test")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+      assert(spark.table("dedup_corpus_test").count() == nUnique)
+      // and the survivors' hash set matches the batch dedup exactly
+      assert(spark.table("dedup_corpus_test").select("th").distinct().count() == nUnique)
+    } finally q.stop()
+  }
+
   test("enrich joins a stream against a static dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
