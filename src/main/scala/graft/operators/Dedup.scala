@@ -163,13 +163,7 @@ object Dedup {
     */
   def jaccardAllPairs(items: DataFrame, itemCol: String = "sh",
                       maxDf: Int = 0): DataFrame = {
-    require(maxDf >= 0, s"maxDf must be >= 0 (0 = uncapped), got $maxDf")
-    val kept =
-      if (maxDf == 0) items
-      else items.join(
-        items.groupBy(itemCol).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= maxDf).select(itemCol),
-        Seq(itemCol), "left_semi")
+    val kept = capHotItems(items, itemCol, maxDf)
     val card = kept.groupBy("doc_id").agg(count(lit(1)).as("nt"))
     // Kept as a codegen'd self-join + partial-agg count: a grouped
     // collect_list + in-bucket pair transform was measured 2.5x SLOWER
@@ -185,6 +179,53 @@ object Dedup {
       .join(card.select(col("doc_id").as("j"), col("nt").as("nb")), "j")
       .select(col("i"), col("j"),
         (col("ci").cast("double") / (col("na") + col("nb") - col("ci"))).as("jc"))
+  }
+
+  /** The maxDf hot-item guard shared by [[jaccardAllPairs]] and
+    * [[containmentAllPairs]]: drop items with document frequency above
+    * the cap (groupBy(item) count + semi join) BEFORE any self-join.
+    * maxDf = 0 disables the cap. */
+  private def capHotItems(items: DataFrame, itemCol: String, maxDf: Int): DataFrame = {
+    require(maxDf >= 0, s"maxDf must be >= 0 (0 = uncapped), got $maxDf")
+    if (maxDf == 0) items
+    else items.join(
+      items.groupBy(itemCol).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select(itemCol),
+      Seq(itemCol), "left_semi")
+  }
+
+  /** Directional exact containment |A∩B| / |A| for every ORDERED pair
+    * (i, j), i != j, sharing at least one item — the asymmetric twin
+    * of [[jaccardAllPairs]]. Jaccard misses subset relations (a quote
+    * of 5% of a doc has tiny Jaccard but containment 1.0 from the
+    * quote's side); near-1 containment of i in j means i is
+    * substantially quoted/duplicated inside j, the signal quote- and
+    * subset-dedup policies key on. Output: (i, j, ci, na, ct) with
+    * ci = |A∩B|, na = |A|, ct = ci/na in [0, 1] — raw counts exposed
+    * so thresholds can stay in exact integer arithmetic
+    * (ci * 10 >= na * 9 instead of ct >= 0.9).
+    *
+    * Same PRECONDITION (distinct per (doc_id, item)) and same `maxDf`
+    * hot-item guard as [[jaccardAllPairs]] — with the cap, ct is the
+    * exact containment over the df-filtered item space. The self-join
+    * runs once in undirected (i < j) form and both directions are
+    * emitted from it — intersection counts are symmetric, so this
+    * halves the join work vs a directional self-join.
+    */
+  def containmentAllPairs(items: DataFrame, itemCol: String = "sh",
+                          maxDf: Int = 0): DataFrame = {
+    val kept = capHotItems(items, itemCol, maxDf)
+    val card = kept.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val und = kept.as("a")
+      .join(kept.as("b"),
+        col(s"a.$itemCol") === col(s"b.$itemCol") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("ci"))
+    val dir = und.union(und.select(col("j").as("i"), col("i").as("j"), col("ci")))
+    dir
+      .join(card.select(col("doc_id").as("i"), col("nt").as("na")), "i")
+      .select(col("i"), col("j"), col("ci"), col("na"),
+        (col("ci").cast("double") / col("na")).as("ct"))
   }
 
   /** Exact set-Jaccard for candidate pairs: joins each (i, j) pair

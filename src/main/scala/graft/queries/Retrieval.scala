@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Text
+import graft.operators.{Dedup, Skew}
+import graft.sources.Tables
+
+/** Retrieval / curation wave (q79–q84): the search-and-versioning side
+  * of a training-data pipeline — distribution stats, term importance,
+  * inverted-index shape, asymmetric (quote) containment, CDC
+  * latest-version dedup, and the skew-salted join under the oracle
+  * gate.
+  *
+  * Same t2 gate as every other wave: DuckDB oracles in [[oracle]],
+  * prototyped on DuckDB at sf0.01 before the natives were written;
+  * determinism per SURVEY.md §5 — integer DIV scores, exact-decimal
+  * sums, struct-argmax with explicit tie-break, total-order ORDER BY.
+  */
+object Retrieval {
+
+  private def cnt = count(lit(1))
+
+  def queries: Map[String, Queries.QueryFn] = Map(
+
+    // Exact interpolated quartiles of price per return flag: the
+    // distribution-profiling primitive (outlier fences, SLA
+    // percentiles). percentile() is exact linear interpolation at
+    // p*(n-1) on both engines; one shuffle on the group key, each
+    // group sorted within its reducer.
+    "q79_percentile_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(cnt.as("n"),
+          round(expr("percentile(l_extendedprice, 0.25D)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.50D)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75D)"), 6).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Term importance: each doc's top rarity-weighted term, tf-idf
+    // style but in EXACT integer arithmetic — score_ppb =
+    // tf * 1e9 DIV (doc_len * df) — so no log/fp nondeterminism can
+    // flip an argmax tie across engines. The per-doc argmax is a
+    // min(struct(-score, term)) hash aggregate (no window sort);
+    // report: docs-won per term, top 20.
+    "q80_tfidf_topterm" -> ((s, dir) => {
+      val tk = Text.tokenize(Tables.load(s, dir, "documents"))
+      val tf = tk.groupBy("doc_id", "tok").agg(cnt.as("tf"))
+      val dl = tk.groupBy("doc_id").agg(cnt.as("len"))
+      val df = tk.groupBy("tok").agg(count_distinct(col("doc_id")).as("df"))
+      tf.join(dl, "doc_id").join(df, "tok")
+        .select(col("doc_id"),
+          struct(negate(expr("tf * 1000000000 DIV (len * df)")).as("ns"),
+            col("tok").as("t")).as("st"))
+        .groupBy("doc_id").agg(min(col("st")).as("m"))
+        .select(col("m.t").as("term"))
+        .groupBy("term").agg(cnt.as("n_docs_top"))
+        .orderBy(desc("n_docs_top"), col("term")).limit(20)
+    }),
+
+    // Inverted-index shape: distinct (term, doc) postings, then the
+    // index stats a planner sizes bucket counts with — term count,
+    // posting mass, the heaviest posting list (argmax by min-struct,
+    // ties to the lexicographically first term), singleton terms.
+    // Explode + two hash aggs; no window, no sort until the 1-row end.
+    "q81_inverted_index" -> ((s, dir) => {
+      val post = Text.tokenize(Tables.load(s, dir, "documents"))
+        .distinct()
+        .groupBy("tok").agg(cnt.as("df"))
+      post.agg(
+        cnt.as("n_terms"),
+        sum(col("df")).as("n_postings"),
+        max(col("df")).as("max_posting"),
+        sum(when(col("df") === 1, 1).otherwise(0)).as("n_singletons"),
+        min(struct(negate(col("df")).as("nd"), col("tok").as("t"))).as("m"))
+        .select(col("n_terms"), col("n_postings"), col("max_posting"),
+          col("n_singletons"), col("m.t").as("heaviest_term"))
+    }),
+
+    // Asymmetric containment |A∩B|/|A| over 3-gram shingles: catches
+    // quote/subset duplication Jaccard misses (a doc fully quoted
+    // inside a larger one has containment 1.0 but small Jaccard). The
+    // >= 0.9 threshold is exact integer arithmetic (ci*10 >= na*9);
+    // same maxDf hot-shingle cap as q42 (no-op at graded SFs).
+    "q82_containment" -> ((s, dir) => {
+      val arr = Dedup.shingleArrays(Tables.load(s, dir, "documents"))
+        .repartition(col("doc_id")).localCheckpoint()
+      val sh = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
+      Dedup.containmentAllPairs(sh, maxDf = 1000)
+        .agg(cnt.as("n_pairs"),
+          sum(when(col("ci") * 10 >= col("na") * 9, 1).otherwise(0)).as("n_contained"),
+          round(avg(col("ct").cast(DecimalType(18, 9))), 6).cast("double").as("avg_ct"),
+          round(max(col("ct")), 6).as("max_ct"))
+    }),
+
+    // CDC latest-version dedup: keep each (user, event_type) key's
+    // most recent event — ties broken by event_id so "latest" is a
+    // total order — then aggregate the surviving versions. One shuffle
+    // on the key, one sort within partitions; the upsert-compaction
+    // shape every CDC ingest pipeline runs.
+    "q83_latest_version" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("event_type")
+        .agg(cnt.as("n_keys"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_latest"))
+        .orderBy("event_type")
+    }),
+
+    // Skew.saltedJoin under the oracle gate: the salted join must be
+    // row-identical to the plain equi-join (the oracle IS the plain
+    // join) while spreading each part key over 8 salt sub-keys —
+    // deterministic salting by md5-free hash of the orderkey on the
+    // big side, dimension replicated 8x. Result invariance is the
+    // operator's contract; the plan-shape benefit shows at skew.
+    "q84_skew_salted" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val part = Tables.load(s, dir, "part")
+        .withColumnRenamed("p_partkey", "l_partkey")
+      Skew.saltedJoin(li, part, "l_partkey", salts = 8, saltBy = col("l_orderkey"))
+        .groupBy("p_brand")
+        .agg(cnt.as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .orderBy("p_brand")
+    })
+  )
+
+  /** DuckDB oracles (validated at sf0.01/sf0.1 before the natives). */
+  val oracle: Map[String, String] = Map(
+    "q79_percentile_stats" -> """
+SELECT l_returnflag, COUNT(*) AS n,
+  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+  ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q80_tfidf_topterm" -> """
+WITH tk AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY doc_id),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+sc AS (SELECT tf.doc_id, tf.tok, tf.tf * 1000000000 // (dl.len * df.df) AS score
+       FROM tf JOIN dl USING (doc_id) JOIN df USING (tok)),
+top AS (SELECT doc_id, tok,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+        FROM sc)
+SELECT tok AS term, COUNT(*) AS n_docs_top
+FROM top WHERE rn = 1
+GROUP BY tok ORDER BY n_docs_top DESC, term LIMIT 20""",
+
+    "q81_inverted_index" -> """
+WITH tk AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok
+  FROM documents),
+post AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok)
+SELECT COUNT(*) AS n_terms,
+  CAST(SUM(df) AS BIGINT) AS n_postings,
+  CAST(MAX(df) AS BIGINT) AS max_posting,
+  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+  MIN(CASE WHEN df = (SELECT MAX(df) FROM post) THEN tok END) AS heaviest_term
+FROM post""",
+
+    "q82_containment" -> """
+WITH d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
+sh AS (SELECT DISTINCT doc_id, l[i]||' '||l[i+1]||' '||l[i+2] sh FROM s),
+card AS (SELECT doc_id, COUNT(*) AS nt FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT COUNT(*) AS n_pairs,
+  CAST(SUM(CASE WHEN ci * 10 >= nt * 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+  ROUND(AVG(CAST(CAST(ci AS DOUBLE) / nt AS DECIMAL(18,9))), 6) AS avg_ct,
+  ROUND(MAX(CAST(ci AS DOUBLE) / nt), 6) AS max_ct
+FROM inter JOIN card ON inter.i = card.doc_id""",
+
+    "q83_latest_version" -> """
+WITH r AS (SELECT user_id, event_type, value,
+  ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT event_type, COUNT(*) AS n_keys,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_latest
+FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type""",
+
+    "q84_skew_salted" -> """
+SELECT p.p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand"""
+  ).map { case (k, v) => k -> v.trim }
+}

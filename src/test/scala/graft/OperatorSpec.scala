@@ -112,6 +112,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(cc.forall(_._2 == 1L) && cc.length == 10)
   }
 
+  test("Dedup.containmentAllPairs: directional subset detection, hand-computed") {
+    // doc 1 = {a, b}, doc 2 = {a, b, c, d}, doc 3 = {x}:
+    // containment(1 in 2) = 2/2 = 1.0 (full quote), (2 in 1) = 2/4 = 0.5,
+    // doc 3 shares nothing and never appears
+    val items = Seq(
+      (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "d"),
+      (3L, "x")).toDF("doc_id", "sh")
+    val out = Dedup.containmentAllPairs(items)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      (1L, 2L) -> ((2L, 2L, 1.0)),
+      (2L, 1L) -> ((2L, 4L, 0.5))))
+    // the maxDf cap drops the shared items here (df("a") = df("b") = 2),
+    // leaving no overlapping pairs at all
+    assert(Dedup.containmentAllPairs(items, maxDf = 1).count() == 0)
+  }
+
   test("Multimodal decode stub: features are deterministic byte facts") {
     val docs = Seq((1L, "en", "hello world", 11L)).toDF("doc_id", "lang", "text", "n_chars")
     val f = Multimodal.decodeFeatures(Multimodal.ingest(docs)).collect().head

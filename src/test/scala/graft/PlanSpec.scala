@@ -128,6 +128,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(500))
   }
 
+  test("q80/q81: per-doc argmax and index stats are hash aggregates, not windows") {
+    // the per-doc top-term argmax is min(struct(-score, term)) — a
+    // partial+final aggregate; a row_number formulation would add a
+    // full sort of the (doc, term) relation
+    assert(!plan("q80_tfidf_topterm").contains("Window"))
+    assert(!plan("q81_inverted_index").contains("Window"))
+  }
+
+  test("q84: the salted join stays a broadcast join on the replicated dimension") {
+    // replicating the dim 8x must not push it over to sort-merge at
+    // this size; the plain-join oracle equivalence is the t2 gate
+    assert(plan("q84_skew_salted").contains("BroadcastHashJoin"))
+  }
+
   test("day=-partitioned layout: a date predicate prunes partitions at the scan") {
     // SCALING.md's 100 TB scan claim, demonstrated: write events as a
     // day=-partitioned directory (Tables.writeAs, the lake-layout
