@@ -77,13 +77,24 @@ object Bench {
     // per-query line first, and a SHORT self-contained total line LAST
     // — the one guaranteed to survive any tail truncation intact.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
+    // the "full" pointer is only advertised if the write SUCCEEDED —
+    // a failed write must not point the consumer at a missing or
+    // stale file — and the path is JSON-escaped (quotes/backslashes
+    // in env-provided paths must not corrupt the one line that exists
+    // to survive truncation)
+    val wrote =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (full + "\n").getBytes("UTF-8"))
+        true
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+        false
+      }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val fullField = if (wrote) s""","full":${jstr(outPath)}""" else ""
     println(s"""{"queries":$qs}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"sf":"$sfDir","load":$load,"warmup_sec":$warmupSec,"full":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"sf":${jstr(sfDir)},"load":$load,"warmup_sec":$warmupSec$fullField}""")
     spark.stop()
   }
 }

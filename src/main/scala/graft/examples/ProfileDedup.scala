@@ -43,7 +43,9 @@ object ProfileDedup {
         Dedup.connectedComponents(pairs).count()
       }
       time("q42 jaccardAllPairs agg") {
-        Dedup.jaccardAllPairs(sh).filter(col("jc") >= 0.2)
+        // maxDf matches the graded q42 exactly — profiling a different
+        // plan than the contract runs would mislead stage attribution
+        Dedup.jaccardAllPairs(sh, maxDf = 1000).filter(col("jc") >= 0.2)
           .agg(count(lit(1))).collect()
       }
     }

@@ -15,9 +15,10 @@ import graft.streaming.{StatefulOps, StreamingAnalytics}
   *   2. the custom state-store operator (StatefulOps.anomalies) in
   *      APPEND output mode — the only mode flatMapGroupsWithState
   *      alerts can use (an emitted alert is a fact, never retracted)
-  *      — including the late-data path: an event older than
-  *      watermark - horizon is dropped by the state machinery and
-  *      never reaches the detector.
+  *      — including the late-data path: an event stamped older than
+  *      the CURRENT WATERMARK (= max event time seen - the 1h
+  *      watermark delay) is dropped by the state machinery and never
+  *      reaches the detector.
   */
 object StreamingDemo {
   def main(args: Array[String]): Unit = {
@@ -72,7 +73,8 @@ object StreamingDemo {
     alerts.processAllAvailable()
 
     println("--- batch 4: LATE data — user 1 spike stamped 00:20, behind the")
-    println("--- watermark horizon: dropped before the detector, NO alert ---")
+    println("--- current watermark (02:30 - 1h = 01:30): dropped before the")
+    println("--- detector, NO alert ---")
     amem.addData((1L, ts("2024-01-01 00:20:00"), 500.0))
     alerts.processAllAvailable()
 

@@ -98,6 +98,15 @@ object AnnSearch {
       .select(col("clabel"),
         transform(col("embedding"), x => x.cast("double")).as("cent"))
       .localCheckpoint()
+    // Fail loudly if the sample cannot seed k clusters (tiny input, or
+    // an over-tight bound — e.g. "0" is valid hex but keeps NOTHING,
+    // every md5 string compares >= "0"): silently returning fewer
+    // centroids would hand the caller an index with fewer buckets than
+    // they asked for, and downstream searches would quietly degrade.
+    val seeded = cents.count()
+    require(seeded == k,
+      s"k-means sample seeded only $seeded of k=$k clusters — widen " +
+        s"sampleBound ($sampleBound) or lower k")
     for (_ <- 1 to iters) {
       val assigned = assignBuckets(sample, cents)
       cents = cents

@@ -165,16 +165,12 @@ object Dedup {
                       maxDf: Int = 0): DataFrame = {
     val kept = capHotItems(items, itemCol, maxDf)
     val card = kept.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-    // Kept as a codegen'd self-join + partial-agg count: a grouped
-    // collect_list + in-bucket pair transform was measured 2.5x SLOWER
-    // here (hot buckets materialize m^2/2 structs in one array row,
-    // while the join streams them straight into the partial count).
-    val inter = kept.as("a")
-      .join(kept.as("b"),
-        col(s"a.$itemCol") === col(s"b.$itemCol") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("ci"))
-    inter
+    // Kept as a codegen'd self-join + partial-agg count
+    // (undirectedIntersections): a grouped collect_list + in-bucket
+    // pair transform was measured 2.5x SLOWER here (hot buckets
+    // materialize m^2/2 structs in one array row, while the join
+    // streams them straight into the partial count).
+    undirectedIntersections(kept, itemCol)
       .join(card.select(col("doc_id").as("i"), col("nt").as("na")), "i")
       .join(card.select(col("doc_id").as("j"), col("nt").as("nb")), "j")
       .select(col("i"), col("j"),
@@ -193,6 +189,17 @@ object Dedup {
         .filter(col("_df") <= maxDf).select(itemCol),
       Seq(itemCol), "left_semi")
   }
+
+  /** The intersection kernel shared by [[jaccardAllPairs]] and
+    * [[containmentAllPairs]]: |A∩B| per unordered pair (i < j) sharing
+    * at least one item, as one self-join streamed into a partial+final
+    * count. A fix to the join semantics lands in both callers. */
+  private def undirectedIntersections(kept: DataFrame, itemCol: String): DataFrame =
+    kept.as("a")
+      .join(kept.as("b"),
+        col(s"a.$itemCol") === col(s"b.$itemCol") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("ci"))
 
   /** Directional exact containment |A∩B| / |A| for every ORDERED pair
     * (i, j), i != j, sharing at least one item — the asymmetric twin
@@ -216,11 +223,12 @@ object Dedup {
                           maxDf: Int = 0): DataFrame = {
     val kept = capHotItems(items, itemCol, maxDf)
     val card = kept.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-    val und = kept.as("a")
-      .join(kept.as("b"),
-        col(s"a.$itemCol") === col(s"b.$itemCol") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("ci"))
+    // localCheckpoint: the union below references the self-join twice;
+    // without materializing, the one-join claim would hold only when
+    // runtime exchange reuse happens to fire. The pair relation is
+    // compact (post-aggregation), so this is the cheap side to pin —
+    // the same convention q42 uses for its triple-referenced arrays.
+    val und = undirectedIntersections(kept, itemCol).localCheckpoint()
     val dir = und.union(und.select(col("j").as("i"), col("i").as("j"), col("ci")))
     dir
       .join(card.select(col("doc_id").as("i"), col("nt").as("na")), "i")

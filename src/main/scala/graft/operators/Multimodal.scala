@@ -115,9 +115,14 @@ object Multimodal {
   def decodeImagePartition(it: Iterator[MediaRecord]): Iterator[ImageFeatures] = {
     javax.imageio.ImageIO.setUseCache(false) // per-partition decoder init
     it.map { r =>
+      // NonFatal, not just IOException: JDK ImageIO throws
+      // RuntimeExceptions (NegativeArraySize, IndexOutOfBounds,
+      // IllegalArgument) on fuzzed/truncated payloads — any of them
+      // escaping here would fail the task 4x and kill the job, the
+      // exact outcome the ok=false contract exists to prevent.
       val img =
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       img match {
         case Some(im) =>
           val raster = im.getRaster

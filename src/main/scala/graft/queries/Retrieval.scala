@@ -46,10 +46,18 @@ object Retrieval {
     // min(struct(-score, term)) hash aggregate (no window sort);
     // report: docs-won per term, top 20.
     "q80_tfidf_topterm" -> ((s, dir) => {
-      val tk = Text.tokenize(Tables.load(s, dir, "documents"))
-      val tf = tk.groupBy("doc_id", "tok").agg(cnt.as("tf"))
-      val dl = tk.groupBy("doc_id").agg(cnt.as("len"))
-      val df = tk.groupBy("tok").agg(count_distinct(col("doc_id")).as("df"))
+      // ONE tokenize pass: doc lengths and document frequencies both
+      // derive from the (doc, term, tf) relation — dl = sum(tf) per
+      // doc, df = row count per term (tf is distinct per (doc, tok)) —
+      // where three independent uses of the raw token stream would
+      // re-scan and re-explode the whole corpus three times
+      // (tokenization dominates at corpus scale). localCheckpoint, not
+      // persist: the cache manager would warm the cold benchmark.
+      val tf = Text.tokenize(Tables.load(s, dir, "documents"))
+        .groupBy("doc_id", "tok").agg(cnt.as("tf"))
+        .localCheckpoint()
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
+      val df = tf.groupBy("tok").agg(cnt.as("df"))
       tf.join(dl, "doc_id").join(df, "tok")
         .select(col("doc_id"),
           struct(negate(expr("tf * 1000000000 DIV (len * df)")).as("ns"),

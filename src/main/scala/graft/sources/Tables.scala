@@ -28,18 +28,17 @@ object Tables {
     * Lossless here: every generated ts has zero sub-microsecond part.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    name match {
-      case "events" =>
-        // The nanosAsLong flag is session-global and only consulted at
-        // plan time (schema resolution happens inside this block), so
-        // save/restore it — leaving it flipped would silently change
-        // nanos-parquet semantics for every OTHER read in the session.
-        // The whole set/read/restore window is synchronized on the
-        // session: concurrent loads (QueryServer's thread pool) must
-        // not interleave set/restore or one thread's restore would
-        // strip the flag out from under another thread's schema
-        // resolution.
-        spark.synchronized {
+    // EVERY load takes the session lock, not just the events branch:
+    // the nanosAsLong flag is session-global and consulted at plan
+    // time, so while one thread holds it flipped for the events schema
+    // resolution, an UNLOCKED concurrent parquet read would silently
+    // resolve any INT64 TIMESTAMP(NANOS) column as bigint. Locking all
+    // loads keeps the flag's flipped window unobservable (QueryServer
+    // runs a 4-thread executor); the cost is schema resolution only —
+    // the returned frames execute lock-free.
+    spark.synchronized {
+      name match {
+        case "events" =>
           val key = "spark.sql.legacy.parquet.nanosAsLong"
           val prev = spark.conf.getOption(key)
           spark.conf.set(key, "true")
@@ -50,9 +49,9 @@ object Tables {
             case Some(v) => spark.conf.set(key, v)
             case None    => spark.conf.unset(key)
           }
-        }
-      case _ =>
-        spark.read.parquet(s"$sfDir/$name.parquet")
+        case _ =>
+          spark.read.parquet(s"$sfDir/$name.parquet")
+      }
     }
 
   /** Ingest a table from CSV or JSON-lines with an explicit schema —
