@@ -135,4 +135,71 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- sixth wave (q79-q84) invariants ----
+
+  test("q79: quartiles are ordered and bracketed by the group min/max") {
+    val stats = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    q("q79_percentile_stats").collect().foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val (lo, hi) = stats(r.getString(0))
+      assert(lo <= p25 && p25 <= p50 && p50 <= p75 && p75 <= hi)
+    }
+  }
+
+  test("q80: docs-won sums to at most the corpus size, every count positive") {
+    val rows = q("q80_tfidf_topterm").collect()
+    val won = rows.map(_.getLong(1))
+    assert(won.forall(_ > 0) && won.sameElements(won.sortBy(-_)))
+    assert(won.sum <= Tables.load(spark, dir, "documents").count())
+  }
+
+  test("q81: index stats are mutually consistent and the heaviest term is real") {
+    val r = q("q81_inverted_index").collect().head
+    val (terms, postings, maxPost, singles) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(terms <= postings && maxPost <= postings && singles <= terms)
+    // the heaviest term's actual df must equal max_posting
+    val df = graft.functions.Text.tokenize(Tables.load(spark, dir, "documents"))
+      .distinct().groupBy("tok").count()
+      .filter(col("tok") === r.getString(4)).collect().head.getLong(1)
+    assert(df == maxPost)
+  }
+
+  test("containment and jaccard agree algebraically on the same item sets") {
+    // jc(i,j) = ci / (na + nb - ci) must be recoverable from the two
+    // directional containment rows of the SAME pair — a cross-operator
+    // consistency check on real fixture shingles
+    val sh = graft.operators.Dedup.shingles(Tables.load(spark, dir, "documents"))
+    val ct = graft.operators.Dedup.containmentAllPairs(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val jc = graft.operators.Dedup.jaccardAllPairs(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jc.nonEmpty && ct.size == 2 * jc.size)
+    jc.foreach { case ((i, j), v) =>
+      val (ci, na) = ct((i, j))
+      val (cj, nb) = ct((j, i))
+      assert(ci == cj, s"asymmetric intersection for ($i,$j)")
+      assert(math.abs(v - ci.toDouble / (na + nb - ci)) < 1e-12)
+    }
+  }
+
+  test("q83: latest-version key counts match distinct (user, event_type) pairs") {
+    val keys = q("q83_latest_version").collect().map(_.getLong(1)).sum
+    val distinctKeys = Tables.load(spark, dir, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(keys == distinctKeys)
+  }
+
+  test("q84: salted join output equals the plain join, row for row") {
+    val plain = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "part")
+        .withColumnRenamed("p_partkey", "l_partkey"), "l_partkey")
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+    val salted = q("q84_skew_salted").select("p_brand", "n")
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
 }
