@@ -119,6 +119,24 @@ object Retrieval {
         .orderBy("event_type")
     }),
 
+    // The TRAINED quantizer under the hash gate: 2 Lloyd iterations of
+    // AnnSearch.kmeansCentroids (k=4, full-corpus training) against an
+    // oracle that UNROLLS the same two rounds in SQL — content-addressed
+    // md5 seeds, the q56 distance/argmin machinery, exact-decimal means,
+    // empty clusters keeping their prior centroid. Deterministic k-means
+    // is oracle-checkable precisely because every step is: fp-free
+    // seeding, fixed iteration count, decimal means. Output: the k x 64
+    // centroid components as scalar rows (clabel, pos, c).
+    "q85_kmeans_train" -> ((s, dir) => {
+      val cents = graft.operators.AnnSearch.kmeansCentroids(
+        Tables.load(s, dir, "embeddings"), dims = 64, k = 4, iters = 2,
+        sampleBound = None)
+      cents
+        .select(col("clabel"), explode(sequence(lit(1), lit(64))).as("pos"), col("cent"))
+        .select(col("clabel"), col("pos"), element_at(col("cent"), col("pos")).as("c"))
+        .orderBy("clabel", "pos")
+    }),
+
     // Skew.saltedJoin under the oracle gate: the salted join must be
     // row-identical to the plain equi-join (the oracle IS the plain
     // join) while spreading each part key over 8 salt sub-keys —
@@ -200,6 +218,34 @@ FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type""",
 SELECT p.p_brand, COUNT(*) AS n,
   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-GROUP BY p.p_brand ORDER BY p.p_brand"""
+GROUP BY p.p_brand ORDER BY p.p_brand""",
+
+    "q85_kmeans_train" -> """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+seeds AS (SELECT v, clabel FROM (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) clabel FROM e)
+  WHERE clabel <= 4),
+c0 AS (SELECT clabel, v AS cent FROM seeds),
+a1 AS (SELECT e.vec_id, e.v, c.clabel,
+         list_sum(list_transform(list_zip(e.v, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+       FROM e CROSS JOIN c0 c),
+b1 AS (SELECT vec_id, v, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a1) WHERE rn = 1),
+m1 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(v[CAST(r.pos AS INT)] AS DECIMAL(18,9))),6) AS DOUBLE) c
+       FROM b1 CROSS JOIN range(1,65) r(pos) GROUP BY clabel, r.pos),
+c1l AS (SELECT clabel, list(c ORDER BY pos) cent FROM m1 GROUP BY clabel),
+c1 AS (SELECT c0.clabel, COALESCE(c1l.cent, c0.cent) cent FROM c0 LEFT JOIN c1l USING (clabel)),
+a2 AS (SELECT e.vec_id, e.v, c.clabel,
+         list_sum(list_transform(list_zip(e.v, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+       FROM e CROSS JOIN c1 c),
+b2 AS (SELECT vec_id, v, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a2) WHERE rn = 1),
+m2 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(v[CAST(r.pos AS INT)] AS DECIMAL(18,9))),6) AS DOUBLE) c
+       FROM b2 CROSS JOIN range(1,65) r(pos) GROUP BY clabel, r.pos),
+c2l AS (SELECT clabel, list(c ORDER BY pos) cent FROM m2 GROUP BY clabel),
+c2 AS (SELECT c1.clabel, COALESCE(c2l.cent, c1.cent) cent FROM c1 LEFT JOIN c2l USING (clabel))
+SELECT clabel, r.pos, cent[CAST(r.pos AS INT)] AS c
+FROM c2 CROSS JOIN range(1,65) r(pos)
+ORDER BY clabel, pos"""
   ).map { case (k, v) => k -> v.trim }
 }
