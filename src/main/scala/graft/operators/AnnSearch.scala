@@ -76,14 +76,29 @@ object AnnSearch {
     * holds a vector.
     *
     * `sampleBound`: lowercase-hex md5 prefix bound ("4" keeps 4/16 =
-    * 25% in expectation); None trains on every vector. Reserved
-    * working columns on `emb`: `_cs`, `bucket`.
+    * 25% in expectation); None trains on every vector.
+    *
+    * `init`: `"md5"` seeds with the first k sample vectors in md5
+    * order — one pass, but a pseudo-RANDOM draw: with k seeds over k
+    * well-separated clusters the chance of hitting each exactly once
+    * is k!/k^k (~0.2% at k=8), so duplicated/missed clusters are the
+    * EXPECTED outcome, as for any random init. `"farthest"` is the
+    * deterministic fix: greedy farthest-first traversal (the k-center
+    * 2-approximation) — seed 1 by md5 order, then k-1 passes each
+    * taking the vector with the LARGEST min-distance to the seeds so
+    * far (ties by (md5, id); NaN/null distances order last so
+    * degenerate vectors are never picked). Costs k-1 extra broadcast
+    * passes over the sample; on well-separated clusters it provably
+    * captures every cluster (ScaleSpec proves it at 1M vectors).
+    * Reserved working columns on `emb`: `_cs`, `bucket`, `_mind`.
     */
   def kmeansCentroids(emb: DataFrame, dims: Int, k: Int, iters: Int = 5,
                       sampleBound: Option[String] = Some("4"),
-                      vecIdCol: String = "vec_id"): DataFrame = {
+                      vecIdCol: String = "vec_id",
+                      init: String = "md5"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(init == "md5" || init == "farthest", s"unknown init '$init'")
     sampleBound.foreach(b =>
       require(b.nonEmpty && b.forall(c => c.isDigit || ('a' <= c && c <= 'f')),
         s"sampleBound '$b' is not lowercase hex"))
@@ -91,13 +106,32 @@ object AnnSearch {
     val sample = sampleBound.fold(emb)(b => emb.filter(key < lit(b)))
       .select(col(vecIdCol), col("embedding"))
     val seedOrd = Seq(key, col(vecIdCol))
-    // row_number over k rows: the unpartitioned window is fine — the
-    // frame was already reduced to k rows by TakeOrderedAndProject
-    var cents = sample.orderBy(seedOrd: _*).limit(k)
-      .withColumn("clabel", row_number().over(Window.orderBy(seedOrd: _*)))
-      .select(col("clabel"),
-        transform(col("embedding"), x => x.cast("double")).as("cent"))
-      .localCheckpoint()
+    val asCent = transform(col("embedding"), x => x.cast("double")).as("cent")
+    var cents =
+      if (init == "md5")
+        // row_number over k rows: the unpartitioned window is fine —
+        // the frame was already reduced to k rows by TakeOrderedAndProject
+        sample.orderBy(seedOrd: _*).limit(k)
+          .withColumn("clabel", row_number().over(Window.orderBy(seedOrd: _*)))
+          .select(col("clabel"), asCent)
+          .localCheckpoint()
+      else {
+        var seeds = sample.orderBy(seedOrd: _*).limit(1)
+          .select(lit(1).as("clabel"), asCent).localCheckpoint()
+        for (i <- 2 to k) {
+          val far = withCentroidArray(sample, seeds, "_mind")
+            .withColumn("_mind", array_min(distStructs).getField("d"))
+            .drop("_cs")
+            // negate + asc_nulls_last = farthest first, with NaN
+            // (negate(NaN) = NaN sorts greatest) and NULL distances
+            // LAST — a degenerate vector can never become a seed
+            .orderBy(negate(col("_mind")).asc_nulls_last +: seedOrd: _*)
+            .limit(1)
+          seeds = seeds.union(far.select(lit(i).as("clabel"), asCent))
+            .localCheckpoint()
+        }
+        seeds
+      }
     // Fail loudly if the sample cannot seed k clusters (tiny input, or
     // an over-tight bound — e.g. "0" is valid hex but keeps NOTHING,
     // every md5 string compares >= "0"): silently returning fewer

@@ -94,6 +94,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.filter(abs(col("jc") - 1.0 / 3) < 1e-12).count() == 5000L)
   }
 
+  test("1M-vector kmeans trains on the md5 sample and partitions the corpus") {
+    // 1M vectors in 8 planted clusters (dim c+1 spiked for cluster c),
+    // 8 dims, deterministic jitter. Train on the "1"-bound sample
+    // (1/16 ≈ 62k vectors) — the corpus itself is never paired or
+    // collected; per round the sample crossJoins one broadcast
+    // centroid row. farthest-first init: with md5 (pseudo-random)
+    // seeding, one-centroid-per-cluster would only hold with
+    // probability 8!/8^8 ≈ 0.2% — farthest-first traversal makes it a
+    // THEOREM for well-separated clusters, so the assertion below is
+    // exact, not statistical.
+    val vecs = spark.range(1_000_000L)
+      .select(col("id").as("vec_id"),
+        expr("""transform(sequence(1, 8), d ->
+          CAST(CASE WHEN d = id % 8 + 1 THEN 4.0 ELSE 0.0 END
+               + (pmod(id * 13 + d * 7, 89) / 89.0) * 0.2 - 0.1 AS FLOAT))""")
+          .as("embedding"))
+    val cents = graft.operators.AnnSearch.kmeansCentroids(
+      vecs, dims = 8, k = 8, iters = 3, sampleBound = Some("1"), init = "farthest")
+    val centRows = cents.collect()
+    assert(centRows.length == 8)
+    // each centroid's dominant dim identifies its planted cluster;
+    // all 8 clusters must be captured exactly once
+    val spikes = centRows.map(_.getSeq[Double](1).zipWithIndex.maxBy(_._1)._2).sorted
+    assert(spikes.toSeq == (0 until 8), s"captured spike dims: ${spikes.toSeq}")
+    val buckets = graft.operators.AnnSearch.assignBuckets(vecs, cents)
+      .groupBy("bucket").count().collect()
+    assert(buckets.length == 8 && buckets.map(_.getLong(1)).sum == 1_000_000L)
+  }
+
   test("1M-bucket gapFill emits the exact span-bounded grid") {
     // 1000 keys x sparse buckets at hours 0 and 999 => 1000 dense rows
     // per key, 999 of them zero-gap fills (grid is span-bounded).
