@@ -150,4 +150,27 @@ class SourcesSpec extends AnyFunSuite {
     val events = Tables.load(spark, TestSpark.sf0001, "events")
     assert(events.schema("ts").dataType == TimestampType)
   }
+
+  test("concurrent loads never observe the flipped nanosAsLong flag") {
+    // regression for the QueryServer-shaped race: while one thread
+    // resolves the events schema (nanosAsLong temporarily true), other
+    // threads load and read other tables; the session lock must keep
+    // every load's schema resolution and the flag's flipped window
+    // mutually exclusive, and the flag must end up restored
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val work = (1 to 24).map { i =>
+      Future {
+        val name = if (i % 2 == 0) "events" else Tables.names(i % Tables.names.size)
+        val df = Tables.load(spark, TestSpark.sf0001, name)
+        if (name == "events") assert(df.schema("ts").dataType == TimestampType)
+        df.limit(1).collect().length
+      }
+    }
+    assert(Await.result(Future.sequence(work), 120.seconds).forall(_ == 1))
+    assert(spark.conf.getOption(key) == before, "flag leaked past the loads")
+  }
 }
