@@ -54,6 +54,32 @@ object Sampling {
     df.withColumn("split", chained.otherwise(lit(default)))
   }
 
+  /** Per-stratum Bernoulli downsampling at content-addressed rates:
+    * keep a row when the first 8 hex digits of [[splitKey]] compare at
+    * or below the stratum's bound. An 8-hex bound b keeps
+    * (int(b)+1)/2^32 of the stratum in expectation ("bfffffff" = 75%,
+    * "7fffffff" = 50%, "19999999" ~= 10%); strata not named in `rates`
+    * use `defaultBound`. This is how a mixing plan (q68's output shape)
+    * is APPLIED to a corpus: membership is a pure projection + filter —
+    * no shuffle, no state, reproducible on any engine at any scale —
+    * so the same doc is kept or dropped identically on every run of
+    * every engine, which is what makes the sampled corpus auditable.
+    */
+  def rateSample(df: DataFrame, idCol: String, strataCol: String,
+                 rates: Seq[(String, String)], defaultBound: String): DataFrame = {
+    (rates.map(_._2) :+ defaultBound).foreach { b =>
+      require(b.length == 8 && b.forall(c => c.isDigit || ('a' <= c && c <= 'f')),
+        s"rate bound '$b' is not 8-digit lowercase hex")
+    }
+    require(rates.map(_._1).distinct.size == rates.size,
+      s"duplicate stratum in rates: ${rates.map(_._1)}")
+    val k = substring(splitKey(col(idCol)), 1, 8)
+    val bound = rates.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (name, b)) => acc.when(col(strataCol) === name, lit(b))
+    }.otherwise(lit(defaultBound))
+    df.filter(k <= bound)
+  }
+
   /** Deterministic pseudo-random sample of up to `k` rows per stratum:
     * rows ranked by ([[splitKey]], id) within each stratum, rank <= k
     * kept (as `rn`). The md5 ordering is uniform, so this is a fair

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling}
+import graft.sources.Tables
+
+/** Corpus-modeling wave (q86–q92): the packing-and-statistics side of
+  * a pretraining-data pipeline — context-window chunking, padding-waste
+  * accounting, an n-gram next-token model, vocabulary growth, the
+  * near-dup graph's degree profile, event burstiness, and applying a
+  * mixing plan as a deterministic downsample.
+  *
+  * Same t2 gate as every other wave: DuckDB oracles in [[oracle]],
+  * prototyped on DuckDB at sf0.01 before the natives were written;
+  * determinism per SURVEY.md §5 — integer DIV ratios, md5
+  * content-addressed randomness, struct-argmax with explicit
+  * tie-break, total-order ORDER BY before every LIMIT.
+  */
+object Corpus {
+
+  private def cnt = count(lit(1))
+
+  /** Lowercased whitespace tokens with empties dropped, as an ARRAY —
+    * the in-row form every query here chunks/zips without exploding
+    * first (explode-then-regroup would shuffle the fanned-out rows). */
+  private def tokArray = filter(split(lower(col("text")), " "), t => t =!= "")
+
+  def queries: Map[String, Queries.QueryFn] = Map(
+
+    // Context-window chunking: each doc split into 32-token windows at
+    // stride 24 (8-token overlap) — the sequence-packing prep step of
+    // every pretraining pipeline. Chunk starts come from an IN-ROW
+    // sequence() explode (fan-out n/24 per doc, never tokens), the
+    // window is an in-row slice, and the chunk id is its md5 — so
+    // cross-doc duplicate chunks are countable. Report per source.
+    "q86_chunking" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokArray.as("l"))
+        .withColumn("n", size(col("l"))).filter(col("n") > 0)
+      d.select(col("doc_id"), col("source"), col("n"), col("l"),
+          explode(sequence(lit(1), col("n"), lit(24))).as("st"))
+        .select(col("doc_id"), col("source"),
+          slice(col("l"), col("st"), least(lit(32), col("n") - col("st") + 1)).as("chunk"))
+        .select(col("doc_id"), col("source"),
+          md5(array_join(col("chunk"), " ")).as("ch_hash"),
+          size(col("chunk")).as("ch_toks"))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), cnt.as("n_chunks"),
+          countDistinct(col("ch_hash")).as("n_distinct"),
+          sum(col("ch_toks")).as("toks"),
+          min(col("ch_toks")).cast("long").as("min_toks"))
+        .orderBy("source")
+    }),
+
+    // Padding-waste accounting: docs bucketed to the next power-of-two
+    // sequence length (the batch shapes a trainer pads to), waste =
+    // bucket − len summed per bucket, in exact integer ppm. The bucket
+    // ladder is a CASE chain — integer-exact and portable where
+    // ceil(log2) would ride fp. Pure scan + one groupBy.
+    "q87_packing_waste" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(size(tokArray).as("n")).filter(col("n") > 0)
+        .withColumn("bucket",
+          when(col("n") <= 16, 16).when(col("n") <= 32, 32)
+            .when(col("n") <= 64, 64).when(col("n") <= 128, 128)
+            .when(col("n") <= 256, 256).when(col("n") <= 512, 512)
+            .otherwise(1024))
+        .groupBy("bucket")
+        .agg(cnt.as("n_docs"), sum(col("n")).as("toks"),
+          sum(col("bucket") - col("n")).as("pad"))
+        .select(col("bucket"), col("n_docs"), col("toks"), col("pad"),
+          expr("pad * 1000000 DIV (toks + pad)").as("pad_ppm"))
+        .orderBy("bucket")
+    }),
+
+    // Bigram next-token model: (tok, next) counts from IN-ROW adjacent
+    // pairs (a transform over sequence(1, n-1) — zero shuffle until the
+    // count), then each token's modal successor via min(struct(-c,
+    // next)) hash-agg argmax — no window sort anywhere (PlanSpec). The
+    // n-gram LM build that backs perplexity filtering. Top 20 tokens
+    // by continuation mass.
+    "q88_bigram_lm" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(tokArray.as("l"))
+        .withColumn("n", size(col("l"))).filter(col("n") >= 2)
+      val bg = d.select(explode(expr(
+          "transform(sequence(1, n - 1), i -> named_struct('tok', element_at(l, i), 'nxt', element_at(l, i + 1)))")).as("p"))
+        .select(col("p.tok").as("tok"), col("p.nxt").as("nxt"))
+      // counts feed both the totals and the argmax — localCheckpoint,
+      // not persist, per the q42/q80 convention (the cache manager
+      // would warm the cold-run benchmark across queries).
+      val c = bg.groupBy("tok", "nxt").agg(cnt.as("c")).localCheckpoint()
+      val tot = c.groupBy("tok").agg(sum(col("c")).as("n_follow"))
+      val top = c
+        .select(col("tok"), struct(negate(col("c")).as("nc"), col("nxt").as("nx")).as("st"))
+        .groupBy("tok").agg(min(col("st")).as("m"))
+        .select(col("tok"), col("m.nx").as("top_next"), negate(col("m.nc")).as("top_c"))
+      tot.join(top, "tok")
+        .select(col("tok"), col("n_follow"), col("top_next"), col("top_c"),
+          expr("top_c * 1000000 DIV n_follow").as("p_ppm"))
+        .orderBy(desc("n_follow"), col("tok")).limit(20)
+    }),
+
+    // Vocabulary growth per source: token mass, vocabulary size,
+    // type-token ratio (integer ppm), and hapax legomena — the
+    // Heaps-law numbers that size tokenizer vocabularies and flag
+    // synthetic/templated sources (low TTR) in one pass. Explode +
+    // two stacked hash aggs, both map-side partial.
+    "q89_vocab_growth" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("source"), explode(tokArray).as("tok"))
+        .groupBy("source", "tok").agg(cnt.as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("toks"), cnt.as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("toks"), col("vocab"),
+          expr("vocab * 1000000 DIV toks").as("ttr_ppm"), col("hapax"))
+        .orderBy("source")
+    }),
+
+    // Near-dup graph degree profile: Jaccard >= 0.2 edges from the
+    // q42 kernel (same maxDf hot-shingle cap), per-doc neighbor count,
+    // then the degree histogram — the shape that decides whether dup
+    // clusters are pairs or giant components BEFORE running the full
+    // connected-components pass (q57). The edge relation is
+    // checkpointed once and read twice (both endpoints).
+    "q90_dup_degree" -> ((s, dir) => {
+      val arr = Dedup.shingleArrays(Tables.load(s, dir, "documents"))
+        .repartition(col("doc_id")).localCheckpoint()
+      val sh = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val edges = Dedup.jaccardAllPairs(sh, maxDf = 1000)
+        .filter(col("jc") >= 0.2).select("i", "j").localCheckpoint()
+      edges.select(col("i").as("doc_id"))
+        .union(edges.select(col("j").as("doc_id")))
+        .groupBy("doc_id").agg(cnt.as("degree"))
+        .groupBy("degree").agg(cnt.as("n_docs"))
+        .orderBy("degree")
+    }),
+
+    // Event burstiness: each user's peak-hour share of their total
+    // events, in exact integer ppm over unix_micros DIV hour buckets
+    // (the q76 portability rule) — the rate-anomaly signal that flags
+    // bots/scrapers in ingest curation. Two stacked hash aggs; the
+    // ordering (burst_ppm DESC, user_id) is total, so LIMIT 25 is
+    // deterministic.
+    "q91_burstiness" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .groupBy("user_id", "h").agg(cnt.as("c"))
+        .groupBy("user_id").agg(sum(col("c")).as("n"), max(col("c")).as("max_h"))
+        .select(col("user_id"), col("n"), col("max_h"),
+          expr("max_h * 1000000 DIV n").as("burst_ppm"))
+        .orderBy(desc("burst_ppm"), col("user_id")).limit(25)
+    }),
+
+    // Apply a mixing plan: per-source Bernoulli rates (100/75/50/25/10%
+    // for src0–src4, 50% default) via Sampling.rateSample — membership
+    // is md5-content-addressed, so the SAME docs are kept on any
+    // engine/run/cluster size, and the oracle can replay it exactly.
+    // Pure projection + filter feeding one groupBy.
+    "q92_apply_mixing" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(tokArray).as("toks"))
+      Sampling.rateSample(d, "doc_id", "source",
+          Seq("src0" -> "ffffffff", "src1" -> "bfffffff", "src2" -> "7fffffff",
+            "src3" -> "3fffffff", "src4" -> "19999999"),
+          defaultBound = "7fffffff")
+        .groupBy("source").agg(cnt.as("n_kept"), sum(col("toks")).as("toks_kept"))
+        .orderBy("source")
+    })
+  )
+
+  /** DuckDB oracles (validated at sf0.01/sf0.1 before the natives). */
+  val oracle: Map[String, String] = Map(
+    "q86_chunking" -> """
+WITH d AS (SELECT doc_id, source, list_filter(string_split(lower(text),' '), x -> x <> '') l FROM documents),
+n AS (SELECT doc_id, source, l, len(l) n FROM d WHERE len(l) > 0),
+c AS (SELECT doc_id, source, unnest(generate_series(1, n, 24)) st, l, n FROM n),
+ch AS (SELECT doc_id, source, list_slice(l, st, least(st + 31, n)) chunk FROM c),
+h AS (SELECT doc_id, source, md5(array_to_string(chunk, ' ')) ch_hash, len(chunk) ch_toks FROM ch)
+SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+  COUNT(DISTINCT ch_hash) AS n_distinct,
+  CAST(SUM(ch_toks) AS BIGINT) AS toks,
+  CAST(MIN(ch_toks) AS BIGINT) AS min_toks
+FROM h GROUP BY source ORDER BY source""",
+
+    "q87_packing_waste" -> """
+WITH d AS (SELECT len(list_filter(string_split(lower(text),' '), x -> x <> '')) n FROM documents),
+b AS (SELECT n,
+  CASE WHEN n<=16 THEN 16 WHEN n<=32 THEN 32 WHEN n<=64 THEN 64 WHEN n<=128 THEN 128
+       WHEN n<=256 THEN 256 WHEN n<=512 THEN 512 ELSE 1024 END bucket
+  FROM d WHERE n > 0)
+SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS toks,
+  CAST(SUM(bucket - n) AS BIGINT) AS pad,
+  CAST(SUM(bucket - n) * 1000000 // (SUM(n) + SUM(bucket - n)) AS BIGINT) AS pad_ppm
+FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "q88_bigram_lm" -> """
+WITH d AS (SELECT list_filter(string_split(lower(text),' '), x -> x <> '') l FROM documents),
+p AS (SELECT unnest(generate_series(1, len(l)-1)) i, l FROM d WHERE len(l) >= 2),
+bg AS (SELECT l[i] tok, l[i+1] nxt FROM p),
+cnt AS (SELECT tok, nxt, COUNT(*) c FROM bg GROUP BY tok, nxt),
+tot AS (SELECT tok, CAST(SUM(c) AS BIGINT) t FROM cnt GROUP BY tok),
+top AS (SELECT tok, nxt, c, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY c DESC, nxt) rn FROM cnt)
+SELECT tot.tok AS tok, tot.t AS n_follow, top.nxt AS top_next,
+  CAST(top.c AS BIGINT) AS top_c,
+  CAST(top.c * 1000000 // tot.t AS BIGINT) AS p_ppm
+FROM tot JOIN top ON top.tok = tot.tok AND top.rn = 1
+ORDER BY n_follow DESC, tok LIMIT 20""",
+
+    "q89_vocab_growth" -> """
+WITH tk AS (SELECT source, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) tok FROM documents),
+tf AS (SELECT source, tok, COUNT(*) c FROM tk GROUP BY source, tok)
+SELECT source, CAST(SUM(c) AS BIGINT) AS toks, COUNT(*) AS vocab,
+  CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+FROM tf GROUP BY source ORDER BY source""",
+
+    "q90_dup_degree" -> """
+WITH d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
+sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
+card AS (SELECT doc_id, COUNT(*) nt FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+edge AS (SELECT i, j FROM inter x
+         JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
+         WHERE CAST(x.ci AS DOUBLE) / (ca.nt + cb.nt - x.ci) >= 0.2),
+deg AS (SELECT doc_id, COUNT(*) degree FROM
+        (SELECT i doc_id FROM edge UNION ALL SELECT j FROM edge) GROUP BY doc_id)
+SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree ORDER BY degree""",
+
+    "q91_burstiness" -> """
+WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 h, COUNT(*) c
+           FROM events GROUP BY user_id, h)
+SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, CAST(MAX(c) AS BIGINT) AS max_h,
+  CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS burst_ppm
+FROM b GROUP BY user_id ORDER BY burst_ppm DESC, user_id LIMIT 25""",
+
+    "q92_apply_mixing" -> """
+WITH d AS (SELECT doc_id, source,
+  len(list_filter(string_split(lower(text),' '), x -> x <> '')) toks,
+  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) r
+  FROM documents),
+k AS (SELECT * FROM d WHERE r <= CASE source
+  WHEN 'src0' THEN 'ffffffff' WHEN 'src1' THEN 'bfffffff'
+  WHEN 'src2' THEN '7fffffff' WHEN 'src3' THEN '3fffffff'
+  WHEN 'src4' THEN '19999999' ELSE '7fffffff' END)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS toks_kept
+FROM k GROUP BY source ORDER BY source"""
+  ).map { case (k, v) => k -> v.trim }
+}

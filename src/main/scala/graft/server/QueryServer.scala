@@ -90,10 +90,11 @@ final class QueryServer(engine: Graft, port: Int,
             .flatMap(_.linesIterator).map(_.trim).find(_.nonEmpty)
             .getOrElse(e.getClass.getSimpleName)
           // client errors (bad SQL) are 400; engine/executor failures
-          // are 500 so retrying clients can tell them apart
+          // are 500 so retrying clients can tell them apart.
+          // ParseException is an AnalysisException subclass, so one
+          // case covers both parse and analysis errors.
           val code = e match {
             case _: org.apache.spark.sql.AnalysisException => 400
-            case _: org.apache.spark.sql.catalyst.parser.ParseException => 400
             case _ => 500
           }
           respond(ex, code, s"""{"error":${jsonStr(msg)}}""")

@@ -136,6 +136,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("q81_inverted_index").contains("Window"))
   }
 
+  test("q86/q88: chunking and bigram extraction are in-row generates, no join") {
+    // chunk windows and adjacent-pair structs come from sequence()/
+    // transform() INSIDE the scan row — a join formulation (tokens
+    // against a position table, or tokens self-joined at pos+1) would
+    // shuffle the exploded relation
+    val p86 = plan("q86_chunking")
+    assert(p86.contains("Generate"), s"q86: expected in-row explode\n${p86.take(500)}")
+    assert(!p86.contains("Join"), s"q86: token-level join crept in\n${p86.take(500)}")
+    // q88's Generate sits behind the counts checkpoint, so pin what the
+    // visible plan can show: the argmax is an aggregate (no window sort)
+    // and the totals/top join broadcasts (both sides are vocab-sized)
+    val p88 = plan("q88_bigram_lm")
+    assert(!p88.contains("Window"), p88.take(500))
+    assert(!p88.contains("SortMergeJoin"), p88.take(500))
+  }
+
+  test("q91: stacked burst aggs end in top-k, not a global sort") {
+    assert(plan("q91_burstiness").contains("TakeOrderedAndProject"))
+  }
+
+  test("q92: rate-sample membership is a pure filter — one exchange for the report") {
+    // the md5-threshold filter must evaluate in the scan projection;
+    // exactly one exchange (groupBy source) plus at most the sort
+    val p = plan("q92_apply_mixing")
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(800))
+    assert(!p.contains("Join"), "rate lookup must be a CASE projection, not a join")
+  }
+
   test("q84: the salted join stays a broadcast join on the replicated dimension") {
     // replicating the dim 8x must not push it over to sort-merge at
     // this size; the plain-join oracle equivalence is the t2 gate

@@ -202,4 +202,89 @@ class PropertySpec extends AnyFunSuite {
     val salted = q("q84_skew_salted").select("p_brand", "n")
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
+
+  // ---- seventh wave (q86-q92) invariants ----
+
+  private def tokCount(): Long =
+    graft.functions.Text.tokenize(Tables.load(spark, dir, "documents")).count()
+
+  test("q86: chunk counts recompute from doc lengths; overlap bounds token mass") {
+    val rows = q("q86_chunking").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1))       // n_chunks >= n_docs
+      assert(r.getLong(3) <= r.getLong(2))       // distinct <= chunks
+      assert(r.getLong(5) >= 1)                  // min_toks >= 1
+    }
+    // chunk starts are 1, 25, 49… so per doc chunks = floor((n-1)/24)+1;
+    // recompute the corpus total independently of the query
+    val expected = Tables.load(spark, dir, "documents")
+      .select(size(filter(split(lower(col("text")), " "), t => t =!= "")).as("n"))
+      .filter(col("n") > 0)
+      .select(sum(expr("(n - 1) DIV 24 + 1"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == expected)
+    // every token appears in >= 1 chunk; stride 24 of 32 duplicates < 2x
+    val toks = tokCount()
+    val chunkToks = rows.map(_.getLong(4)).sum
+    assert(chunkToks >= toks && chunkToks < 2 * toks)
+  }
+
+  test("q87: toks + pad = n_docs * bucket exactly, per bucket") {
+    val rows = q("q87_packing_waste").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bucket, n, toks, pad, ppm) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(toks + pad == n * bucket, s"bucket $bucket padding identity")
+      assert(ppm == pad * 1000000L / (toks + pad) && ppm < 1000000L)
+    }
+  }
+
+  test("q88: continuation mass sums to the corpus bigram count; modal share is sane") {
+    val rows = q("q88_bigram_lm").collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1))       // top_c <= n_follow
+      assert(r.getLong(4) <= 1000000L)           // p_ppm <= 1e6
+    }
+    // total bigrams = sum over docs of (n - 1); the 20 heaviest tokens
+    // can't carry more continuation mass than the corpus holds
+    val bigrams = Tables.load(spark, dir, "documents")
+      .select(size(filter(split(lower(col("text")), " "), t => t =!= "")).as("n"))
+      .filter(col("n") >= 2)
+      .select(sum(col("n") - 1)).collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum <= bigrams)
+  }
+
+  test("q89: hapax <= vocab <= toks and token mass matches the corpus") {
+    val rows = q("q89_vocab_growth").collect()
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2) && r.getLong(2) <= r.getLong(1))
+    }
+    assert(rows.map(_.getLong(1)).sum == tokCount())
+  }
+
+  test("q90: degree mass equals twice the q42 edge count (handshake lemma)") {
+    val degreeMass = q("q90_dup_degree").collect()
+      .map(r => r.getLong(0) * r.getLong(1)).sum
+    // q42 counts the SAME >= 0.2 Jaccard pairs once per unordered pair
+    val pairs = q("q42_dedup_ngram_jaccard").collect().head.getLong(0)
+    assert(degreeMass == 2 * pairs)
+  }
+
+  test("q91: peak-hour count bounded by total; ppm recomputes exactly") {
+    q("q91_burstiness").collect().foreach { r =>
+      val (n, maxH, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(1 <= maxH && maxH <= n)
+      assert(ppm == maxH * 1000000L / n)
+    }
+  }
+
+  test("q92: the 100% stratum keeps every doc; no stratum exceeds its population") {
+    val totals = Tables.load(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = q("q92_apply_mixing").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == totals("src0"))       // ffffffff bound keeps all
+    kept.foreach { case (src, k) => assert(k <= totals(src)) }
+  }
 }
