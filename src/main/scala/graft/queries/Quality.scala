@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Corpus-quality analytics wave (q93–q95): duplicate-cluster
+  * topology with the connected-components labels themselves under the
+  * oracle gate, robust-statistics winsorization, and collocation
+  * mining with exact integer lift.
+  *
+  * Same t2 gate as every other wave: DuckDB oracles in [[oracle]]
+  * (q93's replays the transitive closure with a RECURSIVE CTE),
+  * prototyped at sf0.01 before the natives; determinism per SURVEY.md
+  * §5 — integer/decimal arithmetic, 6-decimal rounds on percentile
+  * fences, total-order ORDER BY before every LIMIT.
+  */
+object Quality {
+
+  private def cnt = count(lit(1))
+
+  def queries: Map[String, Queries.QueryFn] = Map(
+
+    // Duplicate-cluster size histogram: >= 0.2 Jaccard edges (the q42
+    // kernel, same maxDf cap) closed into components by iterative
+    // min-label propagation — and the resulting LABELS are checked
+    // against an oracle that replays the closure as a recursive CTE.
+    // q57 gates cluster counts; this gates the partition itself: any
+    // mislabeled node shifts two histogram cells. The shape that tells
+    // a dedup pipeline whether it faces pairs or giant boilerplate
+    // components before it commits to cluster-collapse.
+    "q93_dup_clusters" -> ((s, dir) => {
+      val arr = Dedup.shingleArrays(Tables.load(s, dir, "documents"))
+        .repartition(col("doc_id")).localCheckpoint()
+      val sh = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val edges = Dedup.jaccardAllPairs(sh, maxDf = 1000)
+        .filter(col("jc") >= 0.2).select("i", "j")
+      Dedup.connectedComponents(edges)
+        .groupBy("root").agg(cnt.as("cluster_size"))
+        .groupBy("cluster_size").agg(cnt.as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
+    // Winsorization at the p05/p95 fences, per group: fence values
+    // (rounded to 6dp BEFORE use, so both engines clamp against the
+    // identical constant), tail counts, and the winsorized sum in
+    // exact DECIMAL(18,6) — the order-independent form; a double sum
+    // would hash-flip on partition order. The clamp is a CASE, not
+    // LEAST/GREATEST: DuckDB promotes LEAST/GREATEST over decimals to
+    // DOUBLE (measured: per-element double rounding drifted the sum by
+    // 2e-5), while CASE keeps DECIMAL on both engines. The robust-stats
+    // cleaning pass that precedes any mean/variance computed from
+    // scraped data. Fences are a 3-row broadcast back onto the fact scan.
+    "q94_winsorize" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val f = li.groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.05D)"), 6).as("lo"),
+          round(expr("percentile(l_extendedprice, 0.95D)"), 6).as("hi"))
+      li.join(broadcast(f), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(cnt.as("n"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          sum(when(col("l_extendedprice") < col("lo"), col("lo").cast(DecimalType(18, 6)))
+            .when(col("l_extendedprice") > col("hi"), col("hi").cast(DecimalType(18, 6)))
+            .otherwise(col("l_extendedprice").cast(DecimalType(18, 6))))
+            .cast("double").as("wsum"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Collocation mining: document-level co-occurrence lift in EXACT
+    // integer ppm — lift = P(a,b)/(P(a)P(b)) = cab*N*1e6 DIV (ca*cb),
+    // DECIMAL(38,0)-widened like q68 so the multiply can never
+    // overflow at corpus scale. Pairing is restricted to the top-1000
+    // df vocabulary FIRST (deterministic cut: df DESC, tok) — the cap
+    // that bounds per-doc pair fan-out at vocab²/2 no matter how long
+    // documents get; at the graded SFs the whole vocabulary fits under
+    // the cap, so the exact-all-pairs oracle still matches (the q42
+    // maxDf pattern). Support floor cab >= 5 drops noise pairs.
+    "q95_cooccur_lift" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val dt = docs
+        .select(col("doc_id"), explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
+        .distinct().localCheckpoint()
+      val dfreq = dt.groupBy("tok").agg(cnt.as("c"))
+      val vocab = dfreq.orderBy(desc("c"), col("tok")).limit(1000).localCheckpoint()
+      val dv = dt.join(broadcast(vocab.select("tok")), Seq("tok"), "left_semi")
+      // doc_id equi self-join for pairs — the grouped collect_list
+      // variant was measured 2.5x slower on the jaccard kernel
+      // (Dedup.scala) and the same trade holds here
+      val pairs = dv.select(col("doc_id"), col("tok").as("ta"))
+        .join(dv.select(col("doc_id"), col("tok").as("tb")), Seq("doc_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(cnt.as("cab"))
+        .filter(col("cab") >= 5)
+      val nd = docs.agg(cnt.as("n"))
+      pairs
+        .join(broadcast(vocab.select(col("tok").as("ta"), col("c").as("ca"))), "ta")
+        .join(broadcast(vocab.select(col("tok").as("tb"), col("c").as("cb"))), "tb")
+        .crossJoin(broadcast(nd))
+        .select(col("ta"), col("tb"), col("cab"),
+          expr("CAST(CAST(cab AS DECIMAL(38,0)) * n * 1000000 DIV (ca * cb) AS BIGINT)").as("lift_ppm"))
+        .orderBy(desc("lift_ppm"), col("ta"), col("tb")).limit(20)
+    })
+  )
+
+  /** DuckDB oracles (validated at sf0.01/sf0.1 before the natives). */
+  val oracle: Map[String, String] = Map(
+    "q93_dup_clusters" -> """
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
+sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
+card AS (SELECT doc_id, COUNT(*) nt FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+edge AS (SELECT i, j FROM inter x
+         JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
+         WHERE CAST(x.ci AS DOUBLE) / (ca.nt + cb.nt - x.ci) >= 0.2),
+dedge AS (SELECT i, j FROM edge UNION SELECT j, i FROM edge),
+reach(doc, lab) AS (
+  SELECT i, i FROM dedge
+  UNION
+  SELECT e.j, r.lab FROM reach r JOIN dedge e ON e.i = r.doc),
+comp AS (SELECT doc, MIN(lab) root FROM reach GROUP BY doc),
+sz AS (SELECT root, COUNT(*) n FROM comp GROUP BY root)
+SELECT n AS cluster_size, COUNT(*) AS n_clusters
+FROM sz GROUP BY n ORDER BY cluster_size""",
+
+    "q94_winsorize" -> """
+WITH f AS (SELECT l_returnflag flag,
+    ROUND(quantile_cont(l_extendedprice, 0.05), 6) lo,
+    ROUND(quantile_cont(l_extendedprice, 0.95), 6) hi
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag, f.lo, f.hi, COUNT(*) AS n,
+  CAST(SUM(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+  CAST(SUM(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+  CAST(SUM(CASE WHEN l.l_extendedprice < f.lo THEN CAST(f.lo AS DECIMAL(18,6))
+                WHEN l.l_extendedprice > f.hi THEN CAST(f.hi AS DECIMAL(18,6))
+                ELSE CAST(l.l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE) AS wsum
+FROM lineitem l JOIN f ON f.flag = l.l_returnflag
+GROUP BY l.l_returnflag, f.lo, f.hi ORDER BY l.l_returnflag""",
+
+    "q95_cooccur_lift" -> """
+WITH dt AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) tok FROM documents),
+dfreq AS (SELECT tok, COUNT(*) c FROM dt GROUP BY tok),
+vocab AS (SELECT tok, c FROM (SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) rn FROM dfreq) WHERE rn <= 1000),
+dv AS (SELECT dt.doc_id, dt.tok FROM dt SEMI JOIN vocab ON vocab.tok = dt.tok),
+pair AS (SELECT a.tok ta, b.tok tb, COUNT(*) cab
+         FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY a.tok, b.tok),
+nd AS (SELECT COUNT(*) n FROM documents)
+SELECT p.ta, p.tb, p.cab,
+  CAST(CAST(p.cab AS HUGEINT) * nd.n * 1000000 // (va.c * vb.c) AS BIGINT) AS lift_ppm
+FROM pair p, nd
+JOIN vocab va ON va.tok = p.ta JOIN vocab vb ON vb.tok = p.tb
+WHERE p.cab >= 5
+ORDER BY lift_ppm DESC, p.ta, p.tb LIMIT 20"""
+  ).map { case (k, v) => k -> v.trim }
+}

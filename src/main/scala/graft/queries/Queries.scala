@@ -31,10 +31,11 @@ object Queries {
   val all: Map[String, QueryFn] =
     QueryTexts.spark.keys.map(k => k -> native.getOrElse(k, sql(k))).toMap ++
       Extensions.queries ++ Extended.queries ++ DecisionSupport.queries ++
-      Curation.queries ++ Series.queries ++ Retrieval.queries ++ Corpus.queries
+      Curation.queries ++ Series.queries ++ Retrieval.queries ++
+      Corpus.queries ++ Quality.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
       DecisionSupport.oracle ++ Curation.oracle ++ Series.oracle ++
-      Retrieval.oracle ++ Corpus.oracle
+      Retrieval.oracle ++ Corpus.oracle ++ Quality.oracle
 }

@@ -218,4 +218,62 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(f)(
         Encoders.product[GapState], Encoders.product[FilledBucket])
   }
+
+  final case class Versioned(user_id: Long, event_type: String, ts: Timestamp,
+                             event_id: Long, value: Double)
+  /** Champion version per key: (ts ms, event_id) is q83's total order. */
+  final case class ChampState(tsMs: Long, eventId: Long, value: Double)
+
+  /** Streaming CDC upsert compaction — the incremental twin of q83:
+    * per (user_id, event_type) key, keep the LATEST version under the
+    * total order (ts DESC, event_id DESC) and emit the new champion
+    * row each time it changes. Consuming the stream into an upsert
+    * sink (keyed overwrite) therefore converges to exactly q83's
+    * survivor set; StreamingSpec gates that against the batch query.
+    * A stale version arriving after a newer one emits NOTHING — the
+    * redelivery/out-of-order case CDC ingest must absorb.
+    *
+    * State is one (ts, event_id, value) triple per key, EventTime-
+    * Timeout-evicted after `idleEvictionMs` like the other operators
+    * here — O(active keys), the property that survives unbounded
+    * streams. The bounded-state tradeoff: a version arriving for an
+    * evicted key re-seeds the champion, so exactness holds for keys
+    * whose update gaps stay inside the horizon (size it to the
+    * redelivery window; a compacted downstream table keyed on
+    * (user_id, event_type) stays correct either way because older
+    * re-emissions lose the upsert by the same total order).
+    */
+  def latestVersion(events: Dataset[Versioned],
+                    idleEvictionMs: Long = 3600000L): Dataset[Versioned] = {
+    val f = (key: (Long, String), it: Iterator[Versioned],
+             state: GroupState[ChampState]) => {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var st = state.getOption.orNull
+        val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = Seq.newBuilder[Versioned]
+        batch.foreach { e =>
+          val t = e.ts.getTime
+          if (st == null || t > st.tsMs || (t == st.tsMs && e.event_id > st.eventId)) {
+            st = ChampState(t, e.event_id, e.value)
+            out += Versioned(key._1, key._2, e.ts, e.event_id, e.value)
+          }
+        }
+        if (st != null) {
+          state.update(st)
+          val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(Long.MinValue)
+          state.setTimeoutTimestamp(math.max(st.tsMs + idleEvictionMs, wm + 1))
+        }
+        out.result().iterator
+      }
+    }
+    events
+      .withWatermark("ts", millisAsDelay(idleEvictionMs))
+      .groupByKey(e => (e.user_id, e.event_type))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(f)(
+        Encoders.product[ChampState], Encoders.product[Versioned])
+  }
 }

@@ -164,6 +164,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "rate lookup must be a CASE projection, not a join")
   }
 
+  test("q94/q95: fences and marginals broadcast back onto the fact scan") {
+    // the 3-row fence table (q94) and the vocab-bounded marginal/total
+    // tables (q95) must broadcast — a shuffle join against the fact
+    // side would move the big relation for a handful of rows
+    assert(plan("q94_winsorize").contains("BroadcastHashJoin"))
+    val p95 = plan("q95_cooccur_lift")
+    assert("BroadcastHashJoin".r.findAllIn(p95).size >= 2, p95.take(500))
+  }
+
   test("q84: the salted join stays a broadcast join on the replicated dimension") {
     // replicating the dim 8x must not push it over to sort-merge at
     // this size; the plain-join oracle equivalence is the t2 gate

@@ -287,4 +287,43 @@ class PropertySpec extends AnyFunSuite {
     assert(kept("src0") == totals("src0"))       // ffffffff bound keeps all
     kept.foreach { case (src, k) => assert(k <= totals(src)) }
   }
+
+  // ---- eighth wave (q93-q95) invariants ----
+
+  test("q93: cluster mass equals q90's connected-doc count; no singleton clusters") {
+    val clusters = q("q93_dup_clusters").collect()
+    // every node in the edge list has >= 1 neighbor, so min size is 2
+    clusters.foreach(r => assert(r.getLong(0) >= 2))
+    // the docs partitioned into clusters are EXACTLY the docs q90
+    // counts degrees for — two operators over the same edge relation
+    val clusterMass = clusters.map(r => r.getLong(0) * r.getLong(1)).sum
+    val connectedDocs = q("q90_dup_degree").collect().map(_.getLong(1)).sum
+    assert(clusterMass == connectedDocs)
+  }
+
+  test("q94: tails bounded, fences ordered, winsorized sum inside [n*lo, n*hi]") {
+    q("q94_winsorize").collect().foreach { r =>
+      val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+      val (n, nLo, nHi, wsum) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(lo <= hi && nLo + nHi <= n)
+      // p05/p95 fences: each tail is at most ~5% (+1 for interpolation)
+      assert(nLo <= n / 20 + 1 && nHi <= n / 20 + 1)
+      assert(n * lo <= wsum && wsum <= n * hi)
+    }
+  }
+
+  test("q95: lift pairs are ordered, supported, and df-consistent") {
+    val dfreq = graft.functions.Text.tokenize(Tables.load(spark, dir, "documents"))
+      .distinct().groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("q95_cooccur_lift").collect().foreach { r =>
+      val (ta, tb, cab) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(ta < tb)                             // canonical pair order
+      assert(cab >= 5)                            // support floor
+      // co-occurrence can't exceed either marginal document frequency
+      assert(cab <= dfreq(ta) && cab <= dfreq(tb))
+      assert(r.getLong(3) > 0)
+    }
+  }
 }

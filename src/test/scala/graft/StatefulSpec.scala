@@ -140,4 +140,64 @@ class StatefulSpec extends AnyFunSuite {
     assert(advances.getOrElse(2, 0L) == expect.getLong(1), "stage 2 == n_view_click")
     assert(advances.getOrElse(3, 0L) == expect.getLong(2), "stage 3 == n_view_click_purchase")
   }
+
+  test("latestVersion: stale redelivery after a newer version emits nothing") {
+    import graft.streaming.StatefulOps.Versioned
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Versioned]
+    val q = StatefulOps.latestVersion(mem.toDS(), idleEvictionMs = 3600000L)
+      .writeStream.format("memory").queryName("cdc_stale_test")
+      .outputMode("append").start()
+    try {
+      // two ascending versions: both emit
+      mem.addData(
+        Versioned(1L, "a", ts("2024-01-01 00:00:01"), 1L, 10.0),
+        Versioned(1L, "a", ts("2024-01-01 00:00:05"), 2L, 20.0))
+      q.processAllAvailable()
+      assert(spark.table("cdc_stale_test").count() == 2)
+      // stale version (older ts, even with a higher id): no emission
+      mem.addData(Versioned(1L, "a", ts("2024-01-01 00:00:03"), 9L, 30.0))
+      q.processAllAvailable()
+      assert(spark.table("cdc_stale_test").count() == 2)
+      // equal ts, higher event_id wins the total order: emits
+      mem.addData(Versioned(1L, "a", ts("2024-01-01 00:00:05"), 3L, 40.0))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_stale_test").as[Versioned].collect()
+      assert(rows.length == 3 && rows.map(_.value).toSet == Set(10.0, 20.0, 40.0))
+    } finally q.stop()
+  }
+
+  test("streaming latestVersion converges to q83's survivor set over the corpus") {
+    import graft.streaming.StatefulOps.Versioned
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    implicit val sqlCtx = spark.sqlContext
+    // stream the whole events table in three event-time-ordered
+    // micro-batches; an upsert sink keyed on (user_id, event_type)
+    // then holds each key's LAST champion — which must aggregate to
+    // exactly q83's batch output
+    val ev = graft.sources.Tables.load(spark, TestSpark.sf0001, "events")
+      .selectExpr("user_id", "event_type", "ts", "event_id", "value")
+      .as[Versioned].collect().sortBy(_.ts.getTime)
+    val mem = MemoryStream[Versioned]
+    val q = StatefulOps.latestVersion(mem.toDS(), idleEvictionMs = 30L * 86400000L)
+      .writeStream.format("memory").queryName("cdc_corpus_test")
+      .outputMode("append").start()
+    try {
+      val third = ev.length / 3
+      mem.addData(ev.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(ev.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(ev.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val agg = spark.table("cdc_corpus_test")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_latest"))
+      val batch = SparkEntry.queries("q83_latest_version")(spark, TestSpark.sf0001)
+      assert(agg.exceptAll(batch).count() == 0 && batch.exceptAll(agg).count() == 0)
+    } finally q.stop()
+  }
 }
