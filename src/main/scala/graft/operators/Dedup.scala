@@ -286,15 +286,18 @@ object Dedup {
     * the plan from growing linearly with iterations.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Both lazy: the first round's count materializes edges and the
+    // fused-first-round labels along with its own join — no separate
+    // up-front materialization jobs.
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     // Fused first round: every node's initial label is min(self, direct
     // neighbors) straight off the edge list — one aggregate instead of
     // an identity-label round followed by the same join.
     var labels = edges.groupBy(col("a").as("doc")).agg(min(col("b")).as("mb"))
       .select(col("doc"), least(col("doc"), col("mb")).as("root"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -304,10 +307,15 @@ object Dedup {
       // carry the previous root through the round so convergence is a
       // filter+count on the already-materialized result, not a second
       // full join against the old labels
+      // LAZY checkpoint + count: the count action below materializes
+      // the checkpoint as its side effect — one job per round where the
+      // default eager checkpoint would run a separate materialization
+      // job first (measured: the per-round driver overhead, not the
+      // tiny join, dominates this loop at bench scale)
       val updated = labels.join(nbrMin, Seq("doc"), "left")
         .select(col("doc"), col("root").as("old_root"),
           least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val changed = updated.filter(col("root") =!= col("old_root")).count()
       labels = updated.select("doc", "root")
       converged = changed == 0

@@ -110,4 +110,33 @@ object TextAnalysis {
         round(lit(1) - col("nd").cast("double") / col("n_tokens"), 6).as("dup_word_frac"),
         round(col("maxc").cast("double") / col("tot"), 6).as("top_bigram_frac"))
   }
+
+  /** The `cap` highest-document-frequency terms of a DISTINCT
+    * (doc_id, tok) relation, as (tok, c) — the deterministic cut
+    * (df DESC, tok ASC) collocation mining restricts itself to.
+    * Checkpointed: callers read it at least twice (membership filter +
+    * marginals) and it is top-k tiny by construction. */
+  def topVocabulary(docTokens: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, s"vocabulary cap must be positive, got $cap")
+    docTokens.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tok")).limit(cap)
+      .localCheckpoint()
+  }
+
+  /** Document-level co-occurrence pair counts (ta, tb, cab), ta < tb,
+    * restricted to `vocab` (a (tok, c) table, normally
+    * [[topVocabulary]]). The vocabulary restriction happens BEFORE the
+    * doc_id self-join, which is what bounds per-doc pair fan-out at
+    * vocab²/2 regardless of document length — without it one
+    * 100k-distinct-token document emits 5e9 join rows in one task.
+    * The broadcast semi join costs one pass; ScaleSpec proves the
+    * bound with a corpus whose uncapped pairing would be 25x larger.
+    */
+  def cooccurrencePairs(docTokens: DataFrame, vocab: DataFrame): DataFrame = {
+    val dv = docTokens.join(broadcast(vocab.select("tok")), Seq("tok"), "left_semi")
+    dv.select(col("doc_id"), col("tok").as("ta"))
+      .join(dv.select(col("doc_id"), col("tok").as("tb")), Seq("doc_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("cab"))
+  }
 }

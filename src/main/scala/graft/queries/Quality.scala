@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Corpus-quality analytics wave (q93–q95): duplicate-cluster
@@ -83,16 +83,11 @@ object Quality {
       val dt = docs
         .select(col("doc_id"), explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
         .distinct().localCheckpoint()
-      val dfreq = dt.groupBy("tok").agg(cnt.as("c"))
-      val vocab = dfreq.orderBy(desc("c"), col("tok")).limit(1000).localCheckpoint()
-      val dv = dt.join(broadcast(vocab.select("tok")), Seq("tok"), "left_semi")
+      val vocab = TextAnalysis.topVocabulary(dt, 1000)
       // doc_id equi self-join for pairs — the grouped collect_list
       // variant was measured 2.5x slower on the jaccard kernel
       // (Dedup.scala) and the same trade holds here
-      val pairs = dv.select(col("doc_id"), col("tok").as("ta"))
-        .join(dv.select(col("doc_id"), col("tok").as("tb")), Seq("doc_id"))
-        .filter(col("ta") < col("tb"))
-        .groupBy("ta", "tb").agg(cnt.as("cab"))
+      val pairs = TextAnalysis.cooccurrencePairs(dt, vocab)
         .filter(col("cab") >= 5)
       val nd = docs.agg(cnt.as("n"))
       pairs

@@ -135,4 +135,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(filled.count() == 1000L * 1000L)
     assert(filled.filter(col("n") === 0).count() == 1000L * 998L)
   }
+
+  test("vocabulary cap bounds co-occurrence pairing on long documents") {
+    // 200 docs x 1100 distinct tokens each: 100 "common" tokens shared
+    // by every doc plus 1000 private rare tokens. Uncapped pairing
+    // would emit C(1100,2) ≈ 605k rows per doc (121M total); the
+    // cap=100 vocabulary keeps exactly the common tokens (df=200 vs
+    // df=1, deterministic cut), so pairing is C(100,2) = 4950 distinct
+    // pairs, each co-occurring in all 200 docs — a 25x fan-out bound
+    // that holds at ANY document length (the q95 scale argument).
+    val docs = spark.range(200L).select(col("id").as("doc_id"))
+    val common = docs.crossJoin(
+      spark.range(100L).select(concat(lit("c"), format_string("%03d", col("id"))).as("tok")))
+    val rare = docs.join(spark.range(1000L).select(col("id").as("r")))
+      .select(col("doc_id"), concat(lit("r"), col("doc_id"), lit("_"), col("r")).as("tok"))
+    val dt = common.select("doc_id", "tok").union(rare)
+    val vocab = graft.operators.TextAnalysis.topVocabulary(dt, 100)
+    assert(vocab.count() == 100L)
+    assert(vocab.filter(!col("tok").startsWith("c")).count() == 0L)
+    val pairs = graft.operators.TextAnalysis.cooccurrencePairs(dt, vocab).localCheckpoint()
+    assert(pairs.count() == 4950L)                       // C(100,2), no rare leakage
+    assert(pairs.filter(col("cab") =!= 200L).count() == 0L)
+  }
+
+  test("rateSample membership at 1M rows is identical across partitionings") {
+    // content-addressed sampling must give the SAME kept set however
+    // the data is partitioned — the property that makes a sampled
+    // corpus reproducible on any cluster size. Also sanity-check the
+    // kept fraction tracks the bound (50% here) within 1%.
+    val base = spark.range(1_000_000L)
+      .select(col("id"), concat(lit("s"), col("id") % 5).as("src"))
+    val rates = Seq("s0" -> "7fffffff")
+    val a = graft.operators.Sampling.rateSample(
+      base.repartition(7), "id", "src", rates, defaultBound = "7fffffff")
+    val b = graft.operators.Sampling.rateSample(
+      base.repartition(64, col("src")), "id", "src", rates, defaultBound = "7fffffff")
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+    val kept = a.count()
+    assert(math.abs(kept - 500000L) < 10000L, s"kept $kept of 1M at a 50% bound")
+  }
 }
