@@ -173,6 +173,16 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p95).size >= 2, p95.take(500))
   }
 
+  test("q96/q98: rolling actives explode in-row; attribution is one window pass") {
+    // the 7-day span must be a sequence explode of the distinct
+    // relation (flat 7x fan-out), never a day-range self-join
+    assert(plan("q96_rolling_actives").contains("Generate"))
+    // one window shuffle on user_id, no join anywhere
+    val p98 = plan("q98_attribution")
+    assert("Window".r.findAllIn(p98).size == 1, p98.take(500))
+    assert(!p98.contains("Join"), p98.take(500))
+  }
+
   test("q84: the salted join stays a broadcast join on the replicated dimension") {
     // replicating the dim 8x must not push it over to sort-merge at
     // this size; the plain-join oracle equivalence is the t2 gate

@@ -313,6 +313,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- ninth wave (q96-q98) invariants ----
+
+  test("q96: weekly actives dominate daily; trailing-week union bounds hold") {
+    val rows = q("q96_rolling_actives").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val users = Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    rows.foreach { case (day, (dau1, dau7)) =>
+      assert(dau1 <= dau7 && dau7 <= users)
+      // union bound: the week's distinct users can't exceed the sum of
+      // the 7 daily counts feeding the window
+      val weekSum = (day - 6 to day).map(d => rows.get(d).map(_._1).getOrElse(0L)).sum
+      assert(dau7 <= weekSum)
+    }
+  }
+
+  test("q97 agrees with q93: same clusters, removals = mass - clusters") {
+    val r97 = q("q97_keep_best").collect().head
+    val clusters93 = q("q93_dup_clusters").collect()
+    val nClusters = clusters93.map(_.getLong(1)).sum
+    val mass = clusters93.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(r97.getLong(0) == nClusters)
+    assert(r97.getLong(1) == mass - nClusters)
+    assert(r97.getLong(2) >= 0 && r97.getLong(3) >= 0)
+  }
+
+  test("q98: attribution bounded by purchases; latency under 24h per conversion") {
+    q("q98_attribution").collect().foreach { r =>
+      val (n, attr, lat) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(attr <= n)
+      assert(lat <= attr * 1440, "every attributed latency < 24h = 1440 min")
+    }
+  }
+
   test("q95: lift pairs are ordered, supported, and df-consistent") {
     val dfreq = graft.functions.Text.tokenize(Tables.load(spark, dir, "documents"))
       .distinct().groupBy("tok").count()
