@@ -32,10 +32,11 @@ object Queries {
     QueryTexts.spark.keys.map(k => k -> native.getOrElse(k, sql(k))).toMap ++
       Extensions.queries ++ Extended.queries ++ DecisionSupport.queries ++
       Curation.queries ++ Series.queries ++ Retrieval.queries ++
-      Corpus.queries ++ Quality.queries ++ Activity.queries
+      Corpus.queries ++ Quality.queries ++ Activity.queries ++ Composite.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
       DecisionSupport.oracle ++ Curation.oracle ++ Series.oracle ++
-      Retrieval.oracle ++ Corpus.oracle ++ Quality.oracle ++ Activity.oracle
+      Retrieval.oracle ++ Corpus.oracle ++ Quality.oracle ++ Activity.oracle ++
+      Composite.oracle
 }

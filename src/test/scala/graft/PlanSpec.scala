@@ -183,6 +183,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p98.contains("Join"), p98.take(500))
   }
 
+  test("q99/q100: seasonality joins nothing; pipeline's only join is the dedup semi") {
+    // q99 is pure epoch arithmetic + one grouped pass — a join or a
+    // window here would mean the seasonality matrix stopped being a
+    // single-scan aggregation
+    val p99 = plan("q99_seasonality")
+    assert(!p99.contains("Join"), p99.take(500))
+    assert(!p99.contains("Window"), p99.take(500))
+    // q100: dedup's semi join is the ONE join; the mixing-rate filter
+    // and the split assignment must stay pure projections/filters
+    val p100 = plan("q100_curation_pipeline")
+    assert("Join".r.findAllIn(p100).size == 1, p100.take(500))
+    assert(!p100.contains("Window"), p100.take(500))
+  }
+
   test("q84: the salted join stays a broadcast join on the replicated dimension") {
     // replicating the dim 8x must not push it over to sort-merge at
     // this size; the plain-join oracle equivalence is the t2 gate

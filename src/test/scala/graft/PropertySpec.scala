@@ -347,6 +347,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- tenth wave (q99-q100) invariants ----
+
+  test("q99: cells partition the events table; users bounded by events") {
+    val rows = q("q99_seasonality").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 6, "dow in [0,6]")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23, "hour in [0,23]")
+      assert(r.getLong(3) <= r.getLong(2), "distinct users <= events per cell")
+    }
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.load(spark, dir, "events").count())
+  }
+
+  test("q100: src0's ffffffff bound keeps every deduped doc; totals bounded") {
+    val rows = q("q100_curation_pipeline").collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    val docs = Tables.load(spark, dir, "documents")
+    val uniq = docs.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+    // the rate filter only removes rows
+    assert(rows.map(_.getLong(2)).sum <= uniq.count())
+    // "ffffffff" is the max 8-hex key, so src0's rate stage is a no-op:
+    // its per-split counts must reassemble src0's full deduped count
+    val src0 = docs.join(uniq.select("doc_id"), Seq("doc_id"), "left_semi")
+      .filter(col("source") === "src0").count()
+    assert(rows.filter(_.getString(1) == "src0").map(_.getLong(2)).sum == src0)
+  }
+
   test("q95: lift pairs are ordered, supported, and df-consistent") {
     val dfreq = graft.functions.Text.tokenize(Tables.load(spark, dir, "documents"))
       .distinct().groupBy("tok").count()
