@@ -54,9 +54,37 @@ object Quality {
     // scraped data. Fences are a 3-row broadcast back onto the fact scan.
     "q94_winsorize" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val f = li.groupBy("l_returnflag")
-        .agg(round(expr("percentile(l_extendedprice, 0.05D)"), 6).as("lo"),
-          round(expr("percentile(l_extendedprice, 0.95D)"), 6).as("hi"))
+      // Exact interpolated percentile WITHOUT the Percentile aggregate:
+      // prices are near-unique (583k distinct / 600k rows at sf0.1), so
+      // Percentile's value->count map gets no compression — it builds
+      // and serializes a ~584k-entry map per merge (measured: the whole
+      // query's dominant cost). Instead: rank per group, keep only the
+      // 2 order-statistic rows per fence, interpolate with the same
+      // lower + frac*(higher-lower) formula Spark's Percentile (and
+      // DuckDB's quantile_cont) uses. The window sorts each group once
+      // — with a handful of groups either form concentrates per-group
+      // work on one reducer; this one skips the map entirely.
+      val vals = li.select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+      val n = vals.groupBy("l_returnflag").agg(cnt.as("n"))
+      val ranked = vals.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("v")))
+        .join(broadcast(n), "l_returnflag")
+        .withColumn("p05", expr("0.05D * (n - 1)"))
+        .withColumn("p95", expr("0.95D * (n - 1)"))
+      val f = ranked
+        .filter(col("rn") === floor(col("p05")) + 1 || col("rn") === ceil(col("p05")) + 1 ||
+          col("rn") === floor(col("p95")) + 1 || col("rn") === ceil(col("p95")) + 1)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("min(CASE WHEN rn = floor(p05)+1 THEN v END)" +
+            " + (max(p05) - floor(max(p05)))" +
+            " * (min(CASE WHEN rn = ceil(p05)+1 THEN v END)" +
+            "    - min(CASE WHEN rn = floor(p05)+1 THEN v END))"), 6).as("lo"),
+          round(expr("min(CASE WHEN rn = floor(p95)+1 THEN v END)" +
+            " + (max(p95) - floor(max(p95)))" +
+            " * (min(CASE WHEN rn = ceil(p95)+1 THEN v END)" +
+            "    - min(CASE WHEN rn = floor(p95)+1 THEN v END))"), 6).as("hi"))
       li.join(broadcast(f), "l_returnflag")
         .groupBy("l_returnflag", "lo", "hi")
         .agg(cnt.as("n"),
