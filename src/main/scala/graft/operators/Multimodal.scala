@@ -7,14 +7,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque binary columns with
   * typed metadata, processed per-partition through a typed Dataset.
   *
-  * Two decode tiers:
+  * Three decode tiers:
   *   - [[decodeImages]] is a REAL image decoder: javax.imageio (pure
   *     JVM, no external codec) parses actual PNG bytes and extracts
   *     decoded facts — width/height/channels/mean luminance.
   *     [[encodePng]] synthesizes deterministic real PNGs so the path
   *     is testable end-to-end in this container.
+  *   - [[decodeAudio]] is a REAL audio decoder: javax.sound.sampled
+  *     (also JDK-built-in) parses actual RIFF/WAVE PCM bytes —
+  *     sample rate, channels, bit depth, frame count, mean |sample|.
+  *     [[encodeWav]] synthesizes deterministic real WAVs.
   *   - [[decodeFeatures]] is the codec-less fallback for modalities
-  *     with no JVM decoder (audio/video): deterministic byte-level
+  *     with no JVM decoder (video): deterministic byte-level
   *     features, so pipelines stay oracle-checkable. Swap its body for
   *     a JNI/FFI codec without touching any plumbing.
   *
@@ -148,6 +152,104 @@ object Multimodal {
 
   def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageFeatures] =
     media.mapPartitions(decodeImagePartition _)(Encoders.product[ImageFeatures])
+
+  /** Facts only a real audio decode can produce: sample rate, channel
+    * count, bit depth, frame count, and the exact integer mean of
+    * |sample| over every 16-bit PCM sample (truncated division —
+    * deterministic). `ok` = false marks undecodable payloads, same
+    * contract as [[ImageFeatures]]. */
+  final case class AudioFeatures(doc_id: Long, lang: String, ok: Boolean,
+                                 sample_rate: Int, channels: Int, bits: Int,
+                                 n_frames: Long, mean_abs: Double)
+
+  /** Deterministic real WAV bytes: 16-bit little-endian PCM where
+    * frame f, channel c carries the integer waveform
+    * ((f*2731 + c*8191 + (seed%251)*977) % 65536) - 32768, containered
+    * by the JDK's own RIFF/WAVE writer (javax.sound.sampled — pure
+    * JVM, no external codec, no audio hardware). A correct WAV decoder
+    * recovers exactly these samples. */
+  def encodeWav(sampleRate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames > 0,
+      s"bad audio shape rate=$sampleRate ch=$channels frames=$nFrames")
+    val data = new Array[Byte](nFrames * channels * 2)
+    var f = 0
+    var k = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = (((f * 2731L + c * 8191L + (seed % 251L) * 977L) % 65536L) - 32768L).toShort
+        data(k) = (v & 0xff).toByte
+        data(k + 1) = ((v >> 8) & 0xff).toByte
+        k += 2
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, channels,
+      true, false) // signed, little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Ingest documents as REAL audio records: the payload is an actual
+    * WAV ([[encodeWav]] at 8 kHz; channels from doc_id parity, frame
+    * count from n_chars, waveform seeded by doc_id). Encoding runs
+    * inside the partition iterator — partition-parallel, never on the
+    * driver. The width/height metadata slots carry (channels, frames)
+    * at encode time; decode must recover them FROM THE BYTES. */
+  def ingestAudio(docs: DataFrame): Dataset[MediaRecord] =
+    docs.select(col("doc_id"), col("lang"),
+      (col("doc_id") % 2 + 1).cast("int").as("width"),
+      (col("n_chars") % 200 + 50).cast("int").as("height"))
+      .as(Encoders.product[(Long, String, Int, Int)])
+      .mapPartitions(_.map { case (id, lang, ch, fr) =>
+        MediaRecord(id, lang, encodeWav(8000, ch, fr, id), ch, fr)
+      })(Encoders.product[MediaRecord])
+
+  /** Partition-wise REAL audio decode via javax.sound.sampled: parse
+    * the RIFF/WAVE container, read format facts from the header, then
+    * every PCM sample from the stream. mean_abs is computed for 16-bit
+    * PCM (the WAV norm) honoring the container's declared endianness;
+    * other bit depths report their true format facts with mean_abs 0.
+    * Undecodable bytes yield `ok = false` rows — corrupt payloads are
+    * data, not job-killing throws (same contract as the image tier). */
+  def decodeAudioPartition(it: Iterator[MediaRecord]): Iterator[AudioFeatures] = {
+    it.map { r =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        try {
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          var sum = 0L
+          var n = 0L
+          if (fmt.getSampleSizeInBits == 16) {
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val s =
+                if (fmt.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+                else ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+              sum += math.abs(s.toLong)
+              n += 1
+              i += 2
+            }
+          }
+          AudioFeatures(r.doc_id, r.lang, ok = true, fmt.getSampleRate.toInt,
+            fmt.getChannels, fmt.getSampleSizeInBits, ais.getFrameLength,
+            (if (n == 0) 0L else sum / n).toDouble)
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) =>
+        AudioFeatures(r.doc_id, r.lang, ok = false, 0, 0, 0, 0L, 0.0)
+      }
+    }
+  }
+
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioFeatures] =
+    media.mapPartitions(decodeAudioPartition _)(Encoders.product[AudioFeatures])
 
   /** One sampled "frame" of a media payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
