@@ -180,14 +180,22 @@ object Dedup {
   /** The maxDf hot-item guard shared by [[jaccardAllPairs]] and
     * [[containmentAllPairs]]: drop items with document frequency above
     * the cap (groupBy(item) count + semi join) BEFORE any self-join.
-    * maxDf = 0 disables the cap. */
+    * maxDf = 0 disables the cap.
+    *
+    * With the cap on, the capped relation is MATERIALIZED once
+    * (localCheckpoint — the repo's intra-query reuse convention): it
+    * feeds the cardinality aggregate and both sides of the self-join,
+    * and lazily each consumer would re-run the df count + semi join
+    * (exchange reuse does not span the three differently-keyed
+    * consumers). Uncapped inputs are returned untouched — the caller
+    * owns that relation's caching. */
   private def capHotItems(items: DataFrame, itemCol: String, maxDf: Int): DataFrame = {
     require(maxDf >= 0, s"maxDf must be >= 0 (0 = uncapped), got $maxDf")
     if (maxDf == 0) items
     else items.join(
       items.groupBy(itemCol).agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxDf).select(itemCol),
-      Seq(itemCol), "left_semi")
+      Seq(itemCol), "left_semi").localCheckpoint()
   }
 
   /** The intersection kernel shared by [[jaccardAllPairs]] and
