@@ -69,8 +69,12 @@ object Bench {
     val total = results.map(_._2).sum
     // a failed query must be visible in the output, not a fast "success"
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // the file record escapes sfDir the same way the stdout total line
+    // does — an env-provided path with a quote/backslash must not make
+    // the one "full record" file unparseable
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load":$load,"warmup_sec":$warmupSec}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)},"load":$load,"warmup_sec":$warmupSec}"""
     // The consumer captures a byte-limited TAIL of stdout: a single
     // ~4 KB line gets its HEAD (metric/value and the first queries) cut
     // off and fails to parse. So: full record to a file, the long
@@ -91,7 +95,6 @@ object Bench {
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
         false
       }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val fullField = if (wrote) s""","full":${jstr(outPath)}""" else ""
     println(s"""{"queries":$qs}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"sf":${jstr(sfDir)},"load":$load,"warmup_sec":$warmupSec$fullField}""")

@@ -103,8 +103,13 @@ object AnnSearch {
       require(b.nonEmpty && b.forall(c => c.isDigit || ('a' <= c && c <= 'f')),
         s"sampleBound '$b' is not lowercase hex"))
     val key = md5(col(vecIdCol).cast("string"))
+    // Materialized once (the repo's intra-query reuse convention):
+    // lazily, the md5 filter + projection over the full input would
+    // re-run for the seeding pass, each of the k-1 farthest passes,
+    // and every Lloyd round — 2+iters(+k-1) full re-scans with the
+    // hash recomputed each time.
     val sample = sampleBound.fold(emb)(b => emb.filter(key < lit(b)))
-      .select(col(vecIdCol), col("embedding"))
+      .select(col(vecIdCol), col("embedding")).localCheckpoint()
     val seedOrd = Seq(key, col(vecIdCol))
     val asCent = transform(col("embedding"), x => x.cast("double")).as("cent")
     var cents =

@@ -109,9 +109,10 @@ d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
 toks AS (SELECT doc_id, len(list_filter(l, x -> x <> '')) q FROM d),
 s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
 sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
-card AS (SELECT doc_id, COUNT(*) nt FROM sh GROUP BY doc_id),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) nt FROM shk GROUP BY doc_id),
 inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id),
 edge AS (SELECT i, j FROM inter x
          JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j

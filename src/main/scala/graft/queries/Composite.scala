@@ -51,9 +51,7 @@ object Composite {
       val rep = docs.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
       val uniq = docs.join(rep.select("doc_id"), Seq("doc_id"), "left_semi")
       val mixed = Sampling.rateSample(uniq, "doc_id", "source",
-        Seq("src0" -> "ffffffff", "src1" -> "bfffffff", "src2" -> "7fffffff",
-          "src3" -> "3fffffff", "src4" -> "19999999"),
-        defaultBound = "7fffffff")
+        Corpus.demoMixingPlan, defaultBound = Corpus.demoMixingDefault)
       Sampling.deterministicSplit(
           mixed.withColumn("sid", concat(lit("s:"), col("doc_id"))),
           "sid", Seq("train" -> "c", "val" -> "e"), default = "test")

@@ -20,6 +20,17 @@ object Corpus {
 
   private def cnt = count(lit(1))
 
+  /** The demo mixing plan (per-source keep rates 100/75/50/25/10%,
+    * 50% default) shared by q92 and the q100 capstone — ONE definition
+    * so the capstone provably applies the same plan q92 reports on.
+    * The oracle SQL strings necessarily inline the equivalent CASE
+    * (each oracle must stay self-contained SQL); a rate change must
+    * update those two CASEs with this table. */
+  val demoMixingPlan: Seq[(String, String)] = Seq(
+    "src0" -> "ffffffff", "src1" -> "bfffffff", "src2" -> "7fffffff",
+    "src3" -> "3fffffff", "src4" -> "19999999")
+  val demoMixingDefault: String = "7fffffff"
+
   /** Lowercased whitespace tokens with empties dropped, as an ARRAY —
     * the in-row form every query here chunks/zips without exploding
     * first (explode-then-regroup would shuffle the fanned-out rows). */
@@ -69,7 +80,9 @@ object Corpus {
         .agg(cnt.as("n_docs"), sum(col("n")).as("toks"),
           sum(col("bucket") - col("n")).as("pad"))
         .select(col("bucket"), col("n_docs"), col("toks"), col("pad"),
-          expr("pad * 1000000 DIV (toks + pad)").as("pad_ppm"))
+          // widened like q68: pad * 1e6 overflows int64 past ~9.2e12
+          // total pad — reachable inside one bucket at corpus scale
+          expr("CAST(pad AS DECIMAL(38,0)) * 1000000 DIV (toks + pad)").as("pad_ppm"))
         .orderBy("bucket")
     }),
 
@@ -114,7 +127,9 @@ object Corpus {
         .agg(sum(col("c")).as("toks"), cnt.as("vocab"),
           sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
         .select(col("source"), col("toks"), col("vocab"),
-          expr("vocab * 1000000 DIV toks").as("ttr_ppm"), col("hapax"))
+          // widened like q68: vocab * 1e6 overflows int64 past ~9.2e12
+          // distinct tokens — the headroom the 100 TB claim needs
+          expr("CAST(vocab AS DECIMAL(38,0)) * 1000000 DIV toks").as("ttr_ppm"), col("hapax"))
         .orderBy("source")
     }),
 
@@ -161,10 +176,8 @@ object Corpus {
     "q92_apply_mixing" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), size(tokArray).as("toks"))
-      Sampling.rateSample(d, "doc_id", "source",
-          Seq("src0" -> "ffffffff", "src1" -> "bfffffff", "src2" -> "7fffffff",
-            "src3" -> "3fffffff", "src4" -> "19999999"),
-          defaultBound = "7fffffff")
+      Sampling.rateSample(d, "doc_id", "source", demoMixingPlan,
+          defaultBound = demoMixingDefault)
         .groupBy("source").agg(cnt.as("n_kept"), sum(col("toks")).as("toks_kept"))
         .orderBy("source")
     })
@@ -192,7 +205,7 @@ b AS (SELECT n,
   FROM d WHERE n > 0)
 SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS toks,
   CAST(SUM(bucket - n) AS BIGINT) AS pad,
-  CAST(SUM(bucket - n) * 1000000 // (SUM(n) + SUM(bucket - n)) AS BIGINT) AS pad_ppm
+  CAST(CAST(SUM(bucket - n) AS HUGEINT) * 1000000 // (SUM(n) + SUM(bucket - n)) AS BIGINT) AS pad_ppm
 FROM b GROUP BY bucket ORDER BY bucket""",
 
     "q88_bigram_lm" -> """
@@ -212,7 +225,7 @@ ORDER BY n_follow DESC, tok LIMIT 20""",
 WITH tk AS (SELECT source, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) tok FROM documents),
 tf AS (SELECT source, tok, COUNT(*) c FROM tk GROUP BY source, tok)
 SELECT source, CAST(SUM(c) AS BIGINT) AS toks, COUNT(*) AS vocab,
-  CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
+  CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
 FROM tf GROUP BY source ORDER BY source""",
 
@@ -220,9 +233,10 @@ FROM tf GROUP BY source ORDER BY source""",
 WITH d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
 s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
 sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
-card AS (SELECT doc_id, COUNT(*) nt FROM sh GROUP BY doc_id),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) nt FROM shk GROUP BY doc_id),
 inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id),
 edge AS (SELECT i, j FROM inter x
          JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j

@@ -123,7 +123,9 @@ object Quality {
         .join(broadcast(vocab.select(col("tok").as("tb"), col("c").as("cb"))), "tb")
         .crossJoin(broadcast(nd))
         .select(col("ta"), col("tb"), col("cab"),
-          expr("CAST(CAST(cab AS DECIMAL(38,0)) * n * 1000000 DIV (ca * cb) AS BIGINT)").as("lift_ppm"))
+          // the DIVISOR is widened too: ca*cb in raw int64 overflows
+          // exactly for the top-df terms this query pairs
+          expr("CAST(CAST(cab AS DECIMAL(38,0)) * n * 1000000 DIV (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)").as("lift_ppm"))
         .orderBy(desc("lift_ppm"), col("ta"), col("tb")).limit(20)
     })
   )
@@ -135,9 +137,10 @@ WITH RECURSIVE
 d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
 s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
 sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
-card AS (SELECT doc_id, COUNT(*) nt FROM sh GROUP BY doc_id),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) nt FROM shk GROUP BY doc_id),
 inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id),
 edge AS (SELECT i, j FROM inter x
          JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
@@ -176,7 +179,7 @@ pair AS (SELECT a.tok ta, b.tok tb, COUNT(*) cab
          GROUP BY a.tok, b.tok),
 nd AS (SELECT COUNT(*) n FROM documents)
 SELECT p.ta, p.tb, p.cab,
-  CAST(CAST(p.cab AS HUGEINT) * nd.n * 1000000 // (va.c * vb.c) AS BIGINT) AS lift_ppm
+  CAST(CAST(p.cab AS HUGEINT) * nd.n * 1000000 // (CAST(va.c AS HUGEINT) * vb.c) AS BIGINT) AS lift_ppm
 FROM pair p, nd
 JOIN vocab va ON va.tok = p.ta JOIN vocab vb ON vb.tok = p.tb
 WHERE p.cab >= 5

@@ -196,9 +196,10 @@ FROM post""",
 WITH d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
 s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
 sh AS (SELECT DISTINCT doc_id, l[i]||' '||l[i+1]||' '||l[i+2] sh FROM s),
-card AS (SELECT doc_id, COUNT(*) AS nt FROM sh GROUP BY doc_id),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) AS nt FROM shk GROUP BY doc_id),
 inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id <> b.doc_id
           GROUP BY a.doc_id, b.doc_id)
 SELECT COUNT(*) AS n_pairs,
   CAST(SUM(CASE WHEN ci * 10 >= nt * 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,

@@ -62,6 +62,28 @@ class CheckPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("biting maxDf cap matches the oracle's capped semantics exactly") {
+    // The q42-family oracles model the cap as a df CTE + semi join;
+    // this pins that Spark's capHotItems computes the SAME capped
+    // Jaccard when the cap actually bites (maxDf=2 on sf0.001 —
+    // expected values precomputed with the oracle's capped SQL in
+    // DuckDB 1.0.0: 20 pairs at jc >= 0.2, including the two spot
+    // pairs below). The graded cap (1000) is a no-op on the fixtures;
+    // without this case, cap parity would be untested until a fixture
+    // regeneration made it bite in production.
+    import org.apache.spark.sql.functions._
+    val sh = graft.operators.Dedup.shingles(
+      graft.sources.Tables.load(spark, TestSpark.sf0001, "documents"))
+    val pairs = graft.operators.Dedup.jaccardAllPairs(sh, maxDf = 2)
+      .filter(col("jc") >= 0.2)
+      .collect().map(r => (r.getLong(r.fieldIndex("i")), r.getLong(r.fieldIndex("j")),
+        r.getDouble(r.fieldIndex("jc"))))
+    assert(pairs.length == 20, s"expected 20 capped pairs, got ${pairs.length}")
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(math.abs(m((5L, 450L)) - 0.941176471) < 1e-6)
+    assert(m((45L, 487L)) == 1.0)
+  }
+
   test("simhash of a doc equals simhash of the same doc with tokens duplicated x2") {
     // SimHash votes scale linearly with term frequency; doubling every
     // count never flips a bit's sign.
