@@ -84,6 +84,32 @@ class CheckPropsSpec extends AnyFunSuite {
     assert(m((45L, 487L)) == 1.0)
   }
 
+  test("WAV roundtrip recovers rate/channels/frames for any small shape") {
+    // pure-JVM property (no Spark plan): encodeWav -> decodeAudioPartition
+    // must recover the container facts from the bytes for ANY shape,
+    // and the 1-frame/1-channel case has a closed-form mean_abs
+    import graft.operators.Multimodal
+    val genShape = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      ch <- Gen.choose(1, 4)
+      frames <- Gen.choose(1, 300)
+      seed <- Gen.choose(0L, 100000L)
+    } yield (rate, ch, frames, seed)
+    check("wav-roundtrip")(Prop.forAll(genShape) { case (rate, ch, frames, seed) =>
+      val rec = Multimodal.MediaRecord(seed, "en",
+        Multimodal.encodeWav(rate, ch, frames, seed), ch, frames)
+      val f = Multimodal.decodeAudioPartition(Iterator(rec)).next()
+      f.ok && f.sample_rate == rate && f.channels == ch &&
+        f.bits == 16 && f.n_frames == frames.toLong
+    })
+    // closed form: frame 0, channel 0 carries ((seed%251)*977 % 65536) - 32768
+    val seed = 42L
+    val one = Multimodal.decodeAudioPartition(Iterator(Multimodal.MediaRecord(
+      seed, "en", Multimodal.encodeWav(8000, 1, 1, seed), 1, 1))).next()
+    val expected = math.abs((seed % 251L) * 977L % 65536L - 32768L)
+    assert(one.mean_abs == expected.toDouble)
+  }
+
   test("simhash of a doc equals simhash of the same doc with tokens duplicated x2") {
     // SimHash votes scale linearly with term frequency; doubling every
     // count never flips a bit's sign.
