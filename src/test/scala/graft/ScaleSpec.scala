@@ -174,4 +174,39 @@ class ScaleSpec extends AnyFunSuite {
     val kept = a.count()
     assert(math.abs(kept - 500000L) < 10000L, s"kept $kept of 1M at a 50% bound")
   }
+
+  test("1M-doc curation capstone: dedup -> mix -> split, one join, exact counts") {
+    // the q100 pipeline shape at 200x the graded corpus: 1M docs in
+    // 250k exact-dup groups of 4 (text = id % 250k). Dedup keeps each
+    // group's min id, which lies in [0, 250k) -> exactly 50k survivors
+    // per source (id % 5). src0's ffffffff bound then keeps ALL of
+    // them (closed form); the other rates land within binomial noise
+    // of their nominal keep fractions; the split lands within 1% of
+    // 75/12.5/12.5. The whole pipeline must stay ONE join (the dedup
+    // semi) — the property that makes it a shuffle-bounded plan at
+    // any corpus size.
+    val docs = spark.range(1_000_000L).select(
+      col("id").as("doc_id"),
+      concat(lit("t"), col("id") % 250000).as("text"),
+      concat(lit("src"), col("id") % 5).as("source"))
+    val rep = docs.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+    val uniq = docs.join(rep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val mixed = graft.operators.Sampling.rateSample(uniq, "doc_id", "source",
+      graft.queries.Corpus.demoMixingPlan, graft.queries.Corpus.demoMixingDefault)
+    val split = graft.operators.Sampling.deterministicSplit(
+      mixed.withColumn("sid", concat(lit("s:"), col("doc_id"))),
+      "sid", Seq("train" -> "c", "val" -> "e"), default = "test")
+    val rows = split.groupBy("split", "source").agg(count(lit(1)).as("n")).collect()
+    val bySrc = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySrc("src0") == 50000L, s"src0 must keep every survivor, got ${bySrc("src0")}")
+    assert(math.abs(bySrc("src1") - 37500.0) < 1500, s"src1 75%: ${bySrc("src1")}")
+    assert(math.abs(bySrc("src2") - 25000.0) < 1500, s"src2 50%: ${bySrc("src2")}")
+    assert(math.abs(bySrc("src3") - 12500.0) < 1200, s"src3 25%: ${bySrc("src3")}")
+    assert(math.abs(bySrc("src4") - 5000.0) < 900, s"src4 10%: ${bySrc("src4")}")
+    val total = rows.map(_.getLong(2)).sum
+    val train = rows.filter(_.getString(0) == "train").map(_.getLong(2)).sum
+    assert(math.abs(train.toDouble / total - 0.75) < 0.01)
+    val plan = split.queryExecution.executedPlan.toString
+    assert("Join".r.findAllIn(plan).size == 1, plan.take(400))
+  }
 }
