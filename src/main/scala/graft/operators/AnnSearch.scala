@@ -100,7 +100,7 @@ object AnnSearch {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(init == "md5" || init == "farthest", s"unknown init '$init'")
     sampleBound.foreach(b =>
-      require(b.nonEmpty && b.forall(c => c.isDigit || ('a' <= c && c <= 'f')),
+      require(b.nonEmpty && b.forall(c => ('0' <= c && c <= '9') || ('a' <= c && c <= 'f')),
         s"sampleBound '$b' is not lowercase hex"))
     val key = md5(col(vecIdCol).cast("string"))
     // Materialized once (the repo's intra-query reuse convention):

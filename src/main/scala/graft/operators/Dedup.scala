@@ -63,8 +63,12 @@ object Dedup {
     * unambiguous `"<i>:"` prefix as the independent hash function.
     */
   def minhashSignature(items: DataFrame, k: Int, itemCol: String = "sh"): DataFrame = {
+    // loud, at the root cause: k=0 would otherwise die far away with
+    // an opaque comps.head NoSuchElementException (and the array form
+    // would silently return a signature-less frame)
+    require(k >= 1, s"minhash signature needs k >= 1 components, got $k")
     val comps =
-      if (k > 0 && 32 % k == 0) {
+      if (32 % k == 0) {
         val w = 32 / k
         val digest = md5(col(itemCol))
         (0 until k).map(i =>
@@ -90,20 +94,21 @@ object Dedup {
     * Skew `_salt`, TimeSeries gapFill). */
   def minhashSignatureFromArrays(arrs: DataFrame, k: Int,
                                  itemsCol: String = "shs"): DataFrame = {
+    require(k >= 1, s"minhash signature needs k >= 1 components, got $k")
     require(!arrs.columns.contains("_dg"),
       "reserved working column _dg — rename it on the input")
     // rows with empty item arrays are dropped, exactly as the exploded
     // form has no rows (hence no group) for them
     val nonEmpty = arrs.filter(size(col(itemsCol)) > 0)
     val withDigests =
-      if (k > 0 && 32 % k == 0)
+      if (32 % k == 0)
         // one md5 per item, materialized as a working column so the k
         // window-minima share it (CollapseProject keeps non-trivial
         // expressions referenced more than once in their own Project)
         nonEmpty.withColumn("_dg", transform(col(itemsCol), s => md5(s)))
       else nonEmpty.withColumn("_dg", col(itemsCol))
     val comps =
-      if (k > 0 && 32 % k == 0) {
+      if (32 % k == 0) {
         val w = 32 / k
         (0 until k).map(i =>
           array_min(transform(col("_dg"), d => substring(d, i * w + 1, w))).as(s"h${i + 1}"))

@@ -40,7 +40,7 @@ object Sampling {
     // module whose whole point is auditable membership, misassignment
     // must be loud.
     splits.foreach { case (name, bound) =>
-      require(bound.nonEmpty && bound.forall(c => c.isDigit || ('a' <= c && c <= 'f')),
+      require(bound.nonEmpty && bound.forall(c => ('0' <= c && c <= '9') || ('a' <= c && c <= 'f')),
         s"split '$name' bound '$bound' is not lowercase hex")
     }
     val bounds = splits.map(_._2)
@@ -68,7 +68,7 @@ object Sampling {
   def rateSample(df: DataFrame, idCol: String, strataCol: String,
                  rates: Seq[(String, String)], defaultBound: String): DataFrame = {
     (rates.map(_._2) :+ defaultBound).foreach { b =>
-      require(b.length == 8 && b.forall(c => c.isDigit || ('a' <= c && c <= 'f')),
+      require(b.length == 8 && b.forall(c => ('0' <= c && c <= '9') || ('a' <= c && c <= 'f')),
         s"rate bound '$b' is not 8-digit lowercase hex")
     }
     require(rates.map(_._1).distinct.size == rates.size,

@@ -26,10 +26,16 @@ object TimeSeries {
     * most recent POSITIVE value at or before each bucket (0 until the
     * first positive observation) — see the object note on why carry
     * skips zeros. `series` must be pre-aggregated: one row per
-    * (key, bucket). Reserved working columns: `_h0`, `_h1`, `carried`.
+    * (key, bucket), with every ts on the key's min(ts)+k*step grid —
+    * a MISALIGNED observation matches no grid row and its value is
+    * dropped from the dense output. `strict = true` spends one extra
+    * job to count misaligned rows and fail loudly instead (off by
+    * default: the check is an eager action, and aligned-by-
+    * construction inputs — date_trunc'd aggregates — don't need it).
+    * Reserved working columns: `_h0`, `_h1`, `carried`.
     */
   def gapFill(series: DataFrame, key: String, ts: String, value: String,
-              step: String = "interval 1 hour"): DataFrame = {
+              step: String = "interval 1 hour", strict: Boolean = false): DataFrame = {
     val reserved = Seq("_h0", "_h1", "carried").filter(series.columns.contains)
     require(reserved.isEmpty,
       s"gapFill reserves working columns ${reserved.mkString(", ")} — rename them on the input")
@@ -37,6 +43,13 @@ object TimeSeries {
       .agg(min(col(ts)).as("_h0"), max(col(ts)).as("_h1"))
     val grid = bounds.select(col(key),
       explode(expr(s"sequence(_h0, _h1, $step)")).as(ts))
+    if (strict) {
+      val lost = series.join(grid, Seq(key, ts), "left_anti").count()
+      require(lost == 0L,
+        s"gapFill: $lost observation(s) are not on the min(ts)+k*($step) grid " +
+          "of their key and would be silently dropped — align the input " +
+          "(e.g. date_trunc to the step) or fix the step")
+    }
     val filled = grid.join(series, Seq(key, ts), "left")
       .select(col(key), col(ts), coalesce(col(value), lit(0)).as(value))
     filled.withColumn("carried",

@@ -66,16 +66,17 @@ object Corpus {
     // Padding-waste accounting: docs bucketed to the next power-of-two
     // sequence length (the batch shapes a trainer pads to), waste =
     // bucket − len summed per bucket, in exact integer ppm. The bucket
-    // ladder is a CASE chain — integer-exact and portable where
-    // ceil(log2) would ride fp. Pure scan + one groupBy.
+    // is OPEN-ENDED and integer-exact on both engines — bit-length via
+    // length(bin(n-1)) where ceil(log2) would ride fp, with a floor of
+    // 16; a capped CASE ladder would assign docs past the cap a bucket
+    // SMALLER than their length, making pad negative (and Spark's
+    // truncating DIV vs DuckDB's flooring // then diverge on the
+    // negative ppm). Pure scan + one groupBy.
     "q87_packing_waste" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(size(tokArray).as("n")).filter(col("n") > 0)
         .withColumn("bucket",
-          when(col("n") <= 16, 16).when(col("n") <= 32, 32)
-            .when(col("n") <= 64, 64).when(col("n") <= 128, 128)
-            .when(col("n") <= 256, 256).when(col("n") <= 512, 512)
-            .otherwise(1024))
+          expr("greatest(16L, shiftleft(1L, length(bin(CAST(n - 1 AS BIGINT)))))"))
         .groupBy("bucket")
         .agg(cnt.as("n_docs"), sum(col("n")).as("toks"),
           sum(col("bucket") - col("n")).as("pad"))
@@ -110,7 +111,9 @@ object Corpus {
         .select(col("tok"), col("m.nx").as("top_next"), negate(col("m.nc")).as("top_c"))
       tot.join(top, "tok")
         .select(col("tok"), col("n_follow"), col("top_next"), col("top_c"),
-          expr("top_c * 1000000 DIV n_follow").as("p_ppm"))
+          // widened like q68/q87/q89/q95: top_c * 1e6 overflows int64
+          // past ~9.2e12 occurrences of one bigram
+          expr("CAST(top_c AS DECIMAL(38,0)) * 1000000 DIV n_follow").as("p_ppm"))
         .orderBy(desc("n_follow"), col("tok")).limit(20)
     }),
 
@@ -199,9 +202,7 @@ FROM h GROUP BY source ORDER BY source""",
 
     "q87_packing_waste" -> """
 WITH d AS (SELECT len(list_filter(string_split(lower(text),' '), x -> x <> '')) n FROM documents),
-b AS (SELECT n,
-  CASE WHEN n<=16 THEN 16 WHEN n<=32 THEN 32 WHEN n<=64 THEN 64 WHEN n<=128 THEN 128
-       WHEN n<=256 THEN 256 WHEN n<=512 THEN 512 ELSE 1024 END bucket
+b AS (SELECT n, CAST(GREATEST(16, 1 << length(bin(n - 1))) AS BIGINT) bucket
   FROM d WHERE n > 0)
 SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS toks,
   CAST(SUM(bucket - n) AS BIGINT) AS pad,
@@ -217,7 +218,7 @@ tot AS (SELECT tok, CAST(SUM(c) AS BIGINT) t FROM cnt GROUP BY tok),
 top AS (SELECT tok, nxt, c, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY c DESC, nxt) rn FROM cnt)
 SELECT tot.tok AS tok, tot.t AS n_follow, top.nxt AS top_next,
   CAST(top.c AS BIGINT) AS top_c,
-  CAST(top.c * 1000000 // tot.t AS BIGINT) AS p_ppm
+  CAST(CAST(top.c AS HUGEINT) * 1000000 // tot.t AS BIGINT) AS p_ppm
 FROM tot JOIN top ON top.tok = tot.tok AND top.rn = 1
 ORDER BY n_follow DESC, tok LIMIT 20""",
 

@@ -53,7 +53,9 @@ final class QueryServer(engine: Graft, port: Int,
     case b: Boolean => b.toString
     case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
     case d: Double => if (d.isNaN || d.isInfinite) jsonStr(d.toString) else d.toString
-    case f: Float => jsonValue(f.toDouble)
+    // render the FLOAT's shortest form: widening 0.1f to double first
+    // would emit 0.10000000149011612
+    case f: Float => if (f.isNaN || f.isInfinite) jsonStr(f.toString) else f.toString
     case d: java.math.BigDecimal => d.toPlainString
     case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
     case r: Row => r.toSeq.map(jsonValue).mkString("[", ",", "]")

@@ -33,6 +33,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("hex-bound validation rejects non-ASCII Unicode digits") {
+    // '٣' (U+0663) passes Char.isDigit but compares ABOVE every md5
+    // hex char, so it would silently route 100% of rows into its
+    // split — the loud-misassignment contract requires rejection
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSplit(docs, "doc_id", Seq("train" -> "٣"), "test")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rateSample(docs, "doc_id", "lang", Seq("en" -> "٣٣٣٣٣٣٣٣"), "7fffffff")
+    }
+  }
+
+  test("minhash signature builders reject k = 0 loudly") {
+    import org.apache.spark.sql.functions._
+    val items = docs.select(col("doc_id"), lit("tok").as("sh"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.minhashSignature(items, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.minhashSignatureFromArrays(
+        docs.select(col("doc_id"), array(lit("a")).as("shs")), 0)
+    }
+  }
+
   test("stratifiedTake returns at most k per stratum, ranked 1..k") {
     val t = Sampling.stratifiedTake(docs, "lang", 3, "doc_id")
     val perLang = t.groupBy("lang").agg(count(lit(1)).as("n"), max("rn").as("m")).collect()

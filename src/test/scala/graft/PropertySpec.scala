@@ -233,7 +233,7 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (bucket, n, toks, pad, ppm) =
-        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       assert(toks + pad == n * bucket, s"bucket $bucket padding identity")
       assert(ppm == pad * 1000000L / (toks + pad) && ppm < 1000000L)
     }
@@ -344,6 +344,22 @@ class PropertySpec extends AnyFunSuite {
       val (n, attr, lat) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(attr <= n)
       assert(lat <= attr * 1440, "every attributed latency < 24h = 1440 min")
+    }
+  }
+
+  test("q87's bucket expression is the open-ended next power of two, floored at 16") {
+    // a capped ladder assigns docs past the cap a bucket SMALLER than
+    // their length (negative pad); the bit-length form must equal the
+    // closed-form next-power-of-two for every n, unboundedly
+    val rows = spark.range(1, 5001)
+      .selectExpr("CAST(id AS INT) AS n",
+        "greatest(16L, shiftleft(1L, length(bin(CAST(id - 1 AS BIGINT))))) AS bucket")
+      .collect()
+    rows.foreach { r =>
+      val n = r.getInt(0)
+      var p = 1L
+      while (p < n) p <<= 1
+      assert(r.getLong(1) == math.max(16L, p), s"n=$n")
     }
   }
 

@@ -29,6 +29,28 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("u2", ts("2024-01-01 10:00:00"), 7L, 7L)))
   }
 
+  test("gapFill strict mode fails loudly on off-grid observations") {
+    import spark.implicits._
+    val misaligned = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), 5L),
+      ("u1", ts("2024-01-01 00:30:00"), 2L) // not on the 1-hour grid
+    ).toDF("k", "h", "n")
+    // default (lenient): the 00:30 value silently vanishes — the
+    // documented hazard strict mode exists to catch
+    val lenient = TimeSeries.gapFill(misaligned, "k", "h", "n").collect()
+    assert(lenient.length == 1 && lenient.head.getLong(2) == 5L)
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.gapFill(misaligned, "k", "h", "n", strict = true)
+    }
+    assert(e.getMessage.contains("silently dropped"))
+    // aligned input passes strict untouched
+    val aligned = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), 5L),
+      ("u1", ts("2024-01-01 02:00:00"), 2L)
+    ).toDF("k", "h", "n")
+    assert(TimeSeries.gapFill(aligned, "k", "h", "n", strict = true).count() == 3)
+  }
+
   test("gapFill rejects inputs carrying reserved column names") {
     import spark.implicits._
     val bad = Seq(("u1", ts("2024-01-01 00:00:00"), 1L, 9L)).toDF("k", "h", "n", "carried")
