@@ -133,7 +133,10 @@ object Retrieval {
         sampleBound = None)
       cents
         .select(col("clabel"), explode(sequence(lit(1), lit(64))).as("pos"), col("cent"))
-        .select(col("clabel"), col("pos"), element_at(col("cent"), col("pos")).as("c"))
+        // bigint like the oracle's generate_series/labels — no dtype
+        // skew for consumers that do compare schemas strictly
+        .select(col("clabel").cast("long").as("clabel"), col("pos").cast("long").as("pos"),
+          element_at(col("cent"), col("pos")).as("c"))
         .orderBy("clabel", "pos")
     }),
 
