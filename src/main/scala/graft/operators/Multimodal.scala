@@ -7,20 +7,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque binary columns with
   * typed metadata, processed per-partition through a typed Dataset.
   *
-  * Three decode tiers:
-  *   - [[decodeImages]] is a REAL image decoder: javax.imageio (pure
-  *     JVM, no external codec) parses actual PNG bytes and extracts
-  *     decoded facts — width/height/channels/mean luminance.
-  *     [[encodePng]] synthesizes deterministic real PNGs so the path
-  *     is testable end-to-end in this container.
-  *   - [[decodeAudio]] is a REAL audio decoder: javax.sound.sampled
-  *     (also JDK-built-in) parses actual RIFF/WAVE PCM bytes —
-  *     sample rate, channels, bit depth, frame count, mean |sample|.
-  *     [[encodeWav]] synthesizes deterministic real WAVs.
-  *   - [[decodeFeatures]] is the codec-less fallback for modalities
-  *     with no JVM decoder (video): deterministic byte-level
-  *     features, so pipelines stay oracle-checkable. Swap its body for
-  *     a JNI/FFI codec without touching any plumbing.
+  * All three modalities decode REAL bytes with pure-JDK codecs:
+  *   - [[decodeImages]]: javax.imageio parses actual PNG bytes —
+  *     width/height/channels/mean luminance. [[encodePng]] synthesizes
+  *     deterministic real PNGs so the path is testable end-to-end.
+  *   - [[decodeAudio]]: javax.sound.sampled parses actual RIFF/WAVE
+  *     PCM bytes — sample rate, channels, bit depth, frame count,
+  *     mean |sample|. [[encodeWav]] synthesizes deterministic WAVs.
+  *   - [[decodeVideos]] / [[extractFrames]]: ImageIO's GIF reader
+  *     parses actual multi-frame animated GIFs — frame count, frame
+  *     dims, frame-0 mean, and real decoded frames re-encoded as PNG.
+  *     [[encodeGif]] synthesizes deterministic multi-frame GIFs.
+  *   - [[decodeFeatures]] remains the codec-less byte-level fallback
+  *     for containers outside the JDK's codecs (MP4/H.264 etc.) —
+  *     swap its body for a JNI/FFI codec without touching plumbing.
   *
   * At scale: records flow partition-parallel, the decoder is
   * initialized once per partition (amortizing model/codec setup, the
@@ -250,6 +250,143 @@ object Multimodal {
 
   def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioFeatures] =
     media.mapPartitions(decodeAudioPartition _)(Encoders.product[AudioFeatures])
+
+  /** Facts only a real video decode can produce: the frame count, the
+    * pixel dimensions, and frame 0's exact integer mean sample value.
+    * Same `ok = false` contract as the image/audio tiers. */
+  final case class VideoFeatures(doc_id: Long, lang: String, ok: Boolean,
+                                 n_frames: Int, width: Int, height: Int,
+                                 mean_luma_f0: Double)
+
+  /** Deterministic real VIDEO bytes: a multi-frame animated GIF (the
+    * simplest motion container the JDK can both write and read) where
+    * frame f's pixel (x, y) is an integer function of (x, y, f, seed),
+    * written frame-by-frame through ImageIO's GIF sequence writer. A
+    * correct GIF decoder recovers exactly nFrames frames at these
+    * dimensions. */
+  def encodeGif(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0,
+      s"bad video shape ${width}x$height x$nFrames")
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = (x * 31 + y * 17 + f * 53 + seed % 251).toInt & 0xff
+            img.setRGB(x, y, (v << 16) | (v << 8) | v) // grayscale: GIF palette-safe
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Ingest documents as REAL video records: the payload is an actual
+    * multi-frame GIF (frame count from n_chars, square frames sized
+    * from n_chars, waveform seeded by doc_id), encoded inside the
+    * partition iterator — partition-parallel, never on the driver. */
+  def ingestVideos(docs: DataFrame): Dataset[MediaRecord] =
+    docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") % 24 + 4).cast("int").as("width"),
+      (col("n_chars") % 7 + 2).cast("int").as("height")) // height slot carries nFrames
+      .as(Encoders.product[(Long, String, Int, Int)])
+      .mapPartitions(_.map { case (id, lang, side, nf) =>
+        MediaRecord(id, lang, encodeGif(side, side, nf, id), side, nf)
+      })(Encoders.product[MediaRecord])
+
+  /** Partition-wise REAL video decode: one GIF ImageReader per
+    * partition (per-partition decoder init, the mapInPandas batching
+    * argument), each payload parsed for its frame count and frame 0
+    * decoded for dimensions and exact integer mean sample value.
+    * Undecodable bytes yield `ok = false` rows, never throws. */
+  def decodeVideoPartition(it: Iterator[MediaRecord]): Iterator[VideoFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    it.map { r =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          val f0 = reader.read(0)
+          val raster = f0.getRaster
+          val (w, h, bands) = (f0.getWidth, f0.getHeight, raster.getNumBands)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          VideoFeatures(r.doc_id, r.lang, ok = true, n, w, h,
+            (sum / (w.toLong * h * bands)).toDouble)
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) =>
+        VideoFeatures(r.doc_id, r.lang, ok = false, 0, 0, 0, 0.0)
+      }
+    }
+  }
+
+  def decodeVideos(media: Dataset[MediaRecord]): Dataset[VideoFeatures] =
+    media.mapPartitions(decodeVideoPartition _)(Encoders.product[VideoFeatures])
+
+  /** One REAL decoded frame of a video payload, re-encoded as PNG
+    * bytes (lossless, so downstream image operators can decode it with
+    * [[decodeImagePartition]]). */
+  final case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int,
+                                height: Int, png: Array[Byte])
+
+  /** REAL video frame sampling: decode every `everyN`-th frame of each
+    * GIF payload and emit it as PNG bytes — the decode-then-sample
+    * shape of a video feature pipeline (cf. [[sampleFrames]], the
+    * byte-chunk form for payloads with no JVM codec). Flat-maps
+    * partition-parallel; frames of undecodable payloads are simply
+    * absent (the features tier is where corruption is surfaced). */
+  def extractFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[DecodedFrame] = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            (0 until n by everyN).map { i =>
+              val img = reader.read(i)
+              val png = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", png)
+              DecodedFrame(r.doc_id, i, img.getWidth, img.getHeight, png.toByteArray)
+            }
+          } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      }
+    }(Encoders.product[DecodedFrame])
+  }
 
   /** One sampled "frame" of a media payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

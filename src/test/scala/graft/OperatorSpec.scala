@@ -192,6 +192,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(feats.toSeq == again.toSeq)
   }
 
+  test("Multimodal real video decode: GIF frame count and dims from the bytes") {
+    // real multi-frame GIF bytes in, real decoded facts out: the frame
+    // COUNT must come from parsing the container (n_chars % 7 + 2
+    // frames at encode time), dims from the decoded pixels
+    val docs = Seq(
+      (1L, "en", "x", 13L),   // side = 13%24+4 = 17, frames = 13%7+2 = 8
+      (2L, "de", "y", 100L),  // side = 100%24+4 = 8, frames = 100%7+2 = 4
+      (3L, "fr", "z", 27L))   // side = 7,             frames = 8
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val feats = Multimodal.decodeVideos(Multimodal.ingestVideos(docs))
+      .collect().sortBy(_.doc_id)
+    assert(feats.forall(_.ok))
+    assert(feats.map(f => (f.n_frames, f.width, f.height)).toSeq ==
+      Seq((8, 17, 17), (4, 8, 8), (8, 7, 7)))
+    assert(feats.forall(f => f.mean_luma_f0 > 0 && f.mean_luma_f0 < 255))
+    val again = Multimodal.decodeVideos(Multimodal.ingestVideos(docs))
+      .collect().sortBy(_.doc_id)
+    assert(feats.toSeq == again.toSeq)
+  }
+
+  test("Multimodal extractFrames decodes every Nth frame as valid PNG") {
+    val docs = Seq((7L, "en", "x", 27L)).toDF("doc_id", "lang", "text", "n_chars") // 8 frames
+    val media = Multimodal.ingestVideos(docs)
+    val frames = Multimodal.extractFrames(media, everyN = 3).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6))
+    assert(frames.forall(f => f.width == 7 && f.height == 7))
+    // the emitted PNGs are themselves decodable by the image tier
+    import org.apache.spark.sql.{Dataset, Encoders}
+    val asImages: Dataset[Multimodal.MediaRecord] = spark.createDataset(
+      frames.toSeq.map(f => Multimodal.MediaRecord(f.doc_id, "en", f.png, f.width, f.height)))(
+      Encoders.product[Multimodal.MediaRecord])
+    val decoded = Multimodal.decodeImages(asImages).collect()
+    assert(decoded.forall(d => d.ok && d.width == 7 && d.height == 7))
+    // distinct frames: the pattern varies by frame index (a constant
+    // shift mod 256 can leave the integer MEAN unchanged, so compare
+    // content hashes, not means)
+    val hashes = Multimodal.decodeFeatures(asImages).collect().map(_.content_hash).distinct
+    assert(hashes.length == 3, "sampled frames must have distinct pixel content")
+  }
+
+  test("Multimodal real video decode: corrupt bytes are ok=false rows") {
+    import org.apache.spark.sql.{Dataset, Encoders}
+    val bad: Dataset[Multimodal.MediaRecord] = spark.createDataset(Seq(
+      Multimodal.MediaRecord(9L, "en", Array[Byte](71, 73, 70, 56), 1, 1)))(
+      Encoders.product[Multimodal.MediaRecord]) // truncated "GIF8" header
+    val f = Multimodal.decodeVideos(bad).collect().head
+    assert(!f.ok && f.n_frames == 0 && f.width == 0)
+    assert(Multimodal.extractFrames(bad, 1).collect().isEmpty)
+  }
+
   test("Multimodal real audio decode: corrupt bytes are ok=false rows") {
     import org.apache.spark.sql.{Dataset, Encoders}
     val bad: Dataset[Multimodal.MediaRecord] = spark.createDataset(Seq(
