@@ -109,6 +109,43 @@ object Multimodal {
         MediaRecord(id, lang, encodePng(w, h, id), w, h)
       })(Encoders.product[MediaRecord])
 
+  /** Exact integer mean over every raster sample (truncated division —
+    * deterministic). The caller is responsible for handing this a
+    * raster whose samples are COLOR VALUES: palette-indexed rasters
+    * (GIF frames, palette PNGs) must go through [[toRgb]] first or the
+    * "mean" is a mean of palette indices — an implementation-dependent
+    * artifact of the writer's quantizer ordering. */
+  private def rasterMean(raster: java.awt.image.Raster): Double = {
+    val (w, h, bands) = (raster.getWidth, raster.getHeight, raster.getNumBands)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    (sum / (w.toLong * h * bands)).toDouble
+  }
+
+  /** Render any image into truecolor TYPE_INT_RGB via its own color
+    * model — the step that turns palette INDICES back into the colors
+    * they name. Order-independent (colors, not palette order), so the
+    * result is deterministic even though quantizer palette ordering is
+    * a JDK implementation detail. */
+  private def toRgb(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+    if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
+    else {
+      val out = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, null) finally g.dispose()
+      out
+    }
+
   /** Partition-wise REAL image decode via javax.imageio: per-partition
     * decoder init (ImageIO's disk cache off — pure in-memory decode),
     * then each payload is parsed as an image. Decoded width/height come
@@ -129,21 +166,11 @@ object Multimodal {
         catch { case scala.util.control.NonFatal(_) => None }
       img match {
         case Some(im) =>
-          val raster = im.getRaster
-          val (w, h, bands) = (im.getWidth, im.getHeight, raster.getNumBands)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              var b = 0
-              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
-              x += 1
-            }
-            y += 1
-          }
-          ImageFeatures(r.doc_id, r.lang, ok = true, w, h, bands,
-            (sum / (w.toLong * h * bands)).toDouble)
+          val bands = im.getRaster.getNumBands
+          // palette-indexed inputs (palette PNG/GIF) carry indices in
+          // the raster; mean over toRgb's color samples either way
+          ImageFeatures(r.doc_id, r.lang, ok = true, im.getWidth, im.getHeight,
+            bands, rasterMean(toRgb(im).getRaster))
         case None =>
           ImageFeatures(r.doc_id, r.lang, ok = false, 0, 0, 0, 0.0)
       }
@@ -300,7 +327,7 @@ object Multimodal {
 
   /** Ingest documents as REAL video records: the payload is an actual
     * multi-frame GIF (frame count from n_chars, square frames sized
-    * from n_chars, waveform seeded by doc_id), encoded inside the
+    * from n_chars, pixel pattern seeded by doc_id), encoded inside the
     * partition iterator — partition-parallel, never on the driver. */
   def ingestVideos(docs: DataFrame): Dataset[MediaRecord] =
     docs.select(col("doc_id"), col("lang"),
@@ -311,38 +338,38 @@ object Multimodal {
         MediaRecord(id, lang, encodeGif(side, side, nf, id), side, nf)
       })(Encoders.product[MediaRecord])
 
+  /** Open a payload with the shared per-partition GIF reader and run
+    * `f` over (reader, frameCount); the input stream always closes.
+    * The reader/iis open-close dance lives HERE so the two video
+    * consumers cannot drift. */
+  private def withGifFrames[T](reader: javax.imageio.ImageReader,
+                               content: Array[Byte])(f: (javax.imageio.ImageReader, Int) => T): T = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      reader.setInput(iis, false, true)
+      f(reader, reader.getNumImages(true))
+    } finally iis.close()
+  }
+
   /** Partition-wise REAL video decode: one GIF ImageReader per
     * partition (per-partition decoder init, the mapInPandas batching
     * argument), each payload parsed for its frame count and frame 0
-    * decoded for dimensions and exact integer mean sample value.
+    * decoded for dimensions and exact integer mean COLOR value — GIF
+    * frames come back palette-indexed, so the frame goes through
+    * [[toRgb]] before the mean (a raw raster mean would average
+    * quantizer palette INDICES, a JDK implementation detail).
     * Undecodable bytes yield `ok = false` rows, never throws. */
   def decodeVideoPartition(it: Iterator[MediaRecord]): Iterator[VideoFeatures] = {
     javax.imageio.ImageIO.setUseCache(false)
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
     it.map { r =>
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.content))
-        try {
-          reader.setInput(iis, false, true)
-          val n = reader.getNumImages(true)
-          val f0 = reader.read(0)
-          val raster = f0.getRaster
-          val (w, h, bands) = (f0.getWidth, f0.getHeight, raster.getNumBands)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              var b = 0
-              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
-              x += 1
-            }
-            y += 1
-          }
-          VideoFeatures(r.doc_id, r.lang, ok = true, n, w, h,
-            (sum / (w.toLong * h * bands)).toDouble)
-        } finally iis.close()
+        withGifFrames(reader, r.content) { (rd, n) =>
+          val f0 = rd.read(0)
+          VideoFeatures(r.doc_id, r.lang, ok = true, n, f0.getWidth, f0.getHeight,
+            rasterMean(toRgb(f0).getRaster))
+        }
       } catch { case scala.util.control.NonFatal(_) =>
         VideoFeatures(r.doc_id, r.lang, ok = false, 0, 0, 0, 0.0)
       }
@@ -359,11 +386,14 @@ object Multimodal {
                                 height: Int, png: Array[Byte])
 
   /** REAL video frame sampling: decode every `everyN`-th frame of each
-    * GIF payload and emit it as PNG bytes — the decode-then-sample
-    * shape of a video feature pipeline (cf. [[sampleFrames]], the
-    * byte-chunk form for payloads with no JVM codec). Flat-maps
-    * partition-parallel; frames of undecodable payloads are simply
-    * absent (the features tier is where corruption is surfaced). */
+    * GIF payload and emit it as a TRUECOLOR PNG — [[toRgb]] first, so
+    * downstream [[decodeImagePartition]] sees 3-band color samples
+    * (a palette PNG would hand it palette indices) — the
+    * decode-then-sample shape of a video feature pipeline (cf.
+    * [[sampleFrames]], the byte-chunk form for payloads with no JVM
+    * codec). Flat-maps partition-parallel; frames of undecodable
+    * payloads are simply absent (the features tier is where
+    * corruption is surfaced). */
   def extractFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[DecodedFrame] = {
     require(everyN > 0, s"everyN must be positive, got $everyN")
     media.mapPartitions { it =>
@@ -371,18 +401,14 @@ object Multimodal {
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       it.flatMap { r =>
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(r.content))
-          try {
-            reader.setInput(iis, false, true)
-            val n = reader.getNumImages(true)
+          withGifFrames(reader, r.content) { (rd, n) =>
             (0 until n by everyN).map { i =>
-              val img = reader.read(i)
+              val img = toRgb(rd.read(i))
               val png = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(img, "png", png)
               DecodedFrame(r.doc_id, i, img.getWidth, img.getHeight, png.toByteArray)
             }
-          } finally iis.close()
+          }
         } catch { case scala.util.control.NonFatal(_) => Seq.empty }
       }
     }(Encoders.product[DecodedFrame])

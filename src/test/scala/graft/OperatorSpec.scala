@@ -224,7 +224,11 @@ class OperatorSpec extends AnyFunSuite {
       frames.toSeq.map(f => Multimodal.MediaRecord(f.doc_id, "en", f.png, f.width, f.height)))(
       Encoders.product[Multimodal.MediaRecord])
     val decoded = Multimodal.decodeImages(asImages).collect()
-    assert(decoded.forall(d => d.ok && d.width == 7 && d.height == 7))
+    // truecolor hand-off: 3 color bands, and the mean is LUMINANCE
+    // (for the grayscale pattern, a raw palette-index mean would be
+    // an unrelated quantizer artifact)
+    assert(decoded.forall(d => d.ok && d.width == 7 && d.height == 7 && d.channels == 3))
+    assert(decoded.forall(d => d.mean_luma > 0 && d.mean_luma < 255))
     // distinct frames: the pattern varies by frame index (a constant
     // shift mod 256 can leave the integer MEAN unchanged, so compare
     // content hashes, not means)
