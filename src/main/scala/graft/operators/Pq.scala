@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product quantization (PQ) for embedding columns — the MEMORY-bound
+  * ANN tier. IVF (q56) bounds how many vectors a query scans; PQ
+  * bounds how many BYTES each vector costs: the embedding is split
+  * into `m` contiguous subvectors, each subspace gets its own
+  * k-entry codebook (trained with the same deterministic sampled
+  * k-means as IVF — [[AnnSearch.kmeansCentroids]] per subspace), and
+  * a vector is stored as its `m` nearest-code ids — e.g. 64 float32
+  * dims (256 B) become 8 single-byte codes at k <= 256, a 32x
+  * compression that is what lets a 100 TB embedding corpus live in
+  * cluster memory for search.
+  *
+  * Search is asymmetric distance computation (ADC): the query builds
+  * an m x k table of exact subspace distances to every code (a tiny
+  * broadcast — the codebook is m*k rows), and each encoded vector's
+  * approximate distance is the sum of its m table lookups — one
+  * explode, one broadcast join, one groupBy; no per-pair float math
+  * at scan time.
+  *
+  * Determinism (the repo's §5 rules): codebooks inherit
+  * kmeansCentroids' content-addressed sampling and exact-decimal
+  * means; code assignment is the same struct-argmin (ties to the
+  * lower label, NaN greatest) as [[AnnSearch.assignBuckets]]; ADC
+  * table entries are rounded to 6 decimals and summed as
+  * DECIMAL(18,6), so the total never depends on partial-aggregation
+  * order; the final top-n orders by (distance, id) — a total order.
+  *
+  * Composes with IVF: coarse-quantize with kmeansCentroids, PQ-encode
+  * the residual-free vectors per bucket, ADC within probed buckets —
+  * the standard IVF-PQ layout; both halves are these two operators.
+  */
+object Pq {
+
+  private def subWidth(dims: Int, m: Int): Int = {
+    require(m >= 1 && dims >= 1 && dims % m == 0,
+      s"dims ($dims) must split into m ($m) equal subspaces")
+    dims / m
+  }
+
+  /** Train one deterministic k-means codebook per subspace: output
+    * (sub, clabel, cent) with m*k rows, cent of width dims/m. The m
+    * trainings run over width-(dims/m) slices of the SAME relation —
+    * each is the full kmeansCentroids machinery (sampling, seeding,
+    * fixed Lloyd rounds), so subspace codebooks are independently
+    * deterministic. */
+  def train(emb: DataFrame, dims: Int, m: Int, k: Int, iters: Int = 5,
+            sampleBound: Option[String] = Some("4"),
+            vecIdCol: String = "vec_id", init: String = "md5"): DataFrame = {
+    val w = subWidth(dims, m)
+    (0 until m).map { s =>
+      val sub = emb.select(col(vecIdCol),
+        slice(col("embedding"), s * w + 1, w).as("embedding"))
+      AnnSearch.kmeansCentroids(sub, w, k, iters, sampleBound, vecIdCol, init)
+        .select(lit(s).as("sub"), col("clabel"), col("cent"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode every vector as its m nearest-code ids: (vecId, codes)
+    * where codes[i] is subspace i's chosen clabel. One in-row explode
+    * (m rows per vector), one broadcast join on `sub` (the codebook
+    * grouped to m rows), one groupBy back — every stage
+    * hash-partitionable, no pair space anywhere. Reserved working
+    * columns on `emb`: `sub`, `code`, `codes`, `_cs`. */
+  def encode(emb: DataFrame, codebook: DataFrame, dims: Int, m: Int,
+             vecIdCol: String = "vec_id"): DataFrame = {
+    val w = subWidth(dims, m)
+    val reserved = Seq("sub", "code", "codes", "_cs").filter(emb.columns.contains)
+    require(reserved.isEmpty,
+      s"reserved working columns ${reserved.mkString(", ")} — rename them on the input")
+    val subs = emb
+      .select(col(vecIdCol), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col(vecIdCol), col("sub"),
+        slice(col("embedding"), col("sub") * w + 1, lit(w)).as("embedding"))
+    val cb = codebook.groupBy("sub")
+      .agg(collect_list(struct(col("clabel").as("l"), col("cent").as("c"))).as("_cs"))
+    subs.join(broadcast(cb), "sub")
+      .withColumn("code", array_min(transform(col("_cs"), s =>
+        struct(AnnSearch.sqDistHof(col("embedding"), s.getField("c")).as("d"),
+          s.getField("l").as("l")))).getField("l"))
+      .groupBy(vecIdCol)
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
+  /** ADC search: approximate top-`n` nearest encoded vectors to
+    * `query` by summed per-subspace code distances. The distance
+    * table is computed ON the codebook relation (m*k rows, broadcast)
+    * — 6-decimal-rounded DECIMAL entries so the m-way sum is
+    * partition-order-independent; ties break by id. */
+  def search(codes: DataFrame, codebook: DataFrame, query: Array[Float],
+             dims: Int, m: Int, n: Int, vecIdCol: String = "vec_id"): DataFrame = {
+    val w = subWidth(dims, m)
+    require(query.length == dims, s"query has ${query.length} dims, expected $dims")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val table = codebook.select(col("sub"), col("clabel").as("code"),
+      round(AnnSearch.sqDistHof(slice(q, col("sub") * w + 1, lit(w)), col("cent")), 6)
+        .cast(DecimalType(18, 6)).as("d"))
+    codes.select(col(vecIdCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(table), Seq("sub", "code"))
+      .groupBy(vecIdCol)
+      .agg(sum(col("d")).cast("double").as("adc_dist"))
+      .orderBy(col("adc_dist"), col(vecIdCol)).limit(n)
+  }
+
+  /** Reconstruct the quantized approximation of each encoded vector
+    * (its codes' centroids concatenated in subspace order) — the
+    * decode side of the codec, for measuring reconstruction error. */
+  def decode(codes: DataFrame, codebook: DataFrame,
+             vecIdCol: String = "vec_id"): DataFrame =
+    codes.select(col(vecIdCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(codebook.withColumnRenamed("clabel", "code")), Seq("sub", "code"))
+      .groupBy(vecIdCol)
+      .agg(flatten(transform(array_sort(collect_list(struct(col("sub"), col("cent")))),
+        x => x.getField("cent"))).as("approx"))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Pq
+
+/** Product quantization: codebook shape, deterministic encoding,
+  * ADC search recall on a genuinely clustered corpus, and
+  * reconstruction fidelity. Same synthetic 8-cluster fixture shape as
+  * AnnProbeSpec (spiked dims + deterministic jitter — true neighbors
+  * are the vector's own cluster). */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val DIMS = 16
+  private val M = 4 // 4 subspaces of width 4
+  private lazy val clustered = spark.range(2000L)
+    .select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(1, $DIMS), d ->
+        CAST(CASE WHEN d = id % 8 + 1 OR d = id % 8 + 9 THEN 5.0 ELSE 0.0 END
+             + (pmod(id * 37 + d * 101, 97) / 97.0) * 0.2 - 0.1 AS FLOAT))""")
+        .as("embedding"))
+    .localCheckpoint()
+
+  private lazy val codebook =
+    Pq.train(clustered, DIMS, m = M, k = 8, iters = 3).localCheckpoint()
+  private lazy val codes =
+    Pq.encode(clustered, codebook, DIMS, M).localCheckpoint()
+
+  test("codebook has m*k entries of subspace width; codes are m ids per vector") {
+    assert(codebook.count() == M * 8L)
+    assert(codebook.filter(size(col("cent")) =!= DIMS / M).count() == 0)
+    assert(codes.count() == 2000L)
+    assert(codes.filter(size(col("codes")) =!= M).count() == 0)
+    // every code id is a trained label (1..k)
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 1 || col("c") > 8).count()
+    assert(bad == 0)
+  }
+
+  test("encoding is deterministic under repartitioning") {
+    val again = Pq.encode(clustered.repartition(13), codebook, DIMS, M)
+    assert(codes.join(again.withColumnRenamed("codes", "codes2"), "vec_id")
+      .filter(col("codes") =!= col("codes2")).count() == 0)
+  }
+
+  test("ADC search retrieves the query's own cluster") {
+    // query = base vector 0 (cluster 0): its true neighbors are the
+    // 250 vectors with vec_id % 8 == 0
+    val query = clustered.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val top = Pq.search(codes, codebook, query, DIMS, M, n = 10).collect()
+    assert(top.length == 10)
+    // the query vector itself must rank first (ties by id can't beat
+    // adc_dist ordering on a tight cluster)
+    assert(top.head.getLong(0) == 0L)
+    val sameCluster = top.count(_.getLong(0) % 8 == 0)
+    assert(sameCluster >= 9, s"recall@10 too low: $sameCluster/10 from cluster 0")
+  }
+
+  test("reconstruction lands nearer the original than any other cluster") {
+    val approx = Pq.decode(codes, codebook).filter(col("vec_id") === 0)
+      .select("approx").collect().head.getSeq[Double](0)
+    val orig = clustered.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble)
+    val other = clustered.filter(col("vec_id") === 1) // cluster 1
+      .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(approx.length == DIMS)
+    assert(d2(approx, orig) < d2(approx, other),
+      "quantized vector must stay closer to its original than to another cluster")
+    // tight quantization on this fixture: per-dim RMS error well under
+    // the 5.0 spike magnitude
+    assert(math.sqrt(d2(approx, orig) / DIMS) < 1.0)
+  }
+
+  test("shape guards are loud") {
+    intercept[IllegalArgumentException] { Pq.train(clustered, DIMS, m = 5, k = 4) }
+    intercept[IllegalArgumentException] {
+      Pq.search(codes, codebook, Array.fill(3)(0f), DIMS, M, n = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.encode(clustered.withColumn("codes", lit(1)), codebook, DIMS, M)
+    }
+  }
+}
