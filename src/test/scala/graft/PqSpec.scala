@@ -75,6 +75,29 @@ class PqSpec extends AnyFunSuite {
     assert(math.sqrt(d2(approx, orig) / DIMS) < 1.0)
   }
 
+  test("IVF-PQ composition: ADC restricted to the probed coarse bucket") {
+    // the standard IVF-PQ layout from the two operators directly:
+    // coarse-quantize the corpus, then ADC-search only the query's
+    // coarse bucket — candidate count drops ~8x, recall holds
+    import graft.operators.AnnSearch
+    val coarse = AnnSearch.kmeansCentroids(clustered, DIMS, k = 8, iters = 3)
+      .localCheckpoint()
+    val bucketed = AnnSearch.assignBuckets(clustered, coarse).localCheckpoint()
+    val qRow = bucketed.filter(col("vec_id") === 0)
+      .select("embedding", "bucket").collect().head
+    val query = qRow.getSeq[Float](0).toArray
+    val qBucket = qRow.getInt(1)
+    val candidates = bucketed.filter(col("bucket") === qBucket).select("vec_id")
+    // a correct coarse quantizer puts ~1/8 of the corpus in the bucket
+    val nCand = candidates.count()
+    assert(nCand < 2000 / 4, s"coarse bucket should prune hard, kept $nCand")
+    val top = Pq.search(codes.join(candidates, Seq("vec_id"), "left_semi"),
+      codebook, query, DIMS, M, n = 10).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(top.count(_.getLong(0) % 8 == 0) >= 9,
+      "in-bucket ADC must keep same-cluster recall")
+  }
+
   test("shape guards are loud") {
     intercept[IllegalArgumentException] { Pq.train(clustered, DIMS, m = 5, k = 4) }
     intercept[IllegalArgumentException] {
