@@ -164,6 +164,59 @@ object Tables {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** The Z-order (Morton) key over `cols`: each column is rank-
+    * normalized to `bits` bits via a percent_rank window (rank, not
+    * raw value — Z-order needs uniform per-dimension coverage, and
+    * real columns are skewed), then the bit strings are interleaved.
+    * Rows close in Z-key are close in EVERY dimension, so range-
+    * partitioning by it gives files whose min/max footer stats are
+    * narrow on ALL the clustered columns at once — where a plain sort
+    * narrows only its leading column. One window shuffle per column.
+    */
+  private def zkey(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+    val ranked = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      // percent_rank in [0,1] -> integer rank in [0, 2^bits)
+      d.withColumn(s"_zr$i",
+        least(floor(percent_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col(c)))
+          * (1 << bits)), lit((1 << bits) - 1)).cast("long"))
+    }
+    // interleave: output bit (b * nCols + i) = column i's bit b
+    val n = cols.size
+    val interleaved = (0 until bits).flatMap { b =>
+      (0 until n).map { i =>
+        shiftleft(shiftright(col(s"_zr$i"), b).bitwiseAND(1L), b * n + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    ranked.withColumn("_zkey", interleaved)
+  }
+
+  /** Z-ORDER compaction: rewrite a dataset into `numFiles` files
+    * range-clustered by the Morton interleave of `cols` — the
+    * multi-column file-skipping layout (the single-column form is
+    * [[compact]]). After this, a selective predicate on ANY of the
+    * clustered columns skips most files/row groups on footer min/max,
+    * where a plain sort only helps its leading column. The global
+    * percent_rank windows are the layout-build cost (maintenance-time,
+    * once per rewrite — not query-time); the write itself is the same
+    * bounded-file-count range partition as [[compact]].
+    * Reserved working columns: `_zkey`, `_zr0..`. */
+  def zorder(df: DataFrame, path: String, numFiles: Int, cols: Seq[String],
+             format: String = "parquet", bits: Int = 16): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(cols.size >= 2, s"zorder needs >= 2 columns (use compact for 1), got $cols")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits ($bits) x cols (${cols.size}) must fit a long")
+    val reserved = ("_zkey" +: cols.indices.map(i => s"_zr$i")).filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"zorder reserves working columns ${reserved.mkString(", ")} — rename them on the input")
+    zkey(df, cols, bits)
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop(("_zkey" +: cols.indices.map(i => s"_zr$i")): _*)
+      .write.mode("overwrite").format(format).save(path)
+  }
+
   /** Register all ten tables as temp views named after themselves.
     * Idempotent and cheap (footer reads only); cached per (session, dir)
     * so per-query calls don't re-register.

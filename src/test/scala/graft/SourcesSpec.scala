@@ -112,6 +112,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan.take(400))
   }
 
+  test("zorder narrows per-file ranges on BOTH columns; plain sort only on one") {
+    import org.apache.spark.sql.functions._
+    // two independent uniform dimensions — the case a single-column
+    // sort cannot cluster
+    val df = spark.range(100_000L).select(
+      (col("id") * 2654435761L % 100000L).as("x"),
+      (col("id") * 1103515245L % 100000L).as("y"))
+    def fileRanges(path: String, c: String): Array[(Long, Long)] =
+      spark.read.parquet(path).groupBy(input_file_name())
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def avgSpan(rs: Array[(Long, Long)]): Double =
+      rs.map { case (lo, hi) => (hi - lo).toDouble }.sum / rs.length
+    val zdir = Files.createTempDirectory("graft_z").toString + "/t"
+    Tables.zorder(df, zdir, numFiles = 16, cols = Seq("x", "y"))
+    val zx = avgSpan(fileRanges(zdir, "x"))
+    val zy = avgSpan(fileRanges(zdir, "y"))
+    // 16 files ~ 2 z-bits per dimension: each file should cover well
+    // under half of EACH dimension's global range (uniform data)
+    assert(zx < 50000 && zy < 50000, s"z-order spans x=$zx y=$zy")
+    // control: the 1-D clustered rewrite narrows x but leaves y global
+    val cdir = Files.createTempDirectory("graft_z1").toString + "/t"
+    Tables.compact(df, cdir, numFiles = 16, clusterCols = Seq("x"))
+    val cx = avgSpan(fileRanges(cdir, "x"))
+    val cy = avgSpan(fileRanges(cdir, "y"))
+    assert(cx < 10000, s"1-D clustering must narrow its own column, x=$cx")
+    assert(cy > 90000, s"1-D clustering cannot narrow the other column, y=$cy")
+    // the z-layout's worse-x-but-good-y trade is the point: BOTH
+    // narrow, so predicates on either column skip most files
+    assert(zy < cy / 2, s"z-order must beat 1-D on the second column: $zy vs $cy")
+    // row preservation
+    assert(spark.read.parquet(zdir).count() == 100_000L)
+  }
+
+  test("zorder rejects bad shapes loudly") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10L).select(col("id").as("x"), col("id").as("y"))
+    val dir = Files.createTempDirectory("graft_zbad").toString + "/t"
+    intercept[IllegalArgumentException] { Tables.zorder(df, dir, 2, Seq("x")) }
+    intercept[IllegalArgumentException] { Tables.zorder(df, dir, 2, Seq("x", "y"), bits = 40) }
+    intercept[IllegalArgumentException] {
+      Tables.zorder(df.withColumn("_zkey", lit(1)), dir, 2, Seq("x", "y"))
+    }
+  }
+
   test("co-bucketed tables join with zero shuffle") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     // a previous JVM's managed-table location survives the in-memory
