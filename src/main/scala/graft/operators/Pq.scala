@@ -108,6 +108,23 @@ object Pq {
       .orderBy(col("adc_dist"), col(vecIdCol)).limit(n)
   }
 
+  /** Each vector's RESIDUAL against its assigned coarse centroid:
+    * (vecId, bucket, embedding = v - cent(bucket)). This is the input
+    * the textbook IVF-PQ trains and encodes on — residuals of a good
+    * coarse quantizer are centered near zero, so the same k codes per
+    * subspace spend their resolution on a far smaller volume than raw
+    * vectors. Compose: `residuals` -> [[train]] -> [[encode]], then
+    * search a probed bucket with the query's OWN residual against
+    * that bucket's centroid. Zero-shuffle assignment + one broadcast
+    * join; the float roundtrip keeps the codec's storage type. */
+  def residuals(emb: DataFrame, coarse: DataFrame,
+                vecIdCol: String = "vec_id"): DataFrame =
+    AnnSearch.assignBuckets(emb, coarse)
+      .join(broadcast(coarse.select(col("clabel").as("bucket"), col("cent"))), "bucket")
+      .select(col(vecIdCol), col("bucket"),
+        zip_with(col("embedding"), col("cent"),
+          (x, y) => (x.cast("double") - y).cast("float")).as("embedding"))
+
   /** Reconstruct the quantized approximation of each encoded vector
     * (its codes' centroids concatenated in subspace order) — the
     * decode side of the codec, for measuring reconstruction error. */

@@ -98,6 +98,29 @@ class PqSpec extends AnyFunSuite {
       "in-bucket ADC must keep same-cluster recall")
   }
 
+  test("residual IVF-PQ: encode residuals, search with the query's residual") {
+    import graft.operators.AnnSearch
+    val coarse = AnnSearch.kmeansCentroids(clustered, DIMS, k = 8, iters = 3)
+      .localCheckpoint()
+    val res = Pq.residuals(clustered, coarse).localCheckpoint()
+    // residuals of a good coarse quantizer are near zero: their mean
+    // magnitude must be far below the raw spike magnitude (5.0)
+    val meanAbs = res.select(explode(col("embedding")).as("v"))
+      .agg(avg(abs(col("v")))).collect().head.getDouble(0)
+    assert(meanAbs < 0.5, s"residual mean |v| should be jitter-scale, got $meanAbs")
+    val rBook = Pq.train(res, DIMS, m = M, k = 8, iters = 3).localCheckpoint()
+    val rCodes = Pq.encode(res, rBook, DIMS, M).localCheckpoint()
+    // query = vector 0's residual within its own bucket
+    val q0 = res.filter(col("vec_id") === 0)
+      .select("embedding", "bucket").collect().head
+    val candidates = res.filter(col("bucket") === q0.getInt(1)).select("vec_id")
+    val top = Pq.search(rCodes.join(candidates, Seq("vec_id"), "left_semi"),
+      rBook, q0.getSeq[Float](0).toArray, DIMS, M, n = 10).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(top.count(_.getLong(0) % 8 == 0) >= 9,
+      "residual ADC must keep same-cluster recall")
+  }
+
   test("shape guards are loud") {
     intercept[IllegalArgumentException] { Pq.train(clustered, DIMS, m = 5, k = 4) }
     intercept[IllegalArgumentException] {
