@@ -121,6 +121,35 @@ class PqSpec extends AnyFunSuite {
       "residual ADC must keep same-cluster recall")
   }
 
+  test("encoding is total and in-range for arbitrary vectors, NaN included") {
+    // degenerate payloads (NaN dims, extreme magnitudes) must still
+    // produce a full, in-range, deterministic code — NaN distances
+    // order greatest in the argmin struct, ties fall to the lowest
+    // label, so no input can yield a null/missing code
+    import spark.implicits._
+    val weird = Seq(
+      (9001L, Array(Float.NaN, Float.NaN, Float.NaN, Float.NaN,
+        Float.NaN, Float.NaN, Float.NaN, Float.NaN,
+        Float.NaN, Float.NaN, Float.NaN, Float.NaN,
+        Float.NaN, Float.NaN, Float.NaN, Float.NaN)),
+      (9002L, Array.fill(16)(Float.MaxValue)),
+      (9003L, Array.fill(16)(-1e30f)),
+      (9004L, Array.fill(16)(0f)))
+      .toDF("vec_id", "embedding")
+    val c = Pq.encode(weird, codebook, DIMS, M).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c.size == 4)
+    c.values.foreach { cs =>
+      assert(cs.length == M && cs.forall(x => x >= 1 && x <= 8), cs)
+    }
+    // all-NaN distances tie everywhere -> every subspace falls to the
+    // lowest label, deterministically
+    assert(c(9001L).forall(_ == 1))
+    val again = Pq.encode(weird.repartition(3), codebook, DIMS, M).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c == again)
+  }
+
   test("shape guards are loud") {
     intercept[IllegalArgumentException] { Pq.train(clustered, DIMS, m = 5, k = 4) }
     intercept[IllegalArgumentException] {
