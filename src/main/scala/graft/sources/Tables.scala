@@ -165,21 +165,55 @@ object Tables {
       .saveAsTable(table)
 
   /** The Z-order (Morton) key over `cols`: each column is rank-
-    * normalized to `bits` bits via a percent_rank window (rank, not
-    * raw value — Z-order needs uniform per-dimension coverage, and
-    * real columns are skewed), then the bit strings are interleaved.
-    * Rows close in Z-key are close in EVERY dimension, so range-
-    * partitioning by it gives files whose min/max footer stats are
-    * narrow on ALL the clustered columns at once — where a plain sort
-    * narrows only its leading column. One window shuffle per column.
+    * normalized to `bits` bits (rank, not raw value — Z-order needs
+    * uniform per-dimension coverage, and real columns are skewed),
+    * then the bit strings are interleaved. Rows close in Z-key are
+    * close in EVERY dimension, so range-partitioning by it gives files
+    * whose min/max footer stats are narrow on ALL the clustered
+    * columns at once — where a plain sort narrows only its leading
+    * column.
+    *
+    * Rank normalization is ONE distributed multi-column
+    * `approxQuantile` pass (mergeable Greenwald-Khanna sketches, no
+    * global sort, driver footprint bounded by 1/relativeError) whose
+    * 2^bits-1 boundaries per column come back to the driver and ride
+    * into a pure projection via [[graft.plans.QuantileBucket]]'s
+    * binary search. Zero windows, zero extra shuffles — the previous
+    * formulation's unpartitioned `percent_rank` window funnelled the
+    * entire dataset through a single task per clustered column, a
+    * hard ceiling at lake scale. Boundary rank error is bounded at
+    * ~1e-4·n — imperceptible in the file-level layout, which is
+    * governed by the top few bits.
+    *
+    * Columns must be numeric, date, or timestamp (the sketch is
+    * numeric); map other types to a numeric key first.
+    * `private[graft]` so PlanSpec can pin the no-window plan shape.
     */
-  private def zkey(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+  private[graft] def zkey(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val nBuckets = 1 << bits
+    def rankSpace(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case DateType                         => unix_date(col(c)).cast("double")
+        case TimestampType | TimestampNTZType => unix_micros(col(c).cast("timestamp")).cast("double")
+        case _: NumericType                   => col(c).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"zorder needs numeric/date/timestamp columns, got $c: ${other.simpleString} " +
+            "— derive a numeric key for it first")
+      }
+    // one scan computes every column's sketch; the finest useful
+    // resolution is ~1/(4·buckets), floored so the sketch stays small
+    // (fine-grained boundary jitter does not move file boundaries)
+    val relErr = math.max(1.0 / (4.0 * nBuckets), 1e-4)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val proj = df.select(cols.indices.map(i => rankSpace(cols(i)).as(s"q$i")): _*)
+    val bounds = proj.stat.approxQuantile(cols.indices.map(i => s"q$i").toArray, probs, relErr)
     val ranked = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      // percent_rank in [0,1] -> integer rank in [0, 2^bits)
       d.withColumn(s"_zr$i",
-        least(floor(percent_rank().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col(c)))
-          * (1 << bits)), lit((1 << bits) - 1)).cast("long"))
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.plans.QuantileBucket(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(rankSpace(c)),
+            bounds(i))))
     }
     // interleave: output bit (b * nCols + i) = column i's bit b
     val n = cols.size
@@ -196,10 +230,11 @@ object Tables {
     * multi-column file-skipping layout (the single-column form is
     * [[compact]]). After this, a selective predicate on ANY of the
     * clustered columns skips most files/row groups on footer min/max,
-    * where a plain sort only helps its leading column. The global
-    * percent_rank windows are the layout-build cost (maintenance-time,
-    * once per rewrite — not query-time); the write itself is the same
-    * bounded-file-count range partition as [[compact]].
+    * where a plain sort only helps its leading column. The layout-build
+    * cost is one approxQuantile sketch pass plus the write's range
+    * partition — no global sorts or windows anywhere (see [[zkey]]);
+    * the write itself is the same bounded-file-count range partition
+    * as [[compact]].
     * Reserved working columns: `_zkey`, `_zr0..`. */
   def zorder(df: DataFrame, path: String, numFiles: Int, cols: Seq[String],
              format: String = "parquet", bits: Int = 16): Unit = {

@@ -111,6 +111,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), "centroid array must broadcast")
   }
 
+  test("zorder key build: no window, no exchange — rank is a broadcast-boundary search") {
+    import org.apache.spark.sql.functions._
+    // the round-3 scale-killer was an unpartitioned percent_rank window
+    // per clustered column (all data through ONE task); the rank must
+    // now be a pure projection over driver-computed quantile boundaries
+    val df = spark.range(10_000L).select(
+      (col("id") * 7919L % 1000L).as("x"),
+      (col("id") * 104729L % 1000L).as("y"))
+    val p = graft.sources.Tables.zkey(df, Seq("x", "y"), bits = 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("Exchange"), "zkey must add no shuffle\n" + p.take(800))
+  }
+
   test("q66: the split is a projection — no exchange before the report agg") {
     val p = plan("q66_hash_split")
     // one exchange for groupBy(split, lang) + possibly one for the sort

@@ -155,6 +155,34 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Tables.zorder(df.withColumn("_zkey", lit(1)), dir, 2, Seq("x", "y"))
     }
+    // non-numeric column: loud, names the column and the remedy
+    val e = intercept[IllegalArgumentException] {
+      Tables.zorder(df.withColumn("s", lit("a")), dir, 2, Seq("x", "s"))
+    }
+    assert(e.getMessage.contains("s: string"), e.getMessage)
+  }
+
+  test("quantile bucket: upper-bound semantics, null first, NaN last, codegen agrees") {
+    import graft.plans.QuantileBucket
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val b = Array(1.0, 2.0, 2.0, 3.0) // duplicate boundary = skewed column
+    assert(QuantileBucket.bucket(b, 0.5) == 0L)
+    assert(QuantileBucket.bucket(b, 1.0) == 1L) // <= is upper bound
+    assert(QuantileBucket.bucket(b, 2.0) == 3L) // past BOTH duplicates
+    assert(QuantileBucket.bucket(b, 2.5) == 3L)
+    assert(QuantileBucket.bucket(b, 9.0) == 4L)
+    assert(QuantileBucket.bucket(b, Double.NaN) == 4L)
+    assert(QuantileBucket.bucket(Array.empty[Double], 7.0) == 0L)
+    // end-to-end through the projection (whole-stage codegen path):
+    // same answers, null -> bucket 0
+    import spark.implicits._
+    val out = Seq[Option[Double]](Some(0.5), Some(1.0), Some(2.0), Some(2.5),
+        Some(9.0), None, Some(Double.NaN)).toDF("v")
+      .select(ColumnBridge.column(
+        QuantileBucket(ColumnBridge.expression(col("v")), b)).as("bkt"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L, 1L, 3L, 3L, 4L, 0L, 4L), out)
   }
 
   test("co-bucketed tables join with zero shuffle") {
