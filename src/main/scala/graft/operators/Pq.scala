@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -42,6 +42,29 @@ object Pq {
     dims / m
   }
 
+  /** The embedding column, or a loud per-row error naming the vector
+    * if its width is not `dims` (null counts as a violation): a short
+    * or ragged vector would otherwise be silently sliced/null-padded
+    * into NaN-free partial distances and encoded to an arbitrary code
+    * — against the repo's loud-misassignment convention. */
+  private def checkedEmbedding(idCol: Column, dims: Int, op: String): Column =
+    when(size(col("embedding")) === dims, col("embedding"))
+      .otherwise(raise_error(concat(
+        lit(s"Pq.$op: embedding of "), idCol.cast("string"),
+        lit(s" has width "),
+        coalesce(size(col("embedding")).cast("string"), lit("null")),
+        lit(s", expected $dims — fix or filter malformed vectors upstream"))))
+
+  /** `d`, or a loud error if the (sub, code) lookup missed: an
+    * inner join would silently drop the row, under-summing adc_dist
+    * or losing the vector from the top-n — a mismatched codebook
+    * (wrong m/k or training run) must fail, not corrupt ranks. */
+  private def checkedLookup(d: Column, what: String): Column =
+    when(d.isNotNull, d).otherwise(raise_error(concat(
+      lit(s"Pq: no codebook entry for (sub="), col("sub").cast("string"),
+      lit(", code="), col("code").cast("string"),
+      lit(s") while computing $what — codebook/codes mismatch (wrong m, k, or training run)"))))
+
   /** Train one deterministic k-means codebook per subspace: output
     * (sub, clabel, cent) with m*k rows, cent of width dims/m. The m
     * trainings run over width-(dims/m) slices of the SAME relation —
@@ -52,8 +75,10 @@ object Pq {
             sampleBound: Option[String] = Some("4"),
             vecIdCol: String = "vec_id", init: String = "md5"): DataFrame = {
     val w = subWidth(dims, m)
+    val checked = emb.select(col(vecIdCol),
+      checkedEmbedding(col(vecIdCol), dims, "train").as("embedding"))
     (0 until m).map { s =>
-      val sub = emb.select(col(vecIdCol),
+      val sub = checked.select(col(vecIdCol),
         slice(col("embedding"), s * w + 1, w).as("embedding"))
       AnnSearch.kmeansCentroids(sub, w, k, iters, sampleBound, vecIdCol, init)
         .select(lit(s).as("sub"), col("clabel"), col("cent"))
@@ -73,15 +98,21 @@ object Pq {
     require(reserved.isEmpty,
       s"reserved working columns ${reserved.mkString(", ")} — rename them on the input")
     val subs = emb
-      .select(col(vecIdCol), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col(vecIdCol),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        checkedEmbedding(col(vecIdCol), dims, "encode").as("embedding"))
       .select(col(vecIdCol), col("sub"),
         slice(col("embedding"), col("sub") * w + 1, lit(w)).as("embedding"))
     val cb = codebook.groupBy("sub")
       .agg(collect_list(struct(col("clabel").as("l"), col("cent").as("c"))).as("_cs"))
-    subs.join(broadcast(cb), "sub")
-      .withColumn("code", array_min(transform(col("_cs"), s =>
-        struct(AnnSearch.sqDistHof(col("embedding"), s.getField("c")).as("d"),
-          s.getField("l").as("l")))).getField("l"))
+    subs.join(broadcast(cb), Seq("sub"), "left")
+      .withColumn("code", when(col("_cs").isNotNull,
+        array_min(transform(col("_cs"), s =>
+          struct(graft.functions.Vectors.sqDist(col("embedding"), s.getField("c")).as("d"),
+            s.getField("l").as("l")))).getField("l"))
+        .otherwise(raise_error(concat(
+          lit("Pq.encode: codebook has no entries for sub="), col("sub").cast("string"),
+          lit(s" — codebook trained with a different m than $m?")))))
       .groupBy(vecIdCol)
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         x => x.getField("code")).as("codes"))
@@ -97,14 +128,15 @@ object Pq {
     val w = subWidth(dims, m)
     require(query.length == dims, s"query has ${query.length} dims, expected $dims")
     require(n >= 1, s"n must be >= 1, got $n")
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = array(query.map(lit(_)): _*) // array<float>, same storage type as the corpus
     val table = codebook.select(col("sub"), col("clabel").as("code"),
-      round(AnnSearch.sqDistHof(slice(q, col("sub") * w + 1, lit(w)), col("cent")), 6)
+      round(graft.functions.Vectors.sqDist(
+        slice(q, col("sub") * w + 1, lit(w)), col("cent")), 6)
         .cast(DecimalType(18, 6)).as("d"))
     codes.select(col(vecIdCol), posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(table), Seq("sub", "code"))
+      .join(broadcast(table), Seq("sub", "code"), "left")
       .groupBy(vecIdCol)
-      .agg(sum(col("d")).cast("double").as("adc_dist"))
+      .agg(sum(checkedLookup(col("d"), "adc_dist")).cast("double").as("adc_dist"))
       .orderBy(col("adc_dist"), col(vecIdCol)).limit(n)
   }
 
@@ -131,8 +163,9 @@ object Pq {
   def decode(codes: DataFrame, codebook: DataFrame,
              vecIdCol: String = "vec_id"): DataFrame =
     codes.select(col(vecIdCol), posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(codebook.withColumnRenamed("clabel", "code")), Seq("sub", "code"))
+      .join(broadcast(codebook.withColumnRenamed("clabel", "code")), Seq("sub", "code"), "left")
       .groupBy(vecIdCol)
-      .agg(flatten(transform(array_sort(collect_list(struct(col("sub"), col("cent")))),
+      .agg(flatten(transform(array_sort(collect_list(
+        struct(col("sub"), checkedLookup(col("cent"), "approx").as("cent")))),
         x => x.getField("cent"))).as("approx"))
 }

@@ -2,14 +2,17 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.Sampling
+import graft.operators.{AnnSearch, Pq, Sampling}
 import graft.sources.Tables
 
-/** Composite wave (q99–q100): cyclic load profiling and the CAPSTONE —
-  * the full curation pipeline (exact dedup → mixing-plan downsample →
-  * train/val/test split → audit report) as ONE declarative plan, every
-  * stage the library's own operator, the whole thing replayed exactly
-  * by the DuckDB oracle because every stage is md5-content-addressed.
+/** Composite wave (q99–q101): cyclic load profiling and the two
+  * CAPSTONES — the full curation pipeline (exact dedup → mixing-plan
+  * downsample → train/val/test split → audit report) and the full
+  * residual IVF-PQ ANN stack (coarse k-means → residuals → per-subspace
+  * PQ codebooks → encode → in-bucket ADC top-k) — each as ONE
+  * declarative plan built from the library's own operators, replayed
+  * exactly by the DuckDB oracle because every stage is deterministic
+  * (md5 content-addressing, decimal means, fixed iteration counts).
   *
   * Same t2 gate as every other wave; determinism per SURVEY.md §5.
   */
@@ -59,6 +62,32 @@ object Composite {
         .agg(cnt.as("n_docs"),
           sum(size(filter(split(lower(col("text")), " "), t => t =!= ""))).as("toks"))
         .orderBy("split", "source")
+    }),
+
+    // The ANN capstone: the WHOLE IVF-PQ stack composed end-to-end
+    // under the hash gate — q85's trained coarse quantizer (k=4, 2
+    // Lloyd rounds, full corpus), Pq.residuals against the assigned
+    // centroid, per-subspace residual codebooks (m=2, k=4, 1 round),
+    // Pq.encode, then in-bucket (nprobe=1) ADC top-10 for corpus
+    // vector 0's residual. Every stage is deterministic (md5 seeding,
+    // decimal means, fixed rounds, 6-decimal DECIMAL ADC entries,
+    // ties by label/id), so the oracle replays the full pipeline in
+    // SQL. The single-row collect is the query-vector boundary — the
+    // one value a user hands a search API — not a driver-side loop.
+    "q101_ivfpq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val coarse = AnnSearch.kmeansCentroids(emb, dims = 64, k = 4, iters = 2,
+        sampleBound = None).localCheckpoint()
+      val res = Pq.residuals(emb, coarse).localCheckpoint()
+      val book = Pq.train(res, dims = 64, m = 2, k = 4, iters = 1,
+        sampleBound = None).localCheckpoint()
+      val codes = Pq.encode(res, book, dims = 64, m = 2)
+      val q0 = res.filter(col("vec_id") === 0)
+        .select(col("embedding"), col("bucket")).collect().head
+      val cands = codes.join(
+        res.filter(col("bucket") === q0.getInt(1)).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      Pq.search(cands, book, q0.getSeq[Float](0).toArray, dims = 64, m = 2, n = 10)
     })
   )
 
@@ -83,6 +112,92 @@ s AS (SELECT *, CASE WHEN md5('s:' || CAST(doc_id AS VARCHAR)) < 'c' THEN 'train
                      ELSE 'test' END split FROM k)
 SELECT split, source, COUNT(*) AS n_docs,
   CAST(SUM(len(list_filter(string_split(lower(text),' '), x -> x <> ''))) AS BIGINT) AS toks
-FROM s GROUP BY split, source ORDER BY split, source"""
+FROM s GROUP BY split, source ORDER BY split, source""",
+
+    // q85's coarse-training CTEs verbatim (seeds..c2), then: full-corpus
+    // assignment, float-rounded residuals, one Lloyd round of per-subspace
+    // PQ training (seeds = first 4 by md5 order, decimal means, empty
+    // clusters keep their seed), nearest-code encode, and the ADC sum of
+    // 6-decimal DECIMAL table entries over the query's own coarse bucket.
+    "q101_ivfpq" -> """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+seeds AS (SELECT v, clabel FROM (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) clabel FROM e)
+  WHERE clabel <= 4),
+c0 AS (SELECT clabel, v AS cent FROM seeds),
+a1 AS (SELECT e.vec_id, e.v, c.clabel,
+         list_sum(list_transform(list_zip(e.v, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+       FROM e CROSS JOIN c0 c),
+b1 AS (SELECT vec_id, v, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a1) WHERE rn = 1),
+m1 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(v[CAST(r.pos AS INT)] AS DECIMAL(18,9))),6) AS DOUBLE) c
+       FROM b1 CROSS JOIN range(1,65) r(pos) GROUP BY clabel, r.pos),
+c1l AS (SELECT clabel, list(c ORDER BY pos) cent FROM m1 GROUP BY clabel),
+c1 AS (SELECT c0.clabel, COALESCE(c1l.cent, c0.cent) cent FROM c0 LEFT JOIN c1l USING (clabel)),
+a2 AS (SELECT e.vec_id, e.v, c.clabel,
+         list_sum(list_transform(list_zip(e.v, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+       FROM e CROSS JOIN c1 c),
+b2 AS (SELECT vec_id, v, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a2) WHERE rn = 1),
+m2 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(v[CAST(r.pos AS INT)] AS DECIMAL(18,9))),6) AS DOUBLE) c
+       FROM b2 CROSS JOIN range(1,65) r(pos) GROUP BY clabel, r.pos),
+c2l AS (SELECT clabel, list(c ORDER BY pos) cent FROM m2 GROUP BY clabel),
+c2 AS (SELECT c1.clabel, COALESCE(c2l.cent, c1.cent) cent FROM c1 LEFT JOIN c2l USING (clabel)),
+a3 AS (SELECT e.vec_id, e.v, c.clabel,
+         list_sum(list_transform(list_zip(e.v, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+       FROM e CROSS JOIN c2 c),
+asg AS (SELECT vec_id, v, clabel AS bucket FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a3) WHERE rn = 1),
+res AS (SELECT a.vec_id, a.bucket,
+         list_transform(list_zip(a.v, c.cent), p -> CAST(CAST(p[1]-p[2] AS FLOAT) AS DOUBLE)) rv
+        FROM asg a JOIN c2 c ON c.clabel = a.bucket),
+pseed AS (SELECT vec_id, clabel FROM (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) clabel FROM res)
+  WHERE clabel <= 4),
+r0 AS (SELECT vec_id, rv[1:32] sv FROM res),
+r1 AS (SELECT vec_id, rv[33:64] sv FROM res),
+p0c0 AS (SELECT ps.clabel, r0.sv AS cent FROM pseed ps JOIN r0 ON r0.vec_id = ps.vec_id),
+p0a1 AS (SELECT r0.vec_id, r0.sv, c.clabel,
+          list_sum(list_transform(list_zip(r0.sv, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+         FROM r0 CROSS JOIN p0c0 c),
+p0b1 AS (SELECT vec_id, sv, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM p0a1) WHERE rn = 1),
+p0m1 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(sv[CAST(r.pos AS INT)] AS DECIMAL(18,9))),6) AS DOUBLE) c
+         FROM p0b1 CROSS JOIN range(1,33) r(pos) GROUP BY clabel, r.pos),
+p0c1l AS (SELECT clabel, list(c ORDER BY pos) cent FROM p0m1 GROUP BY clabel),
+p0cb AS (SELECT c.clabel, COALESCE(l.cent, c.cent) cent FROM p0c0 c LEFT JOIN p0c1l l USING (clabel)),
+p1c0 AS (SELECT ps.clabel, r1.sv AS cent FROM pseed ps JOIN r1 ON r1.vec_id = ps.vec_id),
+p1a1 AS (SELECT r1.vec_id, r1.sv, c.clabel,
+          list_sum(list_transform(list_zip(r1.sv, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+         FROM r1 CROSS JOIN p1c0 c),
+p1b1 AS (SELECT vec_id, sv, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM p1a1) WHERE rn = 1),
+p1m1 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(sv[CAST(r.pos AS INT)] AS DECIMAL(18,9))),6) AS DOUBLE) c
+         FROM p1b1 CROSS JOIN range(1,33) r(pos) GROUP BY clabel, r.pos),
+p1c1l AS (SELECT clabel, list(c ORDER BY pos) cent FROM p1m1 GROUP BY clabel),
+p1cb AS (SELECT c.clabel, COALESCE(l.cent, c.cent) cent FROM p1c0 c LEFT JOIN p1c1l l USING (clabel)),
+e0a AS (SELECT r0.vec_id, c.clabel,
+          list_sum(list_transform(list_zip(r0.sv, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+        FROM r0 CROSS JOIN p0cb c),
+e0 AS (SELECT vec_id, clabel AS code FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM e0a) WHERE rn = 1),
+e1a AS (SELECT r1.vec_id, c.clabel,
+          list_sum(list_transform(list_zip(r1.sv, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+        FROM r1 CROSS JOIN p1cb c),
+e1 AS (SELECT vec_id, clabel AS code FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM e1a) WHERE rn = 1),
+q0 AS (SELECT rv[1:32] s0, rv[33:64] s1, bucket FROM res WHERE vec_id = 0),
+t0 AS (SELECT c.clabel AS code,
+         CAST(ROUND(list_sum(list_transform(list_zip(q.s0, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS DECIMAL(18,6)) d
+       FROM p0cb c CROSS JOIN q0 q),
+t1 AS (SELECT c.clabel AS code,
+         CAST(ROUND(list_sum(list_transform(list_zip(q.s1, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS DECIMAL(18,6)) d
+       FROM p1cb c CROSS JOIN q0 q),
+cand AS (SELECT vec_id FROM res WHERE bucket = (SELECT bucket FROM q0))
+SELECT c.vec_id, CAST(t0.d + t1.d AS DOUBLE) AS adc_dist
+FROM cand c
+JOIN e0 ON e0.vec_id = c.vec_id JOIN t0 ON t0.code = e0.code
+JOIN e1 ON e1.vec_id = c.vec_id JOIN t1 ON t1.code = e1.code
+ORDER BY adc_dist, c.vec_id LIMIT 10"""
   ).map { case (k, v) => k -> v.trim }
 }

@@ -159,4 +159,47 @@ class PqSpec extends AnyFunSuite {
       Pq.encode(clustered.withColumn("codes", lit(1)), codebook, DIMS, M)
     }
   }
+
+  /** Root-cause message of a distributed failure (the raise_error text
+    * arrives wrapped in SparkException layers). */
+  private def rootMsg(t: Throwable): String = {
+    var c: Throwable = t
+    val sb = new StringBuilder
+    while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+    sb.toString
+  }
+
+  test("ragged or null embeddings fail loudly in encode and train, naming the vector") {
+    import spark.implicits._
+    val ragged = Seq((1L, Array(1f, 2f, 3f)), (2L, Array.fill(DIMS)(0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Throwable] { Pq.encode(ragged, codebook, DIMS, M).collect() }
+    assert(rootMsg(e1).contains("width 3, expected 16"), rootMsg(e1))
+    val e2 = intercept[Throwable] { Pq.train(ragged, DIMS, m = M, k = 2, iters = 1).collect() }
+    assert(rootMsg(e2).contains("expected 16"), rootMsg(e2))
+    val withNull = Seq((7L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val e3 = intercept[Throwable] { Pq.encode(withNull, codebook, DIMS, M).collect() }
+    assert(rootMsg(e3).contains("width null"), rootMsg(e3))
+  }
+
+  test("codebook/codes mismatch fails loudly instead of corrupting ranks") {
+    val query = Array.fill(DIMS)(0f)
+    // drop one trained code id: an inner join would silently under-sum
+    // adc_dist for every vector carrying it
+    val truncated = codebook.filter(!(col("sub") === 0 && col("clabel") === 1))
+    val e1 = intercept[Throwable] {
+      Pq.search(codes, truncated, query, DIMS, M, n = 5).collect()
+    }
+    assert(rootMsg(e1).contains("no codebook entry for (sub=0, code=1)"), rootMsg(e1))
+    val e2 = intercept[Throwable] { Pq.decode(codes, truncated).collect() }
+    assert(rootMsg(e2).contains("no codebook entry"), rootMsg(e2))
+    // codebook trained with a different m: encode must refuse, not
+    // emit short code arrays
+    val mBig = Pq.train(clustered, DIMS, m = 8, k = 2, iters = 1)
+      .filter(col("sub") < 2) // pretend it was m=2
+    val e3 = intercept[Throwable] {
+      Pq.encode(clustered.limit(5), mBig, DIMS, M).collect()
+    }
+    assert(rootMsg(e3).contains("no entries for sub="), rootMsg(e3))
+  }
 }
