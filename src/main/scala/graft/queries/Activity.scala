@@ -28,16 +28,24 @@ object Activity {
     // trailing window days via an IN-ROW sequence explode — fan-out is
     // a flat 7x the distinct relation, shuffle-partitionable, where a
     // range self-join would be days x users quadratic-ish. dau1 rides
-    // the same distinct relation.
+    // the same distinct relation. The report's day domain is the
+    // OBSERVED span [min d, max d] — the explode's up-to-6 phantom
+    // trailing days are clipped, and in-span days with no activity
+    // still appear as zero rows (the span relation is a 1-row agg +
+    // sequence explode, negligible at any scale).
     "q96_rolling_actives" -> ((s, dir) => {
       val du = Tables.load(s, dir, "events")
         .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
         .distinct().localCheckpoint()
+      val days = du.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
       val r7 = du.select(col("user_id"), explode(sequence(col("d"), col("d") + 6)).as("rd"))
         .groupBy("rd").agg(countDistinct(col("user_id")).as("dau7"))
       val r1 = du.groupBy("d").agg(cnt.as("dau1"))
-      r7.join(r1, r7("rd") === r1("d"), "left")
-        .select(col("rd").as("day"), coalesce(col("dau1"), lit(0L)).as("dau1"), col("dau7"))
+      days.join(r7, days("day") === r7("rd"), "left")
+        .join(r1, days("day") === r1("d"), "left")
+        .select(col("day"), coalesce(col("dau1"), lit(0L)).as("dau1"),
+          coalesce(col("dau7"), lit(0L)).as("dau7"))
         .orderBy("day")
     }),
 
@@ -96,11 +104,12 @@ object Activity {
   val oracle: Map[String, String] = Map(
     "q96_rolling_actives" -> """
 WITH du AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 d FROM events),
+days AS (SELECT unnest(generate_series(MIN(d), MAX(d))) AS day FROM du),
 span AS (SELECT user_id, unnest(generate_series(d, d + 6)) rd FROM du),
 r7 AS (SELECT rd, COUNT(DISTINCT user_id) dau7 FROM span GROUP BY rd),
 r1 AS (SELECT d, COUNT(*) dau1 FROM du GROUP BY d)
-SELECT r7.rd AS day, COALESCE(r1.dau1, 0) AS dau1, r7.dau7
-FROM r7 LEFT JOIN r1 ON r1.d = r7.rd
+SELECT days.day, COALESCE(r1.dau1, 0) AS dau1, COALESCE(r7.dau7, 0) AS dau7
+FROM days LEFT JOIN r7 ON r7.rd = days.day LEFT JOIN r1 ON r1.d = days.day
 ORDER BY day""",
 
     "q97_keep_best" -> """
