@@ -28,4 +28,44 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** The DETECTION side of [[saltedJoin]]: a per-key frequency profile
+    * that tells a user when to reach for salting and with what factor,
+    * BEFORE the skewed shuffle burns a day of cluster time.
+    *
+    * For the `topK` hottest values of `key` emits
+    * (key, n_rows, share_ppm, n_keys, salts):
+    *   - `share_ppm`   — the key's row share in parts-per-million
+    *     (integer DIV: exact, engine-portable);
+    *   - `n_keys`      — distinct key count (same on every row; kept
+    *     in-row so the report is self-contained);
+    *   - `salts`       — the [[saltedJoin]] factor that spreads this
+    *     key's rows over enough reducers that none carries more than
+    *     an ideal 1/`partitions` slice: ceil(n_rows * partitions /
+    *     total), floored at 1. A key with salts == 1 is NOT skewed at
+    *     this parallelism — if every row shows 1, skip salting.
+    *
+    * Cost: ONE groupBy(key) over the relation, then a 1-row total/
+    * distinct summary cross-joined (broadcast) onto the top-k — safe to
+    * run casually at 100 TB. The counts relation is localCheckpoint'd
+    * so summary and top-k don't rescan the input. Output is totally
+    * ordered (n_rows desc, key asc) — key must be groupable (no maps).
+    */
+  def profile(df: DataFrame, key: String, partitions: Int,
+              topK: Int = 20): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    val summary = counts.agg(sum(col("n_rows")).as("_total"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("n_rows").desc, col(key)).limit(topK)
+      .crossJoin(broadcast(summary))
+      .select(col(key), col("n_rows"),
+        expr("n_rows * 1000000L DIV _total").as("share_ppm"),
+        col("n_keys"),
+        greatest(lit(1L),
+          expr(s"(n_rows * ${partitions}L + _total - 1L) DIV _total"))
+          .as("salts"))
+  }
 }

@@ -7,11 +7,12 @@ import graft.functions.Text
 import graft.operators.{Dedup, Skew}
 import graft.sources.Tables
 
-/** Retrieval / curation wave (q79–q84): the search-and-versioning side
-  * of a training-data pipeline — distribution stats, term importance,
-  * inverted-index shape, asymmetric (quote) containment, CDC
-  * latest-version dedup, and the skew-salted join under the oracle
-  * gate.
+/** Retrieval / curation wave (q79–q85, q102): the search-and-versioning
+  * side of a training-data pipeline — distribution stats, term
+  * importance, inverted-index shape, asymmetric (quote) containment,
+  * CDC latest-version dedup, trained-k-means IVF, and the skew pair
+  * (salted join + the detection profile that says when to salt) under
+  * the oracle gate.
   *
   * Same t2 gate as every other wave: DuckDB oracles in [[oracle]],
   * prototyped on DuckDB at sf0.01 before the natives were written;
@@ -155,7 +156,16 @@ object Retrieval {
         .agg(cnt.as("n"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
         .orderBy("p_brand")
-    })
+    }),
+
+    // Skew.profile under the oracle gate: q84's DETECTION companion —
+    // the top-20 hottest customer keys of `orders` with row share
+    // (integer ppm) and the salt factor saltedJoin would need at
+    // 32-way parallelism. One groupBy + a broadcast 1-row summary;
+    // all-integer arithmetic so DuckDB replays it exactly.
+    "q102_skew_profile" -> ((s, dir) =>
+      Skew.profile(Tables.load(s, dir, "orders"), "o_custkey",
+        partitions = 32, topK = 20))
   )
 
   /** DuckDB oracles (validated at sf0.01/sf0.1 before the natives). */
@@ -223,6 +233,19 @@ SELECT p.p_brand, COUNT(*) AS n,
   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand ORDER BY p.p_brand""",
+
+    // integer ppm + ceil-division salts; SUM(BIGINT) is HUGEINT in
+    // DuckDB (surfaces as float64 downstream) — CAST the total back to
+    // BIGINT so every term stays exact integer on both engines
+    "q102_skew_profile" -> """
+WITH c AS (SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY o_custkey),
+s AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)
+SELECT c.o_custkey, c.n_rows,
+  c.n_rows * 1000000 // s.total AS share_ppm,
+  s.n_keys,
+  GREATEST(1, (c.n_rows * 32 + s.total - 1) // s.total) AS salts
+FROM c CROSS JOIN s
+ORDER BY c.n_rows DESC, c.o_custkey LIMIT 20""",
 
     "q85_kmeans_train" -> """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),

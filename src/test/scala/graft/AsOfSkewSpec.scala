@@ -59,6 +59,34 @@ class AsOfSkewSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("profile reports hot-key mass and the salt factor saltedJoin needs") {
+    // 64 rows: key 7 holds 32 (50%), key 8 holds 16 (25%), keys 100-115
+    // hold 1 each — at partitions=8 the ideal slice is 8 rows, so key 7
+    // needs ceil(32*8/64)=4 salts, key 8 needs 2, cold keys 1.
+    val rows = Seq.fill(32)(7L) ++ Seq.fill(16)(8L) ++ (100L to 115L)
+    val df = rows.map(k => (k, "x")).toDF("k", "payload")
+    val out = Skew.profile(df, "k", partitions = 8, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 3)
+    assert(out(0) == ((7L, 32L, 500000L, 18L, 4L)))
+    assert(out(1) == ((8L, 16L, 250000L, 18L, 2L)))
+    // third row: count-1 ties broken by key asc -> key 100, salts 1
+    assert(out(2) == ((100L, 1L, 15625L, 18L, 1L)))
+  }
+
+  test("profile top-k output is the same under any input partitioning") {
+    val rows = (1L to 200L).flatMap(k => Seq.fill((k % 5).toInt + 1)(k))
+    val df = rows.map(k => (k, k * 2)).toDF("k", "v")
+    val expected = Skew.profile(df.repartition(1), "k", partitions = 32)
+      .collect().map(_.toString).toSeq
+    Seq(3, 17).foreach { n =>
+      val got = Skew.profile(df.repartition(n), "k", partitions = 32)
+        .collect().map(_.toString).toSeq
+      assert(got == expected, s"repartition($n)")
+    }
+  }
+
   test("graft_dot and graft_cosine are callable from the SQL surface") {
     graft.sources.Tables.registerAll(spark, TestSpark.sf0001)
     val r = spark.sql(
