@@ -167,6 +167,53 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private var oooRun = 0
+
+  test("latestVersion converges to the batch survivor set under ANY replay order") {
+    import graft.streaming.StatefulOps.Versioned
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    implicit val sqlCtx = spark.sqlContext
+    // ScalaCheck drives the replay schedule: a shuffle seed (arbitrary
+    // out-of-order, late, interleaved delivery) and a micro-batch count
+    // (1 = everything at once .. 6 = drip-feed). The emitted champion
+    // stream differs per schedule, but the per-key SURVIVOR (last
+    // champion) must always equal the batch q83-style winner.
+    val ev = graft.sources.Tables.load(spark, TestSpark.sf0001, "events")
+      .filter(col("user_id") <= 10)
+      .selectExpr("user_id", "event_type", "ts", "event_id", "value")
+      .as[Versioned].collect().toVector
+    assert(ev.length > 20, s"fixture too small: ${ev.length}")
+    def survivorsOf(rows: Iterable[Versioned]) =
+      rows.groupBy(e => (e.user_id, e.event_type)).values
+        .map(_.maxBy(e => (e.ts.getTime, e.event_id)))
+        .map(e => (e.user_id, e.event_type, e.ts.getTime, e.event_id, e.value))
+        .toSet
+    val expect = survivorsOf(ev)
+    val prop = Prop.forAll(Gen.choose(0L, Long.MaxValue), Gen.choose(1, 6)) {
+      (seed, nb) =>
+        oooRun += 1
+        val name = s"cdc_ooo_$oooRun"
+        val shuffled = new scala.util.Random(seed).shuffle(ev)
+        val mem = MemoryStream[Versioned]
+        // horizon far beyond the corpus span: no delivery order may be
+        // watermark-dropped — this property isolates replay ORDER
+        val q = StatefulOps.latestVersion(mem.toDS(),
+            idleEvictionMs = 3650L * 86400000L)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          shuffled.grouped(math.max(1, shuffled.length / nb)).foreach { b =>
+            mem.addData(b); q.processAllAvailable()
+          }
+          survivorsOf(spark.table(name).as[Versioned].collect()) == expect
+        } finally q.stop()
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(r.passed, r.toString)
+  }
+
   test("streaming latestVersion converges to q83's survivor set over the corpus") {
     import graft.streaming.StatefulOps.Versioned
     import org.apache.spark.sql.functions._
