@@ -1,6 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The one full bench record, built in ONE place so the ship-gate
+    * below and BenchSpec exercise exactly what main emits. */
+  private[graft] def record(results: Seq[(String, Double)],
+                            failed: Seq[String], sfDir: String,
+                            load: Double, warmupSec: Double): String = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.escape(sfDir)},"load":$load,"warmup_sec":$warmupSec}"""
+  }
+
+  /** Why this artifact must NOT ship (empty = good): it fails to parse
+    * as one JSON document, its per-query keys don't cover exactly the
+    * `expected` battery (a truncated run shipped as a normal-looking
+    * record is how r02's `parsed: null` happened), or a graded field is
+    * absent. The key scrape is structural (`"qNN...":`), so it reads
+    * the same keys a JSON parser would. */
+  private[graft] def artifactProblems(json: String,
+                                      expected: Set[String]): Seq[String] = {
+    val ps = Seq.newBuilder[String]
+    if (!graft.util.Json.isValid(json)) ps += "record is not parseable JSON"
+    val found = "\"(q[0-9][A-Za-z0-9_]*)\":".r
+      .findAllMatchIn(json).map(_.group(1)).toSet
+    val missing = expected -- found
+    val extra = found -- expected
+    if (missing.nonEmpty)
+      ps += s"queries missing from record: ${missing.toSeq.sorted.mkString(",")}"
+    if (extra.nonEmpty)
+      ps += s"unknown queries in record: ${extra.toSeq.sorted.mkString(",")}"
+    Seq("\"metric\"", "\"value\"", "\"queries\"", "\"errors\"", "\"sf\"", "\"load\"")
+      .foreach(f => if (!json.contains(f + ":")) ps += s"missing field $f")
+    ps.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,12 +105,21 @@ object Bench {
     val total = results.map(_._2).sum
     // a failed query must be visible in the output, not a fast "success"
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    // the file record escapes sfDir the same way the stdout total line
-    // does — an env-provided path with a quote/backslash must not make
-    // the one "full record" file unparseable
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)},"load":$load,"warmup_sec":$warmupSec}"""
+    def jstr(s: String) = graft.util.Json.escape(s)
+    val full = record(results, failed, sfDir, load, warmupSec)
+    // Ship-gate: a record that doesn't parse or doesn't cover exactly
+    // the graded battery must fail THIS run loudly, not surface as a
+    // truncated-but-plausible graded artifact later. An unfiltered run
+    // is held to the FULL contract keyset (catches accidental
+    // filtering, not just string truncation); an ONLY run to its
+    // selection.
+    val problems = artifactProblems(full,
+      if (only.isEmpty) SparkEntry.queries.keySet else results.map(_._1).toSet)
+    if (problems.nonEmpty) {
+      problems.foreach(p => System.err.println(s"[bench] ARTIFACT INVALID: $p"))
+      spark.stop()
+      sys.exit(1)
+    }
     // The consumer captures a byte-limited TAIL of stdout: a single
     // ~4 KB line gets its HEAD (metric/value and the first queries) cut
     // off and fails to parse. So: full record to a file, the long

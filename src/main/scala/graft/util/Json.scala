@@ -15,4 +15,79 @@ object Json {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+
+  /** Structural JSON validity: would a standard parser (the driver's
+    * json.load) accept `s` as ONE complete document? Used as the
+    * ship-gate on hand-built artifacts — a truncated or mis-escaped
+    * record must fail at the producer, not at grading time. (Syntax
+    * check only: braces/brackets balanced and properly nested, strings
+    * closed, numbers numeric, no trailing garbage.) */
+  def isValid(s: String): Boolean =
+    try { val p = new Parser(s); p.value(); p.end(); true }
+    catch { case _: Exception => false }
+
+  private final class Parser(t: String) {
+    private var i = 0
+    private def ws(): Unit =
+      while (i < t.length && Character.isWhitespace(t(i))) i += 1
+    private def expect(c: Char): Unit = {
+      if (i >= t.length || t(i) != c) fail(); i += 1
+    }
+    private def fail(): Nothing =
+      throw new IllegalArgumentException(s"bad json at offset $i")
+    def end(): Unit = { ws(); if (i != t.length) fail() }
+    def value(): Unit = {
+      ws()
+      if (i >= t.length) fail()
+      t(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => lit("true")
+        case 'f' => lit("false")
+        case 'n' => lit("null")
+        case c if c == '-' || c.isDigit => num()
+        case _ => fail()
+      }
+    }
+    private def obj(): Unit = {
+      expect('{'); ws()
+      if (i < t.length && t(i) == '}') { i += 1; return }
+      var more = true
+      while (more) {
+        ws(); str(); ws(); expect(':'); value(); ws()
+        if (i < t.length && t(i) == ',') i += 1 else more = false
+      }
+      expect('}')
+    }
+    private def arr(): Unit = {
+      expect('['); ws()
+      if (i < t.length && t(i) == ']') { i += 1; return }
+      var more = true
+      while (more) {
+        value(); ws()
+        if (i < t.length && t(i) == ',') i += 1 else more = false
+      }
+      expect(']')
+    }
+    private def str(): Unit = {
+      expect('"')
+      while (i < t.length && t(i) != '"') {
+        if (t(i) == '\\') i += 2 else i += 1
+      }
+      expect('"')
+    }
+    private def lit(w: String): Unit = {
+      if (!t.startsWith(w, i)) fail(); i += w.length
+    }
+    private def num(): Unit = {
+      val start = i
+      if (i < t.length && t(i) == '-') i += 1
+      while (i < t.length && (t(i).isDigit || "+-.eE".indexOf(t(i).toInt) >= 0))
+        i += 1
+      if (i == start) fail()
+      val d = java.lang.Double.parseDouble(t.substring(start, i))
+      if (d.isNaN || d.isInfinite) fail() // JSON has no NaN/Inf literal anyway
+    }
+  }
 }
