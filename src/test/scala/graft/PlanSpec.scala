@@ -217,6 +217,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q84_skew_salted").contains("BroadcastHashJoin"))
   }
 
+  test("q102: the skew profile is one grouped pass + a broadcast 1-row summary") {
+    // the detection report must itself be skew-safe: no window over the
+    // counts (the top-k is a TakeOrdered), no shuffle for the summary
+    // attach (broadcast nested loop over 1 row), ONE key-shuffle total
+    val p = plan("q102_skew_profile")
+    assert(!p.contains("WindowExec"), p.take(500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(800))
+  }
+
   test("day=-partitioned layout: a date predicate prunes partitions at the scan") {
     // SCALING.md's 100 TB scan claim, demonstrated: write events as a
     // day=-partitioned directory (Tables.writeAs, the lake-layout
