@@ -1,14 +1,15 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Packing, Sampling}
 import graft.sources.Tables
 
-/** Corpus-modeling wave (q86–q92): the packing-and-statistics side of
-  * a pretraining-data pipeline — context-window chunking, padding-waste
-  * accounting, an n-gram next-token model, vocabulary growth, the
-  * near-dup graph's degree profile, event burstiness, and applying a
-  * mixing plan as a deterministic downsample.
+/** Corpus-modeling wave (q86–q92 round 3, q103 round 4): the
+  * packing-and-statistics side of a pretraining-data pipeline —
+  * context-window chunking, padding-waste accounting, concat-and-split
+  * sequence packing, an n-gram next-token model, vocabulary growth,
+  * the near-dup graph's degree profile, event burstiness, and applying
+  * a mixing plan as a deterministic downsample.
   *
   * Same t2 gate as every other wave: DuckDB oracles in [[oracle]],
   * prototyped on DuckDB at sf0.01 before the natives were written;
@@ -183,6 +184,31 @@ object Corpus {
           defaultBound = demoMixingDefault)
         .groupBy("source").agg(cnt.as("n_kept"), sum(col("toks")).as("toks_kept"))
         .orderBy("source")
+    }),
+
+    // Concat-and-split packing (q86/q87 complete the triptych): docs
+    // laid head-to-tail per source in doc_id order, the token stream
+    // cut every 512 tokens — Packing.concatPack assigns each doc its
+    // window span, and the report says what the packed corpus costs:
+    // windows produced, docs cut by a boundary, and the one
+    // partially-filled tail window's fill in integer ppm. The window
+    // cumsum is PARTITIONED by source — the scale contract is
+    // pack-within-shard, never one global ordered stream.
+    "q103_concat_packing" -> ((s, dir) => {
+      val cap = 512L
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(tokArray).as("n"))
+        .filter(col("n") > 0)
+      Packing.concatPack(d, "source", "doc_id", "n", cap)
+        .groupBy("source")
+        .agg(cnt.as("n_docs"), sum(col("n")).as("toks"),
+          sum(when(col("n_boundary") > 0, 1L).otherwise(0L)).as("n_split_docs"))
+        .select(col("source"), col("n_docs"), col("toks"),
+          expr(s"(toks + ${cap - 1}L) DIV ${cap}L").as("n_bins"),
+          col("n_split_docs"),
+          expr(s"(toks - ((toks + ${cap - 1}L) DIV ${cap}L - 1L) * ${cap}L) * 1000000L DIV ${cap}L")
+            .as("tail_fill_ppm"))
+        .orderBy("source")
     })
   )
 
@@ -263,6 +289,23 @@ k AS (SELECT * FROM d WHERE r <= CASE source
   WHEN 'src2' THEN '7fffffff' WHEN 'src3' THEN '3fffffff'
   WHEN 'src4' THEN '19999999' ELSE '7fffffff' END)
 SELECT source, COUNT(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS toks_kept
-FROM k GROUP BY source ORDER BY source"""
+FROM k GROUP BY source ORDER BY source""",
+
+    // the window cumsum widens to HUGEINT in DuckDB; casting start
+    // back to BIGINT keeps the boundary comparison exact-integer on
+    // both engines (same discipline as q102's total)
+    "q103_concat_packing" -> """
+WITH d AS (SELECT doc_id, source,
+  len(list_filter(string_split(lower(text),' '), x -> x <> '')) n FROM documents),
+p AS (SELECT source, n,
+  CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM d WHERE n > 0),
+g AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS toks,
+  CAST(SUM(CASE WHEN st // 512 < (st + n - 1) // 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+  FROM p GROUP BY source)
+SELECT source, n_docs, toks, (toks + 511) // 512 AS n_bins, n_split_docs,
+  (toks - ((toks + 511) // 512 - 1) * 512) * 1000000 // 512 AS tail_fill_ppm
+FROM g ORDER BY source"""
   ).map { case (k, v) => k -> v.trim }
 }
