@@ -165,7 +165,30 @@ object Retrieval {
     // all-integer arithmetic so DuckDB replays it exactly.
     "q102_skew_profile" -> ((s, dir) =>
       Skew.profile(Tables.load(s, dir, "orders"), "o_custkey",
-        partitions = 32, topK = 20))
+        partitions = 32, topK = 20)),
+
+    // Diff.snapshotDiff under the oracle gate: two md5-derived
+    // snapshots of the documents table (old keeps md5('old:'||id)<'e',
+    // new keeps md5('new:'||id)<'e' and rewrites text for the
+    // md5('edit:'||id)<'2' subset) diffed into added / removed /
+    // changed / unchanged counts — the crawl-to-crawl accounting a
+    // corpus pipeline runs between dumps. Both snapshots are
+    // content-addressed projections of ONE table, so DuckDB replays
+    // the whole scenario; the operator shuffles (key, 16-byte hash),
+    // never the documents.
+    "q104_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldSnap = d.filter(
+        md5(concat(lit("old:"), col("doc_id").cast("string"))) < "e")
+      val newSnap = d.filter(
+          md5(concat(lit("new:"), col("doc_id").cast("string"))) < "e")
+        .withColumn("text",
+          when(md5(concat(lit("edit:"), col("doc_id").cast("string"))) < "2",
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.Diff.snapshotDiff(oldSnap, newSnap,
+          Seq("doc_id"), Seq("text"))
+        .groupBy("status").agg(cnt.as("n")).orderBy("status")
+    })
   )
 
   /** DuckDB oracles (validated at sf0.01/sf0.1 before the natives). */
@@ -246,6 +269,20 @@ SELECT c.o_custkey, c.n_rows,
   GREATEST(1, (c.n_rows * 32 + s.total - 1) // s.total) AS salts
 FROM c CROSS JOIN s
 ORDER BY c.n_rows DESC, c.o_custkey LIMIT 20""",
+
+    // status via md5 comparison = text comparison (the operator's
+    // sentinel-joined hash differs in VALUE but never in equality)
+    "q104_snapshot_diff" -> """
+WITH d AS (SELECT doc_id, text FROM documents),
+o AS (SELECT doc_id, md5(text) h FROM d
+      WHERE md5('old:' || CAST(doc_id AS VARCHAR)) < 'e'),
+n AS (SELECT doc_id, md5(CASE WHEN md5('edit:' || CAST(doc_id AS VARCHAR)) < '2'
+        THEN text || ' v2' ELSE text END) h
+      FROM d WHERE md5('new:' || CAST(doc_id AS VARCHAR)) < 'e'),
+j AS (SELECT CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
+        WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status""",
 
     "q85_kmeans_train" -> """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
