@@ -5,10 +5,11 @@ import org.apache.spark.sql.types.DecimalType
 import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.Tables
 
-/** Corpus-quality analytics wave (q93–q95): duplicate-cluster
-  * topology with the connected-components labels themselves under the
-  * oracle gate, robust-statistics winsorization, and collocation
-  * mining with exact integer lift.
+/** Corpus-quality analytics wave (q93–q95 round 3, q105 round 4):
+  * duplicate-cluster topology with the connected-components labels
+  * themselves under the oracle gate, robust-statistics winsorization,
+  * collocation mining with exact integer lift, and the cross-source
+  * mirror matrix.
   *
   * Same t2 gate as every other wave: DuckDB oracles in [[oracle]]
   * (q93's replays the transitive closure with a RECURSIVE CTE),
@@ -127,6 +128,30 @@ object Quality {
           // exactly for the top-df terms this query pairs
           expr("CAST(CAST(cab AS DECIMAL(38,0)) * n * 1000000 DIV (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)").as("lift_ppm"))
         .orderBy(desc("lift_ppm"), col("ta"), col("tb")).limit(20)
+    }),
+
+    // Cross-source mirror matrix: which SOURCE PAIRS share near-dup
+    // content (mirror sites, syndication, cross-crawl boilerplate) —
+    // the q42 kernel's >= 0.2 Jaccard pairs with each endpoint joined
+    // back to its source, cross-source pairs only, counted per
+    // unordered (least, greatest) source pair. The signal that tells
+    // a curation run which sources to dedup AGAINST each other rather
+    // than independently. Same maxDf cap as q42/q93/q97 (and the
+    // oracle models it), so the pair space stays bounded at any SF.
+    "q105_mirror_matrix" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val arr = Dedup.shingleArrays(docs)
+        .repartition(col("doc_id")).localCheckpoint()
+      val sh = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
+      Dedup.jaccardAllPairs(sh, maxDf = 1000).filter(col("jc") >= 0.2)
+        .join(src.select(col("doc_id").as("i"), col("source").as("sa")), "i")
+        .join(src.select(col("doc_id").as("j"), col("source").as("sb")), "j")
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(cnt.as("n_pairs"))
+        .orderBy("src_a", "src_b")
     })
   )
 
@@ -183,6 +208,27 @@ SELECT p.ta, p.tb, p.cab,
 FROM pair p, nd
 JOIN vocab va ON va.tok = p.ta JOIN vocab vb ON vb.tok = p.tb
 WHERE p.cab >= 5
-ORDER BY lift_ppm DESC, p.ta, p.tb LIMIT 20"""
+ORDER BY lift_ppm DESC, p.ta, p.tb LIMIT 20""",
+
+    // q93's kernel CTEs (shingles, df cap, inter, edge) with each edge
+    // endpoint joined back to its source; unordered source pairs via
+    // LEAST/GREATEST
+    "q105_mirror_matrix" -> """
+WITH d AS (SELECT doc_id, source, string_split(lower(text),' ') l FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
+sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) nt FROM shk GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+edge AS (SELECT i, j FROM inter x
+         JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
+         WHERE CAST(x.ci AS DOUBLE) / (ca.nt + cb.nt - x.ci) >= 0.2),
+sp AS (SELECT da.source sa, db.source sb FROM edge e
+       JOIN d da ON da.doc_id = e.i JOIN d db ON db.doc_id = e.j
+       WHERE da.source <> db.source)
+SELECT LEAST(sa, sb) AS src_a, GREATEST(sa, sb) AS src_b, COUNT(*) AS n_pairs
+FROM sp GROUP BY src_a, src_b ORDER BY src_a, src_b"""
   ).map { case (k, v) => k -> v.trim }
 }
