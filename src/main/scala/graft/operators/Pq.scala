@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -65,15 +66,144 @@ object Pq {
       lit(", code="), col("code").cast("string"),
       lit(s") while computing $what — codebook/codes mismatch (wrong m, k, or training run)"))))
 
+  /** Per-centroid (distance, label) structs against the per-sub `_cs`
+    * codebook array — the same ordering key AnnSearch.assignBuckets
+    * uses, so argmin/min-distance semantics (ties to the lower label,
+    * NaN greatest) are identical across encode, train, and IVF. */
+  private def distStructs: Column = transform(col("_cs"), s =>
+    struct(graft.functions.Vectors.sqDist(col("embedding"), s.getField("c")).as("d"),
+      s.getField("l").as("l")))
+
+  /** The codebook collapsed to one broadcastable row PER SUBSPACE:
+    * (sub, _cs = array of (l, c) structs) — m rows total. */
+  private def perSubArray(codebook: DataFrame): DataFrame =
+    codebook.groupBy("sub")
+      .agg(collect_list(struct(col("clabel").as("l"), col("cent").as("c"))).as("_cs"))
+
   /** Train one deterministic k-means codebook per subspace: output
-    * (sub, clabel, cent) with m*k rows, cent of width dims/m. The m
-    * trainings run over width-(dims/m) slices of the SAME relation —
-    * each is the full kmeansCentroids machinery (sampling, seeding,
-    * fixed Lloyd rounds), so subspace codebooks are independently
-    * deterministic. */
+    * (sub, clabel, cent) with m*k rows, cent of width dims/m.
+    *
+    * All m trainings run in ONE grouped Lloyd loop keyed by `sub`
+    * rather than m sequential kmeansCentroids calls: the sample is
+    * materialized once (the md5(vec_id) filter is subspace-blind, so
+    * every subspace trains on the same rows), exploded to (vec_id,
+    * sub, subvector), and each round does one broadcast argmin + one
+    * grouped exact-decimal mean over all subspaces simultaneously.
+    * That cuts the job's barrier count from O(m * iters) sequential
+    * checkpoint/collect rounds to O(iters) — at 100 TB the sequential
+    * form is stage-latency-bound (each subspace's tiny k-row
+    * checkpoint is a full-cluster barrier), the grouped form does the
+    * same arithmetic in 1/m the stages and keeps every executor busy
+    * across all subspaces at once.
+    *
+    * Bit-identical to training each subspace independently (the
+    * [[trainPerSubspace]] twin, differential-tested in PqSpec): seeds
+    * are the SAME first-k sample vectors in (md5(vec_id), vec_id)
+    * order for every subspace (the order never looks at the vector),
+    * assignment is the same struct-argmin, means the same
+    * DECIMAL(18,9) avg rounded to 6, empty clusters keep their prior
+    * centroid, and `"farthest"` init runs the same greedy traversal
+    * per subspace (each subspace picks its OWN farthest vector — a
+    * grouped min-struct per pass, nulls ordered after NaN after real
+    * distances, exactly kmeansCentroids' asc_nulls_last order). */
   def train(emb: DataFrame, dims: Int, m: Int, k: Int, iters: Int = 5,
             sampleBound: Option[String] = Some("4"),
             vecIdCol: String = "vec_id", init: String = "md5"): DataFrame = {
+    val w = subWidth(dims, m)
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(init == "md5" || init == "farthest", s"unknown init '$init'")
+    sampleBound.foreach(b =>
+      require(b.nonEmpty && b.forall(c => ('0' <= c && c <= '9') || ('a' <= c && c <= 'f')),
+        s"sampleBound '$b' is not lowercase hex"))
+    val key = md5(col(vecIdCol).cast("string"))
+    val checked = emb.select(col(vecIdCol),
+      checkedEmbedding(col(vecIdCol), dims, "train").as("embedding"))
+    // Materialized once for the whole codebook (vs once per subspace
+    // in the sequential form) — seeding, farthest passes, and every
+    // Lloyd round re-derive their subvector slices from this.
+    val sample = sampleBound.fold(checked)(b => checked.filter(key < lit(b)))
+      .localCheckpoint()
+    // Narrow re-derivable projection: each sample vector's m slices.
+    val subs = sample.select(col(vecIdCol),
+      explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col(vecIdCol), col("sub"),
+        slice(col("embedding"), col("sub") * w + 1, lit(w)).as("embedding"))
+    val seedOrd = Seq(key, col(vecIdCol))
+    def sliced(label: Column) = Seq(col("sub"), label.as("clabel"),
+      transform(slice(col("embedding"), col("sub") * w + 1, lit(w)),
+        x => x.cast("double")).as("cent"))
+    var cents: DataFrame =
+      if (init == "md5")
+        // the k seed VECTORS are shared across subspaces (the order is
+        // subspace-blind); each subspace's seed j is vector j's slice
+        sample.orderBy(seedOrd: _*).limit(k)
+          .withColumn("clabel", row_number().over(Window.orderBy(seedOrd: _*)))
+          .select(col("clabel"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+            col("embedding"))
+          .select(sliced(col("clabel")): _*)
+          .localCheckpoint()
+      else {
+        var seeds = sample.orderBy(seedOrd: _*).limit(1)
+          .select(explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+          .select(sliced(lit(1)): _*).localCheckpoint()
+        for (i <- 2 to k) {
+          // per-subspace farthest-first pick as ONE grouped min-struct
+          // pass (vs an orderBy().limit(1) per subspace per pass): the
+          // null flag orders null min-distances after NaN (negate(NaN)
+          // = NaN sorts greatest among non-null doubles) — exactly
+          // kmeansCentroids' negate(d).asc_nulls_last, (md5, id) ties
+          val far = subs.join(broadcast(perSubArray(seeds)), Seq("sub"))
+            .withColumn("_mind", array_min(distStructs).getField("d"))
+            .groupBy("sub")
+            .agg(min(struct(
+              when(col("_mind").isNull, 1).otherwise(0).as("nf"),
+              negate(col("_mind")).as("nd"),
+              key.as("h"), col(vecIdCol).as("id"),
+              col("embedding").as("e"))).as("_p"))
+            .select(col("sub"), lit(i).as("clabel"),
+              transform(col("_p").getField("e"), x => x.cast("double")).as("cent"))
+          seeds = seeds.unionByName(far).localCheckpoint()
+        }
+        seeds
+      }
+    // Same loud seeding contract as kmeansCentroids: fewer than k
+    // codes per subspace would silently degrade every search.
+    val seeded = cents.count()
+    require(seeded == m.toLong * k,
+      s"PQ sample seeded only $seeded of m*k=${m * k} codebook entries — " +
+        s"widen sampleBound ($sampleBound) or lower k")
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(perSubArray(cents)), Seq("sub"))
+        .withColumn("bucket", array_min(distStructs).getField("l"))
+      // meanCentroids' exact-decimal element-wise mean, grouped by
+      // (sub, bucket): identical arithmetic, 1/m the barriers
+      val means = assigned
+        .select(col("sub"), col("bucket").as("clabel"),
+          explode(sequence(lit(1), lit(w))).as("pos"), col("embedding"))
+        .groupBy("sub", "clabel", "pos")
+        .agg(round(avg(element_at(col("embedding"), col("pos")).cast(DecimalType(18, 9))), 6)
+          .cast("double").as("c"))
+        .groupBy("sub", "clabel")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("ncent"))
+      cents = cents.join(means, Seq("sub", "clabel"), "left")
+        .select(col("sub"), col("clabel"),
+          coalesce(col("ncent"), col("cent")).as("cent"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** The sequential per-subspace formulation of [[train]] — m
+    * independent kmeansCentroids runs over width-(dims/m) slices.
+    * Kept as the differential-test twin proving the grouped loop is
+    * bit-identical (PqSpec); not the production path (m times the
+    * stage barriers). */
+  private[graft] def trainPerSubspace(
+      emb: DataFrame, dims: Int, m: Int, k: Int, iters: Int = 5,
+      sampleBound: Option[String] = Some("4"),
+      vecIdCol: String = "vec_id", init: String = "md5"): DataFrame = {
     val w = subWidth(dims, m)
     val checked = emb.select(col(vecIdCol),
       checkedEmbedding(col(vecIdCol), dims, "train").as("embedding"))

@@ -38,6 +38,22 @@ class PqSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("grouped training is bit-identical to per-subspace training, both inits") {
+    // the grouped single-Lloyd-loop train must reproduce m independent
+    // kmeansCentroids runs EXACTLY — codebooks feed a hash-gated
+    // contract query (q101), so "close" is not enough
+    for (init <- Seq("md5", "farthest")) {
+      val grouped = Pq.train(clustered, DIMS, m = M, k = 4, iters = 2,
+        init = init)
+      val seq = Pq.trainPerSubspace(clustered, DIMS, m = M, k = 4, iters = 2,
+        init = init)
+      val diff = grouped.withColumnRenamed("cent", "gc")
+        .join(seq, Seq("sub", "clabel"), "full_outer")
+        .filter(col("gc").isNull || col("cent").isNull || col("gc") =!= col("cent"))
+      assert(diff.count() == 0, s"init=$init codebooks diverge")
+    }
+  }
+
   test("encoding is deterministic under repartitioning") {
     val again = Pq.encode(clustered.repartition(13), codebook, DIMS, M)
     assert(codes.join(again.withColumnRenamed("codes", "codes2"), "vec_id")
