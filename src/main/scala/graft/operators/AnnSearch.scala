@@ -217,6 +217,22 @@ object AnnSearch {
       .withColumn("bucket", array_min(distStructs).getField("l"))
       .drop("_cs")
 
+  /** [[assignBuckets]] plus the squared distance TO the chosen
+    * centroid: adds (`bucket`, `d2`) — d2 is the vector's quantization
+    * error, the per-row input of index-health reports (q108). Same
+    * zero-shuffle broadcast argmin, same (d, label) tie/NaN ordering;
+    * reserved columns: `_cs`, `_m`, `bucket`, `d2`. */
+  def assignBucketsWithDist(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val reserved = Seq("_m", "d2").filter(emb.columns.contains)
+    require(reserved.isEmpty,
+      s"reserved working columns ${reserved.mkString(", ")} — rename them on the input")
+    withCentroidArray(emb, cents, "bucket")
+      .withColumn("_m", array_min(distStructs))
+      .withColumn("bucket", col("_m").getField("l"))
+      .withColumn("d2", col("_m").getField("d"))
+      .drop("_cs", "_m")
+  }
+
   /** The `nprobe` nearest centroid labels per vector, as a `buckets`
     * array ordered nearest-first (ties by label, same struct ordering
     * as [[assignBuckets]] — element 1 of the array IS assignBuckets'

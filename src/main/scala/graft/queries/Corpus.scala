@@ -209,6 +209,29 @@ object Corpus {
           expr(s"(toks - ((toks + ${cap - 1}L) DIV ${cap}L - 1L) * ${cap}L) * 1000000L DIV ${cap}L")
             .as("tail_fill_ppm"))
         .orderBy("source")
+    }),
+
+    // First BPE merge iteration: adjacent character-pair frequencies
+    // over the corpus, weighted by word frequency — the statistic a
+    // byte-pair-encoding tokenizer trainer computes to pick its next
+    // merge. The scale contract is VOCAB-COLLAPSE FIRST: the corpus is
+    // touched once by a map-side-combining word count, and the pair
+    // explosion runs over the DISTINCT vocabulary only (Heap's-law
+    // sublinear — ~millions of words at 100 TB, not trillions of
+    // tokens), each pair weighted by its word's corpus count. Words
+    // shorter than 2 chars have no pair and are excluded on both
+    // engines.
+    "q106_bpe_merges" -> ((s, dir) => {
+      val vocab = Tables.load(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(cnt.as("n"))
+      vocab.filter(length(col("w")) >= 2)
+        .select(col("w"), col("n"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"), col("n"))
+        .groupBy("pair").agg(sum(col("n")).as("freq"))
+        .orderBy(desc("freq"), col("pair")).limit(20)
     })
   )
 
@@ -306,6 +329,19 @@ g AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS toks,
   FROM p GROUP BY source)
 SELECT source, n_docs, toks, (toks + 511) // 512 AS n_bins, n_split_docs,
   (toks - ((toks + 511) // 512 - 1) * 512) * 1000000 // 512 AS tail_fill_ppm
-FROM g ORDER BY source"""
+FROM g ORDER BY source""",
+
+    // vocab-collapse then pair-explode over distinct words only, the
+    // same shape as the native; SUM(BIGINT) is HUGEINT in DuckDB —
+    // CAST back to BIGINT (the q102/q103 discipline)
+    "q106_bpe_merges" -> """
+WITH w AS (SELECT t AS word, COUNT(*) n
+           FROM (SELECT unnest(string_split(lower(text),' ')) t FROM documents)
+           WHERE t <> '' GROUP BY t),
+p AS (SELECT substr(word, CAST(i AS INT), 2) pair, n
+      FROM w, unnest(generate_series(1, len(word)-1)) AS u(i)
+      WHERE len(word) >= 2)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS freq
+FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 20"""
   ).map { case (k, v) => k -> v.trim }
 }

@@ -152,6 +152,43 @@ object Quality {
           greatest(col("sa"), col("sb")).as("src_b"))
         .groupBy("src_a", "src_b").agg(cnt.as("n_pairs"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // Adaptive per-source quality floor: each source's p10 quality
+    // score becomes its own keep threshold — the curation move that
+    // drops each source's worst decile instead of applying one global
+    // cutoff that would gut low-scoring sources entirely. Fences are
+    // q94's rank-based exact order statistics (2 rows per source, same
+    // interpolation as quantile_cont), broadcast back onto the scored
+    // relation; scores are checkpointed once so the tokenize pass
+    // never re-runs for the report join. Report: floor, docs kept, and
+    // the token mass that survives — the number a mixing plan needs.
+    "q107_quality_floor" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScores(
+          Tables.load(s, dir, "documents"),
+          stopwords = Seq("the", "a"), groupCol = "source")
+        .select(col("source"), col("ntok"), col("score").cast("double").as("v"))
+        .localCheckpoint()
+      val n = scored.groupBy("source").agg(cnt.as("n"))
+      val ranked = scored.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy("v")))
+        .join(broadcast(n), "source")
+        .withColumn("p10", expr("0.10D * (n - 1)"))
+      val f = ranked
+        .filter(col("rn") === floor(col("p10")) + 1 || col("rn") === ceil(col("p10")) + 1)
+        .groupBy("source")
+        .agg(round(expr("min(CASE WHEN rn = floor(p10)+1 THEN v END)" +
+          " + (max(p10) - floor(max(p10)))" +
+          " * (min(CASE WHEN rn = ceil(p10)+1 THEN v END)" +
+          "    - min(CASE WHEN rn = floor(p10)+1 THEN v END))"), 6).as("floor_score"))
+      scored.join(broadcast(f), "source")
+        .groupBy("source", "floor_score")
+        .agg(cnt.as("n_docs"),
+          sum(when(col("v") >= col("floor_score"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("v") >= col("floor_score"), col("ntok")).otherwise(lit(0L)))
+            .as("kept_toks"))
+        .orderBy("source")
     })
   )
 
@@ -229,6 +266,32 @@ sp AS (SELECT da.source sa, db.source sb FROM edge e
        JOIN d da ON da.doc_id = e.i JOIN d db ON db.doc_id = e.j
        WHERE da.source <> db.source)
 SELECT LEAST(sa, sb) AS src_a, GREATEST(sa, sb) AS src_b, COUNT(*) AS n_pairs
-FROM sp GROUP BY src_a, src_b ORDER BY src_a, src_b"""
+FROM sp GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+
+    // q46's score CTEs, then quantile_cont(0.10) per source (the q94
+    // precedent: DuckDB's interpolated quantile vs the native's exact
+    // rank fences) and the keep/token accounting; SUM->HUGEINT cast
+    // back to BIGINT
+    "q107_quality_floor" -> """
+WITH toks AS (SELECT doc_id, source, unnest(string_split(lower(text),' ')) tok FROM documents),
+t AS (SELECT * FROM toks WHERE tok <> ''),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) ntok, COUNT(DISTINCT tok) nuniq,
+         SUM(CASE WHEN tok IN ('the','a') THEN 1 ELSE 0 END) nstop,
+         SUM(length(tok)) sumlen
+  FROM t GROUP BY doc_id, source),
+scored AS (
+  SELECT source, ntok, CAST(
+    (6 * ((nuniq * 1000000) // ntok)
+   + 3 * (1000000 - ((nstop * 1000000) // ntok))
+   + 1 * (least((sumlen * 100) // ntok, 800) * 1250)) // 10 AS DOUBLE) AS v
+  FROM per_doc),
+f AS (SELECT source, ROUND(quantile_cont(v, 0.10), 6) floor_score
+      FROM scored GROUP BY source)
+SELECT s.source, f.floor_score, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN s.v >= f.floor_score THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN s.v >= f.floor_score THEN s.ntok ELSE 0 END) AS BIGINT) AS kept_toks
+FROM scored s JOIN f USING (source)
+GROUP BY s.source, f.floor_score ORDER BY s.source"""
   ).map { case (k, v) => k -> v.trim }
 }

@@ -141,6 +141,30 @@ object Retrieval {
         .orderBy("clabel", "pos")
     }),
 
+    // Index-health report: per-bucket quantization error of the
+    // trained IVF index — n_vecs (list balance) and mean squared
+    // distance to the assigned centroid (how much resolution each
+    // list loses). The two numbers that tell an index operator
+    // whether to re-train, raise k, or split a hot list BEFORE search
+    // quality degrades. One zero-shuffle broadcast argmin over the
+    // corpus (assignBucketsWithDist) + one grouped sum; per-vector
+    // errors enter the mean as ROUND(d2, 6) DECIMAL(18,6) — the ADC
+    // discipline — so the aggregate is partition-order-independent
+    // and the final double division has identical operands on both
+    // engines.
+    "q108_quant_error" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val coarse = graft.operators.AnnSearch.kmeansCentroids(
+        emb, dims = 64, k = 4, iters = 2, sampleBound = None).localCheckpoint()
+      graft.operators.AnnSearch.assignBucketsWithDist(emb, coarse)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(cnt.as("n_vecs"),
+          sum(round(col("d2"), 6).cast(DecimalType(18, 6))).as("sqe"))
+        .select(col("bucket"), col("n_vecs"),
+          (col("sqe").cast("double") / col("n_vecs")).as("mse"))
+        .orderBy("bucket")
+    }),
+
     // Skew.saltedJoin under the oracle gate: the salted join must be
     // row-identical to the plain equi-join (the oracle IS the plain
     // join) while spreading each part key over 8 salt sub-keys —
@@ -310,6 +334,42 @@ c2l AS (SELECT clabel, list(c ORDER BY pos) cent FROM m2 GROUP BY clabel),
 c2 AS (SELECT c1.clabel, COALESCE(c2l.cent, c1.cent) cent FROM c1 LEFT JOIN c2l USING (clabel))
 SELECT clabel, r.pos, cent[CAST(r.pos AS INT)] AS c
 FROM c2 CROSS JOIN range(1,65) r(pos)
-ORDER BY clabel, pos"""
+ORDER BY clabel, pos""",
+
+    // q85's training CTEs verbatim (seeds..c2), then one full-corpus
+    // assignment keeping the argmin DISTANCE, and the per-bucket mean
+    // over ROUND(d2,6) DECIMAL(18,6) entries (the ADC discipline)
+    "q108_quant_error" -> """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+seeds AS (SELECT v, clabel FROM (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) clabel FROM e)
+  WHERE clabel <= 4),
+c0 AS (SELECT clabel, v AS cent FROM seeds),
+a1 AS (SELECT e.vec_id, e.v, c.clabel,
+         list_sum(list_transform(list_zip(e.v, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+       FROM e CROSS JOIN c0 c),
+b1 AS (SELECT vec_id, v, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a1) WHERE rn = 1),
+m1 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(v[CAST(r.pos AS INT)] AS DECIMAL(18,9))),6) AS DOUBLE) c
+       FROM b1 CROSS JOIN range(1,65) r(pos) GROUP BY clabel, r.pos),
+c1l AS (SELECT clabel, list(c ORDER BY pos) cent FROM m1 GROUP BY clabel),
+c1 AS (SELECT c0.clabel, COALESCE(c1l.cent, c0.cent) cent FROM c0 LEFT JOIN c1l USING (clabel)),
+a2 AS (SELECT e.vec_id, e.v, c.clabel,
+         list_sum(list_transform(list_zip(e.v, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+       FROM e CROSS JOIN c1 c),
+b2 AS (SELECT vec_id, v, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a2) WHERE rn = 1),
+m2 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(v[CAST(r.pos AS INT)] AS DECIMAL(18,9))),6) AS DOUBLE) c
+       FROM b2 CROSS JOIN range(1,65) r(pos) GROUP BY clabel, r.pos),
+c2l AS (SELECT clabel, list(c ORDER BY pos) cent FROM m2 GROUP BY clabel),
+c2 AS (SELECT c1.clabel, COALESCE(c2l.cent, c1.cent) cent FROM c1 LEFT JOIN c2l USING (clabel)),
+a3 AS (SELECT e.vec_id, c.clabel,
+         list_sum(list_transform(list_zip(e.v, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
+       FROM e CROSS JOIN c2 c),
+b3 AS (SELECT vec_id, clabel, d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a3) WHERE rn = 1)
+SELECT clabel AS bucket, COUNT(*) AS n_vecs,
+  CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mse
+FROM b3 GROUP BY clabel ORDER BY bucket"""
   ).map { case (k, v) => k -> v.trim }
 }

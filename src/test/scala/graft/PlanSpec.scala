@@ -228,6 +228,26 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(800))
   }
 
+  test("q106/q107/q108: vocab-collapse, broadcast fences, broadcast argmin") {
+    // q106: the pair explosion must run over the AGGREGATED vocab
+    // (Generate above the word-count), never as a join — the corpus is
+    // touched exactly once
+    val p106 = plan("q106_bpe_merges")
+    assert(!p106.contains("Join"), p106.take(500))
+    assert(p106.contains("Generate"), p106.take(500))
+    // q107: the per-source fence table (handful of rows) broadcasts
+    // back onto the scored relation — shuffling the corpus against 4
+    // rows would be the q94 anti-pattern
+    val p107 = plan("q107_quality_floor")
+    assert(p107.contains("BroadcastHashJoin"), p107.take(500))
+    assert(!p107.contains("SortMergeJoin"), p107.take(500))
+    // q108: assignment is the zero-shuffle broadcast cross over the
+    // one-row centroid array; the only exchange is the bucket groupBy
+    val p108 = plan("q108_quant_error")
+    assert(p108.contains("BroadcastNestedLoopJoin"), p108.take(500))
+    assert(!p108.contains("SortMergeJoin"), p108.take(500))
+  }
+
   test("day=-partitioned layout: a date predicate prunes partitions at the scan") {
     // SCALING.md's 100 TB scan claim, demonstrated: write events as a
     // day=-partitioned directory (Tables.writeAs, the lake-layout
