@@ -78,6 +78,30 @@ object Curation {
       Sampling.stratifiedTake(Tables.load(s, dir, "documents"), "lang", 5, "doc_id")
         .select(col("lang"), col("doc_id"), col("rn"))
         .orderBy("lang", "rn")
+    }),
+
+    // Token-budget epoch planner: q68 reports the mix a corpus HAS;
+    // this computes the mix a training run NEEDS — given target
+    // weights (ppm) and a 1B-token budget, each source's target token
+    // draw and the repeat factor (epochs, ppm — >1e6 means the source
+    // must be upsampled / multi-epoched to hit its share, the
+    // data-constrained regime every over-weighted small source lands
+    // in). One groupBy over the corpus + a broadcast 5-row plan; all
+    // integer/decimal arithmetic (the q68 HUGEINT discipline).
+    "q110_epoch_mix" -> ((s, dir) => {
+      import s.implicits._
+      val plan = Seq(("src0", 300000L), ("src1", 250000L), ("src2", 200000L),
+        ("src3", 150000L), ("src4", 100000L)).toDF("source", "w_ppm")
+      val t = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(filter(graft.functions.Text.tokens(col("text")), x => x =!= "")).as("ntok"))
+        .groupBy("source").agg(sum(col("ntok")).as("toks"))
+      t.join(broadcast(plan), "source")
+        .select(col("source"), col("toks"),
+          expr("1000000000L * w_ppm DIV 1000000").as("target_toks"),
+          expr("CAST(1000000000L * w_ppm DIV 1000000 AS DECIMAL(38,0)) * 1000000 DIV toks")
+            .as("epochs_ppm"))
+        .orderBy("source")
     })
   )
 
@@ -118,6 +142,19 @@ FROM t ORDER BY source""",
 WITH r AS (SELECT doc_id, lang,
   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
   FROM documents)
-SELECT lang, doc_id, rn FROM r WHERE rn <= 5 ORDER BY lang, rn"""
+SELECT lang, doc_id, rn FROM r WHERE rn <= 5 ORDER BY lang, rn""",
+
+    // q68's token-count CTE + a VALUES plan; HUGEINT products cast
+    // back to BIGINT (the q102/q103 discipline)
+    "q110_epoch_mix" -> """
+WITH t AS (SELECT source,
+             CAST(SUM(len(list_filter(string_split(lower(text),' '), x -> x <> ''))) AS BIGINT) AS toks
+           FROM documents GROUP BY source),
+w AS (SELECT * FROM (VALUES ('src0',300000),('src1',250000),('src2',200000),
+                            ('src3',150000),('src4',100000)) AS w(source, w_ppm))
+SELECT t.source, toks,
+  CAST(CAST(1000000000 AS BIGINT) * w_ppm // 1000000 AS BIGINT) AS target_toks,
+  CAST(CAST(CAST(1000000000 AS BIGINT) * w_ppm // 1000000 AS HUGEINT) * 1000000 // toks AS BIGINT) AS epochs_ppm
+FROM t JOIN w USING (source) ORDER BY source"""
   ).map { case (k, v) => k -> v.trim }
 }

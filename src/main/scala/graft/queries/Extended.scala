@@ -138,7 +138,20 @@ object Extended {
         .agg(cnt.as("n_components"),
           sum(col("sz")).as("n_docs_in_dupes"),
           max(col("sz")).as("max_component"))
-    })
+    }),
+
+    // Tables.analyze under the oracle gate: the ANALYZE primitive —
+    // per-column row/null/ndv/min/max stats in long form, the numbers
+    // a cost-based planner decides broadcast-vs-shuffle and bucket
+    // counts with. Exact mode here (count DISTINCT — oracle-checkable);
+    // the operator's default approx mode is the one-pass mergeable-HLL
+    // 100 TB path (tolerance-tested in SourcesSpec, same split as
+    // q85/Sketches). ONE scan feeds all five columns' aggregates.
+    "q112_table_stats" -> ((s, dir) =>
+      Tables.analyze(Tables.load(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_orderpriority"), exact = true)
+        .orderBy("col_name"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -251,6 +264,23 @@ reach(doc, peer) AS (
 roots AS (SELECT doc, MIN(peer) root FROM reach GROUP BY doc),
 comp AS (SELECT root, COUNT(*) sz FROM roots GROUP BY root)
 SELECT COUNT(*) n_components, CAST(SUM(sz) AS BIGINT) n_docs_in_dupes, MAX(sz) max_component
-FROM comp"""
+FROM comp""",
+
+    // one SELECT per column UNION ALL'd (SQL has no stack()); VARCHAR
+    // min/max casts render identically on both engines (timestamps as
+    // 'yyyy-MM-dd HH:mm:ss' at second precision, UTC sessions)
+    "q112_table_stats" -> """
+SELECT * FROM (
+  SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(o_custkey) AS n_nulls,
+    COUNT(DISTINCT o_custkey) AS ndv, CAST(MIN(o_custkey) AS VARCHAR) AS min_s, CAST(MAX(o_custkey) AS VARCHAR) AS max_s FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate), CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey), COUNT(DISTINCT o_orderkey), CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority), CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus), CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+) ORDER BY col_name"""
   ).map { case (k, v) => k -> v.trim }
 }

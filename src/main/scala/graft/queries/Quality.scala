@@ -189,6 +189,35 @@ object Quality {
           sum(when(col("v") >= col("floor_score"), col("ntok")).otherwise(lit(0L)))
             .as("kept_toks"))
         .orderBy("source")
+    }),
+
+    // Per-source unigram entropy profile: each doc's token-distribution
+    // Shannon entropy H = -sum(p ln p) — the information-theoretic
+    // repetition signal (low H = templated/repetitive text, the q65
+    // ratio's principled cousin), reported as mean/min/max per source.
+    // Determinism: each -p*ln(p) term is ROUND(..,9)'d into
+    // DECIMAL(18,9) so the per-doc sum is partition-order-independent;
+    // the per-source mean is an exact decimal sum divided once as
+    // doubles. Shape: one tokenize + groupBy, doc length via a window
+    // partitioned on doc_id (reuses the same exchange — no join
+    // anywhere), then two stacked hash aggs.
+    "q111_token_entropy" -> ((s, dir) => {
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "source", "tok").agg(cnt.as("tf"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      tf.withColumn("dl", sum(col("tf")).over(w))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(ROUND(-(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))" +
+            " * ln(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)), 9) AS DECIMAL(18,9))").as("h"))
+        .groupBy("doc_id", "source").agg(sum(col("h")).as("hd"))
+        .groupBy("source").agg(cnt.as("n_docs"),
+          round(sum(col("hd")).cast("double") / cnt, 6).as("mean_entropy"),
+          min(col("hd")).cast("double").as("min_entropy"),
+          max(col("hd")).cast("double").as("max_entropy"))
+        .orderBy("source")
     })
   )
 
@@ -292,6 +321,24 @@ SELECT s.source, f.floor_score, COUNT(*) AS n_docs,
   CAST(SUM(CASE WHEN s.v >= f.floor_score THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
   CAST(SUM(CASE WHEN s.v >= f.floor_score THEN s.ntok ELSE 0 END) AS BIGINT) AS kept_toks
 FROM scored s JOIN f USING (source)
-GROUP BY s.source, f.floor_score ORDER BY s.source"""
+GROUP BY s.source, f.floor_score ORDER BY s.source""",
+
+    // same per-term ROUND(..,9) DECIMAL(18,9) entropy terms and
+    // window-partitioned doc length as the native
+    "q111_token_entropy" -> """
+WITH tf AS (
+  SELECT doc_id, source, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id, source, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok
+    FROM documents) GROUP BY doc_id, source, tok),
+h AS (SELECT doc_id, source,
+        SUM(CAST(ROUND(-(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))
+          * ln(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)), 9) AS DECIMAL(18,9))) AS hd
+      FROM (SELECT *, SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM tf)
+      GROUP BY doc_id, source)
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(hd) AS DOUBLE) / COUNT(*), 6) AS mean_entropy,
+  CAST(MIN(hd) AS DOUBLE) AS min_entropy,
+  CAST(MAX(hd) AS DOUBLE) AS max_entropy
+FROM h GROUP BY source ORDER BY source"""
   ).map { case (k, v) => k -> v.trim }
 }

@@ -165,6 +165,37 @@ object Retrieval {
         .orderBy("bucket")
     }),
 
+    // BM25 top-10 retrieval (Lucene's +1 idf variant, k1=1.2 b=0.75)
+    // for a 3-term query — full-text ranking over the corpus with no
+    // external index. The one transcendental (ln in idf) is computed
+    // once per TERM from exact integer counts and ROUND(..,6)'d before
+    // it touches any per-doc arithmetic; the per-(doc,term)
+    // contribution is then pure IEEE rational arithmetic with
+    // identical operand order on both engines, rounded into
+    // DECIMAL(18,6) so the per-doc sum is partition-order-independent
+    // (the ADC discipline). Shape: tokenize once (localCheckpoint),
+    // restrict to query terms FIRST, df + corpus totals broadcast, one
+    // doc_id-keyed join against doc lengths, total-order top-10.
+    "q109_bm25" -> ((s, dir) => {
+      val tf = Text.tokenize(Tables.load(s, dir, "documents"))
+        .groupBy("doc_id", "tok").agg(cnt.as("tf"))
+        .localCheckpoint()
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val tot = dl.agg(cnt.as("nd"), sum(col("dl")).as("sumdl"))
+      val qtf = tf.filter(col("tok").isin("spark", "hash", "window"))
+      val dfr = qtf.groupBy("tok").agg(cnt.as("df"))
+      qtf.join(broadcast(dfr), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          expr("CAST(ROUND(ROUND(ln((CAST(nd - df AS DOUBLE) + 0.5D) / (CAST(df AS DOUBLE) + 0.5D) + 1.0D), 6)" +
+            " * ((CAST(tf AS DOUBLE) * 2.2D) / (CAST(tf AS DOUBLE) + 1.2D * (0.25D + 0.75D" +
+            " * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(nd AS DOUBLE)))))), 6) AS DECIMAL(18,6))")
+            .as("contrib"))
+        .groupBy("doc_id").agg(sum(col("contrib")).cast("double").as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(10)
+    }),
+
     // Skew.saltedJoin under the oracle gate: the salted join must be
     // row-identical to the plain equi-join (the oracle IS the plain
     // join) while spreading each part key over 8 salt sub-keys —
@@ -370,6 +401,28 @@ b3 AS (SELECT vec_id, clabel, d2 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a3) WHERE rn = 1)
 SELECT clabel AS bucket, COUNT(*) AS n_vecs,
   CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mse
-FROM b3 GROUP BY clabel ORDER BY bucket"""
+FROM b3 GROUP BY clabel ORDER BY bucket""",
+
+    // same operand order as the native, ln ROUND(..,6)'d per term from
+    // integer counts before any per-doc arithmetic, DECIMAL(18,6)
+    // contribution sum (D-suffix double literals are Spark-only; plain
+    // literals promote to DOUBLE here identically)
+    "q109_bm25" -> """
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok
+    FROM documents) GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE tok IN ('spark','hash','window')),
+df AS (SELECT tok, COUNT(*) AS df FROM qtf GROUP BY tok),
+c AS (SELECT qtf.doc_id,
+  CAST(ROUND(ROUND(ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+       * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(nd AS DOUBLE)))))), 6)
+    AS DECIMAL(18,6)) AS contrib
+  FROM qtf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot)
+SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
+FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
   ).map { case (k, v) => k -> v.trim }
 }

@@ -252,6 +252,40 @@ object Tables {
       .write.mode("overwrite").format(format).save(path)
   }
 
+  /** Column-statistics report — the ANALYZE primitive a cost-based
+    * planner (broadcast-vs-shuffle, bucket counts, skew suspicion)
+    * feeds on. ONE scan of the input regardless of column count: all
+    * per-column aggregates run in a single agg pass, then unpivot via
+    * `stack` into long form `(col_name, n_rows, n_nulls, ndv, min_s,
+    * max_s)` — min/max as strings so the report schema is uniform
+    * across column types.
+    *
+    * `exact = false` (the default, the 100 TB mode) estimates ndv with
+    * `approx_count_distinct` — a mergeable HyperLogLog partial
+    * aggregate, so the whole report is one map-side-combined pass.
+    * `exact = true` uses `count(DISTINCT)` — Catalyst expands the scan
+    * per distinct column (cost ×columns), the oracle-checkable mode
+    * for bounded inputs (q112).
+    */
+  def analyze(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "analyze needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"analyze: no such column(s) ${missing.mkString(", ")}")
+    val bad = cols.filter(c => c.contains("'") || c.contains("`"))
+    require(bad.isEmpty, s"analyze: quote characters in column name(s) ${bad.mkString(", ")}")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val parts = cols.map(c =>
+      s"'$c', n_rows, n_rows - `cnt_$c`, `ndv_$c`, `min_$c`, `max_$c`").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $parts) AS (col_name, n_rows, n_nulls, ndv, min_s, max_s)")
+  }
+
   /** Register all ten tables as temp views named after themselves.
     * Idempotent and cheap (footer reads only); cached per (session, dir)
     * so per-query calls don't re-register.

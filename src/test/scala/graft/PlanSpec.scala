@@ -248,6 +248,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p108.contains("SortMergeJoin"), p108.take(500))
   }
 
+  test("q109-q112: broadcast stats sides, windowed entropy, one-scan analyze") {
+    // q109: df + corpus totals broadcast; the only shuffle joins key on
+    // doc_id; top-10 is TakeOrdered, never a global sort
+    val p109 = plan("q109_bm25")
+    assert(p109.contains("BroadcastHashJoin"), p109.take(500))
+    assert(p109.contains("TakeOrderedAndProject"), p109.take(500))
+    assert(!p109.contains("CartesianProduct"), p109.take(500))
+    // q110: the 5-row plan broadcasts onto the per-source aggregate
+    val p110 = plan("q110_epoch_mix")
+    assert(p110.contains("BroadcastHashJoin"), p110.take(500))
+    assert(!p110.contains("SortMergeJoin"), p110.take(500))
+    // q111: doc length comes from a doc_id-PARTITIONED window sharing
+    // the groupBy's exchange — no join, no unpartitioned window
+    val p111 = plan("q111_token_entropy")
+    assert(!p111.contains("Join"), p111.take(500))
+    // the one Window is PARTITIONED on doc_id (its spec lists the
+    // partition columns after the frame) — never a global window
+    assert("Window \\[[^\\n]*\\], \\[doc_id".r.findFirstIn(p111).isDefined, p111.take(800))
+    // q112: one scan of orders feeds every column's stats — no join,
+    // no union of per-column scans
+    val p112 = plan("q112_table_stats")
+    assert(!p112.contains("Join"), p112.take(500))
+    assert(!p112.contains("Union"), p112.take(500))
+  }
+
   test("day=-partitioned layout: a date predicate prunes partitions at the scan") {
     // SCALING.md's 100 TB scan claim, demonstrated: write events as a
     // day=-partitioned directory (Tables.writeAs, the lake-layout

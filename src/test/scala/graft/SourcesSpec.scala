@@ -246,4 +246,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(Await.result(Future.sequence(work), 120.seconds).forall(_ == 1))
     assert(spark.conf.getOption(key) == before, "flag leaked past the loads")
   }
+
+  test("analyze: exact stats in one pass; approx ndv within HLL tolerance; guards") {
+    val cust = Tables.load(spark, TestSpark.sf0001, "customer")
+    val exact = Tables.analyze(cust, Seq("c_custkey", "c_mktsegment"), exact = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val n = cust.count()
+    val segs = cust.select("c_mktsegment").distinct().count()
+    assert(exact("c_custkey") == ((n, 0L, n, "0", (n - 1).toString)))
+    assert(exact("c_mktsegment")._1 == n && exact("c_mktsegment")._3 == segs)
+    // approx mode: ndv within HLL's default ~5% band (generous 15% here)
+    val approx = Tables.analyze(cust, Seq("c_custkey")).collect().head.getLong(3)
+    assert(math.abs(approx - n).toDouble / n < 0.15, s"approx ndv $approx vs $n")
+    // one scan: a single aggregate over the source, no join in the plan
+    val plan = Tables.analyze(cust, Seq("c_custkey", "c_mktsegment"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(400))
+    intercept[IllegalArgumentException] {
+      Tables.analyze(cust, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Tables.analyze(cust, Seq.empty)
+    }
+  }
 }
