@@ -118,6 +118,44 @@ object Dedup {
     withDigests.select(col("doc_id") +: comps: _*)
   }
 
+  /** The full k-component signature of a text column as ONE key string
+    * (components joined with `:`), computed entirely IN-ROW — a pure
+    * projection with no shuffle and no state, which makes it legal in
+    * a streaming SELECT. Component values are identical to
+    * [[minhashSignatureFromArrays]] over [[shingleArrays]] (same
+    * hex-window scheme, differential-tested in OperatorSpec), so a
+    * batch dedup keyed on this column and the banded-LSH pipeline
+    * agree on what "signature-identical" means.
+    *
+    * Texts shorter than `n` tokens have no shingles; they fall back to
+    * an exact-content key (`short:` + md5 of the lowercased text) —
+    * distinct from every signature key by prefix, so short docs are
+    * exact-deduped rather than all colliding on a null signature.
+    *
+    * This is the ingest-time near-dup key: feed it to
+    * `dropDuplicatesWithinWatermark` (see
+    * [[graft.streaming.StreamingAnalytics.nearDupStream]]) and
+    * signature-identical redeliveries/mirrors are dropped at the door,
+    * before they ever reach the batch dedup passes. */
+  def signatureKey(text: Column, k: Int = 8, n: Int = 3): Column = {
+    require(k >= 1, s"minhash signature needs k >= 1 components, got $k")
+    val l = split(lower(text), " ")
+    val shs = array_distinct(
+      transform(sequence(lit(1), size(l) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(l, i + j)): _*)))
+    val comps =
+      if (32 % k == 0) {
+        val w = 32 / k
+        val digests = transform(shs, s => md5(s))
+        (0 until k).map(i =>
+          array_min(transform(digests, d => substring(d, i * w + 1, w))))
+      } else
+        (0 until k).map(i =>
+          array_min(transform(shs, s => md5(concat(lit(s"$i:"), s)))))
+    when(size(l) >= n, concat_ws(":", comps: _*))
+      .otherwise(concat(lit("short:"), md5(lower(text))))
+  }
+
   /** Candidate near-dup pairs (i < j) from banded MinHash signatures:
     * docs agreeing on ALL components of any band become a pair.
     * `bands` partitions 1..k into equality groups; pairs are the

@@ -51,6 +51,30 @@ object StreamingAnalytics {
       .withWatermark(watermarkCol, horizon)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming NEAR-dup filter: drop documents whose full MinHash
+    * signature ([[graft.operators.Dedup.signatureKey]] — in-row, pure
+    * projection, value-identical to the batch LSH pipeline's
+    * signature) was already seen within the watermark horizon. This is
+    * ingest-time dedup: signature-identical mirrors, redeliveries and
+    * boilerplate copies never enter the lake, shrinking what the batch
+    * near-dup passes (q40/q50) must pair up later. Texts shorter than
+    * the shingle width are exact-deduped via their content-hash
+    * fallback key. State = one (sig → seen) entry per surviving doc
+    * within the horizon, hash-partitioned on the signature and evicted
+    * by the watermark — bounded by unique-doc rate x horizon, not
+    * corpus size.
+    */
+  def nearDupStream(docs: DataFrame, watermarkCol: String, horizon: String,
+                    textCol: String = "text", k: Int = 8, n: Int = 3): DataFrame = {
+    require(!docs.columns.contains("_sig"),
+      "reserved working column _sig — rename it on the input")
+    docs
+      .withColumn("_sig", graft.operators.Dedup.signatureKey(col(textCol), k, n))
+      .withWatermark(watermarkCol, horizon)
+      .dropDuplicatesWithinWatermark(Seq("_sig"))
+      .drop("_sig")
+  }
+
   /** Stream-static enrichment: join a stream against a (small) static
     * dimension — the broadcast is re-usable every micro-batch, no
     * state store involved. The standard lookup-enrichment shape; for

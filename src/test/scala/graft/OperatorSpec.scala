@@ -97,6 +97,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dedup.minhashSignatureFromArrays(withEmpty, 8).count() == 1)
   }
 
+  test("signatureKey matches the batch signature; short texts get content keys") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sf0001, "documents")
+    for (k <- Seq(8, 3)) { // hex-window scheme and prefix fallback
+      val batch = Dedup.minhashSignatureFromArrays(Dedup.shingleArrays(docs), k)
+        .select(col("doc_id"),
+          concat_ws(":", (1 to k).map(i => col(s"h$i")): _*).as("sig"))
+      val inRow = docs.select(col("doc_id"),
+        Dedup.signatureKey(col("text"), k).as("sig"))
+      // every doc long enough to have a signature agrees exactly
+      assert(batch.join(inRow, Seq("doc_id", "sig"), "left_anti").count() == 0,
+        s"k=$k in-row signature diverges from the batch form")
+    }
+    // same shingle SET from different text => same key (the near-dup
+    // case); short texts fall back to distinct exact-content keys
+    val keys = Seq((1L, "a b c d a b c d"), (2L, "b c d a b c d a"),
+        (3L, "tiny one"), (4L, "tiny one"), (5L, "tiny two"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.signatureKey(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(1L) == keys(2L), "equal shingle sets must share the key")
+    assert(keys(3L).startsWith("short:") && keys(3L) == keys(4L))
+    assert(keys(4L) != keys(5L))
+  }
+
   test("Dedup.connectedComponents merges transitive chains to the min id") {
     // chain 1-2-3, chain 10-20, isolated pair 30-40
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L), (30L, 40L)).toDF("i", "j")

@@ -122,6 +122,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupStream drops signature-identical docs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingAnalytics.nearDupStream(docs, "ts", "1 hour")
+      .writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "a b c d a b c d", ts("2024-01-01 00:00:01")),
+        (2L, "tiny one", ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      // batch 2: doc 3 is a true near-dup of doc 1 (same shingle SET,
+      // different text, different content hash — the case exact dedup
+      // misses), doc 4 re-sends doc 2's short text, doc 5 is new
+      mem.addData(
+        (3L, "b c d a b c d a", ts("2024-01-01 00:00:03")),
+        (4L, "tiny one", ts("2024-01-01 00:00:04")),
+        (5L, "w x y z", ts("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_test").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 5L), s"survivors: $ids")
+      // the working column never leaks into the survivor schema
+      assert(!spark.table("neardup_test").columns.contains("_sig"))
+    } finally q.stop()
+  }
+
   test("enrich joins a stream against a static dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
