@@ -197,6 +197,26 @@ object Extensions {
         .agg(cnt.as("n_candidates"),
           sum(when(col("jc") >= 0.7, 1).otherwise(0)).as("n_verified"),
           round(avg(col("jc").cast(DecimalType(18, 9))), 6).cast("double").as("avg_jaccard"))
+    }),
+
+    // Dedup.signatureKey under the oracle gate: the IN-ROW MinHash
+    // signature key — the exact column the streaming ingest filter
+    // (StreamingAnalytics.nearDupStream) dedups on — grouped over the
+    // corpus. Reports what the filter would do to this corpus: distinct
+    // keys, signature-identical groups, docs the filter drops. The key
+    // is a pure projection (zero shuffle until the one groupBy on the
+    // key); short texts enter via their prefixed exact-content
+    // fallback, so the whole keyspace is gated, not just the happy
+    // path.
+    "q113_sig_groups" -> ((s, dir) => {
+      val g = Tables.load(s, dir, "documents")
+        .select(Dedup.signatureKey(col("text")).as("sig"))
+        .groupBy("sig").agg(cnt.as("n"))
+      g.agg(cnt.as("n_keys"), sum(col("n")).as("n_docs"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          max(col("n")).as("max_group"))
+        .select(col("n_keys"), col("n_docs"), col("n_dup_groups"),
+          (col("n_docs") - col("n_keys")).as("n_redundant"), col("max_group"))
     })
   )
 
@@ -344,6 +364,28 @@ jac AS (SELECT c.i, c.j, CAST(COALESCE(x.ci,0) AS DOUBLE)/(ca.nt + cb.nt - COALE
 SELECT COUNT(*) n_candidates,
        CAST(SUM(CASE WHEN jc >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) n_verified,
        CAST(ROUND(AVG(CAST(jc AS DECIMAL(18,9))), 6) AS DOUBLE) avg_jaccard
-FROM jac"""
+FROM jac""",
+
+    // q50's hex-window signature components concatenated into the one
+    // key string; docs under the shingle width join back via the
+    // prefixed exact-content fallback — byte-identical to
+    // Dedup.signatureKey (OperatorSpec differential test)
+    "q113_sig_groups" -> """
+WITH d AS (SELECT doc_id, lower(text) lt, string_split(lower(text),' ') l FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
+t AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
+sig AS (SELECT doc_id,
+  MIN(substr(md5(sh), 1, 4)) || ':' || MIN(substr(md5(sh), 5, 4)) || ':' ||
+  MIN(substr(md5(sh), 9, 4)) || ':' || MIN(substr(md5(sh), 13, 4)) || ':' ||
+  MIN(substr(md5(sh), 17, 4)) || ':' || MIN(substr(md5(sh), 21, 4)) || ':' ||
+  MIN(substr(md5(sh), 25, 4)) || ':' || MIN(substr(md5(sh), 29, 4)) AS sig
+  FROM t GROUP BY doc_id),
+alls AS (SELECT d.doc_id, COALESCE(sig.sig, 'short:' || md5(d.lt)) AS sig
+         FROM d LEFT JOIN sig USING (doc_id)),
+g AS (SELECT sig, COUNT(*) n FROM alls GROUP BY sig)
+SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant, MAX(n) AS max_group
+FROM g"""
   ).map { case (k, v) => k -> v.trim }
 }

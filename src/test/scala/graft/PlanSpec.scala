@@ -271,6 +271,11 @@ class PlanSpec extends AnyFunSuite {
     val p112 = plan("q112_table_stats")
     assert(!p112.contains("Join"), p112.take(500))
     assert(!p112.contains("Union"), p112.take(500))
+    // q113: the signature key is a pure projection — no join, and the
+    // only hash exchange is the groupBy on the key itself
+    val p113 = plan("q113_sig_groups")
+    assert(!p113.contains("Join"), p113.take(500))
+    assert("Exchange hashpartitioning".r.findAllIn(p113).size == 1, p113.take(800))
   }
 
   test("day=-partitioned layout: a date predicate prunes partitions at the scan") {
