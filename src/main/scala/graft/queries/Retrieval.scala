@@ -329,10 +329,10 @@ ORDER BY c.n_rows DESC, c.o_custkey LIMIT 20""",
     // sentinel-joined hash differs in VALUE but never in equality)
     "q104_snapshot_diff" -> """
 WITH d AS (SELECT doc_id, text FROM documents),
-o AS (SELECT doc_id, md5(text) h FROM d
+o AS (SELECT doc_id, md5(COALESCE(text, chr(0))) h FROM d
       WHERE md5('old:' || CAST(doc_id AS VARCHAR)) < 'e'),
-n AS (SELECT doc_id, md5(CASE WHEN md5('edit:' || CAST(doc_id AS VARCHAR)) < '2'
-        THEN text || ' v2' ELSE text END) h
+n AS (SELECT doc_id, md5(COALESCE(CASE WHEN md5('edit:' || CAST(doc_id AS VARCHAR)) < '2'
+        THEN text || ' v2' ELSE text END, chr(0))) h
       FROM d WHERE md5('new:' || CAST(doc_id AS VARCHAR)) < 'e'),
 j AS (SELECT CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
         WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END status

@@ -75,6 +75,14 @@ class AsOfSkewSpec extends AnyFunSuite {
     assert(out(2) == ((100L, 1L, 15625L, 18L, 1L)))
   }
 
+  test("profile refuses key names that collide with its own output columns") {
+    val df = Seq((1L, "x")).toDF("n_rows", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Skew.profile(df, "n_rows", partitions = 8)
+    }
+    assert(e.getMessage.contains("collides"), e.getMessage)
+  }
+
   test("profile top-k output is the same under any input partitioning") {
     val rows = (1L to 200L).flatMap(k => Seq.fill((k % 5).toInt + 1)(k))
     val df = rows.map(k => (k, k * 2)).toDF("k", "v")

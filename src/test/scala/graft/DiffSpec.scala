@@ -27,6 +27,16 @@ class DiffSpec extends AnyFunSuite {
     assert(statuses == Seq("changed", "changed"))
   }
 
+  test("null and the literal string of the sentinel's word are different versions") {
+    // the null sentinel is control-char-prefixed, so real data that
+    // happens to SAY "null" can never collide with an actual NULL
+    val old = Seq((1L, "null")).toDF("k", "v")
+    val neu = Seq((1L, null.asInstanceOf[String])).toDF("k", "v")
+    val st = Diff.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .select("status").collect().map(_.getString(0))
+    assert(st.toSeq == Seq("changed"))
+  }
+
   test("content-hash column boundaries don't collide across columns") {
     // (ab, c) vs (a, bc): same concatenation without a separator
     val old = Seq((1L, "ab", "c")).toDF("k", "x", "y")

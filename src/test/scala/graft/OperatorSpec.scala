@@ -119,6 +119,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(keys(1L) == keys(2L), "equal shingle sets must share the key")
     assert(keys(3L).startsWith("short:") && keys(3L) == keys(4L))
     assert(keys(4L) != keys(5L))
+    // null text: the key is the literal "null:" — NEVER a null key
+    // (md5 would null-propagate and a null-keyed dedup state row
+    // would silently absorb distinct docs)
+    val nullKey = Seq((6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(Dedup.signatureKey(col("text")).as("sig"))
+      .collect().head.getString(0)
+    assert(nullKey == "null:")
   }
 
   test("Dedup.connectedComponents merges transitive chains to the min id") {

@@ -75,7 +75,7 @@ class PqSpec extends AnyFunSuite {
   }
 
   test("reconstruction lands nearer the original than any other cluster") {
-    val approx = Pq.decode(codes, codebook).filter(col("vec_id") === 0)
+    val approx = Pq.decode(codes, codebook, M).filter(col("vec_id") === 0)
       .select("approx").collect().head.getSeq[Double](0)
     val orig = clustered.filter(col("vec_id") === 0)
       .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble)
@@ -207,7 +207,7 @@ class PqSpec extends AnyFunSuite {
       Pq.search(codes, truncated, query, DIMS, M, n = 5).collect()
     }
     assert(rootMsg(e1).contains("no codebook entry for (sub=0, code=1)"), rootMsg(e1))
-    val e2 = intercept[Throwable] { Pq.decode(codes, truncated).collect() }
+    val e2 = intercept[Throwable] { Pq.decode(codes, truncated, M).collect() }
     assert(rootMsg(e2).contains("no codebook entry"), rootMsg(e2))
     // codebook trained with a different m: encode must refuse, not
     // emit short code arrays
@@ -217,5 +217,17 @@ class PqSpec extends AnyFunSuite {
       Pq.encode(clustered.limit(5), mBig, DIMS, M).collect()
     }
     assert(rootMsg(e3).contains("no entries for sub="), rootMsg(e3))
+    // codes encoded with a SMALLER m: every (sub, code) lookup would
+    // still hit the codebook, silently under-summing adc_dist /
+    // truncating the decode — both must refuse up front
+    val shortCodes = codes.withColumn("codes", slice(col("codes"), 1, 1))
+    val e4 = intercept[Throwable] {
+      Pq.search(shortCodes, codebook, query, DIMS, M, n = 5).collect()
+    }
+    assert(rootMsg(e4).contains(s"expected m=$M"), rootMsg(e4))
+    val e5 = intercept[Throwable] {
+      Pq.decode(shortCodes, codebook, M).collect()
+    }
+    assert(rootMsg(e5).contains(s"expected m=$M"), rootMsg(e5))
   }
 }
