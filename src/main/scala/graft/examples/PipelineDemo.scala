@@ -49,6 +49,26 @@ object PipelineDemo {
       .filter(col("tok") =!= "")
     println(s"[pipeline] corpus tokens:  ${tokens.count()}")
 
+    // 5. what would INGEST-time dedup have caught? The signature census
+    //    over the raw corpus — the same in-row key nearDupStream drops
+    //    on at the door (q113's shape)
+    val sigDupes = docs.select(Dedup.signatureKey(col("text")).as("sig"))
+      .groupBy("sig").count().filter(col("count") > 1).count()
+    println(s"[pipeline] sig-dup groups: $sigDupes (ingest filter would drop these)")
+
+    // 6. one-scan column stats of the survivors (approx-HLL ndv — the
+    //    ANALYZE numbers a planner broadcasts-vs-shuffles on)
+    graft.sources.Tables.analyze(deduped, Seq("source", "lang"))
+      .collect().foreach(r => println(
+        s"[pipeline] stats ${r.getString(0)}: ndv=${r.getLong(3)} " +
+          s"min=${r.getString(4)} max=${r.getString(5)}"))
+
+    // 7. retrieval spot-check: BM25 top-3 for a 3-term query, no
+    //    external index (q109's ranking over the same corpus)
+    graft.SparkEntry.queries("q109_bm25")(engine.spark, dataDir)
+      .limit(3).collect().foreach(r => println(
+        s"[pipeline] bm25 doc=${r.getLong(0)} score=${r.getDouble(1)}"))
+
     engine.close()
   }
 }
