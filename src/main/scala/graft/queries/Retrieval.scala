@@ -243,6 +243,46 @@ object Retrieval {
       graft.operators.Diff.snapshotDiff(oldSnap, newSnap,
           Seq("doc_id"), Seq("text"))
         .groupBy("status").agg(cnt.as("n")).orderBy("status")
+    }),
+
+    // q104's companion at the DISTRIBUTION level: crawl-to-crawl
+    // vocabulary drift. q104 counts which rows changed; this measures
+    // how much the token distribution moved — total-variation distance
+    // in EXACT integer ppm (sum of |new_share - old_share|, no logs,
+    // no floats anywhere) plus the top-10 moving tokens, the report
+    // that catches a crawler suddenly ingesting boilerplate or losing
+    // a source. Shape: two tokenize+groupBy passes, one full-outer
+    // join keyed on token (hash-partitionable), 1-row totals and the
+    // TV summary broadcast; the joined ppm relation is checkpointed
+    // once and feeds both the TV aggregate and the movers top-k.
+    "q114_vocab_drift" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldT = d.filter(
+        md5(concat(lit("old:"), col("doc_id").cast("string"))) < "e")
+      val newT = d.filter(
+          md5(concat(lit("new:"), col("doc_id").cast("string"))) < "e")
+        .select(when(md5(concat(lit("edit:"), col("doc_id").cast("string"))) < "2",
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      def tokCounts(t: org.apache.spark.sql.DataFrame, as: String) = t
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "").groupBy("tok").agg(cnt.as(as))
+      val ot = tokCounts(oldT, "oc")
+      val nt = tokCounts(newT, "nc")
+      val tot = ot.agg(sum(col("oc")).as("ocnt"))
+        .crossJoin(nt.agg(sum(col("nc")).as("ncnt")))
+      val j = ot.join(nt, Seq("tok"), "full_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("tok"),
+          expr("coalesce(oc, 0L) * 1000000L DIV ocnt").as("old_ppm"),
+          expr("coalesce(nc, 0L) * 1000000L DIV ncnt").as("new_ppm"))
+        .localCheckpoint()
+      val tv = j.agg(sum(abs(col("new_ppm") - col("old_ppm"))).as("tv_ppm"),
+        cnt.as("n_toks"))
+      j.crossJoin(broadcast(tv))
+        .select(col("tok"), col("old_ppm"), col("new_ppm"),
+          (col("new_ppm") - col("old_ppm")).as("delta_ppm"),
+          col("tv_ppm"), col("n_toks"))
+        .orderBy(abs(col("delta_ppm")).desc, col("tok")).limit(10)
     })
   )
 
@@ -423,6 +463,31 @@ c AS (SELECT qtf.doc_id,
     AS DECIMAL(18,6)) AS contrib
   FROM qtf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot)
 SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
-FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // q104's snapshot scenario, drifted at the distribution level —
+    // all-integer ppm shares and TV sum (HUGEINT cast back), same
+    // total-order movers top-10 as the native
+    "q114_vocab_drift" -> """
+WITH d AS (SELECT doc_id, text FROM documents),
+o AS (SELECT text FROM d WHERE md5('old:' || CAST(doc_id AS VARCHAR)) < 'e'),
+n AS (SELECT CASE WHEN md5('edit:' || CAST(doc_id AS VARCHAR)) < '2'
+        THEN text || ' v2' ELSE text END AS text
+      FROM d WHERE md5('new:' || CAST(doc_id AS VARCHAR)) < 'e'),
+ot AS (SELECT t AS tok, COUNT(*) c FROM (SELECT unnest(string_split(lower(text),' ')) t FROM o)
+       WHERE t <> '' GROUP BY t),
+nt AS (SELECT t AS tok, COUNT(*) c FROM (SELECT unnest(string_split(lower(text),' ')) t FROM n)
+       WHERE t <> '' GROUP BY t),
+tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ot) ocnt,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM nt) ncnt),
+j AS (SELECT COALESCE(ot.tok, nt.tok) tok,
+        CAST(COALESCE(ot.c,0) AS BIGINT)*1000000 // ocnt AS old_ppm,
+        CAST(COALESCE(nt.c,0) AS BIGINT)*1000000 // ncnt AS new_ppm
+      FROM ot FULL OUTER JOIN nt ON ot.tok = nt.tok CROSS JOIN tot),
+tv AS (SELECT CAST(SUM(ABS(new_ppm - old_ppm)) AS BIGINT) tv_ppm, COUNT(*) n_toks FROM j)
+SELECT j.tok, j.old_ppm, j.new_ppm, j.new_ppm - j.old_ppm AS delta_ppm,
+       tv.tv_ppm, tv.n_toks
+FROM j CROSS JOIN tv
+ORDER BY ABS(j.new_ppm - j.old_ppm) DESC, j.tok LIMIT 10"""
   ).map { case (k, v) => k -> v.trim }
 }

@@ -276,6 +276,12 @@ class PlanSpec extends AnyFunSuite {
     val p113 = plan("q113_sig_groups")
     assert(!p113.contains("Join"), p113.take(500))
     assert("Exchange hashpartitioning".r.findAllIn(p113).size == 1, p113.take(800))
+    // q114: totals and the TV summary broadcast; the movers top-10 is
+    // TakeOrdered, never a global sort; no cartesian anywhere
+    val p114 = plan("q114_vocab_drift")
+    assert(p114.contains("TakeOrderedAndProject"), p114.take(500))
+    assert(!p114.contains("CartesianProduct"), p114.take(500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p114).size >= 1, p114.take(800))
   }
 
   test("day=-partitioned layout: a date predicate prunes partitions at the scan") {
