@@ -31,6 +31,15 @@ object Text {
   def minhashComponent(tok: Column, prefix: String): Column =
     min(md5(if (prefix.isEmpty) tok else concat(lit(prefix), tok)))
 
+  /** Scrub a text column: drop every token in `stopwords` (and empty
+    * tokens), re-join on single spaces. A pure projection — the
+    * redaction pattern (stopword strip, PII-token drop, boilerplate
+    * removal) costs one codegen'd map pass at any scale, no shuffle.
+    */
+  def scrub(text: Column, stopwords: Seq[String]): Column =
+    array_join(
+      filter(tokens(text), t => t =!= "" && !t.isInCollection(stopwords)), " ")
+
   /** Explode a documents table into (doc_id, tok) pairs, empty tokens
     * dropped. */
   def tokenize(docs: DataFrame, docId: String = "doc_id", text: String = "text"): DataFrame =

@@ -432,6 +432,41 @@ object Dedup {
 
   /** Collapse (key -> group size) stats used by the dedup reports:
     * n_groups, n_docs, n_dupes (sum of size-1 over groups > 1). */
+  /** Cross-document duplicated-span coverage — the exact-substring
+    * dedup ACCOUNTING pass (the measurement behind suffix-array-style
+    * training-data dedup): which token positions sit inside an
+    * `n`-gram that also occurs in at least one OTHER document?
+    * Returns per-doc `(doc_id, covered)` where `covered` counts the
+    * distinct token positions lying under any cross-document
+    * duplicated span.
+    *
+    * Shape at scale: the span relation is one row per token position
+    * (the same cardinality every shingle pass here already carries);
+    * duplicated grams come from ONE hash aggregate on the gram
+    * (`count distinct doc >= 2` — no pair join anywhere, unlike the
+    * Jaccard kernel), and coverage is an n-bounded explode of the
+    * matching spans followed by a distinct on (doc, position). Every
+    * shuffle is keyed on gram or doc_id; nothing is quadratic in
+    * documents, and fan-out is bounded by n x matching spans.
+    */
+  def dupSpanCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val toks = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), " "), t => t =!= "").as("t"))
+    val spans = toks.filter(size(col("t")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $n), i -> array_join(slice(t, i + 1, $n), ' '))")))
+      .toDF("doc_id", "pos", "gram")
+      .localCheckpoint() // the gram census and the coverage explode both read it
+    val dup = spans.groupBy("gram").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    spans.join(dup, "gram") // dup is distinct grams, so inner == semi
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+  }
+
   def groupStats(grouped: DataFrame, dupesCol: String): DataFrame =
     grouped.agg(
       count(lit(1)).as("n_groups"),

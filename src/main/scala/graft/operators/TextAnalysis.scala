@@ -24,6 +24,25 @@ object TextAnalysis {
       .filter(col("tok") =!= "")
   }
 
+  /** Per-document token profile: `(doc_id, [extraCols...], nw, sumlen,
+    * nstop, maxtf)` — total words, summed word length, stopword hits,
+    * and the modal token's count. The inputs every repetition /
+    * length / symbol-ratio quality rule (the Gopher-style filters)
+    * reads, computed in ONE tokenize + two stacked hash aggregates —
+    * integer-only, so every downstream rule is exactly reproducible.
+    */
+  def docTokenProfile(docs: DataFrame, stopwords: Seq[String],
+                      extraCols: String*): DataFrame = {
+    val keys = (Seq("doc_id") ++ extraCols).map(col)
+    tokenOccurrences(docs, extraCols: _*)
+      .groupBy(keys :+ col("tok"): _*).agg(count(lit(1)).as("c"))
+      .groupBy(keys: _*)
+      .agg(sum(col("c")).as("nw"),
+        sum(col("c") * length(col("tok"))).as("sumlen"),
+        sum(when(col("tok").isInCollection(stopwords), col("c")).otherwise(0L)).as("nstop"),
+        max(col("c")).as("maxtf"))
+  }
+
   /** Unigram-frequency language ID, self-trained: build per-language
     * token profiles (counts normalized to ppm of the language's token
     * mass by integer division), score every doc against every

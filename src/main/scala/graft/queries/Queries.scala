@@ -32,11 +32,12 @@ object Queries {
     QueryTexts.spark.keys.map(k => k -> native.getOrElse(k, sql(k))).toMap ++
       Extensions.queries ++ Extended.queries ++ DecisionSupport.queries ++
       Curation.queries ++ Series.queries ++ Retrieval.queries ++
-      Corpus.queries ++ Quality.queries ++ Activity.queries ++ Composite.queries
+      Corpus.queries ++ Quality.queries ++ Activity.queries ++ Composite.queries ++
+      Training.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
       DecisionSupport.oracle ++ Curation.oracle ++ Series.oracle ++
       Retrieval.oracle ++ Corpus.oracle ++ Quality.oracle ++ Activity.oracle ++
-      Composite.oracle
+      Composite.oracle ++ Training.oracle
 }

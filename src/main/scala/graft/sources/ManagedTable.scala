@@ -1,0 +1,358 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Managed mutable tables: the engine's DDL/DML surface (CREATE TABLE /
+  * INSERT / UPDATE / DELETE / MERGE), re-expressed for a columnar lake
+  * the way Spark-native table formats do it — immutable parquet data
+  * files under a versioned snapshot log, mutations as copy-on-write
+  * file rewrites. This closes the reference's OLTP write path (its
+  * users create tables and mutate rows over the query API) without
+  * importing an OLTP storage engine: at 100 TB, row-in-place mutation
+  * is the wrong primitive; rewrite-the-affected-files is the one every
+  * production lakehouse format converged on.
+  *
+  * Layout:
+  * {{{
+  *   <root>/_graft_log/v00000000.json   snapshot manifests, one per commit
+  *   <root>/data/<commit-uuid>/part-*.parquet   immutable data files
+  * }}}
+  * A snapshot manifest lists the data files (paths relative to root)
+  * that make up that version, plus the schema DDL and the operation
+  * that produced it. Readers resolve the latest (or an explicit
+  * `asOf`) manifest and scan exactly those files — writers never
+  * overwrite a data file, so readers are snapshot-isolated for free.
+  *
+  * Scale notes:
+  *   - The ONLY driver-side state is the file list (metadata, bounded
+  *     by file count, not rows) and the manifest JSON. Row data never
+  *     visits the driver.
+  *   - DELETE/UPDATE/MERGE first compute the AFFECTED FILE set with a
+  *     distributed probe (`input_file_name()` under the predicate /
+  *     match join), then rewrite only those files; untouched files are
+  *     carried into the new snapshot by reference. A selective delete
+  *     on a clustered table rewrites a handful of files, not 100 TB.
+  *   - Commits are optimistic: the manifest is created with
+  *     overwrite=false, so two concurrent writers race on the version
+  *     number and the loser gets a loud [[CommitConflict]] (retry =
+  *     re-read latest, re-plan, re-commit). No locks held during the
+  *     (long) data-file write; the race window is the rename-sized
+  *     commit only.
+  *   - At real scale the JSON manifest becomes the bottleneck past
+  *     ~1e6 files; the format documented here would swap it for
+  *     parquet manifest shards (same contract). Out of scope for this
+  *     engine's surface.
+  */
+object ManagedTable {
+
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** One committed snapshot: `files` are root-relative data paths. */
+  final case class Snapshot(version: Int, op: String, schemaDdl: String,
+                            files: Seq[String]) {
+    def schema: StructType = StructType.fromDDL(schemaDdl)
+  }
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(root: String) = new Path(root, "_graft_log")
+  private def manifestPath(root: String, v: Int) =
+    new Path(logDir(root), f"v$v%08d.json")
+
+  // -- manifest (de)serialization: flat JSON via the repo's util.Json --
+  private def render(s: Snapshot): String = {
+    val files = s.files.map(graft.util.Json.escape).mkString("[", ",", "]")
+    s"""{"version":${s.version},"op":${graft.util.Json.escape(s.op)},""" +
+      s""""schema":${graft.util.Json.escape(s.schemaDdl)},"files":$files}"""
+  }
+
+  private def parse(text: String, v: Int): Snapshot = {
+    // The manifest grammar is exactly what `render` emits (flat object,
+    // string array) — parse with the same minimal discipline rather
+    // than pulling a JSON library into the engine. Loud on mismatch.
+    def field(name: String): Int = {
+      val i = text.indexOf(s""""$name":""")
+      require(i >= 0, s"manifest v$v: missing field '$name'")
+      i + name.length + 3
+    }
+    def parseStr(from: Int): (String, Int) = {
+      require(text.charAt(from) == '"', s"manifest v$v: expected string")
+      val sb = new StringBuilder
+      var i = from + 1
+      while (text.charAt(i) != '"') {
+        text.charAt(i) match {
+          case '\\' =>
+            text.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+              case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+              case 'f' => sb.append('\f')
+              case 'u' =>
+                sb.append(Integer.parseInt(text.substring(i + 2, i + 6), 16).toChar)
+                i += 4
+              case c => sb.append(c)
+            }
+            i += 2
+          case c => sb.append(c); i += 1
+        }
+      }
+      (sb.toString, i + 1)
+    }
+    val op = parseStr(field("op"))._1
+    val schemaDdl = parseStr(field("schema"))._1
+    var i = field("files")
+    require(text.charAt(i) == '[', s"manifest v$v: files must be an array")
+    i += 1
+    val files = Seq.newBuilder[String]
+    while (text.charAt(i) != ']') {
+      if (text.charAt(i) == ',') i += 1
+      else { val (s, next) = parseStr(i); files += s; i = next }
+    }
+    Snapshot(v, op, schemaDdl, files.result())
+  }
+
+  /** All committed versions, ascending. Empty if not a managed table. */
+  def history(spark: SparkSession, root: String): Seq[Snapshot] = {
+    val f = fs(spark, root)
+    val dir = logDir(root)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath).filter(_.getName.matches("v\\d{8}\\.json"))
+      .sortBy(_.getName).toSeq.map { p =>
+        val v = p.getName.stripPrefix("v").stripSuffix(".json").toInt
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        parse(text, v)
+      }
+  }
+
+  private def latest(spark: SparkSession, root: String): Snapshot = {
+    val h = history(spark, root)
+    require(h.nonEmpty, s"$root is not a managed table (no _graft_log)")
+    h.last
+  }
+
+  /** Commit `s` as the next version. Optimistic: creation with
+    * overwrite=false makes the filesystem the arbiter; a concurrent
+    * committer of the same version throws [[CommitConflict]].
+    */
+  private[graft] def commit(spark: SparkSession, root: String, s: Snapshot): Snapshot = {
+    val f = fs(spark, root)
+    val p = manifestPath(root, s.version)
+    val out =
+      try f.create(p, /*overwrite=*/ false)
+      catch { case _: java.io.IOException =>
+        throw new CommitConflict(
+          s"version ${s.version} at $root was committed concurrently — re-read and retry")
+      }
+    try out.write(render(s).getBytes("UTF-8")) finally out.close()
+    s
+  }
+
+  /** CREATE TABLE: an empty v0 snapshot carrying the schema. Fails
+    * loudly if the table already exists (no IF NOT EXISTS silent mode).
+    */
+  def create(spark: SparkSession, root: String, schema: StructType): Snapshot = {
+    val f = fs(spark, root)
+    require(!f.exists(logDir(root)), s"managed table already exists at $root")
+    f.mkdirs(logDir(root))
+    commit(spark, root, Snapshot(0, "create", schema.toDDL, Nil))
+  }
+
+  /** Write `df`'s rows as new immutable data files, returning their
+    * root-relative paths. One commit-scoped subdirectory per call so
+    * concurrent writers never collide on file names.
+    */
+  private def writeData(df: DataFrame, root: String): Seq[String] = {
+    val sub = s"data/${java.util.UUID.randomUUID}"
+    df.write.mode("errorifexists").parquet(s"$root/$sub")
+    val f = fs(df.sparkSession, root)
+    f.listStatus(new Path(root, sub)).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.toSeq.map(n => s"$sub/$n")
+  }
+
+  private def requireSchema(df: DataFrame, snap: Snapshot, op: String): Unit = {
+    val expect = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == expect,
+      s"$op: schema mismatch — table is ${snap.schema.toDDL}, input is ${df.schema.toDDL}")
+  }
+
+  /** INSERT: append rows. Pure addition — no existing file is read or
+    * rewritten, so insert cost scales with the inserted rows only.
+    */
+  def insert(spark: SparkSession, root: String, rows: DataFrame): Snapshot = {
+    val snap = latest(spark, root)
+    requireSchema(rows, snap, "insert")
+    val added = writeData(rows, root)
+    commit(spark, root, Snapshot(snap.version + 1, "insert", snap.schemaDdl,
+      snap.files ++ added))
+  }
+
+  /** Read a snapshot (latest, or time-travel to `asOf`). The scan is a
+    * plain multi-file parquet read — pushdown/pruning apply as usual.
+    */
+  def read(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val snap = asOf match {
+      case Some(v) =>
+        history(spark, root).find(_.version == v)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no version $v at $root (have ${history(spark, root).map(_.version).mkString(",")})"))
+      case None => latest(spark, root)
+    }
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else
+      spark.read.schema(snap.schema).parquet(snap.files.map(f => s"$root/$f"): _*)
+  }
+
+  /** The affected-file probe shared by every copy-on-write mutation:
+    * which data files contain at least one row satisfying `hit`?
+    * Distributed scan + distinct over `input_file_name()`; only file
+    * NAMES come back to the driver (metadata-scale). On a clustered
+    * table the predicate's parquet min/max pushdown already skips
+    * non-matching files, so the probe reads footer-pruned data only.
+    */
+  private def affectedFiles(cur: DataFrame, root: String, hit: Column): Seq[String] = {
+    val rootUri = new Path(root).toUri.getPath
+    cur.withColumn("_graft_file", input_file_name())
+      .filter(hit)
+      .select("_graft_file").distinct()
+      .collect()
+      .map { r =>
+        val p = new Path(r.getString(0)).toUri.getPath
+        val i = p.indexOf(rootUri)
+        require(i >= 0, s"data file $p outside table root $root")
+        p.substring(i + rootUri.length).stripPrefix("/")
+      }.toSeq.sorted
+  }
+
+  private def rewrite(spark: SparkSession, root: String, snap: Snapshot,
+                      affected: Seq[String], transform: DataFrame => DataFrame,
+                      op: String): Snapshot = {
+    if (affected.isEmpty) return snap // nothing matched: current snapshot stands
+    val affectedDf = spark.read.schema(snap.schema)
+      .parquet(affected.map(f => s"$root/$f"): _*)
+    val replacement = transform(affectedDf)
+    requireSchema(replacement, snap, op)
+    val rewritten = writeData(replacement, root)
+    val kept = snap.files.filterNot(affected.contains)
+    commit(spark, root, Snapshot(snap.version + 1, op, snap.schemaDdl,
+      kept ++ rewritten))
+  }
+
+  /** DELETE WHERE: copy-on-write — rewrite only the files that contain
+    * matching rows, without the matches; files with no match carry over
+    * untouched (asserted in ManagedTableSpec).
+    */
+  def delete(spark: SparkSession, root: String, where: Column): Snapshot = {
+    val snap = latest(spark, root)
+    val cur = read(spark, root)
+    rewrite(spark, root, snap, affectedFiles(cur, root, where),
+      _.filter(!coalesce(where, lit(false))), "delete")
+  }
+
+  /** UPDATE SET ... WHERE: copy-on-write on the affected files;
+    * `set` maps column name -> new-value expression (may reference any
+    * table column). Unknown columns fail loudly.
+    */
+  def update(spark: SparkSession, root: String, where: Column,
+             set: Map[String, Column]): Snapshot = {
+    val snap = latest(spark, root)
+    val cols = snap.schema.fieldNames
+    val unknown = set.keySet.filterNot(cols.contains)
+    require(unknown.isEmpty, s"update: no such column(s) ${unknown.mkString(", ")}")
+    val cur = read(spark, root)
+    val hit = coalesce(where, lit(false))
+    rewrite(spark, root, snap, affectedFiles(cur, root, where), aff =>
+      aff.select(cols.map { c =>
+        (if (set.contains(c)) when(hit, set(c)).otherwise(col(c)) else col(c))
+          .cast(snap.schema(c).dataType).as(c)
+      }: _*), "update")
+  }
+
+  /** MERGE (upsert): rows of `source` matching on `keys` replace the
+    * current rows (whole-row update); unmatched source rows are
+    * inserted. The matched-file probe is a distributed semi-join (the
+    * source's distinct keys broadcast when small), so only files
+    * holding matched keys are rewritten; inserts append as new files.
+    * Source must not contain duplicate keys (loud check — a dup key
+    * would make the merge result order-dependent).
+    */
+  def upsert(spark: SparkSession, root: String, source: DataFrame,
+             keys: Seq[String]): Snapshot = {
+    val snap = latest(spark, root)
+    requireSchema(source, snap, "merge")
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val missing = keys.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty, s"merge: no such key column(s) ${missing.mkString(", ")}")
+    val srcKeys = source.select(keys.map(col): _*)
+    val dupKeys = srcKeys.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
+    require(dupKeys == 0,
+      s"merge: source has $dupKeys duplicate key group(s) on (${keys.mkString(", ")}) " +
+        "— the merge result would be order-dependent; dedup the source first")
+    val src = source.localCheckpoint() // probe + rewrite + insert reuse one materialization
+    val cur = read(spark, root)
+    // matched-file probe: semi-join marks rows whose key exists in source
+    val matchedFiles = {
+      val withFile = cur.withColumn("_graft_file", input_file_name())
+      withFile.join(broadcast(src.select(keys.map(col): _*).distinct()), keys, "left_semi")
+        .select("_graft_file").distinct().collect()
+        .map { r =>
+          val rootUri = new Path(root).toUri.getPath
+          val p = new Path(r.getString(0)).toUri.getPath
+          val i = p.indexOf(rootUri)
+          require(i >= 0, s"data file $p outside table root $root")
+          p.substring(i + rootUri.length).stripPrefix("/")
+        }.toSeq.sorted
+    }
+    // rewrite matched files: drop matched rows (they are replaced by source rows)
+    val afterRewrite: Snapshot =
+      if (matchedFiles.isEmpty) snap
+      else {
+        val affectedDf = spark.read.schema(snap.schema)
+          .parquet(matchedFiles.map(f => s"$root/$f"): _*)
+        val survivors = affectedDf.join(
+          broadcast(src.select(keys.map(col): _*).distinct()), keys, "left_anti")
+          .select(snap.schema.fieldNames.map(col): _*)
+        val rewritten = writeData(survivors, root)
+        Snapshot(snap.version, "merge", snap.schemaDdl,
+          snap.files.filterNot(matchedFiles.contains) ++ rewritten)
+      }
+    // all source rows land (updates + inserts) as new files
+    val added = writeData(src.select(snap.schema.fieldNames.map(col): _*), root)
+    commit(spark, root, Snapshot(snap.version + 1, "merge", snap.schemaDdl,
+      afterRewrite.files ++ added))
+  }
+
+  /** VACUUM: delete data files no snapshot references, and (optionally)
+    * drop manifests older than `retainVersions` so their files become
+    * unreferenced next vacuum. Two-phase so time travel within the
+    * retention window always works: files referenced by ANY retained
+    * manifest are kept.
+    */
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 2): Seq[String] = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val f = fs(spark, root)
+    val h = history(spark, root)
+    require(h.nonEmpty, s"$root is not a managed table")
+    val retained = h.takeRight(retainVersions)
+    // expire old manifests first, then sweep unreferenced files
+    h.dropRight(retainVersions).foreach(s => f.delete(manifestPath(root, s.version), false))
+    val live = retained.flatMap(_.files).toSet
+    val dataDir = new Path(root, "data")
+    if (!f.exists(dataDir)) return Nil
+    val removed = Seq.newBuilder[String]
+    f.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
+      f.listStatus(d.getPath).foreach { file =>
+        val rel = s"data/${d.getPath.getName}/${file.getPath.getName}"
+        if (!live.contains(rel)) { f.delete(file.getPath, false); removed += rel }
+      }
+      if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false)
+    }
+    removed.result().sorted
+  }
+}

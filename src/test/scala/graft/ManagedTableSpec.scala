@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ManagedTable
+
+/** The DDL/DML surface: create / insert / delete / update / upsert /
+  * time travel / vacuum, and the copy-on-write contract — a mutation
+  * rewrites ONLY the files that contain affected rows (the 100 TB
+  * selective-delete story), everything else carries by reference.
+  */
+class ManagedTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("grp", StringType),
+    StructField("score", DoubleType)))
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_mt").toString + "/t"
+
+  private def rows(r: (Long, String, Double)*) =
+    r.toSeq.toDF("id", "grp", "score")
+
+  test("create + insert + read round-trips; double create fails loudly") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    assert(ManagedTable.read(spark, root).count() == 0)
+    ManagedTable.insert(spark, root, rows((1L, "a", 1.0), (2L, "b", 2.0)))
+    val got = ManagedTable.read(spark, root).as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    intercept[IllegalArgumentException] { ManagedTable.create(spark, root, schema) }
+  }
+
+  test("insert enforces the declared schema loudly") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    val bad = Seq((1L, "a")).toDF("id", "grp")
+    intercept[IllegalArgumentException] { ManagedTable.insert(spark, root, bad) }
+  }
+
+  test("delete is copy-on-write: untouched files carry over by reference") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    // two inserts -> two disjoint file sets; the delete hits only the second
+    ManagedTable.insert(spark, root, rows((1L, "a", 1.0), (2L, "a", 2.0)))
+    ManagedTable.insert(spark, root, rows((3L, "b", 3.0), (4L, "b", 4.0)))
+    val before = ManagedTable.history(spark, root).last
+    ManagedTable.delete(spark, root, col("grp") === "b" && col("id") === 3L)
+    val after = ManagedTable.history(spark, root).last
+    assert(ManagedTable.read(spark, root).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    // the grp=a file(s) must appear verbatim in the new snapshot
+    val aFiles = before.files.filter(f => after.files.contains(f))
+    assert(aFiles.nonEmpty, "expected the unaffected insert's files to carry over")
+    // and at least one file (the affected one) must have been rewritten
+    assert(after.files.exists(f => !before.files.contains(f)))
+  }
+
+  test("delete with no matches leaves the snapshot version unchanged") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    ManagedTable.insert(spark, root, rows((1L, "a", 1.0)))
+    val v = ManagedTable.history(spark, root).last.version
+    ManagedTable.delete(spark, root, col("id") === 999L)
+    assert(ManagedTable.history(spark, root).last.version == v)
+  }
+
+  test("update rewrites matching rows only, unknown set-column fails") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    ManagedTable.insert(spark, root, rows((1L, "a", 1.0), (2L, "b", 2.0)))
+    ManagedTable.update(spark, root, col("grp") === "a",
+      Map("score" -> (col("score") * 10)))
+    val got = ManagedTable.read(spark, root).as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "b", 2.0)))
+    intercept[IllegalArgumentException] {
+      ManagedTable.update(spark, root, col("grp") === "a", Map("nope" -> lit(1)))
+    }
+  }
+
+  test("upsert updates matched keys, inserts new ones, rejects dup source keys") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    ManagedTable.insert(spark, root, rows((1L, "a", 1.0), (2L, "b", 2.0)))
+    ManagedTable.upsert(spark, root, rows((2L, "b", 20.0), (3L, "c", 3.0)), Seq("id"))
+    val got = ManagedTable.read(spark, root).as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 1.0), (2L, "b", 20.0), (3L, "c", 3.0)))
+    intercept[IllegalArgumentException] {
+      ManagedTable.upsert(spark, root, rows((9L, "x", 1.0), (9L, "x", 2.0)), Seq("id"))
+    }
+  }
+
+  test("time travel reads any retained version; history records operations") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    ManagedTable.insert(spark, root, rows((1L, "a", 1.0)))
+    ManagedTable.insert(spark, root, rows((2L, "b", 2.0)))
+    ManagedTable.delete(spark, root, col("id") === 1L)
+    val h = ManagedTable.history(spark, root)
+    assert(h.map(_.op) == Seq("create", "insert", "insert", "delete"))
+    assert(ManagedTable.read(spark, root, asOf = Some(1)).count() == 1)
+    assert(ManagedTable.read(spark, root, asOf = Some(2)).count() == 2)
+    assert(ManagedTable.read(spark, root).count() == 1)
+    intercept[IllegalArgumentException] {
+      ManagedTable.read(spark, root, asOf = Some(99))
+    }
+  }
+
+  test("concurrent commit of the same version loses loudly") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    ManagedTable.insert(spark, root, rows((1L, "a", 1.0)))
+    // two writers that both read latest=v1 and race to commit v2: the
+    // second create(overwrite=false) must lose with CommitConflict
+    val snap = ManagedTable.history(spark, root).last
+    val next = snap.copy(version = snap.version + 1, op = "insert")
+    ManagedTable.commit(spark, root, next)
+    intercept[ManagedTable.CommitConflict] {
+      ManagedTable.commit(spark, root, next)
+    }
+  }
+
+  test("vacuum removes unreferenced files, keeps retained versions readable") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    ManagedTable.insert(spark, root, rows((1L, "a", 1.0), (2L, "a", 2.0)))
+    ManagedTable.delete(spark, root, col("id") === 1L) // orphans the insert's file
+    ManagedTable.insert(spark, root, rows((3L, "b", 3.0)))
+    val removed = ManagedTable.vacuum(spark, root, retainVersions = 2)
+    assert(removed.nonEmpty, "expected the pre-delete file to be swept")
+    val h = ManagedTable.history(spark, root)
+    assert(h.size == 2, s"expected 2 retained manifests, got ${h.map(_.version)}")
+    // both retained versions still read cleanly
+    assert(ManagedTable.read(spark, root, asOf = Some(h.head.version)).count() == 1)
+    assert(ManagedTable.read(spark, root).as[(Long, String, Double)].collect().toSet ==
+      Set((2L, "a", 2.0), (3L, "b", 3.0)))
+  }
+}

@@ -284,6 +284,34 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p114).size >= 1, p114.take(800))
   }
 
+  test("q115-q120: join-free profiles, broadcast moments, aggregated-only windows") {
+    // q115/q116: one tokenize/bigram pass + stacked hash aggs — no join
+    for (k <- Seq("q115_gopher_rules", "q116_intradoc_repeat")) {
+      val p = plan(k)
+      assert(!p.contains("Join"), s"$k should be join-free\n${p.take(500)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
+    }
+    // q117: the gram census is a hash agg (never a pair join); the
+    // only joins key on gram/1-row totals — no cartesian over docs
+    val p117 = plan("q117_span_dedup")
+    assert(!p117.contains("CartesianProduct"), p117.take(500))
+    // q118: the ~users-sized moment table broadcasts onto the event
+    // scan; top-10 is TakeOrdered, never a global sort
+    val p118 = plan("q118_user_anomaly")
+    assert(p118.contains("BroadcastHashJoin"), p118.take(500))
+    assert(p118.contains("TakeOrderedAndProject"), p118.take(500))
+    // q119: scrub is a pure projection — the only hash exchange is the
+    // report's groupBy(source)
+    val p119 = plan("q119_stopword_scrub")
+    assert(!p119.contains("Join"), p119.take(500))
+    assert("Exchange hashpartitioning".r.findAllIn(p119).size == 1, p119.take(800))
+    // q120: the running sum's window reads the ~days-sized aggregated
+    // relation — the event stream passes through hash aggs only
+    val p120 = plan("q120_cumulative_users")
+    assert(p120.contains("Window"), p120.take(500))
+    assert("HashAggregate".r.findAllIn(p120).size >= 4, p120.take(800))
+  }
+
   test("day=-partitioned layout: a date predicate prunes partitions at the scan") {
     // SCALING.md's 100 TB scan claim, demonstrated: write events as a
     // day=-partitioned directory (Tables.writeAs, the lake-layout
