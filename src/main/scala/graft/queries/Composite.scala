@@ -5,14 +5,16 @@ import org.apache.spark.sql.types.DecimalType
 import graft.operators.{AnnSearch, Pq, Sampling}
 import graft.sources.Tables
 
-/** Composite wave (q99–q101): cyclic load profiling and the two
+/** Composite wave (q99–q101, q121): cyclic load profiling and the
   * CAPSTONES — the full curation pipeline (exact dedup → mixing-plan
-  * downsample → train/val/test split → audit report) and the full
+  * downsample → train/val/test split → audit report), the full
   * residual IVF-PQ ANN stack (coarse k-means → residuals → per-subspace
-  * PQ codebooks → encode → in-bucket ADC top-k) — each as ONE
-  * declarative plan built from the library's own operators, replayed
-  * exactly by the DuckDB oracle because every stage is deterministic
-  * (md5 content-addressing, decimal means, fixed iteration counts).
+  * PQ codebooks → encode → in-bucket ADC top-k), and the DML
+  * round-trip (create → insert → delete → update → merge over a
+  * [[graft.sources.ManagedTable]], read back) — each built from the
+  * library's own operators and replayed exactly by the DuckDB oracle
+  * because every stage is deterministic (md5 content-addressing,
+  * decimal means, fixed iteration counts, relational mutation replay).
   *
   * Same t2 gate as every other wave; determinism per SURVEY.md §5.
   */
@@ -88,6 +90,39 @@ object Composite {
         res.filter(col("bucket") === q0.getInt(1)).select("vec_id"),
         Seq("vec_id"), "left_semi")
       Pq.search(cands, book, q0.getSeq[Float](0).toArray, dims = 64, m = 2, n = 10)
+    }),
+
+    // The DML capstone: ManagedTable's whole write path (CREATE TABLE,
+    // INSERT, DELETE WHERE, UPDATE SET..WHERE, MERGE-upsert) executed
+    // against a fresh table, then the table read back and summarized —
+    // and the oracle replays the same mutations RELATIONALLY (delete =
+    // anti-filter, update = CASE, upsert = union of replaced + kept).
+    // Any row the copy-on-write machinery loses, duplicates, or
+    // half-updates shifts a group. The upsert deliberately overlaps
+    // both earlier mutations: doc_id%7=3 rows include deleted 'de'
+    // docs (re-inserted) and %10=0 updated docs (replaced with values
+    // computed from the ORIGINAL rows). Side effects go to a fresh
+    // temp dir per call, so the query stays idempotent for the
+    // verify/bench replays; the report reads only the managed table.
+    "q121_dml_roundtrip" -> ((s, dir) => {
+      import graft.sources.ManagedTable
+      val docs = Tables.load(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_q121").toString + "/t"
+      ManagedTable.create(s, root, docs.schema)
+      ManagedTable.insert(s, root, docs)
+      ManagedTable.delete(s, root, col("lang") === "de")
+      ManagedTable.update(s, root, col("doc_id") % 10 === 0,
+        Map("n_chars" -> (col("n_chars") + 1000)))
+      ManagedTable.upsert(s, root,
+        docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("n_chars", col("n_chars") * 2),
+        Seq("doc_id"))
+      ManagedTable.read(s, root)
+        .groupBy("lang")
+        .agg(cnt.as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("lang")
     })
   )
 
@@ -198,6 +233,22 @@ SELECT c.vec_id, CAST(t0.d + t1.d AS DOUBLE) AS adc_dist
 FROM cand c
 JOIN e0 ON e0.vec_id = c.vec_id JOIN t0 ON t0.code = e0.code
 JOIN e1 ON e1.vec_id = c.vec_id JOIN t1 ON t1.code = e1.code
-ORDER BY adc_dist, c.vec_id LIMIT 10"""
+ORDER BY adc_dist, c.vec_id LIMIT 10""",
+
+    // the same mutation sequence replayed relationally: DELETE is an
+    // anti-filter, UPDATE a CASE, MERGE-upsert = source rows UNION ALL
+    // the surviving non-matched rows (matched rows replaced with
+    // values computed from the ORIGINAL relation, exactly like the
+    // native's upsert source)
+    "q121_dml_roundtrip" -> """
+WITH survivors AS (SELECT doc_id, text, lang, source,
+        CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      FROM documents WHERE lang <> 'de'),
+src AS (SELECT doc_id, text, lang, source, n_chars * 2 AS n_chars
+        FROM documents WHERE doc_id % 7 = 3),
+final AS (SELECT * FROM src UNION ALL SELECT * FROM survivors WHERE doc_id % 7 <> 3)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+FROM final GROUP BY lang ORDER BY lang"""
   ).map { case (k, v) => k -> v.trim }
 }
