@@ -23,6 +23,11 @@ import graft.Graft
 final class QueryServer(engine: Graft, port: Int,
                         bindHost: String = "127.0.0.1") {
 
+  /** Statement router: DML on managed tables -> [[SqlRouter]] /
+    * ManagedTable; everything else -> spark.sql. Exposed so an
+    * embedding host can pre-register managed tables. */
+  val router = new SqlRouter(engine.spark)
+
   // Loopback by default: the endpoint executes arbitrary SQL with no
   // authentication, so exposing it beyond the host must be an explicit
   // caller decision (bindHost = "0.0.0.0").
@@ -80,7 +85,7 @@ final class QueryServer(engine: Graft, port: Int,
         .flatMap(_.toIntOption) // malformed limit -> default, not a dropped connection
         .getOrElse(1000)
       try {
-        val df = engine.sql(sql)
+        val df = router.execute(sql)
         val rows = df.limit(limit).collect()
         val cols = df.columns.map(jsonStr).mkString("[", ",", "]")
         val data = rows.map(r => r.toSeq.map(jsonValue).mkString("[", ",", "]"))
@@ -97,6 +102,9 @@ final class QueryServer(engine: Graft, port: Int,
           // case covers both parse and analysis errors.
           val code = e match {
             case _: org.apache.spark.sql.AnalysisException => 400
+            // router statement-shape errors (unknown table, malformed
+            // assignment, bad arity) are client errors too
+            case _: IllegalArgumentException => 400
             case _ => 500
           }
           respond(ex, code, s"""{"error":${jsonStr(msg)}}""")

@@ -1,0 +1,201 @@
+package graft.server
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.StructType
+import graft.sources.ManagedTable
+
+/** SQL statement router: the front door that gives the HTTP surface
+  * (and any embedding host) the reference's full SQL UX — DML included
+  * — without teaching Spark's parser new statements. DML on managed
+  * tables is routed to [[ManagedTable]]'s copy-on-write operations;
+  * everything else goes to `spark.sql` unchanged, with every managed
+  * table kept visible to SELECTs as a temp view that refreshes after
+  * each mutation (views are snapshot-pinned, so a refresh is a cheap
+  * re-register, not a data copy).
+  *
+  * Statement forms (leading keywords case-insensitive, the embedded
+  * query/expressions are full Spark SQL):
+  * {{{
+  *   CREATE MANAGED TABLE t (id BIGINT, name STRING) LOCATION '/path'
+  *   OPEN MANAGED TABLE t LOCATION '/path'         -- attach existing
+  *   INSERT INTO t SELECT ... | INSERT INTO t VALUES (...), (...)
+  *   UPDATE t SET c = expr, ... [WHERE pred]
+  *   DELETE FROM t [WHERE pred]
+  *   UPSERT INTO t BY (k1, k2) SELECT ...          -- MERGE: replace
+  *                                                 -- matched, insert new
+  *   <anything else>                               -- spark.sql
+  * }}}
+  * Mutations return a one-row summary frame `(op, tbl, version)` —
+  * JSON-friendly for the HTTP layer. Expressions inside SET/WHERE are
+  * parsed by Spark's own parser (`parseExpression`), so functions,
+  * casts, and column references all behave exactly as in queries.
+  *
+  * Parsing here is deliberately a thin statement-splitter, not a SQL
+  * grammar: it recognizes the statement SHAPE and hands every
+  * expression/query substring to Spark. Unknown shapes fall through
+  * to `spark.sql`, whose errors are authoritative.
+  */
+final class SqlRouter(spark: SparkSession) {
+
+  private val tables = TrieMap.empty[String, String] // name -> root path
+
+  /** Attach an existing managed table under `name` (also done by the
+    * OPEN/CREATE statements). */
+  def register(name: String, root: String): Unit = {
+    require(ManagedTable.history(spark, root).nonEmpty,
+      s"$root is not a managed table")
+    tables.put(name, root)
+    refreshView(name)
+  }
+
+  def registered: Map[String, String] = tables.toMap
+
+  private def refreshView(name: String): Unit =
+    ManagedTable.read(spark, tables(name)).createOrReplaceTempView(name)
+
+  private def root(name: String): String =
+    tables.getOrElse(name, throw new IllegalArgumentException(
+      s"no managed table '$name' — CREATE or OPEN it first " +
+        s"(have: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+
+  private def summary(op: String, tbl: String, version: Int): DataFrame = {
+    import spark.implicits._
+    Seq((op, tbl, version)).toDF("op", "tbl", "version")
+  }
+
+  /** Split `s` on top-level `sep` (ignores separators inside (), ''
+    * and "" — enough for argument lists whose elements are SQL
+    * expressions; quote escaping is SQL-style doubled quotes, which
+    * re-enter quote state and stay harmless to depth tracking). */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    for (c <- s) {
+      if (quote != 0) { if (c == quote) quote = 0; cur += c }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  private def parseCol(exprText: String): Column =
+    ColumnBridge.column(spark.sessionState.sqlParser.parseExpression(exprText))
+
+  /** Align a query result to the table schema: by NAME when every
+    * schema column is present (SELECT-shaped sources), else by
+    * POSITION when the arity matches (VALUES-shaped sources, whose
+    * columns are col1..colN); loud otherwise. Casts are explicit so a
+    * VALUES literal int lands in a BIGINT column instead of failing
+    * the schema check.
+    */
+  private def align(df: DataFrame, schema: StructType): DataFrame = {
+    val byName = schema.fieldNames.forall(df.columns.contains)
+    if (byName)
+      df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    else {
+      require(df.columns.length == schema.fields.length,
+        s"cannot align ${df.columns.length} source column(s) to " +
+          s"${schema.fields.length} table column(s) — name or arity must match")
+      df.select(df.columns.zip(schema.fields).map { case (c, f) =>
+        col(c).cast(f.dataType).as(f.name) }.toSeq: _*)
+    }
+  }
+
+  private val Create =
+    """(?is)\s*CREATE\s+MANAGED\s+TABLE\s+(\w+)\s*\((.+)\)\s*LOCATION\s+'([^']+)'\s*""".r
+  private val Open =
+    """(?is)\s*OPEN\s+MANAGED\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s*""".r
+  private val Insert = """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(.+)""".r
+  private val Update = """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+)""".r
+  private val Delete = """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.+))?""".r
+  private val Upsert =
+    """(?is)\s*UPSERT\s+INTO\s+(\w+)\s+BY\s*\(([^)]+)\)\s+(.+)""".r
+
+  private def query(text: String): DataFrame = {
+    val t = text.trim
+    if (t.toUpperCase.startsWith("VALUES")) spark.sql(s"SELECT * FROM $t")
+    else spark.sql(t)
+  }
+
+  def execute(sql: String): DataFrame = sql match {
+    case Create(name, ddl, path) =>
+      val snap = ManagedTable.create(spark, path, StructType.fromDDL(ddl))
+      tables.put(name, path); refreshView(name)
+      summary("create", name, snap.version)
+
+    case Open(name, path) =>
+      register(name, path)
+      summary("open", name, ManagedTable.history(spark, path).last.version)
+
+    case Insert(name, rest) if tables.contains(name) =>
+      val r = root(name)
+      val schema = ManagedTable.history(spark, r).last.schema
+      val snap = ManagedTable.insert(spark, r, align(query(rest), schema))
+      refreshView(name)
+      summary("insert", name, snap.version)
+
+    case Update(name, rest) if tables.contains(name) =>
+      val r = root(name)
+      // SET list runs to the top-level WHERE (if any); WHERE inside a
+      // quoted string or parens belongs to an expression, not to us
+      val upper = rest.toUpperCase
+      val whereIdx = {
+        var depth = 0; var quote: Char = 0; var found = -1; var i = 0
+        while (found < 0 && i < rest.length) {
+          val c = rest.charAt(i)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else c match {
+            case '\'' | '"' => quote = c
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ if depth == 0 && upper.startsWith("WHERE", i) &&
+              (i == 0 || rest.charAt(i - 1).isWhitespace) &&
+              (i + 5 == rest.length || rest.charAt(i + 5).isWhitespace) => found = i
+            case _ =>
+          }
+          i += 1
+        }
+        found
+      }
+      val (setPart, wherePart) =
+        if (whereIdx < 0) (rest, None)
+        else (rest.substring(0, whereIdx), Some(rest.substring(whereIdx + 5)))
+      val sets = splitTop(setPart, ',').map { a =>
+        val eq = a.indexOf('=')
+        require(eq > 0, s"malformed assignment '$a' — expected col = expr")
+        a.substring(0, eq).trim -> parseCol(a.substring(eq + 1))
+      }.toMap
+      val where = wherePart.map(parseCol).getOrElse(lit(true))
+      val snap = ManagedTable.update(spark, r, where, sets)
+      refreshView(name)
+      summary("update", name, snap.version)
+
+    case Delete(name, wherePart) if tables.contains(name) =>
+      val r = root(name)
+      val where = Option(wherePart).map(parseCol).getOrElse(lit(true))
+      val snap = ManagedTable.delete(spark, r, where)
+      refreshView(name)
+      summary("delete", name, snap.version)
+
+    case Upsert(name, keys, rest) if tables.contains(name) =>
+      val r = root(name)
+      val schema = ManagedTable.history(spark, r).last.schema
+      val keyCols = splitTop(keys, ',').map(_.trim)
+      val snap = ManagedTable.upsert(spark, r, align(query(rest), schema), keyCols)
+      refreshView(name)
+      summary("merge", name, snap.version)
+
+    case other => spark.sql(other)
+  }
+}

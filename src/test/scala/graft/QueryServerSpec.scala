@@ -52,4 +52,18 @@ class QueryServerSpec extends AnyFunSuite {
     assert(r.body().startsWith("{\"error\":"))
     assert(!r.body().contains("at org.apache"))
   }
+
+  test("DML statements run over HTTP: create, insert, update, select") {
+    val root = java.nio.file.Files.createTempDirectory("graft_httpdml").toString + "/t"
+    val c = post("/query",
+      s"CREATE MANAGED TABLE http_t (id BIGINT, v DOUBLE) LOCATION '$root'")
+    assert(c.statusCode() == 200 && c.body().contains("\"create\""), c.body())
+    assert(post("/query", "INSERT INTO http_t VALUES (1, 1.5), (2, 2.5)").statusCode() == 200)
+    assert(post("/query", "UPDATE http_t SET v = v + 10 WHERE id = 2").statusCode() == 200)
+    val q = post("/query", "SELECT id, v FROM http_t ORDER BY id")
+    assert(q.statusCode() == 200 && q.body().contains("[2,12.5]"), q.body())
+    // DML on an unmanaged name surfaces as a clean client error
+    val bad = post("/query", "DELETE FROM never_registered WHERE 1=1")
+    assert(bad.statusCode() == 400, bad.body())
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.server.SqlRouter
+import graft.sources.ManagedTable
+
+/** The SQL DML surface: statement routing to ManagedTable, VALUES and
+  * SELECT sources, expression parsing via Spark's own parser,
+  * view refresh after each mutation, and pass-through of everything
+  * else to spark.sql.
+  */
+class SqlRouterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val router = new SqlRouter(spark)
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_sqlr").toString + "/t"
+
+  test("create + insert VALUES + select round-trip through SQL text") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE rt (id BIGINT, name STRING, score DOUBLE) LOCATION '$root'")
+    router.execute("INSERT INTO rt VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5)")
+    val got = router.execute("SELECT id, name, score FROM rt ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "alpha", 1.5), (2L, "beta", 2.5)))
+  }
+
+  test("update with SET expressions and WHERE; delete; versions advance") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE m1 (id BIGINT, name STRING, score DOUBLE) LOCATION '$root'")
+    router.execute("INSERT INTO m1 VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    val up = router.execute(
+      "UPDATE m1 SET score = score * 10, name = upper(name) WHERE id >= 2").collect().head
+    assert(up.getAs[String]("op") == "update" && up.getAs[Int]("version") == 2)
+    assert(router.execute("SELECT name FROM m1 WHERE id = 3").collect().head.getString(0) == "C")
+    // the update pushed id 2 and 3 to scores 20/30 — both fall to the delete
+    router.execute("DELETE FROM m1 WHERE score > 15")
+    assert(router.execute("SELECT count(*) n FROM m1").collect().head.getLong(0) == 1)
+    assert(ManagedTable.history(spark, root).map(_.op) ==
+      Seq("create", "insert", "update", "delete"))
+  }
+
+  test("upsert BY keys replaces matched rows and inserts new ones from a SELECT") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE m2 (id BIGINT, name STRING, score DOUBLE) LOCATION '$root'")
+    router.execute("INSERT INTO m2 VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    router.execute(
+      "UPSERT INTO m2 BY (id) SELECT * FROM VALUES (2, 'b2', 20.0), (3, 'c', 3.0) AS s(id, name, score)")
+    val got = router.execute("SELECT id, name FROM m2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("open attaches an existing table; unknown-table DML falls through loudly") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE m3 (id BIGINT, name STRING, score DOUBLE) LOCATION '$root'")
+    router.execute("INSERT INTO m3 VALUES (7, 'x', 0.5)")
+    val other = new SqlRouter(spark)
+    val opened = other.execute(s"OPEN MANAGED TABLE m3b LOCATION '$root'").collect().head
+    assert(opened.getAs[String]("op") == "open" && opened.getAs[Int]("version") == 1)
+    assert(other.execute("SELECT count(*) n FROM m3b").collect().head.getLong(0) == 1)
+    // DELETE on a name the router doesn't manage reaches spark.sql,
+    // whose error (unresolved relation / unsupported) is authoritative
+    intercept[Exception] { other.execute("DELETE FROM not_managed WHERE 1=1") }
+  }
+
+  test("quoted strings and nested parens survive the statement splitter") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE m4 (id BIGINT, name STRING, score DOUBLE) LOCATION '$root'")
+    router.execute("INSERT INTO m4 VALUES (1, 'a, (b) where', 1.0), (2, 'z', 2.0)")
+    // SET list with a comma inside a function call and a WHERE inside quotes
+    router.execute(
+      "UPDATE m4 SET name = concat(name, ', where', ')') WHERE name = 'a, (b) where'")
+    val got = router.execute("SELECT name FROM m4 ORDER BY id").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("a, (b) where, where)", "z"))
+  }
+
+  test("non-DML statements pass through to spark.sql untouched") {
+    val n = router.execute("SELECT 1 + 1 AS two").collect().head.getInt(0)
+    assert(n == 2)
+  }
+}
