@@ -151,6 +151,75 @@ object Training {
         .orderBy("source")
     }),
 
+    // Perplexity-filter scoring: every document scored under the
+    // corpus's own Laplace-smoothed bigram LM (q88 trains the LM; this
+    // is the filter that USES one) — avg negative log-prob per doc,
+    // mean/min/max per source. Low = templated, high = atypical; the
+    // classic model-based quality signal, here self-trained so it
+    // stays oracle-checkable. Determinism is the q109/q111 ln
+    // discipline: the ONE transcendental is computed per BIGRAM TYPE
+    // from exact integer counts (c, n_follow, V), ROUND(..,9)'d into
+    // DECIMAL(18,9) before any per-doc math; per-doc sums are exact
+    // decimal, ONE double division per doc, ROUND 6. Train corpus =
+    // score corpus, so every scored bigram exists in the LM (no
+    // unseen-mass branch). Shape: the bigram relation is checkpointed
+    // once and feeds both the LM counts and the scoring join; the LM
+    // cost table joins back keyed on the bigram — no pair blowup.
+    "q122_perplexity" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          filter(split(lower(col("text")), " "), t => t =!= "").as("l"))
+      val nv = d.select(explode(col("l")).as("tok"))
+        .agg(countDistinct(col("tok")).as("nv"))
+      val bg = d.withColumn("n", size(col("l"))).filter(col("n") >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, n - 1), i -> named_struct('tok', element_at(l, i), 'nxt', element_at(l, i + 1)))")).as("p"))
+        .select(col("doc_id"), col("source"), col("p.tok").as("tok"), col("p.nxt").as("nxt"))
+        .localCheckpoint() // feeds the LM counts AND the scoring join
+      val c = bg.groupBy("tok", "nxt").agg(cnt.as("c"))
+      val nf = c.groupBy("tok").agg(sum(col("c")).as("nf"))
+      val cost = c.join(nf, "tok").crossJoin(broadcast(nv))
+        .select(col("tok"), col("nxt"),
+          expr("CAST(ROUND(ln(CAST(nf + nv AS DOUBLE) / (c + 1)), 9) AS DECIMAL(18,9))").as("w"))
+      bg.join(cost, Seq("tok", "nxt"))
+        .groupBy("doc_id", "source")
+        .agg(expr("CAST(ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(1), 6) AS DECIMAL(18,6))").as("nll"))
+        .groupBy("source")
+        .agg(cnt.as("n_docs"),
+          round(sum(col("nll")).cast("double") / cnt, 6).as("mean_nll"),
+          min(col("nll")).cast("double").as("min_nll"),
+          max(col("nll")).cast("double").as("max_nll"))
+        .orderBy("source")
+    }),
+
+    // Cross-split leakage audit: after q66's content-addressed
+    // train/val/test split, how many held-out docs share a 5-gram
+    // shingle with ANY training doc? The q67 contamination check
+    // turned inward on the split itself — the audit every eval suite
+    // needs before trusting its numbers. Shape: per-doc-distinct
+    // shingles (in-row array_distinct), the train shingle set reduced
+    // by a distinct, held-out shingles semi-joined against it keyed on
+    // the shingle — no pair join, fan-out bounded by shingle sharing.
+    "q123_split_leakage" -> ((s, dir) => {
+      val split = graft.operators.Sampling.deterministicSplit(
+        Tables.load(s, dir, "documents"),
+        "doc_id", Seq("train" -> "c", "val" -> "e"), "test")
+      val shl = Dedup.shingles(split, n = 5)
+        .join(split.select(col("doc_id"), col("split")), "doc_id")
+      val tr = shl.filter(col("split") === "train").select("sh").distinct()
+      val leaked = shl.filter(col("split") =!= "train")
+        .join(tr, Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(1L))
+      split.filter(col("split") =!= "train")
+        .join(leaked, Seq("doc_id"), "left")
+        .groupBy("split")
+        .agg(cnt.as("n_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_leaked"),
+          expr("sum(coalesce(hit, 0)) * 1000000 DIV count(1)").as("leaked_ppm"))
+        .orderBy("split")
+    }),
+
     // Cumulative-user growth: per event day, first-time users that
     // day, the running total of users ever seen, and that day's
     // distinct actives. Running DISTINCT COUNT is re-expressed as
@@ -250,6 +319,47 @@ SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_toks,
   CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
   CAST(SUM(removed)*1000000 // SUM(nt) AS BIGINT) AS removed_ppm
 FROM pd GROUP BY source ORDER BY source""",
+
+    // the same per-bigram-type ROUND(ln,9) DECIMAL(18,9) cost terms,
+    // exact decimal per-doc sums, one double division per doc
+    "q122_perplexity" -> """
+WITH d AS (SELECT doc_id, source, list_filter(string_split(lower(text),' '), x -> x <> '') l FROM documents),
+v AS (SELECT COUNT(DISTINCT tok) nv FROM (SELECT unnest(l) tok FROM d)),
+bgall AS (SELECT doc_id, source, l[i] tok, l[i+1] nxt FROM
+  (SELECT doc_id, source, unnest(generate_series(1, len(l)-1)) i, l FROM d WHERE len(l) >= 2)),
+c AS (SELECT tok, nxt, COUNT(*) c FROM bgall GROUP BY tok, nxt),
+nf AS (SELECT tok, SUM(c) nf FROM c GROUP BY tok),
+cost AS (SELECT c.tok, c.nxt,
+  CAST(ROUND(ln(CAST(nf.nf + v.nv AS DOUBLE) / (c.c + 1)), 9) AS DECIMAL(18,9)) w
+  FROM c JOIN nf ON nf.tok = c.tok, v),
+pd AS (SELECT b.doc_id, b.source,
+         CAST(ROUND(CAST(SUM(cost.w) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) nll
+  FROM bgall b JOIN cost ON cost.tok = b.tok AND cost.nxt = b.nxt
+  GROUP BY b.doc_id, b.source)
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll,
+  CAST(MIN(nll) AS DOUBLE) AS min_nll,
+  CAST(MAX(nll) AS DOUBLE) AS max_nll
+FROM pd GROUP BY source ORDER BY source""",
+
+    // q66's md5 split CTE; shingles WITHOUT the empty-token filter,
+    // mirroring Dedup.shingles (the q93 kernel's convention)
+    "q123_split_leakage" -> """
+WITH s AS (SELECT doc_id, text,
+    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
+         WHEN md5(CAST(doc_id AS VARCHAR)) < 'e' THEN 'val'
+         ELSE 'test' END AS split FROM documents),
+d AS (SELECT doc_id, split, string_split(lower(text),' ') l FROM s),
+sh AS (SELECT DISTINCT doc_id, split, l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4] sh
+       FROM (SELECT doc_id, split, unnest(generate_series(1, len(l)-4)) i, l FROM d WHERE len(l) >= 5)),
+tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+leak AS (SELECT DISTINCT doc_id FROM sh SEMI JOIN tr USING (sh) WHERE split <> 'train')
+SELECT s.split, COUNT(*) AS n_docs,
+  CAST(COUNT(leak.doc_id) AS BIGINT) AS n_leaked,
+  CAST(COUNT(leak.doc_id) * 1000000 // COUNT(*) AS BIGINT) AS leaked_ppm
+FROM s LEFT JOIN leak ON leak.doc_id = s.doc_id
+WHERE s.split <> 'train'
+GROUP BY s.split ORDER BY s.split""",
 
     "q120_cumulative_users" -> """
 WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

@@ -310,6 +310,15 @@ class PlanSpec extends AnyFunSuite {
     val p120 = plan("q120_cumulative_users")
     assert(p120.contains("Window"), p120.take(500))
     assert("HashAggregate".r.findAllIn(p120).size >= 4, p120.take(800))
+    // q122: the vocab-size side is a broadcast 1-row relation; the LM
+    // cost join keys on the bigram — never a cartesian over docs
+    val p122 = plan("q122_perplexity")
+    assert(!p122.contains("CartesianProduct"), p122.take(500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p122).size >= 1, p122.take(800))
+    // q123: the leak check is a LeftSemi keyed on the shingle
+    val p123 = plan("q123_split_leakage")
+    assert(p123.contains("LeftSemi"), p123.take(500))
+    assert(!p123.contains("CartesianProduct"), p123.take(500))
   }
 
   test("day=-partitioned layout: a date predicate prunes partitions at the scan") {

@@ -61,6 +61,25 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("q122: per-source nll stats are ordered and strictly positive") {
+    val rows = run("q122_perplexity").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (lo, mean, hi) = (r.getAs[Double]("min_nll"),
+        r.getAs[Double]("mean_nll"), r.getAs[Double]("max_nll"))
+      assert(lo > 0 && lo <= mean + 1e-6 && mean <= hi + 1e-6, r.toString)
+    }
+  }
+
+  test("q123: leakage is bounded by the split size and reports held-out splits only") {
+    val rows = run("q123_split_leakage").collect()
+    assert(rows.map(_.getAs[String]("split")).sorted.toSeq == Seq("test", "val"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_docs"), r.toString)
+      assert(r.getAs[Long]("leaked_ppm") <= 1000000L, r.toString)
+    }
+  }
+
   test("q120: cumulative users is monotone and converges to the distinct-user total") {
     val rows = run("q120_cumulative_users").collect()
     val cums = rows.map(_.getAs[Long]("cum_users"))
