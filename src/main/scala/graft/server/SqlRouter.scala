@@ -121,6 +121,10 @@ final class SqlRouter(spark: SparkSession) {
   private val Delete = """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.+))?""".r
   private val Upsert =
     """(?is)\s*UPSERT\s+INTO\s+(\w+)\s+BY\s*\(([^)]+)\)\s+(.+)""".r
+  private val AddCol =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+(\w+)\s+INTO\s+(\d+)\s+FILES(?:\s+BY\s*\(([^)]+)\))?\s*""".r
 
   private def query(text: String): DataFrame = {
     val t = text.trim
@@ -187,6 +191,20 @@ final class SqlRouter(spark: SparkSession) {
       val snap = ManagedTable.delete(spark, r, where)
       refreshView(name)
       summary("delete", name, snap.version)
+
+    case AddCol(name, colName, typeDdl) if tables.contains(name) =>
+      val r = root(name)
+      val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+      val snap = ManagedTable.addColumn(spark, r, colName, dt)
+      refreshView(name)
+      summary("add_column", name, snap.version)
+
+    case Optimize(name, nFiles, byCols) if tables.contains(name) =>
+      val r = root(name)
+      val cols = Option(byCols).map(splitTop(_, ',').map(_.trim)).getOrElse(Nil)
+      val snap = ManagedTable.compactTable(spark, r, nFiles.toInt, cols)
+      refreshView(name)
+      summary("compact", name, snap.version)
 
     case Upsert(name, keys, rest) if tables.contains(name) =>
       val r = root(name)

@@ -328,6 +328,49 @@ object ManagedTable {
       afterRewrite.files ++ added))
   }
 
+  /** ALTER TABLE ADD COLUMN: schema evolution as a metadata-only
+    * commit — existing data files are carried by reference and the
+    * reader's declared schema fills the new column with nulls (the
+    * parquet reader resolves requested-but-absent columns to null),
+    * so the operation costs one manifest write at ANY table size.
+    * Narrowing/retyping existing columns is deliberately not offered:
+    * it would require rewriting every file or a cast-on-read layer.
+    */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                dataType: DataType): Snapshot = {
+    val snap = latest(spark, root)
+    require(!snap.schema.fieldNames.contains(name),
+      s"column '$name' already exists (${snap.schema.toDDL})")
+    val widened = StructType(snap.schema.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType))
+    commit(spark, root, Snapshot(snap.version + 1, "add_column",
+      widened.toDDL, snap.files))
+  }
+
+  /** OPTIMIZE: rewrite the current snapshot into `numFiles` files,
+    * range-clustered and sorted on `clusterCols` when given (the
+    * [[Tables.compact]] layout, committed as a snapshot) — the
+    * maintenance pass that collapses mutation-fragmented small files
+    * so footer min/max stats prune again. Old files become
+    * unreferenced and fall to [[vacuum]].
+    */
+  def compactTable(spark: SparkSession, root: String, numFiles: Int,
+                   clusterCols: Seq[String] = Nil): Snapshot = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val snap = latest(spark, root)
+    val df = read(spark, root)
+    val missing = clusterCols.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty, s"optimize: no such column(s) ${missing.mkString(", ")}")
+    val arranged =
+      if (clusterCols.nonEmpty)
+        df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+          .sortWithinPartitions(clusterCols.map(col): _*)
+      else df.repartition(numFiles)
+    val rewritten = writeData(arranged, root)
+    commit(spark, root, Snapshot(snap.version + 1, "compact",
+      snap.schemaDdl, rewritten))
+  }
+
   /** VACUUM: delete data files no snapshot references, and (optionally)
     * drop manifests older than `retainVersions` so their files become
     * unreferenced next vacuum. Two-phase so time travel within the

@@ -124,6 +124,41 @@ class ManagedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("add column is metadata-only: old files carry over, reads fill nulls") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    ManagedTable.insert(spark, root, rows((1L, "a", 1.0)))
+    val before = ManagedTable.history(spark, root).last
+    ManagedTable.addColumn(spark, root, "tag", StringType)
+    val after = ManagedTable.history(spark, root).last
+    assert(after.files == before.files, "add column must not rewrite data")
+    val got = ManagedTable.read(spark, root).collect().head
+    assert(got.getAs[String]("tag") == null)
+    // inserts now require the widened schema; dup column fails loudly
+    ManagedTable.insert(spark, root,
+      Seq((2L, "b", 2.0, "t")).toDF("id", "grp", "score", "tag"))
+    assert(ManagedTable.read(spark, root).count() == 2)
+    intercept[IllegalArgumentException] {
+      ManagedTable.addColumn(spark, root, "tag", StringType)
+    }
+  }
+
+  test("optimize rewrites fragmented files into a bounded clustered set") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    for (i <- 1 to 5) // five inserts -> at least five data files
+      ManagedTable.insert(spark, root, rows((i.toLong, "g", i.toDouble)))
+    val frag = ManagedTable.history(spark, root).last
+    assert(frag.files.size >= 5)
+    val opt = ManagedTable.compactTable(spark, root, numFiles = 2, Seq("id"))
+    assert(opt.op == "compact" && opt.files.size <= 2, opt.files.toString)
+    assert(ManagedTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 5L))
+    // pre-compact files are unreferenced now; vacuum sweeps them
+    val removed = ManagedTable.vacuum(spark, root, retainVersions = 1)
+    assert(frag.files.forall(removed.contains), s"expected ${frag.files} swept, got $removed")
+  }
+
   test("vacuum removes unreferenced files, keeps retained versions readable") {
     val root = freshRoot()
     ManagedTable.create(spark, root, schema)

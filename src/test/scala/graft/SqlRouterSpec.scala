@@ -81,6 +81,23 @@ class SqlRouterSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a, (b) where, where)", "z"))
   }
 
+  test("ALTER TABLE ADD COLUMN and OPTIMIZE route to the managed table") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE m5 (id BIGINT, name STRING, score DOUBLE) LOCATION '$root'")
+    router.execute("INSERT INTO m5 VALUES (1, 'a', 1.0)")
+    router.execute("INSERT INTO m5 VALUES (2, 'b', 2.0)")
+    val alt = router.execute("ALTER TABLE m5 ADD COLUMN tag STRING").collect().head
+    assert(alt.getAs[String]("op") == "add_column")
+    // old rows read null for the new column through the refreshed view
+    assert(router.execute("SELECT count(*) n FROM m5 WHERE tag IS NULL")
+      .collect().head.getLong(0) == 2)
+    val opt = router.execute("OPTIMIZE m5 INTO 1 FILES BY (id)").collect().head
+    assert(opt.getAs[String]("op") == "compact")
+    assert(ManagedTable.history(spark, root).last.files.size == 1)
+    assert(router.execute("SELECT count(*) n FROM m5").collect().head.getLong(0) == 2)
+  }
+
   test("non-DML statements pass through to spark.sql untouched") {
     val n = router.execute("SELECT 1 + 1 AS two").collect().head.getInt(0)
     assert(n == 2)
