@@ -125,7 +125,10 @@ object Bench {
     // off and fails to parse. So: full record to a file, the long
     // per-query line first, and a SHORT self-contained total line LAST
     // — the one guaranteed to survive any tail truncation intact.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // A subset (SPARK_GRAFT_ONLY) run must never clobber the graded
+    // full-contract record, so its default lands in /tmp instead.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "bench_full.json" else "/tmp/bench_subset.json")
     // the "full" pointer is only advertised if the write SUCCEEDED —
     // a failed write must not point the consumer at a missing or
     // stale file — and the path is JSON-escaped (quotes/backslashes
