@@ -11,9 +11,17 @@ import graft.Graft
   * the JDK's HttpServer, zero extra dependencies.
   *
   * Endpoints:
-  *   - `GET  /health`          -> `{"status":"ok"}`
+  *   - `GET  /health`          -> `{"status":"ok"}` (never authed)
   *   - `POST /query` (SQL body) -> `{"columns":[...],"rows":[[...]],"n":N}`
   *   - `POST /query?limit=N`    -> cap returned rows (default 1000)
+  *   - `GET  /tables`           -> catalog listing (names, managed flag)
+  *   - `GET  /tables/{name}`    -> schema + managed version history
+  *
+  * With an [[AuthStore]] configured, every endpoint except /health
+  * requires `Authorization: Bearer <token>` (401 otherwise) and write
+  * statements additionally require the `writer` role (403 for a
+  * reader). With none (the default), behavior is the historical open
+  * loopback surface.
   *
   * The driver-side collect is capped by `limit` — the server is a
   * query front-end, not a bulk-export path; large results belong in
@@ -21,7 +29,8 @@ import graft.Graft
   * message (never a stack trace).
   */
 final class QueryServer(engine: Graft, port: Int,
-                        bindHost: String = "127.0.0.1") {
+                        bindHost: String = "127.0.0.1",
+                        auth: Option[AuthStore] = None) {
 
   /** Statement router: DML on managed tables -> [[SqlRouter]] /
     * ManagedTable; everything else -> spark.sql. Exposed so an
@@ -72,13 +81,35 @@ final class QueryServer(engine: Graft, port: Int,
     case other => jsonStr(other.toString) // timestamps, dates, strings
   }
 
+  /** Resolve the caller. With no [[AuthStore]] configured the surface
+    * stays the historical open-loopback one (anonymous writer); with
+    * one, every endpoint except /health requires a valid bearer
+    * token. */
+  private def principal(ex: HttpExchange): Either[Unit, Principal] =
+    auth match {
+      case None => Right(Principal("anonymous", AuthStore.Writer))
+      case Some(store) =>
+        store.authenticate(
+          Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
+          case Some(p) => Right(p)
+          case None =>
+            ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+            respond(ex, 401, """{"error":"missing or invalid bearer token"}""")
+            Left(())
+        }
+    }
+
   server.createContext("/health", (ex: HttpExchange) =>
     respond(ex, 200, """{"status":"ok"}"""))
 
   server.createContext("/query", (ex: HttpExchange) => {
     if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
-    else {
+    else principal(ex).foreach { who =>
       val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      if (!who.canWrite && router.isMutation(sql))
+        respond(ex, 403,
+          s"""{"error":"role '${who.role}' may not execute write statements"}""")
+      else {
       val limit = Option(ex.getRequestURI.getQuery)
         .flatMap(_.split("&").collectFirst {
           case kv if kv.startsWith("limit=") => kv.drop(6) })
@@ -108,6 +139,62 @@ final class QueryServer(engine: Graft, port: Int,
             case _ => 500
           }
           respond(ex, code, s"""{"error":${jsonStr(msg)}}""")
+      }
+      }
+    }
+  })
+
+  // --- metadata surface (the reference keeps table metadata alongside
+  // auth in its RDBMS; here it is served straight from the session
+  // catalog + managed-table manifests) -------------------------------
+
+  private def columnsJson(schema: org.apache.spark.sql.types.StructType): String =
+    schema.fields.map(f =>
+      s"""{"name":${jsonStr(f.name)},"type":${jsonStr(f.dataType.sql.toLowerCase)}""" +
+        s""","nullable":${f.nullable}}""").mkString("[", ",", "]")
+
+  private def tableJson(name: String, withColumns: Boolean): String = {
+    val managedRoot = router.registered.get(name)
+    val base = s"""{"name":${jsonStr(name)},"managed":${managedRoot.isDefined}"""
+    val cols =
+      if (withColumns)
+        s""","columns":${columnsJson(engine.spark.table(name).schema)}"""
+      else ""
+    val managed = managedRoot.map { root =>
+      val hist = graft.sources.ManagedTable.history(engine.spark, root)
+      val versions = hist.map(s =>
+        s"""{"version":${s.version},"op":${jsonStr(s.op)},"files":${s.files.size}}""")
+        .mkString("[", ",", "]")
+      s""","location":${jsonStr(root)},"version":${hist.last.version}""" +
+        s""","history":$versions"""
+    }.getOrElse("")
+    base + cols + managed + "}"
+  }
+
+  server.createContext("/tables", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "GET") respond(ex, 405, """{"error":"GET only"}""")
+    else principal(ex).foreach { _ =>
+      val rest = ex.getRequestURI.getPath.stripPrefix("/tables")
+        .stripPrefix("/").trim
+      try {
+        if (rest.isEmpty) {
+          // listing stays cheap: names only; schemas come from the
+          // per-table endpoint (resolving every relation per listing
+          // call would re-analyze the whole catalog each poll)
+          val names = engine.spark.catalog.listTables().collect()
+            .map(_.name).sorted
+          val body = names.map(tableJson(_, withColumns = false))
+            .mkString("[", ",", "]")
+          respond(ex, 200, s"""{"tables":$body,"n":${names.length}}""")
+        } else if (engine.spark.catalog.tableExists(rest)) {
+          respond(ex, 200, tableJson(rest, withColumns = true))
+        } else {
+          respond(ex, 404, s"""{"error":${jsonStr(s"no table '$rest'")}}""")
+        }
+      } catch {
+        case e: Exception =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          respond(ex, 500, s"""{"error":${jsonStr(msg)}}""")
       }
     }
   })

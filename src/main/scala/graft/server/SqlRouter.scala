@@ -132,6 +132,23 @@ final class SqlRouter(spark: SparkSession) {
     else spark.sql(t)
   }
 
+  /** Whether `sql` has a state-mutating statement shape (managed
+    * DDL/DML, catalog registration, or any non-SELECT-shaped statement
+    * handed to spark.sql) — what the server's writer-role gate checks.
+    * Shape-based and default-deny: a mutation on an unknown table is
+    * classified as a write ATTEMPT (then fails resolution downstream),
+    * and an unrecognized leading keyword counts as a write rather than
+    * slipping past the gate as a read. */
+  def isMutation(sql: String): Boolean = sql match {
+    case Create(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
+         Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
+         Optimize(_, _, _) => true
+    case other =>
+      val kw = other.trim.takeWhile(!_.isWhitespace).toUpperCase
+      !Set("SELECT", "WITH", "VALUES", "TABLE",
+        "SHOW", "DESCRIBE", "DESC", "EXPLAIN").contains(kw)
+  }
+
   def execute(sql: String): DataFrame = sql match {
     case Create(name, ddl, path) =>
       val snap = ManagedTable.create(spark, path, StructType.fromDDL(ddl))

@@ -66,4 +66,115 @@ class QueryServerSpec extends AnyFunSuite {
     val bad = post("/query", "DELETE FROM never_registered WHERE 1=1")
     assert(bad.statusCode() == 400, bad.body())
   }
+
+  test("tables endpoint lists the catalog; per-table endpoint has schema") {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + "/tables")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200 && r.body().contains("\"name\":\"region\""), r.body())
+    val d = client.send(HttpRequest.newBuilder(URI.create(base + "/tables/region")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(d.statusCode() == 200, d.body())
+    assert(d.body().contains("\"name\":\"r_regionkey\""), d.body())
+    assert(d.body().contains("\"type\":\"int\""), d.body())
+    val missing = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/tables/never_there")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(missing.statusCode() == 404, missing.body())
+  }
+
+  test("managed table detail carries location, version and history") {
+    val root = java.nio.file.Files.createTempDirectory("graft_httpmeta").toString + "/m"
+    assert(post("/query",
+      s"CREATE MANAGED TABLE http_meta (id BIGINT) LOCATION '$root'").statusCode() == 200)
+    assert(post("/query", "INSERT INTO http_meta VALUES (1)").statusCode() == 200)
+    val d = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/tables/http_meta")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(d.statusCode() == 200, d.body())
+    assert(d.body().contains("\"managed\":true"), d.body())
+    assert(d.body().contains("\"version\":1"), d.body())
+    assert(d.body().contains("\"op\":\"insert\""), d.body())
+  }
+}
+
+/** Bearer-token auth + role gate over a real socket, and the
+  * hashed-at-rest store roundtrip. */
+class AuthServerSpec extends AnyFunSuite {
+  import graft.server.{AuthStore, Principal}
+
+  private lazy val spark = TestSpark.spark
+  private lazy val server = {
+    val store = AuthStore(Map(
+      "read-secret" -> Principal("analyst", AuthStore.Reader),
+      "write-secret" -> Principal("pipeline", AuthStore.Writer)))
+    val s = new QueryServer(new Graft(spark, TestSpark.sf0001), port = 0,
+      auth = Some(store))
+    s.start(); s
+  }
+  private lazy val base = s"http://127.0.0.1:${server.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String, token: Option[String]): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("health stays open; everything else requires a token") {
+    val h = client.send(HttpRequest.newBuilder(URI.create(base + "/health")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(h.statusCode() == 200)
+    val anon = post("/query", "SELECT 1 AS x", None)
+    assert(anon.statusCode() == 401, anon.body())
+    val wrong = post("/query", "SELECT 1 AS x", Some("not-a-token"))
+    assert(wrong.statusCode() == 401, wrong.body())
+    val tables = client.send(HttpRequest.newBuilder(URI.create(base + "/tables")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(tables.statusCode() == 401, tables.body())
+  }
+
+  test("reader can SELECT but not mutate; writer can do both") {
+    val read = post("/query", "SELECT count(*) AS n FROM region", Some("read-secret"))
+    assert(read.statusCode() == 200 && read.body().contains("[5]"), read.body())
+    val root = java.nio.file.Files.createTempDirectory("graft_authdml").toString + "/t"
+    val denied = post("/query",
+      s"CREATE MANAGED TABLE auth_t (id BIGINT) LOCATION '$root'", Some("read-secret"))
+    assert(denied.statusCode() == 403, denied.body())
+    // default-deny: an unrecognized statement shape is a write
+    assert(post("/query", "SET spark.sql.shuffle.partitions=1",
+      Some("read-secret")).statusCode() == 403)
+    val created = post("/query",
+      s"CREATE MANAGED TABLE auth_t (id BIGINT) LOCATION '$root'", Some("write-secret"))
+    assert(created.statusCode() == 200, created.body())
+    assert(post("/query", "INSERT INTO auth_t VALUES (7)",
+      Some("write-secret")).statusCode() == 200)
+    val back = post("/query", "SELECT id FROM auth_t", Some("read-secret"))
+    assert(back.statusCode() == 200 && back.body().contains("[7]"), back.body())
+  }
+
+  test("store persists hashed at rest and loads back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_auth").toString + "/tokens"
+    AuthStore.save(spark, dir, Map("s3cret" -> Principal("svc", AuthStore.Writer)))
+    // no plaintext token anywhere in the written files
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var leaked = false
+    files.forEachRemaining { p =>
+      val bytes = new String(java.nio.file.Files.readAllBytes(p), "ISO-8859-1")
+      if (bytes.contains("s3cret")) leaked = true
+    }
+    assert(!leaked, "plaintext token found in the at-rest store")
+    val loaded = AuthStore.load(spark, dir)
+    assert(loaded.size == 1)
+    assert(loaded.authenticate(Some("Bearer s3cret")).contains(Principal("svc", "writer")))
+    assert(loaded.authenticate(Some("Bearer nope")).isEmpty)
+    assert(loaded.authenticate(Some("Basic s3cret")).isEmpty)
+    assert(loaded.authenticate(None).isEmpty)
+  }
+
+  test("principal rejects unknown roles loudly") {
+    intercept[IllegalArgumentException] { Principal("x", "superuser") }
+  }
 }
