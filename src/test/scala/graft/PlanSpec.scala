@@ -321,6 +321,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p123.contains("CartesianProduct"), p123.take(500))
   }
 
+  test("q124-q126: diversity wave broadcasts its small sides") {
+    // q124: the k-row bounds table and 1-row target broadcast onto the
+    // assignment scan — the corpus is never shuffled for membership,
+    // only for the two per-cluster counts
+    val p124 = plan("q124_diversity_sample")
+    assert("BroadcastHashJoin".r.findAllIn(p124).size >= 1, p124.take(500))
+    assert(!p124.contains("CartesianProduct"), p124.take(500))
+    // q125: the eval split (the small benchmark set) broadcasts into
+    // the bucket join; candidates never form an all-pairs product
+    val p125 = plan("q125_embedding_decontam")
+    assert(p125.contains("BroadcastHashJoin"), p125.take(500))
+    assert(!p125.contains("CartesianProduct"), p125.take(500))
+    // q126: family degree is ONE window over the fingerprint key —
+    // partitioned, never a global unpartitioned sort
+    val p126 = plan("q126_boilerplate_quality")
+    assert(p126.contains("Window"), p126.take(500))
+    assert(!p126.contains("SinglePartition"), p126.take(500))
+  }
+
   test("day=-partitioned layout: a date predicate prunes partitions at the scan") {
     // SCALING.md's 100 TB scan claim, demonstrated: write events as a
     // day=-partitioned directory (Tables.writeAs, the lake-layout
