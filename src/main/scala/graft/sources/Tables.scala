@@ -21,11 +21,18 @@ object Tables {
 
   /** Load one table as a DataFrame.
     *
-    * `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4.1.2
-    * refuses to read natively (PARQUET_TYPE_ILLEGAL). Fix per
-    * SURVEY.md §1: read nanos as long, rebuild the timestamp with
-    * integer division (float division loses precision above 2^53).
-    * Lossless here: every generated ts has zero sub-microsecond part.
+    * `events.ts` has shipped in two parquet encodings across testdata
+    * generations, so the load adapts to the RESOLVED type instead of
+    * assuming one:
+    *   - INT64 TIMESTAMP(NANOS): Spark 4.1.2 refuses to read it
+    *     natively (PARQUET_TYPE_ILLEGAL). Fix per SURVEY.md §1: read
+    *     nanos as long, rebuild the timestamp with integer division
+    *     (float division loses precision above 2^53). Lossless here:
+    *     every generated ts has zero sub-microsecond part.
+    *   - timestamp[us] without timezone: resolves as TIMESTAMP_NTZ;
+    *     cast to TIMESTAMP under the UTC session so the wall-clock
+    *     values are identical to what DuckDB reads — the same naive
+    *     instants, no shift.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     // EVERY load takes the session lock, not just the events branch:
@@ -42,10 +49,15 @@ object Tables {
           val key = "spark.sql.legacy.parquet.nanosAsLong"
           val prev = spark.conf.getOption(key)
           spark.conf.set(key, "true")
-          try
-            spark.read.parquet(s"$sfDir/events.parquet")
-              .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-          finally prev match {
+          try {
+            val raw = spark.read.parquet(s"$sfDir/events.parquet")
+            val fix = raw.schema("ts").dataType match {
+              case org.apache.spark.sql.types.LongType =>
+                expr("timestamp_micros(ts DIV 1000)") // epoch nanos
+              case _ => col("ts").cast("timestamp")   // (N)TZ micros
+            }
+            raw.withColumn("ts", fix)
+          } finally prev match {
             case Some(v) => spark.conf.set(key, v)
             case None    => spark.conf.unset(key)
           }
