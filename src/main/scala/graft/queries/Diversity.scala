@@ -113,8 +113,9 @@ object Diversity {
         .orderBy("prefix_degree")
     }))
 
-  /** q85's two-round k-means CTEs verbatim (seeds..b3) for q124. */
-  private val kmeansCtes = """
+  /** q85's two-round k-means CTEs verbatim (seeds..b3) for q124 (and
+    * q129's purity report, which grades the same trained quantizer). */
+  private[queries] val kmeansCtes = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
 seeds AS (SELECT v, clabel FROM (
   SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) clabel FROM e)

@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.{Text, Vectors}
+import graft.operators.{AnnSearch, Dedup}
+import graft.sources.Tables
+
+/** Index & estimator evaluation wave (q127–q130, round 4): the
+  * engine's approximate structures measured against their own exact
+  * ground truth, inside the engine, under the same oracle gate as
+  * everything else.
+  *
+  * A 100 TB pipeline doesn't just RUN an LSH index or a MinHash
+  * dedup — it has to decide whether the approximation is good enough
+  * to trust (recall, estimator bias, cluster purity) and how to
+  * re-weight what it keeps (temperature mixing). Each query here is
+  * that decision's report:
+  *   - q127: recall@10 of the q44 sign-LSH bucket index vs exact
+  *     brute-force top-10 over a benchmark query set;
+  *   - q128: the 8-component MinHash Jaccard estimate vs exact set
+  *     Jaccard on the q50 LSH candidate pairs — a calibration curve;
+  *   - q129: label purity of the q85 trained k-means clustering;
+  *   - q130: temperature-scaled (α = 0.5) source mixing weights next
+  *     to the natural token-mass weights (the sampling-temperature
+  *     rebalance used to keep long-tail sources alive in a mix).
+  *
+  * Determinism per SURVEY.md §5: integer/ppm arithmetic, ROUND(..,6)
+  * before any float threshold or DECIMAL capture, provably unique
+  * orderings, md5 only (never native hash()), and the one transcendental
+  * (sqrt in q130) captured as DECIMAL(18,6) immediately — sqrt is
+  * correctly rounded per IEEE-754 in both engines, so the rounded
+  * capture is bit-identical.
+  */
+object Evaluation {
+
+  private def cnt = count(lit(1))
+
+  /** q44's 4-bit axis-sign bucket — kept textually identical so the
+    * recall this wave reports is the recall of the SHIPPED index. */
+  private def signBucket = concat((1 to 4).map(i =>
+    when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+
+  def queries: Map[String, Queries.QueryFn] = Map(
+
+    // Recall@10 of the sign-LSH bucket index: for each of the first 20
+    // vectors as query points, the exact cosine top-10 (the q38 brute
+    // force — the ground truth an index evaluation must pay for once)
+    // is intersected with the query's LSH bucket (the only candidates
+    // q44 would ever score). Scale shape: the query set is the small
+    // benchmark side — it broadcasts onto one corpus scan; the exact
+    // top-10 window partitions by query id (never SinglePartition);
+    // bucket membership is a pure projection. Ground-truth cost is
+    // |queries| x |corpus|, the irreducible price of measuring recall,
+    // paid on a bounded query set by construction.
+    "q127_ann_recall" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").withColumn("bucket", signBucket)
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("bucket").as("qbucket"))
+      val scored = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qbucket"), col("vec_id"), col("bucket"),
+          round(Vectors.cosineSimilarity(col("embedding"), col("qv")), 6).as("cos"))
+      val topk = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+      // Candidate counts come from a bucket census (one corpus groupBy,
+      // ~2^bits rows), NOT by filtering the |queries| x |corpus| scored
+      // relation: the query's own bucket always contains the query, so
+      // its candidate count is the census minus self.
+      val census = e.groupBy("bucket").agg(cnt.as("nb"))
+      topk.groupBy("qid")
+        .agg(sum(when(col("bucket") === col("qbucket"), 1L).otherwise(0L)).as("n_hits"))
+        .join(broadcast(qs.select(col("qid"), col("qbucket"))), Seq("qid"))
+        .join(broadcast(census), col("qbucket") === col("bucket"))
+        .withColumn("n_candidates", col("nb") - 1)
+        .withColumn("recall_ppm", expr("n_hits * 1000000 DIV 10"))
+        .select("qid", "n_candidates", "n_hits", "recall_ppm")
+        .orderBy("qid")
+    }),
+
+    // MinHash estimator calibration: on q50's banded-LSH candidate
+    // pairs, the signature's Jaccard estimate (matching components / 8,
+    // exact in ppm: matches x 125000) against the exact set Jaccard,
+    // grouped into the 5 possible estimate levels a 2x4-band candidate
+    // can have (>= 4 matches by construction). The per-level mean exact
+    // Jaccard and mean absolute error are the calibration curve that
+    // says whether 8 components are enough before trusting the
+    // estimate at 100 TB (where exact verification of every candidate
+    // is the cost being avoided). Same kernel costs as q50: signatures
+    // in-row, candidates from band equi-joins, exact verification only
+    // on the candidate set.
+    "q128_minhash_fidelity" -> ((s, dir) => {
+      val arr = Dedup.shingleArrays(Tables.load(s, dir, "documents"))
+        .repartition(col("doc_id")).localCheckpoint()
+      val sh = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val sig = Dedup.minhashSignatureFromArrays(arr, k = 8).localCheckpoint()
+      val cand = Dedup.lshCandidates(sig, bands = Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8)))
+      val si = sig.select(col("doc_id").as("i") +: (1 to 8).map(n => col(s"h$n").as(s"a$n")): _*)
+      val sj = sig.select(col("doc_id").as("j") +: (1 to 8).map(n => col(s"h$n").as(s"b$n")): _*)
+      val m = cand.join(si, "i").join(sj, "j")
+        .withColumn("matches",
+          (1 to 8).map(n => when(col(s"a$n") === col(s"b$n"), 1L).otherwise(0L)).reduce(_ + _))
+        .withColumn("est_ppm", col("matches") * 125000)
+      val card = sh.groupBy("doc_id").agg(cnt.as("nt"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("i"), col("sh").as("ia")), "i")
+        .join(sh.select(col("doc_id").as("j"), col("sh").as("ib")), "j")
+        .filter(col("ia") === col("ib"))
+        .groupBy("i", "j").agg(cnt.as("ci"))
+      m.join(inter, Seq("i", "j"), "left")
+        .join(card.select(col("doc_id").as("i"), col("nt").as("na")), "i")
+        .join(card.select(col("doc_id").as("j"), col("nt").as("nb")), "j")
+        .withColumn("ci", coalesce(col("ci"), lit(0L)))
+        .withColumn("exact_ppm", expr("ci * 1000000 DIV (na + nb - ci)"))
+        .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+        .groupBy("matches", "est_ppm")
+        .agg(cnt.as("n_pairs"),
+          round(avg(col("exact_ppm").cast(DecimalType(18, 6))), 6).cast("double").as("avg_exact_ppm"),
+          round(avg(col("err_ppm").cast(DecimalType(18, 6))), 6).cast("double").as("avg_abs_err_ppm"))
+        .select("matches", "est_ppm", "n_pairs", "avg_exact_ppm", "avg_abs_err_ppm")
+        .orderBy("matches")
+    }),
+
+    // Cluster purity of the trained coarse quantizer: q85's 2-round
+    // k-means, every vector assigned by the zero-shuffle broadcast
+    // argmin, then each cluster's modal true label and purity in ppm —
+    // the clustering-quality number that says whether the IVF
+    // partition is semantically coherent (pure lists = neighbors
+    // co-located = high recall at low nprobe). Modal label via the
+    // min-struct hash-agg argmax (no window), the q80/q88 pattern.
+    "q129_cluster_purity" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = AnnSearch.kmeansCentroids(
+        emb, dims = 64, k = 4, iters = 2, sampleBound = None).localCheckpoint()
+      AnnSearch.assignBuckets(emb, cents)
+        .select(col("bucket").cast("long").as("clabel"), col("label"))
+        .groupBy("clabel", "label").agg(cnt.as("n"))
+        .groupBy("clabel")
+        .agg(sum(col("n")).as("n_vecs"),
+          min(struct((-col("n")).as("nn"), col("label").as("lb"))).as("m"))
+        .select(col("clabel"), col("n_vecs"),
+          col("m").getField("lb").as("top_label"),
+          (-col("m").getField("nn")).as("top_n"))
+        .withColumn("purity_ppm", expr("top_n * 1000000 DIV n_vecs"))
+        .orderBy("clabel")
+    }),
+
+    // Temperature-scaled mixing weights (α = 0.5): w_i ∝ sqrt(mass_i),
+    // the standard sampling-temperature rebalance that keeps long-tail
+    // sources alive in a training mix, reported next to q68's natural
+    // weights and the per-source boost it implies. sqrt is the wave's
+    // one transcendental: computed once per SOURCE (k rows, not
+    // corpus rows) from an exact integer mass, ROUND(..,6)-captured
+    // into DECIMAL(18,6) micro-units immediately, so every downstream
+    // share is pure integer arithmetic — partition-order-independent
+    // and identical cross-engine. One corpus tokenize + groupBy; the
+    // totals are a 1-row broadcast; DECIMAL(38,0) widening before the
+    // x 1e6 products (q68's rule: toks x 1e6 overflows int64 past
+    // ~9e12 tokens, which a 100 TB corpus exceeds).
+    "q130_temperature_mix" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(filter(Text.tokens(col("text")), x => x =!= "")).as("ntok"))
+        .groupBy("source").agg(sum(col("ntok")).as("toks"))
+        .withColumn("micro",
+          (round(sqrt(col("toks").cast("double")), 6).cast(DecimalType(18, 6)) * 1000000)
+            .cast("long"))
+      t.crossJoin(broadcast(
+          t.agg(sum(col("toks")).as("tt"), sum(col("micro")).as("tm"))))
+        .select(col("source"), col("toks"),
+          expr("CAST(toks AS DECIMAL(38,0)) * 1000000 DIV tt").cast("long").as("natural_ppm"),
+          expr("CAST(micro AS DECIMAL(38,0)) * 1000000 DIV tm").cast("long").as("tempered_ppm"))
+        .withColumn("boost_pct",
+          expr("tempered_ppm * 100 DIV NULLIF(natural_ppm, 0)"))
+        .orderBy("source")
+    }))
+
+  /** q50's shingle/signature/candidate CTEs verbatim — q128 evaluates
+    * the SHIPPED estimator, so the oracle must model the same one. */
+  private val lshCtes = """
+WITH d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
+t AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
+sig AS (SELECT doc_id,
+  MIN(substr(md5(sh), 1, 4)) h1, MIN(substr(md5(sh), 5, 4)) h2,
+  MIN(substr(md5(sh), 9, 4)) h3, MIN(substr(md5(sh), 13, 4)) h4,
+  MIN(substr(md5(sh), 17, 4)) h5, MIN(substr(md5(sh), 21, 4)) h6,
+  MIN(substr(md5(sh), 25, 4)) h7, MIN(substr(md5(sh), 29, 4)) h8
+  FROM t GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id i, b.doc_id j FROM sig a JOIN sig b
+    ON a.h1=b.h1 AND a.h2=b.h2 AND a.h3=b.h3 AND a.h4=b.h4 AND a.doc_id < b.doc_id
+  UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+    ON a.h5=b.h5 AND a.h6=b.h6 AND a.h7=b.h7 AND a.h8=b.h8 AND a.doc_id < b.doc_id)"""
+
+  def oracle: Map[String, String] = Map(
+
+    "q127_ann_recall" -> """
+WITH e AS (SELECT vec_id, embedding,
+  concat(CASE WHEN embedding[1]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[2]>=0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[3]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[4]>=0 THEN '1' ELSE '0' END) bucket
+  FROM embeddings),
+q AS (SELECT vec_id qid, embedding qv, bucket qbucket FROM e WHERE vec_id < 20),
+scored AS (SELECT q.qid, q.qbucket, e.vec_id, e.bucket,
+  ROUND(
+    list_sum(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+    /(SQRT(list_sum(list_transform(e.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+     *SQRT(list_sum(list_transform(q.qv, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) cos
+  FROM e JOIN q ON e.vec_id <> q.qid),
+topk AS (SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn FROM scored)
+  WHERE rn <= 10),
+cands AS (SELECT qid, COUNT(*) n_candidates FROM scored WHERE bucket = qbucket GROUP BY qid),
+h AS (SELECT qid, SUM(CASE WHEN bucket = qbucket THEN 1 ELSE 0 END) n_hits FROM topk GROUP BY qid)
+SELECT h.qid, CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+  CAST(h.n_hits AS BIGINT) AS n_hits,
+  CAST(h.n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm
+FROM h LEFT JOIN cands c ON h.qid = c.qid
+ORDER BY h.qid""",
+
+    "q128_minhash_fidelity" -> (lshCtes + """,
+card AS (SELECT doc_id, COUNT(*) nt FROM t GROUP BY doc_id),
+inter AS (SELECT c.i, c.j, COUNT(*) ci FROM cand c
+          JOIN t ta ON ta.doc_id = c.i JOIN t tb ON tb.doc_id = c.j AND ta.sh = tb.sh
+          GROUP BY c.i, c.j),
+m AS (SELECT c.i, c.j,
+  (CASE WHEN a.h1=b.h1 THEN 1 ELSE 0 END + CASE WHEN a.h2=b.h2 THEN 1 ELSE 0 END
+ + CASE WHEN a.h3=b.h3 THEN 1 ELSE 0 END + CASE WHEN a.h4=b.h4 THEN 1 ELSE 0 END
+ + CASE WHEN a.h5=b.h5 THEN 1 ELSE 0 END + CASE WHEN a.h6=b.h6 THEN 1 ELSE 0 END
+ + CASE WHEN a.h7=b.h7 THEN 1 ELSE 0 END + CASE WHEN a.h8=b.h8 THEN 1 ELSE 0 END) matches
+  FROM cand c JOIN sig a ON a.doc_id = c.i JOIN sig b ON b.doc_id = c.j),
+p AS (SELECT m.matches, m.matches * 125000 est_ppm,
+        COALESCE(x.ci, 0) * 1000000 // (ca.nt + cb.nt - COALESCE(x.ci, 0)) exact_ppm
+      FROM m LEFT JOIN inter x ON x.i = m.i AND x.j = m.j
+      JOIN card ca ON ca.doc_id = m.i JOIN card cb ON cb.doc_id = m.j)
+SELECT CAST(matches AS BIGINT) AS matches, CAST(est_ppm AS BIGINT) AS est_ppm,
+  COUNT(*) AS n_pairs,
+  CAST(ROUND(AVG(CAST(exact_ppm AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_exact_ppm,
+  CAST(ROUND(AVG(CAST(ABS(est_ppm - exact_ppm) AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_abs_err_ppm
+FROM p GROUP BY matches, est_ppm ORDER BY matches"""),
+
+    "q129_cluster_purity" -> (Diversity.kmeansCtes + """,
+lbl AS (SELECT b3.clabel, emb.label FROM b3 JOIN embeddings emb USING (vec_id)),
+cl AS (SELECT clabel, label, COUNT(*) n FROM lbl GROUP BY clabel, label),
+top AS (SELECT clabel, label top_label, n top_n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY clabel ORDER BY n DESC, label) rn FROM cl)
+  WHERE rn = 1),
+sz AS (SELECT clabel, CAST(SUM(n) AS BIGINT) n_vecs FROM cl GROUP BY clabel)
+SELECT sz.clabel, sz.n_vecs, top.top_label, CAST(top.top_n AS BIGINT) AS top_n,
+  CAST(top.top_n * 1000000 // sz.n_vecs AS BIGINT) AS purity_ppm
+FROM sz JOIN top USING (clabel) ORDER BY sz.clabel"""),
+
+    "q130_temperature_mix" -> """
+WITH t AS (SELECT source,
+             CAST(SUM(len(list_filter(string_split(lower(text),' '), x -> x <> ''))) AS BIGINT) AS toks
+           FROM documents GROUP BY source),
+r AS (SELECT source, toks,
+        CAST(CAST(ROUND(SQRT(CAST(toks AS DOUBLE)), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) micro
+      FROM t),
+tot AS (SELECT SUM(toks) tt, SUM(micro) tm FROM r),
+p AS (SELECT source, toks,
+        CAST(CAST(toks AS HUGEINT) * 1000000 // tot.tt AS BIGINT) natural_ppm,
+        CAST(CAST(micro AS HUGEINT) * 1000000 // tot.tm AS BIGINT) tempered_ppm
+      FROM r CROSS JOIN tot)
+SELECT source, toks, natural_ppm, tempered_ppm,
+  CAST(tempered_ppm * 100 // NULLIF(natural_ppm, 0) AS BIGINT) AS boost_pct
+FROM p ORDER BY source""")
+}

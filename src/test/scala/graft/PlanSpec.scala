@@ -340,6 +340,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p126.contains("SinglePartition"), p126.take(500))
   }
 
+  test("q127-q130: evaluation wave — broadcast ground truth, keyed windows") {
+    // q127: the benchmark query set broadcasts onto ONE corpus scan
+    // (the brute-force ground truth is |queries| x |corpus| by
+    // construction, never corpus x corpus); the exact top-10 window is
+    // PARTITIONED by query id — no SinglePartition anywhere
+    val p127 = plan("q127_ann_recall")
+    assert(p127.contains("BroadcastNestedLoopJoin"), p127.take(500))
+    assert(!p127.contains("CartesianProduct"), p127.take(500))
+    assert(!p127.contains("SinglePartition"), p127.take(800))
+    assert(!p127.contains("SortMergeJoin"), p127.take(800))
+    // q128: same kernel shape as q50 — signatures in-row, candidates
+    // from band equi-joins; nothing may fall back to sort-merge or a
+    // doc x doc product
+    val p128 = plan("q128_minhash_fidelity")
+    assert(!p128.contains("CartesianProduct"), p128.take(500))
+    // q129: assignment is the zero-shuffle broadcast argmin (q56's
+    // pin); the modal label is a min-struct hash-agg argmax, no window
+    val p129 = plan("q129_cluster_purity")
+    assert(!p129.contains("Window"), p129.take(800))
+    assert(p129.contains("Broadcast"), p129.take(500))
+    // q130: one corpus tokenize+groupBy; the 1-row totals attach as a
+    // broadcast nested loop, never a shuffle of the per-source rows
+    val p130 = plan("q130_temperature_mix")
+    assert(p130.contains("BroadcastNestedLoopJoin"), p130.take(500))
+    assert(!p130.contains("SortMergeJoin"), p130.take(500))
+    assert("Exchange hashpartitioning".r.findAllIn(p130).size <= 2, p130.take(800))
+  }
+
   test("day=-partitioned layout: a date predicate prunes partitions at the scan") {
     // SCALING.md's 100 TB scan claim, demonstrated: write events as a
     // day=-partitioned directory (Tables.writeAs, the lake-layout
