@@ -240,6 +240,46 @@ object Training {
           org.apache.spark.sql.expressions.Window.orderBy("d")))
         .select(col("d").as("event_day"), col("n_new"), col("cum_users"), col("dau"))
         .orderBy("event_day")
+    }),
+
+    // Training-order manifest WITHOUT a global sort: a resumable run
+    // needs every training doc's global step and global token offset,
+    // but a corpus-wide row_number is a single-task global sort — the
+    // q126/zorder anti-pattern. Instead: (1) rank and running token
+    // offset WITHIN each source shard (windows PARTITIONED by source —
+    // keyed, embarrassingly parallel); (2) per-shard doc/token totals,
+    // an aggregate of ~#shards rows, get exclusive prefix offsets via
+    // a window over that TINY relation (the q120 aggregated-window
+    // precedent); (3) the offsets broadcast back and the global
+    // coordinates are offset + local rank — exact, deterministic
+    // (md5 order, the q69 sampling discipline), and never a global
+    // shuffle of the corpus. Emitted every 97th step so the report
+    // stays bounded while still crossing shard boundaries.
+    "q131_training_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val train = graft.operators.Sampling.deterministicSplit(
+          Tables.load(s, dir, "documents"),
+          "doc_id", Seq("train" -> "c", "val" -> "e"), "test")
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("source"),
+          size(filter(Text.tokens(col("text")), x => x =!= "")).cast("long").as("ntok"))
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val local = train
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum_toks", coalesce(
+          sum("ntok").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val ow = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+      val offs = train.groupBy("source").agg(cnt.as("nd"), sum("ntok").as("td"))
+        .withColumn("doc_off", coalesce(sum("nd").over(ow), lit(0L)))
+        .withColumn("tok_off", coalesce(sum("td").over(ow), lit(0L)))
+        .select("source", "doc_off", "tok_off")
+      local.join(broadcast(offs), Seq("source"))
+        .withColumn("global_step", col("doc_off") + col("rk"))
+        .withColumn("tok_offset", col("tok_off") + col("cum_toks"))
+        .filter(col("global_step") % 97 === 1)
+        .select("global_step", "source", "doc_id", "ntok", "tok_offset")
+        .orderBy("global_step")
     })
   )
 
@@ -369,6 +409,28 @@ dau AS (SELECT d, COUNT(*) dau FROM ev GROUP BY d)
 SELECT dau.d AS event_day, CAST(COALESCE(newu.n_new, 0) AS BIGINT) AS n_new,
   CAST(SUM(COALESCE(newu.n_new, 0)) OVER (ORDER BY dau.d) AS BIGINT) AS cum_users,
   dau.dau AS dau
-FROM dau LEFT JOIN newu USING (d) ORDER BY event_day"""
+FROM dau LEFT JOIN newu USING (d) ORDER BY event_day""",
+
+    "q131_training_manifest" -> """
+WITH tr AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS BIGINT) ntok
+  FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) < 'c'),
+loc AS (SELECT doc_id, source, ntok,
+  ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rk,
+  COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_toks
+  FROM tr),
+tot AS (SELECT source, COUNT(*) nd, SUM(ntok) td FROM tr GROUP BY source),
+offs AS (SELECT source,
+  COALESCE(SUM(nd) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) doc_off,
+  COALESCE(SUM(td) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tok_off
+  FROM tot)
+SELECT CAST(offs.doc_off + loc.rk AS BIGINT) AS global_step, loc.source, loc.doc_id,
+  loc.ntok AS ntok, CAST(offs.tok_off + loc.cum_toks AS BIGINT) AS tok_offset
+FROM loc JOIN offs ON loc.source = offs.source
+WHERE (offs.doc_off + loc.rk) % 97 = 1
+ORDER BY global_step"""
   ).map { case (k, v) => k -> v.trim }
 }

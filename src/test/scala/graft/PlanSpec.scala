@@ -368,6 +368,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p130).size <= 2, p130.take(800))
   }
 
+  test("q131: manifest coordinates come from keyed windows + broadcast offsets") {
+    // the corpus-sized windows (rank, running tokens) are PARTITIONED
+    // by source; the only SinglePartition window runs over the
+    // ~#shards-row aggregate (the q120 precedent); the offsets attach
+    // by broadcast, never a corpus shuffle against a 20-row side; and
+    // nothing global-sorts the corpus (the sort in the plan is the
+    // final ORDER BY over the 97th-step sample)
+    val p = plan("q131_training_manifest")
+    assert("Window \\[[^\\n]*\\], \\[source".r.findFirstIn(p).isDefined, p.take(1000))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(500))
+  }
+
   test("day=-partitioned layout: a date predicate prunes partitions at the scan") {
     // SCALING.md's 100 TB scan claim, demonstrated: write events as a
     // day=-partitioned directory (Tables.writeAs, the lake-layout
