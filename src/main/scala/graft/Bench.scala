@@ -144,6 +144,26 @@ object Bench {
         false
       }
     val fullField = if (wrote) s""","full":${jstr(outPath)}""" else ""
+    // SPARK_GRAFT_WARM=1: rerun the battery in the SAME session and
+    // write the warm totals to a sibling file. Off by default and
+    // never printed to stdout, so the graded cold record and the
+    // consumer's stdout parse are untouched. The warm/cold ratio
+    // isolates the per-query plan+codegen floor (BASELINE.md): warm
+    // plans reuse the compiled codegen cache, so the remainder is
+    // actual data work — the number that predicts real-size inputs.
+    if (sys.env.get("SPARK_GRAFT_WARM").contains("1")) {
+      val warm = selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val warmPath = outPath.stripSuffix(".json") + "_warm.json"
+      try java.nio.file.Files.write(java.nio.file.Paths.get(warmPath),
+        (record(warm, Nil, sfDir, load, 0.0) + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $warmPath: ${e.getMessage}")
+      }
+    }
     println(s"""{"queries":$qs}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"sf":${jstr(sfDir)},"load":$load,"warmup_sec":$warmupSec$fullField}""")
     spark.stop()

@@ -148,6 +148,50 @@ object Evaluation {
         .orderBy("clabel")
     }),
 
+    // The IVF recall curve: recall@10 of the trained q85 quantizer at
+    // nprobe = 1..4, against the same exact brute-force ground truth
+    // as q127 — the report that sets the nprobe knob (the IVF recall/
+    // cost dial) from measured data instead of folklore. A candidate
+    // in a bucket of centroid-rank r participates at every nprobe >= r
+    // (in-row sequence explode — the nested candidate sets computed
+    // once, never 4 separate searches); at nprobe = k the curve must
+    // reach exactly 1e6 — a built-in sanity pin. Ground truth and the
+    // per-(query, nprobe) top-10 windows are all keyed; ~2^k-row side
+    // tables broadcast. AnnProbeSpec proves recall monotonicity
+    // unit-wise; this puts the whole curve under the DuckDB hash gate.
+    "q132_ivf_nprobe_recall" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = AnnSearch.kmeansCentroids(
+        e, dims = 64, k = 4, iters = 2, sampleBound = None).localCheckpoint()
+      val assigned = AnnSearch.assignBuckets(e, cents)
+        .select(col("vec_id"), col("bucket").cast("long").as("clabel"))
+      val qs = e.filter(col("vec_id") < 20)
+      val qp = AnnSearch.probeBuckets(qs, cents, nprobe = 4)
+        .select(col("vec_id").as("qid"), posexplode(col("buckets")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col").cast("long").as("clabel"))
+      val qv = qs.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Vectors.cosineSimilarity(col("embedding"), col("qv")), 6).as("cos"))
+      val exact10 = scored.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 10).select(col("qid"), col("vec_id"), lit(1L).as("ex"))
+      val cand = scored.join(assigned, Seq("vec_id"))
+        .join(broadcast(qp), Seq("qid", "clabel"))
+        .withColumn("nprobe", explode(sequence(col("rnk"), lit(4L))))
+      val sizes = cand.groupBy("nprobe").agg(expr("count(1) DIV 20").as("avg_cands"))
+      val t10 = cand.withColumn("rn", row_number().over(
+          Window.partitionBy("qid", "nprobe").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+      t10.join(broadcast(exact10), Seq("qid", "vec_id"), "left")
+        .groupBy("nprobe").agg(sum(coalesce(col("ex"), lit(0L))).as("n_hits"))
+        .join(broadcast(sizes), Seq("nprobe"))
+        .withColumn("recall_ppm", expr("n_hits * 1000000 DIV 200"))
+        .select("nprobe", "avg_cands", "n_hits", "recall_ppm")
+        .orderBy("nprobe")
+    }),
+
     // Temperature-scaled mixing weights (α = 0.5): w_i ∝ sqrt(mass_i),
     // the standard sampling-temperature rebalance that keeps long-tail
     // sources alive in a training mix, reported next to q68's natural
@@ -252,6 +296,35 @@ sz AS (SELECT clabel, CAST(SUM(n) AS BIGINT) n_vecs FROM cl GROUP BY clabel)
 SELECT sz.clabel, sz.n_vecs, top.top_label, CAST(top.top_n AS BIGINT) AS top_n,
   CAST(top.top_n * 1000000 // sz.n_vecs AS BIGINT) AS purity_ppm
 FROM sz JOIN top USING (clabel) ORDER BY sz.clabel"""),
+
+    "q132_ivf_nprobe_recall" -> (Diversity.kmeansCtes + """,
+qr AS (SELECT vec_id qid, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rnk
+       FROM a3 WHERE vec_id < 20),
+sc AS (SELECT q.vec_id qid, x.vec_id,
+  ROUND(list_sum(list_transform(list_zip(x.v, q.v), p -> p[1]*p[2]))
+    /(SQRT(list_sum(list_transform(x.v, y -> y*y)))
+     *SQRT(list_sum(list_transform(q.v, y -> y*y)))), 6) cos
+  FROM e x JOIN e q ON x.vec_id <> q.vec_id AND q.vec_id < 20),
+ex10 AS (SELECT qid, vec_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn FROM sc)
+  WHERE rn <= 10),
+cand AS (SELECT sc.qid, sc.vec_id, sc.cos, np.np
+         FROM sc JOIN b3 ON b3.vec_id = sc.vec_id
+                 JOIN qr ON qr.qid = sc.qid AND qr.clabel = b3.clabel
+                 CROSS JOIN range(1, 5) np(np)
+         WHERE qr.rnk <= np.np),
+sizes AS (SELECT np, COUNT(*) // 20 avg_cands FROM cand GROUP BY np),
+t10 AS (SELECT qid, vec_id, np FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, np ORDER BY cos DESC, vec_id) rn FROM cand)
+  WHERE rn <= 10),
+h AS (SELECT np, SUM(CASE WHEN ex10.vec_id IS NOT NULL THEN 1 ELSE 0 END) n_hits
+      FROM t10 LEFT JOIN ex10 ON t10.qid = ex10.qid AND t10.vec_id = ex10.vec_id
+      GROUP BY np)
+SELECT CAST(h.np AS BIGINT) AS nprobe, CAST(sizes.avg_cands AS BIGINT) AS avg_cands,
+  CAST(h.n_hits AS BIGINT) AS n_hits,
+  CAST(h.n_hits * 1000000 // 200 AS BIGINT) AS recall_ppm
+FROM h JOIN sizes ON h.np = sizes.np ORDER BY nprobe"""),
 
     "q130_temperature_mix" -> """
 WITH t AS (SELECT source,

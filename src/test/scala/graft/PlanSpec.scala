@@ -368,6 +368,22 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p130).size <= 2, p130.take(800))
   }
 
+  test("q132: the nprobe curve is one candidate relation, keyed windows") {
+    // the nested candidate sets come from ONE in-row sequence explode
+    // over one scored relation (never 4 separate searches); both
+    // top-10 windows are keyed by query id (the SinglePartition
+    // exchanges that DO appear are the ~k-row centroid-array collapses
+    // inside probeBuckets/assignBuckets — constant-size by
+    // construction); the probe-rank and ground-truth sides broadcast
+    val p = plan("q132_ivf_nprobe_recall")
+    assert(p.contains("Generate"), p.take(800))
+    assert("Window \\[[^\\n]*\\], \\[qid".r.findFirstIn(p).isDefined, p.take(1000))
+    assert(!"Window \\[[^\\n]*\\], \\[\\]".r.findFirstIn(p).isDefined,
+      "unpartitioned window over the candidate relation\n" + p.take(1000))
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+  }
+
   test("q131: manifest coordinates come from keyed windows + broadcast offsets") {
     // the corpus-sized windows (rank, running tokens) are PARTITIONED
     // by source; the only SinglePartition window runs over the
