@@ -2,16 +2,39 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** One timed query: wall seconds, the 1-min loadavg sampled at its
+    * START (early samples reflect pre-existing external load; later
+    * ones also include this bench's own `cpus` threads), and the
+    * process-CPU-over-elapsed ratio (effective parallelism — drops
+    * when external load steals cores, but is also naturally low for
+    * barrier-heavy plans, so it diagnoses rather than flags). */
+  private[graft] final case class QRun(name: String, sec: Double,
+                                       load: Double, cpuRatio: Double)
+
+  /** A query whose start loadavg exceeds the bench's own maximal
+    * contribution (`cpus`) plus one core of slack ran under external
+    * load — its wall time is environment, not plan. BASELINE.md
+    * documents 1.4–4.9× swings from exactly this. */
+  private[graft] def loadFlagged(runs: Seq[QRun], cpus: Int): Seq[String] =
+    runs.filter(_.load > cpus + 1.0).map(_.name).sorted
+
   /** The one full bench record, built in ONE place so the ship-gate
     * below and BenchSpec exercise exactly what main emits. */
-  private[graft] def record(results: Seq[(String, Double)],
+  private[graft] def record(results: Seq[QRun],
                             failed: Seq[String], sfDir: String,
-                            load: Double, warmupSec: Double): String = {
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+                            load: Double, warmupSec: Double,
+                            cpus: Int): String = {
+    val qs = results.map { r => s"\"" + r.name + "\":" + r.sec }
       .mkString("{", ",", "}")
+    val qload = results.map { r => s"\"" + r.name + "\":" + r.load }
+      .mkString("{", ",", "}")
+    val qcpu = results.map { r => s"\"" + r.name + "\":" + r.cpuRatio }
+      .mkString("{", ",", "}")
+    val flagged = loadFlagged(results, cpus)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.escape(sfDir)},"load":$load,"warmup_sec":$warmupSec}"""
+    val total = results.map(_.sec).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.escape(sfDir)},"load":$load,"warmup_sec":$warmupSec,"query_load":$qload,"query_cpu":$qcpu,"load_flagged":$flagged}"""
   }
 
   /** Why this artifact must NOT ship (empty = good): it fails to parse
@@ -32,7 +55,8 @@ object Bench {
       ps += s"queries missing from record: ${missing.toSeq.sorted.mkString(",")}"
     if (extra.nonEmpty)
       ps += s"unknown queries in record: ${extra.toSeq.sorted.mkString(",")}"
-    Seq("\"metric\"", "\"value\"", "\"queries\"", "\"errors\"", "\"sf\"", "\"load\"")
+    Seq("\"metric\"", "\"value\"", "\"queries\"", "\"errors\"", "\"sf\"",
+      "\"load\"", "\"query_load\"", "\"query_cpu\"", "\"load_flagged\"")
       .foreach(f => if (!json.contains(f + ":")) ps += s"missing field $f")
     ps.result()
   }
@@ -91,22 +115,40 @@ object Bench {
     // {"total":0} record — fail fast on the typo instead.
     require(selected.nonEmpty,
       s"SPARK_GRAFT_ONLY=${only.get.mkString(",")} matches no query")
-    val results = selected.map { case (name, fn) =>
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // process CPU time (ns) when the JVM exposes it (HotSpot does);
+    // -1 → cpuRatio reported as -1, a visible "unavailable", never a fake 0
+    def procCpu(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                onFail: Throwable => Unit): QRun = {
+      val qLoad = osBean.getSystemLoadAverage
+      val cpu0 = procCpu()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
+      try { fn(spark, sfDir).count(): Unit }
+      catch { case e: Throwable => onFail(e) }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val cpu1 = procCpu()
+      val ratio =
+        if (cpu0 < 0 || cpu1 < 0 || elapsed <= 0) -1.0
+        else (cpu1 - cpu0) / 1e9 / elapsed
+      QRun(name, elapsed, qLoad, math.rint(ratio * 1000) / 1000)
+    }
+    val results = selected.map { case (name, fn) =>
+      timeOne(name, fn, { e =>
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { r => s"\"" + r.name + "\":" + r.sec }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_.sec).sum
     // a failed query must be visible in the output, not a fast "success"
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jstr(s: String) = graft.util.Json.escape(s)
-    val full = record(results, failed, sfDir, load, warmupSec)
+    val full = record(results, failed, sfDir, load, warmupSec, cpus.toInt)
     // Ship-gate: a record that doesn't parse or doesn't cover exactly
     // the graded battery must fail THIS run loudly, not surface as a
     // truncated-but-plausible graded artifact later. An unfiltered run
@@ -114,7 +156,7 @@ object Bench {
     // filtering, not just string truncation); an ONLY run to its
     // selection.
     val problems = artifactProblems(full,
-      if (only.isEmpty) SparkEntry.queries.keySet else results.map(_._1).toSet)
+      if (only.isEmpty) SparkEntry.queries.keySet else results.map(_.name).toSet)
     if (problems.nonEmpty) {
       problems.foreach(p => System.err.println(s"[bench] ARTIFACT INVALID: $p"))
       spark.stop()
@@ -152,14 +194,19 @@ object Bench {
     // plans reuse the compiled codegen cache, so the remainder is
     // actual data work — the number that predicts real-size inputs.
     if (sys.env.get("SPARK_GRAFT_WARM").contains("1")) {
+      // warm failures are collected and recorded like cold ones — a
+      // swallowed warm-only failure would deflate the warm total and
+      // misstate the warm/cold ratio with no trace in the artifact
+      var warmFailed = List.empty[String]
       val warm = selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        timeOne(name, fn, { e =>
+          warmFailed ::= name
+          System.err.println(s"[bench] warm $name FAILED: ${e.getMessage}")
+        })
       }
       val warmPath = outPath.stripSuffix(".json") + "_warm.json"
       try java.nio.file.Files.write(java.nio.file.Paths.get(warmPath),
-        (record(warm, Nil, sfDir, load, 0.0) + "\n").getBytes("UTF-8"))
+        (record(warm, warmFailed, sfDir, load, 0.0, cpus.toInt) + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $warmPath: ${e.getMessage}")
       }

@@ -51,10 +51,17 @@ object Tables {
           spark.conf.set(key, "true")
           try {
             val raw = spark.read.parquet(s"$sfDir/events.parquet")
+            // known encodings ONLY — a future generation shipping ts as
+            // string/int32 must fail loudly here, not cast to nulls
             val fix = raw.schema("ts").dataType match {
               case org.apache.spark.sql.types.LongType =>
                 expr("timestamp_micros(ts DIV 1000)") // epoch nanos
-              case _ => col("ts").cast("timestamp")   // (N)TZ micros
+              case org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.TimestampNTZType =>
+                col("ts").cast("timestamp")           // (N)TZ micros
+              case other => throw new IllegalStateException(
+                s"events.ts resolved as ${other.simpleString} — unknown testdata " +
+                  "encoding; extend Tables.load for it explicitly")
             }
             raw.withColumn("ts", fix)
           } finally prev match {

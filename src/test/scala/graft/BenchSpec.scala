@@ -12,9 +12,10 @@ import graft.util.Json
 class BenchSpec extends AnyFunSuite {
 
   private val allKeys = SparkEntry.queries.keySet
+  private def runs(keys: Iterable[String], load: Double = 0.5) =
+    keys.map(k => Bench.QRun(k, 0.123, load, 3.1)).toSeq
   private def fullRecord(keys: Iterable[String] = allKeys.toSeq.sorted) =
-    Bench.record(keys.map(_ -> 0.123).toSeq, Nil,
-      "/root/testdata/sf0.1", 0.5, 7.8)
+    Bench.record(runs(keys), Nil, "/root/testdata/sf0.1", 0.5, 7.8, 4)
 
   test("a full-battery record is valid JSON and covers the whole contract") {
     val rec = fullRecord()
@@ -22,15 +23,37 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.artifactProblems(rec, allKeys).isEmpty)
   }
 
+  test("record carries per-query load, cpu ratio, and a load_flagged list") {
+    val quiet = fullRecord()
+    assert(quiet.contains("\"query_load\":{"), quiet.take(200))
+    assert(quiet.contains("\"query_cpu\":{"), quiet.take(200))
+    assert(quiet.contains("\"load_flagged\":[]"), quiet.takeRight(200))
+    // a spiked query (start loadavg beyond cpus+1) is self-diagnosing
+    val spiked = Bench.record(
+      runs(Seq("q01_a", "q03_c")) ++ runs(Seq("q02_b"), load = 9.7),
+      Nil, "/root/testdata/sf0.1", 0.5, 7.8, 4)
+    assert(Json.isValid(spiked), spiked)
+    assert(spiked.contains("\"load_flagged\":[\"q02_b\"]"), spiked.takeRight(200))
+  }
+
+  test("loadFlagged thresholds on the bench's own core budget") {
+    val rs = Seq(Bench.QRun("q10_x", 1.0, 4.9, 3.0), // <= cpus+1 → quiet
+      Bench.QRun("q11_y", 1.0, 5.1, 3.0))            // > cpus+1 → flagged
+    assert(Bench.loadFlagged(rs, 4) == Seq("q11_y"))
+    assert(Bench.loadFlagged(rs, 8).isEmpty)
+  }
+
   test("record survives hostile sfDir paths (quotes, backslashes)") {
-    val rec = Bench.record(Seq("q01_x" -> 1.0), Seq("q01_x"),
-      "/tmp/we\"ird\\dir", 1.5, 2.0)
+    val rec = Bench.record(runs(Seq("q01_x")), Seq("q01_x"),
+      "/tmp/we\"ird\\dir", 1.5, 2.0, 4)
     assert(Json.isValid(rec), rec)
   }
 
   test("a truncated record is rejected") {
     val rec = fullRecord()
-    val cut = rec.substring(0, rec.length / 2)
+    // cut INSIDE the queries map (it ends at "errors"), so both the
+    // parse gate and the coverage gate must fire
+    val cut = rec.substring(0, rec.indexOf("\"errors\"") / 2)
     val problems = Bench.artifactProblems(cut, allKeys)
     assert(problems.exists(_.contains("not parseable")), problems)
     assert(problems.exists(_.contains("missing from record")), problems)
