@@ -274,13 +274,34 @@ object ManagedTable {
       }: _*), "update")
   }
 
+  /** The merge probe's key frame: the source's distinct keys, hinted
+    * for broadcast ONLY when provably small. A localCheckpointed frame
+    * reports unknown (maximal) size to the planner, so it will never
+    * auto-broadcast on stats — but an UNCONDITIONAL hint (the previous
+    * formulation) forced a broadcast at ANY size, an OOM ceiling for
+    * large backfill merges (10⁹-key sources exceed every broadcast
+    * limit). The gate uses the measured distinct-key count × a
+    * schema-derived per-row width against the session's own
+    * `autoBroadcastJoinThreshold`; above it (or with broadcasting
+    * disabled, threshold ≤ 0) the un-hinted join shuffles — the
+    * correct shape for a big merge source. `private[graft]` so
+    * ManagedTableSpec can assert the actual probe plan both ways.
+    */
+  private[graft] def mergeKeyFrame(src: DataFrame, keys: Seq[String],
+                                   nKeys: Long, keyWidth: Long): DataFrame = {
+    val kf = src.select(keys.map(col): _*).distinct()
+    val threshold = src.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold > 0 && nKeys * keyWidth <= threshold) broadcast(kf) else kf
+  }
+
   /** MERGE (upsert): rows of `source` matching on `keys` replace the
     * current rows (whole-row update); unmatched source rows are
     * inserted. The matched-file probe is a distributed semi-join (the
-    * source's distinct keys broadcast when small), so only files
-    * holding matched keys are rewritten; inserts append as new files.
-    * Source must not contain duplicate keys (loud check — a dup key
-    * would make the merge result order-dependent).
+    * source's distinct keys broadcast only when measured small — see
+    * [[mergeKeyFrame]]), so only files holding matched keys are
+    * rewritten; inserts append as new files. Source must not contain
+    * duplicate keys (loud check — a dup key would make the merge
+    * result order-dependent).
     */
   def upsert(spark: SparkSession, root: String, source: DataFrame,
              keys: Seq[String]): Snapshot = {
@@ -289,17 +310,27 @@ object ManagedTable {
     require(keys.nonEmpty, "merge needs at least one key column")
     val missing = keys.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty, s"merge: no such key column(s) ${missing.mkString(", ")}")
-    val srcKeys = source.select(keys.map(col): _*)
-    val dupKeys = srcKeys.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
+    val src = source.localCheckpoint() // probe + rewrite + insert reuse one materialization
+    // ONE aggregation pass yields both the dup-key guard and the
+    // distinct-key count the broadcast gate needs
+    val keyStats = src.select(keys.map(col): _*)
+      .groupBy(keys.map(col): _*).count()
+      .agg(count(lit(1)).as("n_keys"),
+        count(when(col("count") > 1, 1)).as("n_dup")).head()
+    val nKeys = keyStats.getLong(0)
+    val dupKeys = keyStats.getLong(1)
     require(dupKeys == 0,
       s"merge: source has $dupKeys duplicate key group(s) on (${keys.mkString(", ")}) " +
         "— the merge result would be order-dependent; dedup the source first")
-    val src = source.localCheckpoint() // probe + rewrite + insert reuse one materialization
+    // estimated broadcast row width: fixed-size types from the schema
+    // (variable-size defaults are Spark's own per-type estimates) plus
+    // per-row object overhead
+    val keyWidth = keys.map(k => snap.schema(k).dataType.defaultSize.toLong).sum + 16L
     val cur = read(spark, root)
     // matched-file probe: semi-join marks rows whose key exists in source
     val matchedFiles = {
       val withFile = cur.withColumn("_graft_file", input_file_name())
-      withFile.join(broadcast(src.select(keys.map(col): _*).distinct()), keys, "left_semi")
+      withFile.join(mergeKeyFrame(src, keys, nKeys, keyWidth), keys, "left_semi")
         .select("_graft_file").distinct().collect()
         .map { r =>
           val rootUri = new Path(root).toUri.getPath
@@ -316,7 +347,7 @@ object ManagedTable {
         val affectedDf = spark.read.schema(snap.schema)
           .parquet(matchedFiles.map(f => s"$root/$f"): _*)
         val survivors = affectedDf.join(
-          broadcast(src.select(keys.map(col): _*).distinct()), keys, "left_anti")
+          mergeKeyFrame(src, keys, nKeys, keyWidth), keys, "left_anti")
           .select(snap.schema.fieldNames.map(col): _*)
         val rewritten = writeData(survivors, root)
         Snapshot(snap.version, "merge", snap.schemaDdl,
