@@ -30,12 +30,15 @@ import graft.Graft
   */
 final class QueryServer(engine: Graft, port: Int,
                         bindHost: String = "127.0.0.1",
-                        auth: Option[AuthStore] = None) {
+                        auth: Option[AuthStore] = None,
+                        catalogRoot: Option[String] = None) {
 
   /** Statement router: DML on managed tables -> [[SqlRouter]] /
     * ManagedTable; everything else -> spark.sql. Exposed so an
-    * embedding host can pre-register managed tables. */
-  val router = new SqlRouter(engine.spark)
+    * embedding host can pre-register managed tables. With
+    * `catalogRoot` the name→root registry is durable: a restarted
+    * server reattaches every managed table from the catalog file. */
+  val router = new SqlRouter(engine.spark, catalogRoot)
 
   // Loopback by default: the endpoint executes arbitrary SQL with no
   // authentication, so exposing it beyond the host must be an explicit
@@ -210,7 +213,11 @@ object QueryServer {
     val dataDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val port = if (args.length > 1) args(1).toInt else 8090
     val engine = Graft.local(dataDir)
-    val srv = new QueryServer(engine, port)
+    // durable catalog by default for the standalone server: managed
+    // tables survive a restart (override via GRAFT_CATALOG_ROOT)
+    val catalogRoot = sys.env.get("GRAFT_CATALOG_ROOT")
+      .orElse(Some(System.getProperty("user.dir") + "/_graft_catalog"))
+    val srv = new QueryServer(engine, port, catalogRoot = catalogRoot)
     srv.start()
     println(s"graft query server listening on :${srv.boundPort} over $dataDir")
     Thread.currentThread.join()

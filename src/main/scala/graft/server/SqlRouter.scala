@@ -37,10 +37,60 @@ import graft.sources.ManagedTable
   * grammar: it recognizes the statement SHAPE and hands every
   * expression/query substring to Spark. Unknown shapes fall through
   * to `spark.sql`, whose errors are authoritative.
+  *
+  * `catalogRoot`, when given, makes the name→root registry DURABLE:
+  * every CREATE/OPEN/register persists the mapping to
+  * `<catalogRoot>/_graft_catalog.json` (write-temp-then-rename, so a
+  * crashed write never leaves a torn catalog), and a new router over
+  * the same root reloads and re-registers every table at
+  * construction — the server restart no longer loses its tables. The
+  * table DATA and snapshot logs were always durable; this file is
+  * only the tiny name→path mapping (metadata-scale: bytes per table,
+  * never row data). Without `catalogRoot` the registry is in-memory,
+  * the embedded/test mode.
   */
-final class SqlRouter(spark: SparkSession) {
+final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
 
   private val tables = TrieMap.empty[String, String] // name -> root path
+
+  private def catalogFile: Option[org.apache.hadoop.fs.Path] =
+    catalogRoot.map(r => new org.apache.hadoop.fs.Path(r, "_graft_catalog.json"))
+
+  private def catalogFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // reload on construction: each persisted entry must still be a
+  // managed table (loud otherwise — a vanished root is an operator
+  // problem to surface, not to skip silently)
+  catalogFile.foreach { p =>
+    val f = catalogFs(p)
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      SqlRouter.parseCatalog(text).foreach { case (name, root) =>
+        require(ManagedTable.history(spark, root).nonEmpty,
+          s"catalog entry '$name' -> $root is not a managed table " +
+            s"(moved or vacuumed away?) — fix or remove it from $p")
+        tables.put(name, root)
+        refreshView(name)
+      }
+    }
+  }
+
+  private def persist(): Unit = catalogFile.foreach { p =>
+    val f = catalogFs(p)
+    val entries = tables.toSeq.sortBy(_._1).map { case (n, r) =>
+      s"${graft.util.Json.escape(n)}:${graft.util.Json.escape(r)}"
+    }.mkString("{", ",", "}")
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    f.mkdirs(p.getParent)
+    val out = f.create(tmp, /*overwrite=*/ true)
+    try out.write(s"""{"tables":$entries}""".getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"could not move $tmp over $p")
+  }
 
   /** Attach an existing managed table under `name` (also done by the
     * OPEN/CREATE statements). */
@@ -49,6 +99,7 @@ final class SqlRouter(spark: SparkSession) {
       s"$root is not a managed table")
     tables.put(name, root)
     refreshView(name)
+    persist()
   }
 
   def registered: Map[String, String] = tables.toMap
@@ -152,7 +203,7 @@ final class SqlRouter(spark: SparkSession) {
   def execute(sql: String): DataFrame = sql match {
     case Create(name, ddl, path) =>
       val snap = ManagedTable.create(spark, path, StructType.fromDDL(ddl))
-      tables.put(name, path); refreshView(name)
+      register(name, path)
       summary("create", name, snap.version)
 
     case Open(name, path) =>
@@ -232,5 +283,55 @@ final class SqlRouter(spark: SparkSession) {
       summary("merge", name, snap.version)
 
     case other => spark.sql(other)
+  }
+}
+
+object SqlRouter {
+
+  /** Parse the catalog file: exactly what `persist` emits — a flat
+    * `{"tables":{"name":"root",...}}` of JSON strings. Same minimal
+    * same-grammar discipline as ManagedTable's manifest parser (the
+    * engine renders it, the engine reads it); loud on any mismatch.
+    */
+  private[server] def parseCatalog(text: String): Seq[(String, String)] = {
+    val start = text.indexOf("\"tables\":")
+    require(start >= 0, s"catalog file missing 'tables' field: ${text.take(120)}")
+    var i = start + "\"tables\":".length
+    require(text.charAt(i) == '{', "catalog 'tables' must be an object")
+    i += 1
+    def parseStr(from: Int): (String, Int) = {
+      require(text.charAt(from) == '"', s"catalog: expected string at $from")
+      val sb = new StringBuilder
+      var j = from + 1
+      while (text.charAt(j) != '"') {
+        text.charAt(j) match {
+          case '\\' =>
+            text.charAt(j + 1) match {
+              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+              case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+              case 'f' => sb.append('\f')
+              case 'u' =>
+                sb.append(Integer.parseInt(text.substring(j + 2, j + 6), 16).toChar)
+                j += 4
+              case c => sb.append(c)
+            }
+            j += 2
+          case c => sb.append(c); j += 1
+        }
+      }
+      (sb.toString, j + 1)
+    }
+    val out = Seq.newBuilder[(String, String)]
+    while (text.charAt(i) != '}') {
+      if (text.charAt(i) == ',') i += 1
+      else {
+        val (name, afterName) = parseStr(i)
+        require(text.charAt(afterName) == ':', s"catalog: expected ':' after '$name'")
+        val (root, afterRoot) = parseStr(afterName + 1)
+        out += name -> root
+        i = afterRoot
+      }
+    }
+    out.result()
   }
 }

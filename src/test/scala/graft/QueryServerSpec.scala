@@ -95,6 +95,36 @@ class QueryServerSpec extends AnyFunSuite {
     assert(d.body().contains("\"version\":1"), d.body())
     assert(d.body().contains("\"op\":\"insert\""), d.body())
   }
+
+  test("managed tables survive a server restart via the durable catalog") {
+    val catRoot = java.nio.file.Files.createTempDirectory("graft_httpcat").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_httpdur").toString + "/t"
+    def send(port: Int, sql: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    val s1 = new QueryServer(new Graft(spark, TestSpark.sf0001), port = 0,
+      catalogRoot = Some(catRoot))
+    s1.start()
+    try {
+      assert(send(s1.boundPort,
+        s"CREATE MANAGED TABLE durable_t (id BIGINT) LOCATION '$root'").statusCode() == 200)
+      assert(send(s1.boundPort, "INSERT INTO durable_t VALUES (41), (42)").statusCode() == 200)
+    } finally s1.stop()
+    // a brand-new server process-equivalent over the same catalog root:
+    // no register call anywhere — /tables and SELECT must just work
+    val s2 = new QueryServer(new Graft(spark, TestSpark.sf0001), port = 0,
+      catalogRoot = Some(catRoot))
+    s2.start()
+    try {
+      val t = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s2.boundPort}/tables")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(t.statusCode() == 200 && t.body().contains("\"durable_t\""), t.body())
+      val q = send(s2.boundPort, "SELECT count(*) n FROM durable_t")
+      assert(q.statusCode() == 200 && q.body().contains("[2]"), q.body())
+    } finally s2.stop()
+  }
 }
 
 /** Bearer-token auth + role gate over a real socket, and the

@@ -102,4 +102,44 @@ class SqlRouterSpec extends AnyFunSuite {
     val n = router.execute("SELECT 1 + 1 AS two").collect().head.getInt(0)
     assert(n == 2)
   }
+
+  test("durable catalog: a new router over the same root reattaches every table") {
+    val catRoot = Files.createTempDirectory("graft_cat").toString
+    val t1 = freshRoot(); val t2 = freshRoot()
+    val first = new SqlRouter(spark, Some(catRoot))
+    first.execute(
+      s"CREATE MANAGED TABLE d1 (id BIGINT, name STRING, score DOUBLE) LOCATION '$t1'")
+    first.execute("INSERT INTO d1 VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    first.execute(
+      s"CREATE MANAGED TABLE d2 (id BIGINT, name STRING, score DOUBLE) LOCATION '$t2'")
+    // "restart": a brand-new router instance, no register calls — the
+    // registry must come back from the catalog file alone
+    val restarted = new SqlRouter(spark, Some(catRoot))
+    assert(restarted.registered == Map("d1" -> t1, "d2" -> t2))
+    // and the reattached table is queryable AND mutable immediately
+    assert(restarted.execute("SELECT count(*) n FROM d1").collect().head.getLong(0) == 2)
+    restarted.execute("DELETE FROM d1 WHERE id = 1")
+    assert(restarted.execute("SELECT count(*) n FROM d1").collect().head.getLong(0) == 1)
+    // hostile names/paths survive the JSON round-trip
+    val weird = Files.createTempDirectory("graft_cat_w").toString + "/we\"ird\\t"
+    first.execute(
+      s"CREATE MANAGED TABLE d3 (id BIGINT, name STRING, score DOUBLE) LOCATION '$weird'")
+    assert(new SqlRouter(spark, Some(catRoot)).registered("d3") == weird)
+    // an in-memory router is unaffected by other routers' catalogs
+    assert(new SqlRouter(spark).registered.isEmpty)
+  }
+
+  test("durable catalog fails loudly on an entry whose table vanished") {
+    val catRoot = Files.createTempDirectory("graft_cat2").toString
+    val t = freshRoot()
+    val first = new SqlRouter(spark, Some(catRoot))
+    first.execute(
+      s"CREATE MANAGED TABLE gone (id BIGINT, name STRING, score DOUBLE) LOCATION '$t'")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(t))
+    val e = intercept[IllegalArgumentException] { new SqlRouter(spark, Some(catRoot)) }
+    assert(e.getMessage.contains("gone"), e.getMessage)
+  }
 }
