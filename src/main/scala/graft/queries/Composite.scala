@@ -5,13 +5,15 @@ import org.apache.spark.sql.types.DecimalType
 import graft.operators.{AnnSearch, Pq, Sampling}
 import graft.sources.Tables
 
-/** Composite wave (q99–q101, q121): cyclic load profiling and the
-  * CAPSTONES — the full curation pipeline (exact dedup → mixing-plan
-  * downsample → train/val/test split → audit report), the full
+/** Composite wave (q99–q101, q121, q133): cyclic load profiling and
+  * the CAPSTONES — the full curation pipeline (exact dedup → mixing-
+  * plan downsample → train/val/test split → audit report), the full
   * residual IVF-PQ ANN stack (coarse k-means → residuals → per-subspace
-  * PQ codebooks → encode → in-bucket ADC top-k), and the DML
-  * round-trip (create → insert → delete → update → merge over a
-  * [[graft.sources.ManagedTable]], read back) — each built from the
+  * PQ codebooks → encode → in-bucket ADC top-k), the DML round-trip
+  * (create → insert → delete → update → merge over a
+  * [[graft.sources.ManagedTable]], read back), and the TIME-TRAVEL
+  * audit (the same mutation sequence, then `read(asOf)` of the
+  * pre-mutation snapshot diffed against latest) — each built from the
   * library's own operators and replayed exactly by the DuckDB oracle
   * because every stage is deterministic (md5 content-addressing,
   * decimal means, fixed iteration counts, relational mutation replay).
@@ -123,38 +125,51 @@ object Composite {
           sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text"))).as("sum_len"))
         .orderBy("lang")
+    }),
+
+    // Time travel under the gate: q121's mutation sequence again, but
+    // the REPORT is Diff.snapshotDiff between read(asOf = v1) — the
+    // pre-mutation snapshot, via the snapshot log — and the latest
+    // version. Every doc_id whose content changed/vanished between the
+    // two versions is classified; the oracle replays BOTH versions
+    // relationally (v1 = the raw table, latest = q121's replay) and
+    // classifies by column comparison — equivalent to the diff's
+    // md5-content classification. A read(asOf) that resolved the wrong
+    // manifest, lost a carried file, or leaked a rewritten one shifts
+    // statuses. Unchanged rows (the bulk) are excluded: the diff's
+    // full-outer join means their absence from the result proves they
+    // matched. Scale shape: both sides reduce to (key, 16-byte hash)
+    // before the join — documents never shuffle.
+    "q133_time_travel" -> ((s, dir) => {
+      import graft.sources.ManagedTable
+      val docs = Tables.load(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_q133").toString + "/t"
+      ManagedTable.create(s, root, docs.schema)
+      ManagedTable.insert(s, root, docs)
+      ManagedTable.delete(s, root, col("lang") === "de")
+      ManagedTable.update(s, root, col("doc_id") % 10 === 0,
+        Map("n_chars" -> (col("n_chars") + 1000)))
+      ManagedTable.upsert(s, root,
+        docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("n_chars", col("n_chars") * 2),
+        Seq("doc_id"))
+      val v1 = ManagedTable.read(s, root, asOf = Some(1))
+      val latest = ManagedTable.read(s, root)
+      graft.operators.Diff.snapshotDiff(v1, latest, Seq("doc_id"),
+          Seq("text", "lang", "source", "n_chars"))
+        .filter(col("status") =!= "unchanged")
+        .select("doc_id", "status")
+        .orderBy("doc_id")
     })
   )
 
-  /** DuckDB oracles (validated at sf0.01/sf0.1 before the natives). */
-  val oracle: Map[String, String] = Map(
-    "q99_seasonality" -> """
-SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
-       (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
-       COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM events GROUP BY dow, hour ORDER BY dow, hour""",
-
-    "q100_curation_pipeline" -> """
-WITH rep AS (SELECT MIN(doc_id) doc_id FROM documents GROUP BY md5(text)),
-u AS (SELECT d.* FROM documents d SEMI JOIN rep ON rep.doc_id = d.doc_id),
-k AS (SELECT * FROM u WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= CASE source
-  WHEN 'src0' THEN 'ffffffff' WHEN 'src1' THEN 'bfffffff'
-  WHEN 'src2' THEN '7fffffff' WHEN 'src3' THEN '3fffffff'
-  WHEN 'src4' THEN '19999999' ELSE '7fffffff' END),
-s AS (SELECT *, CASE WHEN md5('s:' || CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
-                     WHEN md5('s:' || CAST(doc_id AS VARCHAR)) < 'e' THEN 'val'
-                     ELSE 'test' END split FROM k)
-SELECT split, source, COUNT(*) AS n_docs,
-  CAST(SUM(len(list_filter(string_split(lower(text),' '), x -> x <> ''))) AS BIGINT) AS toks
-FROM s GROUP BY split, source ORDER BY split, source""",
-
-    // q85's coarse-training CTEs verbatim (seeds..c2), then: full-corpus
-    // assignment, float-rounded residuals, one Lloyd round of per-subspace
-    // PQ training (seeds = first 4 by md5 order, decimal means, empty
-    // clusters keep their seed), nearest-code encode, and the ADC sum of
-    // 6-decimal DECIMAL table entries over the query's own coarse bucket.
-    "q101_ivfpq" -> """
+  /** q101's full IVF-PQ training/encode pipeline as DuckDB CTEs —
+    * coarse k-means (seeds..c2, q85's text verbatim), full-corpus
+    * assignment (a3/asg), float-rounded residuals (res), one-round
+    * per-subspace PQ codebooks (p0cb/p1cb), and nearest-code encodes
+    * (e0/e1). Shared with q134's multi-probe recall oracle
+    * ([[Evaluation.oracle]]) so both gate the SAME trained stack. */
+  private[queries] val ivfpqCtes: String = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
 seeds AS (SELECT v, clabel FROM (
   SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) clabel FROM e)
@@ -220,7 +235,37 @@ e1a AS (SELECT r1.vec_id, c.clabel,
           list_sum(list_transform(list_zip(r1.sv, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) d2
         FROM r1 CROSS JOIN p1cb c),
 e1 AS (SELECT vec_id, clabel AS code FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM e1a) WHERE rn = 1),
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM e1a) WHERE rn = 1)""".trim
+
+  /** DuckDB oracles (validated at sf0.01/sf0.1 before the natives). */
+  val oracle: Map[String, String] = Map(
+    "q99_seasonality" -> """
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+       COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY dow, hour ORDER BY dow, hour""",
+
+    "q100_curation_pipeline" -> """
+WITH rep AS (SELECT MIN(doc_id) doc_id FROM documents GROUP BY md5(text)),
+u AS (SELECT d.* FROM documents d SEMI JOIN rep ON rep.doc_id = d.doc_id),
+k AS (SELECT * FROM u WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= CASE source
+  WHEN 'src0' THEN 'ffffffff' WHEN 'src1' THEN 'bfffffff'
+  WHEN 'src2' THEN '7fffffff' WHEN 'src3' THEN '3fffffff'
+  WHEN 'src4' THEN '19999999' ELSE '7fffffff' END),
+s AS (SELECT *, CASE WHEN md5('s:' || CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
+                     WHEN md5('s:' || CAST(doc_id AS VARCHAR)) < 'e' THEN 'val'
+                     ELSE 'test' END split FROM k)
+SELECT split, source, COUNT(*) AS n_docs,
+  CAST(SUM(len(list_filter(string_split(lower(text),' '), x -> x <> ''))) AS BIGINT) AS toks
+FROM s GROUP BY split, source ORDER BY split, source""",
+
+    // q85's coarse-training CTEs verbatim (seeds..c2), then: full-corpus
+    // assignment, float-rounded residuals, one Lloyd round of per-subspace
+    // PQ training (seeds = first 4 by md5 order, decimal means, empty
+    // clusters keep their seed), nearest-code encode, and the ADC sum of
+    // 6-decimal DECIMAL table entries over the query's own coarse bucket.
+    "q101_ivfpq" -> (ivfpqCtes + """,
 q0 AS (SELECT rv[1:32] s0, rv[33:64] s1, bucket FROM res WHERE vec_id = 0),
 t0 AS (SELECT c.clabel AS code,
          CAST(ROUND(list_sum(list_transform(list_zip(q.s0, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS DECIMAL(18,6)) d
@@ -233,7 +278,7 @@ SELECT c.vec_id, CAST(t0.d + t1.d AS DOUBLE) AS adc_dist
 FROM cand c
 JOIN e0 ON e0.vec_id = c.vec_id JOIN t0 ON t0.code = e0.code
 JOIN e1 ON e1.vec_id = c.vec_id JOIN t1 ON t1.code = e1.code
-ORDER BY adc_dist, c.vec_id LIMIT 10""",
+ORDER BY adc_dist, c.vec_id LIMIT 10"""),
 
     // the same mutation sequence replayed relationally: DELETE is an
     // anti-filter, UPDATE a CASE, MERGE-upsert = source rows UNION ALL
@@ -249,6 +294,25 @@ src AS (SELECT doc_id, text, lang, source, n_chars * 2 AS n_chars
 final AS (SELECT * FROM src UNION ALL SELECT * FROM survivors WHERE doc_id % 7 <> 3)
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
   CAST(SUM(length(text)) AS BIGINT) AS sum_len
-FROM final GROUP BY lang ORDER BY lang"""
+FROM final GROUP BY lang ORDER BY lang""",
+
+    // v1 is the raw table; latest is q121's relational replay; the
+    // diff classifies by column comparison (no null columns in the
+    // fixture, so <> is total) — same classes as the md5 content diff
+    "q133_time_travel" -> """
+WITH survivors AS (SELECT doc_id, text, lang, source,
+        CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      FROM documents WHERE lang <> 'de'),
+src AS (SELECT doc_id, text, lang, source, n_chars * 2 AS n_chars
+        FROM documents WHERE doc_id % 7 = 3),
+final AS (SELECT * FROM src UNION ALL SELECT * FROM survivors WHERE doc_id % 7 <> 3),
+d AS (SELECT COALESCE(o.doc_id, f.doc_id) AS doc_id,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN f.doc_id IS NULL THEN 'removed'
+             WHEN o.text <> f.text OR o.lang <> f.lang OR o.source <> f.source
+                  OR o.n_chars <> f.n_chars THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM documents o FULL JOIN final f ON o.doc_id = f.doc_id)
+SELECT doc_id, status FROM d WHERE status <> 'unchanged' ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.trim }
 }

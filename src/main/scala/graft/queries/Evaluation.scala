@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.{Text, Vectors}
-import graft.operators.{AnnSearch, Dedup}
+import graft.operators.{AnnSearch, Dedup, Pq}
 import graft.sources.Tables
 
 /** Index & estimator evaluation wave (q127–q130, round 4): the
@@ -192,6 +192,80 @@ object Evaluation {
         .orderBy("nprobe")
     }),
 
+    // The SHIPPED stack's recall curve: q101's residual IVF-PQ (same
+    // coarse quantizer, residuals, codebooks, encodes) searched with
+    // multi-probe ADC at nprobe = 1..4, recall@10 vs the exact
+    // squared-L2 top-10 — q132 measures the IVF dial alone, this
+    // measures IVF x PQ together, the number that says whether 32x
+    // compression + 1-of-k probing is good enough before trusting it
+    // at 100 TB. The multi-probe identity: in probed cell c the query
+    // is quantized as (q - cent_c), so each (query, cell) gets its OWN
+    // residual and m x k ADC table — all of it tiny (|q| x k cells x
+    // m x k codes rows, broadcast); candidates participate at every
+    // nprobe >= their cell's rank (q132's one in-row sequence
+    // explode). ADC entries are 6-decimal DECIMAL captures (q101's
+    // discipline) so the m-way sum is partition-order-independent;
+    // every window is keyed by (qid, nprobe). Ground-truth cost is
+    // |queries| x |corpus| on a bounded query set, as q127.
+    "q134_ivfpq_nprobe" -> ((s, dir) => {
+      val w = 32 // dims 64 / m 2
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = AnnSearch.kmeansCentroids(
+        e, dims = 64, k = 4, iters = 2, sampleBound = None).localCheckpoint()
+      val res = Pq.residuals(e, cents).localCheckpoint()
+      val book = Pq.train(res, dims = 64, m = 2, k = 4, iters = 1,
+        sampleBound = None).localCheckpoint()
+      val codes = Pq.encode(res, book, dims = 64, m = 2)
+      val assigned = res.select(col("vec_id"), col("bucket").cast("long").as("clabel"))
+      val qs = e.filter(col("vec_id") < 20)
+      val qp = AnnSearch.probeBuckets(qs, cents, nprobe = 4)
+        .select(col("vec_id").as("qid"), posexplode(col("buckets")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col").cast("long").as("clabel"))
+      // per-(query, probed cell) residual — the same float roundtrip
+      // as Pq.residuals, against EVERY cell's centroid
+      val qres = qs.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .crossJoin(broadcast(cents.select(
+          col("clabel").cast("long").as("clabel"), col("cent"))))
+        .select(col("qid"), col("clabel"),
+          zip_with(col("qv"), col("cent"),
+            (x, y) => (x.cast("double") - y).cast("float")).as("qr"))
+      // ADC tables: (qid, cell, sub, code) -> 6-decimal DECIMAL distance
+      val dt = qres.crossJoin(broadcast(book.select(
+          col("sub"), col("clabel").as("code"), col("cent").as("bc"))))
+        .select(col("qid"), col("clabel"), col("sub"), col("code"),
+          round(Vectors.sqDist(
+            slice(col("qr"), col("sub") * w + 1, lit(w)), col("bc")), 6)
+            .cast(DecimalType(18, 6)).as("d"))
+      val adc = codes.join(assigned, Seq("vec_id"))
+        .join(broadcast(qp), Seq("clabel"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("rnk"), col("clabel"), col("vec_id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .join(broadcast(dt), Seq("qid", "clabel", "sub", "code"))
+        .groupBy("qid", "rnk", "vec_id")
+        .agg(sum(col("d")).cast("double").as("adc"))
+        .withColumn("nprobe", explode(sequence(col("rnk"), lit(4L))))
+      val sizes = adc.groupBy("nprobe").agg(expr("count(1) DIV 20").as("avg_cands"))
+      val qv = qs.select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      val ex10 = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Vectors.sqDist(col("embedding"), col("qv")), 6).as("l2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("l2"), col("vec_id"))))
+        .filter(col("rn") <= 10).select(col("qid"), col("vec_id"), lit(1L).as("ex"))
+      val t10 = adc.withColumn("rn", row_number().over(
+          Window.partitionBy("qid", "nprobe").orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 10)
+      t10.join(broadcast(ex10), Seq("qid", "vec_id"), "left")
+        .groupBy("nprobe").agg(sum(coalesce(col("ex"), lit(0L))).as("n_hits"))
+        .join(broadcast(sizes), Seq("nprobe"))
+        .withColumn("recall_ppm", expr("n_hits * 1000000 DIV 200"))
+        .select("nprobe", "avg_cands", "n_hits", "recall_ppm")
+        .orderBy("nprobe")
+    }),
+
     // Temperature-scaled mixing weights (α = 0.5): w_i ∝ sqrt(mass_i),
     // the standard sampling-temperature rebalance that keeps long-tail
     // sources alive in a training mix, reported next to q68's natural
@@ -318,6 +392,49 @@ sizes AS (SELECT np, COUNT(*) // 20 avg_cands FROM cand GROUP BY np),
 t10 AS (SELECT qid, vec_id, np FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, np ORDER BY cos DESC, vec_id) rn FROM cand)
   WHERE rn <= 10),
+h AS (SELECT np, SUM(CASE WHEN ex10.vec_id IS NOT NULL THEN 1 ELSE 0 END) n_hits
+      FROM t10 LEFT JOIN ex10 ON t10.qid = ex10.qid AND t10.vec_id = ex10.vec_id
+      GROUP BY np)
+SELECT CAST(h.np AS BIGINT) AS nprobe, CAST(sizes.avg_cands AS BIGINT) AS avg_cands,
+  CAST(h.n_hits AS BIGINT) AS n_hits,
+  CAST(h.n_hits * 1000000 // 200 AS BIGINT) AS recall_ppm
+FROM h JOIN sizes ON h.np = sizes.np ORDER BY nprobe"""),
+
+    // q101's pipeline CTEs (Composite.ivfpqCtes) verbatim, then: probe
+    // ranks from a3, per-(query, cell) float-rounded residuals, DECIMAL
+    // ADC tables per subspace, candidates at nprobe >= cell rank, ADC
+    // top-10 vs the exact L2 top-10
+    "q134_ivfpq_nprobe" -> (Composite.ivfpqCtes + """,
+qr AS (SELECT vec_id qid, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rnk
+       FROM a3 WHERE vec_id < 20),
+qres AS (SELECT q.vec_id qid, c.clabel,
+           list_transform(list_zip(q.v, c.cent), p -> CAST(CAST(p[1]-p[2] AS FLOAT) AS DOUBLE)) qv
+         FROM e q CROSS JOIN c2 c WHERE q.vec_id < 20),
+dt0 AS (SELECT qres.qid, qres.clabel, b.clabel AS code,
+          CAST(ROUND(list_sum(list_transform(list_zip(qres.qv[1:32], b.cent), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS DECIMAL(18,6)) d
+        FROM qres CROSS JOIN p0cb b),
+dt1 AS (SELECT qres.qid, qres.clabel, b.clabel AS code,
+          CAST(ROUND(list_sum(list_transform(list_zip(qres.qv[33:64], b.cent), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS DECIMAL(18,6)) d
+        FROM qres CROSS JOIN p1cb b),
+cand AS (SELECT qr.qid, qr.rnk, qr.clabel, r.vec_id
+         FROM res r JOIN qr ON qr.clabel = r.bucket AND r.vec_id <> qr.qid),
+adc AS (SELECT c.qid, c.rnk, c.vec_id, CAST(t0.d + t1.d AS DOUBLE) adc
+        FROM cand c
+        JOIN e0 ON e0.vec_id = c.vec_id
+        JOIN dt0 t0 ON t0.qid = c.qid AND t0.clabel = c.clabel AND t0.code = e0.code
+        JOIN e1 ON e1.vec_id = c.vec_id
+        JOIN dt1 t1 ON t1.qid = c.qid AND t1.clabel = c.clabel AND t1.code = e1.code),
+anp AS (SELECT qid, vec_id, adc, np.np FROM adc CROSS JOIN range(1,5) np(np)
+        WHERE rnk <= np.np),
+sizes AS (SELECT np, COUNT(*) // 20 avg_cands FROM anp GROUP BY np),
+exd AS (SELECT q.vec_id qid, x.vec_id,
+          ROUND(list_sum(list_transform(list_zip(x.v, q.v), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) l2
+        FROM e x JOIN e q ON q.vec_id < 20 AND x.vec_id <> q.vec_id),
+ex10 AS (SELECT qid, vec_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2, vec_id) rn FROM exd) WHERE rn <= 10),
+t10 AS (SELECT qid, vec_id, np FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, np ORDER BY adc, vec_id) rn FROM anp) WHERE rn <= 10),
 h AS (SELECT np, SUM(CASE WHEN ex10.vec_id IS NOT NULL THEN 1 ELSE 0 END) n_hits
       FROM t10 LEFT JOIN ex10 ON t10.qid = ex10.qid AND t10.vec_id = ex10.vec_id
       GROUP BY np)
