@@ -449,8 +449,12 @@ object Dedup {
     * shuffle is keyed on gram or doc_id; nothing is quadratic in
     * documents, and fan-out is bounded by n x matching spans.
     */
-  def dupSpanCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
+  def dupSpanCoverage(docs: DataFrame, n: Int = 8,
+                      reportBound: Option[String] = None): DataFrame = {
     require(n >= 2, s"span length must be >= 2, got $n")
+    reportBound.foreach(b =>
+      require(b.nonEmpty && b.forall(c => ('0' <= c && c <= '9') || ('a' <= c && c <= 'f')),
+        s"reportBound '$b' is not lowercase hex"))
     val toks = docs.select(col("doc_id"),
       filter(split(lower(col("text")), " "), t => t =!= "").as("t"))
     val spans = toks.filter(size(col("t")) >= n)
@@ -460,7 +464,19 @@ object Dedup {
       .localCheckpoint() // the gram census and the coverage explode both read it
     val dup = spans.groupBy("gram").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("gram")
-    spans.join(dup, "gram") // dup is distinct grams, so inner == semi
+    // The census above always reads every document (cross-document
+    // duplication is a corpus property), but the coverage
+    // explode+distinct — the pass whose fan-out is n x matching spans
+    // — can be restricted to a content-addressed sample of REPORT
+    // docs (md5(doc_id) < reportBound, the repo's sampling
+    // convention). Per-sampled-doc `covered` stays EXACT (ApproxSpec
+    // equality-tests it against the full pass), so corpus aggregates
+    // estimated from the sample carry plain sampling error, no
+    // estimator bias. Full-corpus exact remains the q117 gate; at
+    // 100 TB default the REPORT side to a sample.
+    val report = reportBound.fold(spans)(b =>
+      spans.filter(md5(col("doc_id").cast("string")) < lit(b)))
+    report.join(dup, "gram") // dup is distinct grams, so inner == semi
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
       .distinct()

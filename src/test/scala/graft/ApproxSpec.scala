@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal, Sketches}
 import graft.sources.Tables
 
 /** The engine-specific sketch operators excluded from the DuckDB
@@ -30,6 +30,48 @@ class ApproxSpec extends AnyFunSuite {
       percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx")).collect().head
     val (exact, approx) = (r.getDouble(0), r.getLong(1).toDouble)
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("winsorizedStats (approx fences) tracks the exact q94 within tolerance") {
+    // the 100 TB twin of the gated q94: percentile_approx fences
+    // instead of the rank window; fences and winsorized mass must
+    // agree with the exact interpolated form within sketch tolerance
+    val exact = graft.queries.Queries.all("q94_winsorize")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(6))).toMap
+    val approx = Sketches.winsorizedStats(
+      Tables.load(spark, TestSpark.sf0001, "lineitem"),
+      "l_returnflag", "l_extendedprice").collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { r =>
+      val (elo, ehi, en, ewsum) = exact(r.getString(0))
+      assert(r.getLong(3) == en, s"group size drifted for ${r.getString(0)}")
+      // approx fences are data values near the rank, not interpolations
+      assert(math.abs(r.getDouble(1) - elo) / elo < 0.02, s"lo: ${r.getDouble(1)} vs $elo")
+      assert(math.abs(r.getDouble(2) - ehi) / ehi < 0.02, s"hi: ${r.getDouble(2)} vs $ehi")
+      // clamped mass is dominated by the interior -> tighter bound
+      assert(math.abs(r.getDouble(6) - ewsum) / ewsum < 0.005,
+        s"wsum: ${r.getDouble(6)} vs $ewsum")
+    }
+  }
+
+  test("dupSpanCoverage sampled report mode is exact on the sampled docs") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val full = Dedup.dupSpanCoverage(docs, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampled = Dedup.dupSpanCoverage(docs, n = 8, reportBound = Some("8"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sampled.nonEmpty, "bound '8' (~1/2) sampled no report docs")
+    // per-doc coverage is EXACT for every sampled doc (the census is
+    // always full-corpus), so the sample introduces no estimator bias
+    sampled.foreach { case (id, c) => assert(full(id) == c, s"doc $id: $c vs ${full(id)}") }
+    // and the sample is exactly the md5-addressed subset of the full report
+    val expectIds = full.keySet.filter(id => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${h(0) & 0xff}%02x" < "80"
+    })
+    assert(sampled.keySet == expectIds)
   }
 
   test("sampleFrames chunks deterministically: count and stride") {
