@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up measurement harness: times the heaviest kernels on 1x/2x/
+  * 5x/10x replicas of the sf0.1 corpus to turn the repo's central
+  * "scale-safe" design arguments into MEASURED time-vs-n curves
+  * (recorded in SCALING.md).
+  *
+  * Corpus construction preserves the duplication structure instead of
+  * inflating it: copy k rewrites every token t -> "t_k" (copy 0 keeps
+  * the original text). A bijective token remap preserves every
+  * shingle-set relation WITHIN a copy (same Jaccard, same clusters,
+  * same dup density), while making copies pairwise disjoint — so a
+  * 10x corpus has 10x the documents, 10x the duplicate clusters, and
+  * the same per-cluster shape, which is what "the same corpus, 10x
+  * bigger" means for a dedup kernel. Naive row duplication would
+  * instead make every document a cross-copy EXACT duplicate,
+  * quadrupling candidate-pair density and measuring a different
+  * (and wrong) workload. Embeddings replicate with remapped vec_id
+  * and identical vectors: ANN kernel cost is corpus-side (assignment,
+  * residuals, codebooks, ADC), and the q101/q127 query sets stay
+  * pinned to the low ids by construction.
+  *
+  * Usage:
+  *   sbt "runMain graft.ScaleBench [factors]"      # default 1,2,5,10
+  * Env: SPARK_GRAFT_SF_DIR (base corpus, default sf0.1),
+  *      SPARK_GRAFT_CPUS (default 32),
+  *      SPARK_GRAFT_SCALE_DIR (work dir, default /tmp/graft_scale).
+  * Emits one JSON line per (factor, query) and a final summary line.
+  */
+object ScaleBench {
+
+  /** The kernels whose 100 TB story SCALING.md documents: the capped
+    * Jaccard/containment family + connected components, the residual
+    * IVF-PQ capstone, the span census, BM25, and the ANN recall gate. */
+  val kernels: Seq[String] = Seq(
+    "q42_dedup_ngram_jaccard", "q82_containment", "q90_dup_degree",
+    "q93_dup_clusters", "q97_keep_best", "q105_mirror_matrix",
+    "q101_ivfpq", "q117_span_dedup", "q109_bm25", "q127_ann_recall")
+
+  private def buildScaled(spark: SparkSession, base: String, dir: String,
+                          factor: Int): Unit = {
+    val done = new java.io.File(s"$dir/_done")
+    if (done.exists) return
+    val docs = graft.sources.Tables.load(spark, base, "documents")
+    val emb = graft.sources.Tables.load(spark, base, "embeddings")
+    val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val nVecs = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val docCopies = (0 until factor).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(transform(
+          filter(split(col("text"), " "), t => t =!= ""),
+          t => concat(t, lit(s"_$k"))), " ")
+      docs.select((col("doc_id") + lit(k * nDocs)).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), length(text).cast("long").as("n_chars"))
+    }
+    docCopies.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (0 until factor).map(k => emb.select(
+        (col("vec_id") + lit(k * nVecs)).as("vec_id"), col("embedding"), col("label")))
+      .reduce(_ unionByName _)
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    done.createNewFile(): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factors = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 5, 10))
+    require(factors.forall(_ >= 1), s"factors must be >= 1: $factors")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val out = new StringBuilder
+    val summary = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
+    for (f <- factors) {
+      val dir = s"$work/x$f"
+      val b0 = System.nanoTime()
+      buildScaled(spark, base, dir, f)
+      System.err.println(f"[scale] x$f corpus ready in ${(System.nanoTime() - b0) / 1e9}%.1f s")
+      for (k <- kernels) {
+        val load = osBean.getSystemLoadAverage
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(k)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        summary.getOrElseUpdate(k, scala.collection.mutable.LinkedHashMap.empty)
+          .put(f, sec)
+        val line = f"""{"factor":$f,"query":"$k","sec":$sec%.3f,"rows":$rows,"load":$load%.2f}"""
+        println(line)
+        out.append(line).append('\n')
+      }
+    }
+    val sum = summary.map { case (k, m) =>
+      s"\"$k\":{${m.map { case (f, s) => f""""x$f":$s%.3f""" }.mkString(",")}}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaling","base":${graft.util.Json.escape(base)},"kernels":$sum}""")
+    spark.stop()
+  }
+}
