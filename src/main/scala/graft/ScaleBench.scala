@@ -81,6 +81,17 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // One untimed pass of every kernel on the smallest corpus first:
+    // the session's codegen/shuffle/scan machinery warms OUTSIDE the
+    // curve, so factor-to-factor ratios measure data scaling, not JIT
+    // state (the smoke run showed x1 absorbing ~2-3 s of warmup that
+    // made x2 look sublinear).
+    locally {
+      val wdir = s"$work/x${factors.min}"
+      buildScaled(spark, base, wdir, factors.min)
+      kernels.foreach(k => SparkEntry.queries(k)(spark, wdir).count(): Unit)
+      System.err.println(s"[scale] warmup pass done on x${factors.min}")
+    }
     val out = new StringBuilder
     val summary = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
