@@ -111,6 +111,39 @@ object ScaleBench {
         println(line)
         out.append(line).append('\n')
       }
+      // Managed-merge kernel — the r04 weak item's fixed probe measured
+      // at scale: create+insert a managed table from the scaled corpus
+      // UNTIMED, then time only the MERGE of a 20% source. Twice: on
+      // the broadcast fast path (keys measured small, under the default
+      // threshold) and with broadcasting disabled (the big-backfill
+      // shuffle shape the gate falls back to).
+      locally {
+        import graft.sources.ManagedTable
+        val docs = graft.sources.Tables.load(spark, dir, "documents")
+        val src = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1)
+        for ((label, thresh) <- Seq("m_upsert_bcast" -> None,
+                                    "m_upsert_shuffle" -> Some("-1"))) {
+          val mroot = java.nio.file.Files
+            .createTempDirectory("graft_scale_m").toString + "/t"
+          ManagedTable.create(spark, mroot, docs.schema)
+          ManagedTable.insert(spark, mroot, docs)
+          val key = "spark.sql.autoBroadcastJoinThreshold"
+          val prev = spark.conf.get(key)
+          thresh.foreach(spark.conf.set(key, _))
+          val load = osBean.getSystemLoadAverage
+          val t0 = System.nanoTime()
+          val snap =
+            try ManagedTable.upsert(spark, mroot, src, Seq("doc_id"))
+            finally spark.conf.set(key, prev)
+          val sec = (System.nanoTime() - t0) / 1e9
+          summary.getOrElseUpdate(label, scala.collection.mutable.LinkedHashMap.empty)
+            .put(f, sec)
+          val line = f"""{"factor":$f,"query":"$label","sec":$sec%.3f,"rows":${snap.files.size},"load":$load%.2f}"""
+          println(line)
+          out.append(line).append('\n')
+        }
+      }
     }
     val sum = summary.map { case (k, m) =>
       s"\"$k\":{${m.map { case (f, s) => f""""x$f":$s%.3f""" }.mkString(",")}}"

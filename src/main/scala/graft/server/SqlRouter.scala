@@ -174,6 +174,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*UPSERT\s+INTO\s+(\w+)\s+BY\s*\(([^)]+)\)\s+(.+)""".r
   private val AddCol =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
+  private val Drop =
+    """(?is)\s*DROP\s+MANAGED\s+TABLE\s+(\w+)(\s+PURGE)?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+INTO\s+(\d+)\s+FILES(?:\s+BY\s*\(([^)]+)\))?\s*""".r
 
@@ -193,7 +195,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
   def isMutation(sql: String): Boolean = sql match {
     case Create(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
-         Optimize(_, _, _) => true
+         Optimize(_, _, _) | Drop(_, _) => true
     case other =>
       val kw = other.trim.takeWhile(!_.isWhitespace).toUpperCase
       !Set("SELECT", "WITH", "VALUES", "TABLE",
@@ -273,6 +275,24 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val snap = ManagedTable.compactTable(spark, r, nFiles.toInt, cols)
       refreshView(name)
       summary("compact", name, snap.version)
+
+    // DROP detaches the name (catalog + view + durable file); PURGE
+    // additionally deletes the table directory — the only destructive
+    // form, so it must be asked for by keyword. A plain DROP leaves
+    // the data and snapshot log intact for a later OPEN.
+    case Drop(name, purge) if tables.contains(name) =>
+      val r = root(name)
+      val v = ManagedTable.history(spark, r).last.version
+      tables.remove(name)
+      spark.catalog.dropTempView(name): Unit
+      persist()
+      val purged = purge != null
+      if (purged) {
+        val p = new org.apache.hadoop.fs.Path(r)
+        if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true))
+          throw new java.io.IOException(s"could not purge $r")
+      }
+      summary(if (purged) "drop_purge" else "drop", name, v)
 
     case Upsert(name, keys, rest) if tables.contains(name) =>
       val r = root(name)

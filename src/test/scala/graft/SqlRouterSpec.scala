@@ -129,6 +129,32 @@ class SqlRouterSpec extends AnyFunSuite {
     assert(new SqlRouter(spark).registered.isEmpty)
   }
 
+  test("DROP MANAGED TABLE detaches; PURGE deletes; both persist to the catalog") {
+    val catRoot = Files.createTempDirectory("graft_cat3").toString
+    val t1 = freshRoot(); val t2 = freshRoot()
+    val r = new SqlRouter(spark, Some(catRoot))
+    r.execute(s"CREATE MANAGED TABLE dr1 (id BIGINT, name STRING, score DOUBLE) LOCATION '$t1'")
+    r.execute("INSERT INTO dr1 VALUES (1, 'a', 1.0)")
+    r.execute(s"CREATE MANAGED TABLE dr2 (id BIGINT, name STRING, score DOUBLE) LOCATION '$t2'")
+    // plain DROP: detached from router + catalog, data intact, re-OPENable
+    val d = r.execute("DROP MANAGED TABLE dr1").collect().head
+    assert(d.getAs[String]("op") == "drop" && d.getAs[Int]("version") == 1)
+    assert(!r.registered.contains("dr1"))
+    assert(new SqlRouter(spark, Some(catRoot)).registered == Map("dr2" -> t2))
+    assert(ManagedTable.history(spark, t1).nonEmpty, "plain DROP must keep the data")
+    r.execute(s"OPEN MANAGED TABLE dr1 LOCATION '$t1'")
+    assert(r.execute("SELECT count(*) n FROM dr1").collect().head.getLong(0) == 1)
+    // PURGE: directory gone, catalog updated
+    val p = r.execute("DROP MANAGED TABLE dr1 PURGE").collect().head
+    assert(p.getAs[String]("op") == "drop_purge")
+    assert(!new java.io.File(t1).exists, "PURGE must delete the table directory")
+    assert(new SqlRouter(spark, Some(catRoot)).registered == Map("dr2" -> t2))
+    // DROP is classified as a mutation for the writer-role gate
+    assert(r.isMutation("DROP MANAGED TABLE dr2"))
+    // unknown-table DROP falls through to spark.sql, whose error is authoritative
+    intercept[Exception] { r.execute("DROP MANAGED TABLE never_there") }
+  }
+
   test("durable catalog fails loudly on an entry whose table vanished") {
     val catRoot = Files.createTempDirectory("graft_cat2").toString
     val t = freshRoot()
