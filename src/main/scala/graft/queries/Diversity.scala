@@ -7,10 +7,11 @@ import graft.functions.Vectors
 import graft.operators.{AnnSearch, TextAnalysis}
 import graft.sources.Tables
 
-/** Diversity & cross-split curation wave (q124–q126, round 4):
-  * cluster-stratified diversity downsampling, embedding-space
-  * cross-split decontamination, and the boilerplate-prefix quality
-  * audit.
+/** Diversity & cross-split curation wave (q124–q126 round 4, q135
+  * round 5): cluster-stratified diversity downsampling,
+  * embedding-space cross-split decontamination, the
+  * boilerplate-prefix quality audit, and cluster-scoped semantic
+  * dedup (SemDeDup).
   *
   * Same t2 gate as every wave: DuckDB oracles in [[oracle]],
   * prototyped at sf0.01 before the natives; determinism per SURVEY.md
@@ -111,6 +112,40 @@ object Diversity {
           round(avg(col("score").cast(DecimalType(18, 6))), 6).cast("double").as("avg_score"),
           round(avg(col("n_chars").cast(DecimalType(18, 6))), 6).cast("double").as("avg_chars"))
         .orderBy("prefix_degree")
+    }),
+
+    // Cluster-scoped semantic dedup (the SemDeDup recipe): train the
+    // q85 coarse k-means, assign every vector, and WITHIN each cluster
+    // drop any vector whose cosine to a lower-id cluster-mate reaches
+    // the threshold (keep-first — deterministic, no greedy order
+    // dependence). The cluster partition is what makes semantic dedup
+    // tractable: the pair space is n²/k per cluster, and at 100 TB the
+    // dial is k (the paper's recipe — grow k so clusters stay
+    // bounded), not a smarter join. Norms computed once per vector
+    // before the pair join (q43's rule); cosine ROUND(..,6)'d before
+    // the threshold so both engines make the identical drop call at
+    // the boundary; the trained assignment is checkpointed once and
+    // reused on both sides of the self-join.
+    "q135_semdedup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = AnnSearch.kmeansCentroids(
+        e, dims = 64, k = 4, iters = 2, sampleBound = None).localCheckpoint()
+      val asg = AnnSearch.assignBuckets(e, cents)
+        .select(col("vec_id"), col("bucket").cast("long").as("clabel"),
+          col("embedding"), Vectors.l2Norm(col("embedding")).as("nrm"))
+        .localCheckpoint()
+      val dropped = asg.as("a").join(asg.as("b"),
+          col("a.clabel") === col("b.clabel") && col("a.vec_id") < col("b.vec_id"))
+        .filter(round(Vectors.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6) >= 0.3)
+        .select(col("a.clabel").as("clabel"), col("b.vec_id").as("j"))
+        .distinct()
+      asg.groupBy("clabel").agg(cnt.as("n_vecs"))
+        .join(dropped.groupBy("clabel").agg(cnt.as("n_dropped")), Seq("clabel"), "left")
+        .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+        .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+        .select("clabel", "n_vecs", "n_dropped", "n_kept")
+        .orderBy("clabel")
     }))
 
   /** q85's two-round k-means CTEs verbatim (seeds..b3) for q124 (and
@@ -208,5 +243,21 @@ b AS (SELECT CASE WHEN degree = 1 THEN '1' WHEN degree = 2 THEN '2' ELSE '3+' EN
 SELECT prefix_degree, COUNT(*) AS n_docs,
   CAST(ROUND(AVG(CAST(score AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_score,
   CAST(ROUND(AVG(CAST(n_chars AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_chars
-FROM b GROUP BY prefix_degree ORDER BY prefix_degree""")
+FROM b GROUP BY prefix_degree ORDER BY prefix_degree""",
+
+    // the same trained assignment (kmeansCtes' b3), then the in-cluster
+    // keep-first pair drop with the identical ROUND(..,6) boundary
+    "q135_semdedup" -> (kmeansCtes + """,
+asg AS (SELECT b3.vec_id, b3.clabel, e.v FROM b3 JOIN e USING (vec_id)),
+p AS (SELECT a.clabel, b.vec_id j,
+        ROUND(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+          /(SQRT(list_sum(list_transform(a.v, x -> x*x)))
+           *SQRT(list_sum(list_transform(b.v, x -> x*x)))), 6) cos
+      FROM asg a JOIN asg b ON a.clabel = b.clabel AND a.vec_id < b.vec_id),
+d AS (SELECT clabel, COUNT(DISTINCT j) n_dropped FROM p WHERE cos >= 0.3 GROUP BY clabel),
+n AS (SELECT clabel, COUNT(*) n_vecs FROM asg GROUP BY clabel)
+SELECT n.clabel, CAST(n.n_vecs AS BIGINT) AS n_vecs,
+  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+  CAST(n.n_vecs - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM n LEFT JOIN d USING (clabel) ORDER BY n.clabel"""))
 }
