@@ -152,6 +152,27 @@ object ManagedTable {
     s
   }
 
+  /** Optimistic-concurrency retry loop: run `op` (any mutation here —
+    * they all re-read the latest snapshot at entry), retrying on
+    * [[CommitConflict]] up to `maxRetries` times. Each retry re-reads,
+    * re-plans, and re-commits against the new head — the standard
+    * loser's protocol this format's optimistic commits assume. The
+    * conflict is rethrown once retries are exhausted (a hot table
+    * needs coarser batching, not unbounded spinning).
+    */
+  def withRetry[T](maxRetries: Int = 5)(op: => T): T = {
+    require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
+    var attempt = 0
+    while (true) {
+      try return op
+      catch { case e: CommitConflict =>
+        attempt += 1
+        if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** CREATE TABLE: an empty v0 snapshot carrying the schema. Fails
     * loudly if the table already exists (no IF NOT EXISTS silent mode).
     */

@@ -152,6 +152,35 @@ class ManagedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("withRetry: concurrent inserts all land under the optimistic loop") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    // 6 threads race inserts; every loser re-reads and re-commits via
+    // withRetry, so ALL rows must land across versions 1..6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fs = (1 to 6).map { i =>
+      scala.concurrent.Future {
+        ManagedTable.withRetry(maxRetries = 20) {
+          ManagedTable.insert(spark, root, rows((i.toLong, s"t$i", i.toDouble)))
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(ManagedTable.read(spark, root).select("id").as[Long].collect().toSet ==
+      (1L to 6L).toSet)
+    assert(ManagedTable.history(spark, root).map(_.version) == (0 to 6))
+    // exhausted retries rethrow the conflict
+    intercept[ManagedTable.CommitConflict] {
+      ManagedTable.withRetry(maxRetries = 2) {
+        throw new ManagedTable.CommitConflict("synthetic")
+      }
+    }
+  }
+
   test("concurrent commit of the same version loses loudly") {
     val root = freshRoot()
     ManagedTable.create(spark, root, schema)

@@ -433,4 +433,24 @@ class PlanSpec extends AnyFunSuite {
     }
     rm(new java.io.File(dir))
   }
+
+  test("q133/q134/q135: round-5 wave scale shapes hold") {
+    // q133: the snapshot diff reduces both sides to (key, 16-byte md5)
+    // before the full-outer join — it must plan as an equi join on the
+    // key, never a nested loop over documents
+    val p133 = plan("q133_time_travel")
+    assert(p133.contains("FullOuter"), p133.take(500))
+    assert(!p133.contains("NestedLoop"), p133.take(500))
+    // q134: every top-k window is keyed by query id (a SinglePartition
+    // window would funnel the scored relation through one task), and
+    // the tiny ADC/probe side tables broadcast
+    val p134 = plan("q134_ivfpq_nprobe")
+    assert(p134.contains("windowspecdefinition(qid"), p134.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(p134).size >= 2, p134.take(800))
+    // q135: the semantic-dedup pair join is an equi join on the cluster
+    // label — SemDeDup's whole point is the cluster-bounded pair space
+    val p135 = plan("q135_semdedup")
+    assert(!p135.contains("NestedLoop") && !p135.contains("CartesianProduct"),
+      p135.take(800))
+  }
 }
