@@ -135,20 +135,35 @@ object ManagedTable {
     h.last
   }
 
-  /** Commit `s` as the next version. Optimistic: creation with
-    * overwrite=false makes the filesystem the arbiter; a concurrent
-    * committer of the same version throws [[CommitConflict]].
+  /** Commit `s` as the next version. Optimistic: EXCLUSIVE creation
+    * makes the filesystem the arbiter; a concurrent committer of the
+    * same version throws [[CommitConflict]].
+    *
+    * On local paths the exclusive create is POSIX O_EXCL
+    * (`CREATE_NEW`) — Hadoop's local `create(overwrite = false)` is a
+    * non-atomic exists-then-open, so two TRULY concurrent committers
+    * could both pass the check and one manifest would be silently
+    * lost (caught by the withRetry concurrency spec). Non-local
+    * filesystems keep the Hadoop create, whose exclusivity is the
+    * store's own contract (atomic on HDFS; object stores document
+    * their own conditional-create semantics).
     */
   private[graft] def commit(spark: SparkSession, root: String, s: Snapshot): Snapshot = {
-    val f = fs(spark, root)
     val p = manifestPath(root, s.version)
-    val out =
-      try f.create(p, /*overwrite=*/ false)
-      catch { case _: java.io.IOException =>
-        throw new CommitConflict(
-          s"version ${s.version} at $root was committed concurrently — re-read and retry")
-      }
-    try out.write(render(s).getBytes("UTF-8")) finally out.close()
+    val bytes = render(s).getBytes("UTF-8")
+    def conflict() = new CommitConflict(
+      s"version ${s.version} at $root was committed concurrently — re-read and retry")
+    val scheme = Option(p.toUri.getScheme)
+    if (scheme.forall(_ == "file")) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath), bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+      catch { case _: java.nio.file.FileAlreadyExistsException => throw conflict() }
+    } else {
+      val out =
+        try fs(spark, root).create(p, /*overwrite=*/ false)
+        catch { case _: java.io.IOException => throw conflict() }
+      try out.write(bytes) finally out.close()
+    }
     s
   }
 
