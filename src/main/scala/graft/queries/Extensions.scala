@@ -217,6 +217,37 @@ object Extensions {
           max(col("n")).as("max_group"))
         .select(col("n_keys"), col("n_docs"), col("n_dup_groups"),
           (col("n_docs") - col("n_keys")).as("n_redundant"), col("max_group"))
+    }),
+
+    // The dedup DIAL (round 5): survivorship under the q42 Jaccard
+    // kernel at thresholds 0.50..0.90 — the report that sets the
+    // near-dup threshold from measured data, the way q132/q134 set
+    // nprobe for the ANN stack. The kernel runs ONCE; each doc's max
+    // Jaccard to any LOWER-id partner (keep-first, q135's rule) is
+    // one groupBy, and the whole curve is conditional sums over that
+    // per-doc max — never five kernel passes. jc is ROUND(..,6)'d
+    // before every threshold compare (§5); docs with no candidate
+    // pair survive every threshold by construction.
+    "q136_dedup_curve" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val arr = Dedup.shingleArrays(docs)
+        .repartition(col("doc_id")).localCheckpoint()
+      val sh = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val ths = 50 to 90 by 10
+      val mj = Dedup.jaccardAllPairs(sh, maxDf = 1000)
+        .select(col("j"), round(col("jc"), 6).as("jc"))
+        .groupBy("j").agg(max(col("jc")).as("mj"))
+      val dropped = mj.agg(
+        sum(when(col("mj") >= ths.head / 100.0, 1L).otherwise(0L)).as(s"d${ths.head}"),
+        ths.tail.map(t => sum(when(col("mj") >= t / 100.0, 1L).otherwise(0L)).as(s"d$t")): _*)
+      docs.agg(cnt.as("n_docs")).crossJoin(dropped)
+        .select(col("n_docs"), explode(array(ths.map(t =>
+          struct(lit(t.toLong).as("threshold_pct"),
+            coalesce(col(s"d$t"), lit(0L)).as("n_dropped"))): _*)).as("x"))
+        .select(col("x.threshold_pct"), col("n_docs"), col("x.n_dropped"))
+        .withColumn("n_survivors", col("n_docs") - col("n_dropped"))
+        .withColumn("drop_ppm", expr("n_dropped * 1000000 DIV n_docs"))
+        .orderBy("threshold_pct")
     })
   )
 
@@ -386,6 +417,29 @@ g AS (SELECT sig, COUNT(*) n FROM alls GROUP BY sig)
 SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_docs,
   CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
   CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant, MAX(n) AS max_group
-FROM g"""
+FROM g""",
+
+    // q42's capped kernel verbatim, then per-doc max Jaccard to a
+    // lower-id partner and the conditional-sum threshold curve
+    "q136_dedup_curve" -> """
+WITH d AS (SELECT doc_id, string_split(lower(text),' ') l FROM documents),
+s AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) i, l FROM d WHERE len(l) >= 3),
+sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] sh FROM s),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) nt FROM shk GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+jac AS (SELECT x.j, ROUND(CAST(x.ci AS DOUBLE)/(ca.nt + cb.nt - x.ci), 6) jc
+        FROM inter x
+        JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j),
+mj AS (SELECT j, MAX(jc) mj FROM jac GROUP BY j),
+t AS (SELECT unnest([50, 60, 70, 80, 90]) tp),
+n AS (SELECT COUNT(*) n_docs FROM documents)
+SELECT CAST(t.tp AS BIGINT) AS threshold_pct, CAST(n.n_docs AS BIGINT) AS n_docs,
+  CAST((SELECT COUNT(*) FROM mj WHERE mj.mj >= t.tp / 100.0) AS BIGINT) AS n_dropped,
+  CAST(n.n_docs - (SELECT COUNT(*) FROM mj WHERE mj.mj >= t.tp / 100.0) AS BIGINT) AS n_survivors,
+  CAST((SELECT COUNT(*) FROM mj WHERE mj.mj >= t.tp / 100.0) * 1000000 // n.n_docs AS BIGINT) AS drop_ppm
+FROM t CROSS JOIN n ORDER BY threshold_pct"""
   ).map { case (k, v) => k -> v.trim }
 }

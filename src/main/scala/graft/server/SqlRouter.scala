@@ -176,6 +176,10 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
   private val Drop =
     """(?is)\s*DROP\s+MANAGED\s+TABLE\s+(\w+)(\s+PURGE)?\s*""".r
+  private val VacuumStmt =
+    """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
+  private val HistoryStmt =
+    """(?is)\s*SHOW\s+HISTORY\s+(?:FOR\s+)?(\w+)\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+INTO\s+(\d+)\s+FILES(?:\s+BY\s*\(([^)]+)\))?\s*""".r
 
@@ -193,9 +197,12 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     * and an unrecognized leading keyword counts as a write rather than
     * slipping past the gate as a read. */
   def isMutation(sql: String): Boolean = sql match {
+    // SHOW HISTORY is a read (and the SHOW allowlist below already
+    // admits it); VACUUM deletes files — a write.
+    case HistoryStmt(_) => false
     case Create(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
-         Optimize(_, _, _) | Drop(_, _) => true
+         Optimize(_, _, _) | Drop(_, _) | VacuumStmt(_, _) => true
     case other =>
       val kw = other.trim.takeWhile(!_.isWhitespace).toUpperCase
       !Set("SELECT", "WITH", "VALUES", "TABLE",
@@ -275,6 +282,21 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val snap = ManagedTable.compactTable(spark, r, nFiles.toInt, cols)
       refreshView(name)
       summary("compact", name, snap.version)
+
+    // VACUUM expires old manifests and sweeps unreferenced data files
+    // (default retention 2 versions, explicit via RETAIN n VERSIONS);
+    // SHOW HISTORY serves the snapshot log as rows — the time-travel
+    // discovery surface (pick a version, then read asOf).
+    case VacuumStmt(name, retain) if tables.contains(name) =>
+      val removed = ManagedTable.vacuum(spark, root(name),
+        Option(retain).map(_.toInt).getOrElse(2))
+      import spark.implicits._
+      Seq(("vacuum", name, removed.size)).toDF("op", "tbl", "n_removed")
+
+    case HistoryStmt(name) if tables.contains(name) =>
+      import spark.implicits._
+      ManagedTable.history(spark, root(name))
+        .map(s => (s.version, s.op, s.files.size)).toDF("version", "op", "n_files")
 
     // DROP detaches the name (catalog + view + durable file); PURGE
     // additionally deletes the table directory — the only destructive

@@ -155,6 +155,26 @@ class SqlRouterSpec extends AnyFunSuite {
     intercept[Exception] { r.execute("DROP MANAGED TABLE never_there") }
   }
 
+  test("VACUUM and SHOW HISTORY route to the managed table") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE vh (id BIGINT, name STRING, score DOUBLE) LOCATION '$root'")
+    router.execute("INSERT INTO vh VALUES (1, 'a', 1.0)")
+    router.execute("INSERT INTO vh VALUES (2, 'b', 2.0)")
+    router.execute("UPDATE vh SET score = 9.0 WHERE id = 1")
+    // history is a read: full snapshot log as rows, reader-role safe
+    val h = router.execute("SHOW HISTORY FOR vh").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(h == Seq((0, "create"), (1, "insert"), (2, "insert"), (3, "update")))
+    assert(!router.isMutation("SHOW HISTORY FOR vh"))
+    // vacuum is a write: retains 2 versions, sweeps the update's old file
+    assert(router.isMutation("VACUUM vh"))
+    val v = router.execute("VACUUM vh RETAIN 2 VERSIONS").collect().head
+    assert(v.getAs[String]("op") == "vacuum" && v.getAs[Int]("n_removed") >= 1, v)
+    assert(ManagedTable.history(spark, root).map(_.version) == Seq(2, 3))
+    assert(router.execute("SELECT count(*) n FROM vh").collect().head.getLong(0) == 2)
+  }
+
   test("durable catalog fails loudly on an entry whose table vanished") {
     val catRoot = Files.createTempDirectory("graft_cat2").toString
     val t = freshRoot()
