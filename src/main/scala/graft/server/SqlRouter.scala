@@ -180,6 +180,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
   private val HistoryStmt =
     """(?is)\s*SHOW\s+HISTORY\s+(?:FOR\s+)?(\w+)\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+INTO\s+(\d+)\s+FILES(?:\s+BY\s*\(([^)]+)\))?\s*""".r
 
@@ -202,7 +204,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     case HistoryStmt(_) => false
     case Create(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
-         Optimize(_, _, _) | Drop(_, _) | VacuumStmt(_, _) => true
+         Optimize(_, _, _) | Drop(_, _) | VacuumStmt(_, _) |
+         Restore(_, _) => true
     case other =>
       val kw = other.trim.takeWhile(!_.isWhitespace).toUpperCase
       !Set("SELECT", "WITH", "VALUES", "TABLE",
@@ -297,6 +300,14 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       import spark.implicits._
       ManagedTable.history(spark, root(name))
         .map(s => (s.version, s.op, s.files.size)).toDF("version", "op", "n_files")
+
+    // RESTORE: metadata-only rollback — commits a new version carrying
+    // the target version's file list (SHOW HISTORY finds the point,
+    // RESTORE makes it current; roll forward by restoring a later one)
+    case Restore(name, ver) if tables.contains(name) =>
+      val snap = ManagedTable.restore(spark, root(name), ver.toInt)
+      refreshView(name)
+      summary("restore", name, snap.version)
 
     // DROP detaches the name (catalog + view + durable file); PURGE
     // additionally deletes the table directory — the only destructive

@@ -395,6 +395,30 @@ object ManagedTable {
       afterRewrite.files ++ added))
   }
 
+  /** RESTORE: commit a NEW version whose file list and schema are
+    * those of `toVersion` — the write-side complement of time travel
+    * (read-asOf finds the rollback point, restore makes it current)
+    * at metadata cost only: no data file is copied or rewritten at
+    * ANY table size. History is preserved — the restore is itself a
+    * version, so rolling forward is just restoring a later version.
+    * Fails loudly if any of the target's files was vacuumed away
+    * (the probe is |files| existence checks — metadata-scale).
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Snapshot = {
+    val h = history(spark, root)
+    require(h.nonEmpty, s"$root is not a managed table")
+    val target = h.find(_.version == toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version $toVersion at $root (have ${h.map(_.version).mkString(",")})"))
+    val f = fs(spark, root)
+    val missing = target.files.filterNot(rel => f.exists(new Path(root, rel)))
+    require(missing.isEmpty,
+      s"cannot restore v$toVersion: ${missing.size} data file(s) vacuumed away " +
+        s"(first: ${missing.headOption.getOrElse("")}) — the version is outside the retention window")
+    commit(spark, root, Snapshot(h.last.version + 1, s"restore(v$toVersion)",
+      target.schemaDdl, target.files))
+  }
+
   /** ALTER TABLE ADD COLUMN: schema evolution as a metadata-only
     * commit — existing data files are carried by reference and the
     * reader's declared schema fills the new column with nulls (the

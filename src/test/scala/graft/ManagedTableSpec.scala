@@ -152,6 +152,30 @@ class ManagedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("restore rolls back metadata-only; vacuumed targets fail loudly") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    ManagedTable.insert(spark, root, rows((1L, "a", 1.0)))          // v1
+    ManagedTable.insert(spark, root, rows((2L, "b", 2.0)))          // v2
+    ManagedTable.delete(spark, root, col("id") === 1L)              // v3
+    val r = ManagedTable.restore(spark, root, 2)                    // v4 = v2's files
+    assert(r.version == 4 && r.op == "restore(v2)")
+    assert(ManagedTable.read(spark, root).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L), "restore must bring back the deleted row")
+    // the restore carried v2's files BY REFERENCE — no new data files
+    assert(r.files.toSet == ManagedTable.history(spark, root)
+      .find(_.version == 2).get.files.toSet)
+    // roll forward: restore v3 again
+    ManagedTable.restore(spark, root, 3)
+    assert(ManagedTable.read(spark, root).select("id").as[Long].collect().toSet == Set(2L))
+    // a target outside the retention window fails loudly
+    ManagedTable.delete(spark, root, col("id") === 999L) // no-op, keeps head
+    ManagedTable.vacuum(spark, root, retainVersions = 1)
+    val e = intercept[IllegalArgumentException] { ManagedTable.restore(spark, root, 1) }
+    assert(e.getMessage.contains("no version 1") || e.getMessage.contains("vacuumed"),
+      e.getMessage)
+  }
+
   test("withRetry: concurrent inserts all land under the optimistic loop") {
     val root = freshRoot()
     ManagedTable.create(spark, root, schema)

@@ -175,6 +175,20 @@ class SqlRouterSpec extends AnyFunSuite {
     assert(router.execute("SELECT count(*) n FROM vh").collect().head.getLong(0) == 2)
   }
 
+  test("RESTORE TABLE rolls the view back through SQL") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE rs (id BIGINT, name STRING, score DOUBLE) LOCATION '$root'")
+    router.execute("INSERT INTO rs VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    router.execute("DELETE FROM rs WHERE id = 1")
+    assert(router.execute("SELECT count(*) n FROM rs").collect().head.getLong(0) == 1)
+    val r = router.execute("RESTORE TABLE rs TO VERSION 1").collect().head
+    assert(r.getAs[String]("op") == "restore" && r.getAs[Int]("version") == 3)
+    assert(router.execute("SELECT count(*) n FROM rs").collect().head.getLong(0) == 2,
+      "the refreshed view must serve the restored snapshot")
+    assert(router.isMutation("RESTORE TABLE rs TO VERSION 1"))
+  }
+
   test("durable catalog fails loudly on an entry whose table vanished") {
     val catRoot = Files.createTempDirectory("graft_cat2").toString
     val t = freshRoot()
