@@ -23,6 +23,34 @@ object Retrieval {
 
   private def cnt = count(lit(1))
 
+  /** The q109 BM25 scorer (Lucene's +1 idf variant, k1=1.2 b=0.75) for
+    * the fixed 3-term query, un-limited: (doc_id, score). Shared by
+    * q109 (top-10 report) and q138 (the text arm of hybrid fusion) so
+    * the fused ranking is the ranking of the SHIPPED scorer, not a
+    * near-copy. Determinism as documented at q109: the one
+    * transcendental (ln in idf) is per-TERM from exact integer counts
+    * and ROUND(..,6)'d before any per-doc math; per-(doc,term)
+    * contributions are rounded into DECIMAL(18,6) so the per-doc sum
+    * is partition-order-independent. */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val tf = Text.tokenize(Tables.load(s, dir, "documents"))
+      .groupBy("doc_id", "tok").agg(cnt.as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val tot = dl.agg(cnt.as("nd"), sum(col("dl")).as("sumdl"))
+    val qtf = tf.filter(col("tok").isin("spark", "hash", "window"))
+    val dfr = qtf.groupBy("tok").agg(cnt.as("df"))
+    qtf.join(broadcast(dfr), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        expr("CAST(ROUND(ROUND(ln((CAST(nd - df AS DOUBLE) + 0.5D) / (CAST(df AS DOUBLE) + 0.5D) + 1.0D), 6)" +
+          " * ((CAST(tf AS DOUBLE) * 2.2D) / (CAST(tf AS DOUBLE) + 1.2D * (0.25D + 0.75D" +
+          " * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(nd AS DOUBLE)))))), 6) AS DECIMAL(18,6))")
+          .as("contrib"))
+      .groupBy("doc_id").agg(sum(col("contrib")).cast("double").as("score"))
+  }
+
   def queries: Map[String, Queries.QueryFn] = Map(
 
     // Exact interpolated quartiles of price per return flag: the
@@ -176,25 +204,8 @@ object Retrieval {
     // (the ADC discipline). Shape: tokenize once (localCheckpoint),
     // restrict to query terms FIRST, df + corpus totals broadcast, one
     // doc_id-keyed join against doc lengths, total-order top-10.
-    "q109_bm25" -> ((s, dir) => {
-      val tf = Text.tokenize(Tables.load(s, dir, "documents"))
-        .groupBy("doc_id", "tok").agg(cnt.as("tf"))
-        .localCheckpoint()
-      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-      val tot = dl.agg(cnt.as("nd"), sum(col("dl")).as("sumdl"))
-      val qtf = tf.filter(col("tok").isin("spark", "hash", "window"))
-      val dfr = qtf.groupBy("tok").agg(cnt.as("df"))
-      qtf.join(broadcast(dfr), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"),
-          expr("CAST(ROUND(ROUND(ln((CAST(nd - df AS DOUBLE) + 0.5D) / (CAST(df AS DOUBLE) + 0.5D) + 1.0D), 6)" +
-            " * ((CAST(tf AS DOUBLE) * 2.2D) / (CAST(tf AS DOUBLE) + 1.2D * (0.25D + 0.75D" +
-            " * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(nd AS DOUBLE)))))), 6) AS DECIMAL(18,6))")
-            .as("contrib"))
-        .groupBy("doc_id").agg(sum(col("contrib")).cast("double").as("score"))
-        .orderBy(desc("score"), col("doc_id")).limit(10)
-    }),
+    "q109_bm25" -> ((s, dir) =>
+      bm25Scores(s, dir).orderBy(desc("score"), col("doc_id")).limit(10)),
 
     // Skew.saltedJoin under the oracle gate: the salted join must be
     // row-identical to the plain equi-join (the oracle IS the plain
@@ -283,6 +294,47 @@ object Retrieval {
           (col("new_ppm") - col("old_ppm")).as("delta_ppm"),
           col("tv_ppm"), col("n_toks"))
         .orderBy(abs(col("delta_ppm")).desc, col("tok")).limit(10)
+    }),
+
+    // Hybrid retrieval via Reciprocal Rank Fusion (round 5): the q109
+    // BM25 text ranking and the q38 exact-cosine vector ranking fused
+    // as RRF(d) = Σ 1/(60 + rank_d) over the two systems — the
+    // standard score-free fusion for lexical+semantic search (doc_id
+    // and vec_id share the corpus id space). Each arm is its own
+    // top-50 with a total-order tie-break (score desc, id), so ranks
+    // are provably unique; each 1/(60+r) term is ROUND(..,6)-captured
+    // into DECIMAL(18,6) before the sum (§5), and a doc present in
+    // only one list contributes only that term (COALESCE 0). Scale
+    // shape: both arms reduce to 50 rows before fusion — the
+    // row_number windows and the full-outer join run on k rows, not
+    // the corpus; the corpus-sized work is the two scorers, each
+    // already scale-shaped (q109's broadcast df / q38's broadcast
+    // query vector).
+    "q138_rrf_hybrid" -> ((s, dir) => {
+      val bm = bm25Scores(s, dir)
+        .orderBy(desc("score"), col("doc_id")).limit(50)
+        .withColumn("br", row_number().over(
+          Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+      val e = Tables.load(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("v"))
+      val vt = e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(graft.functions.Vectors.cosineSimilarity(col("embedding"), col("v")), 6).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(50)
+        .withColumn("vr", row_number().over(
+          Window.orderBy(col("cs").desc, col("vec_id"))).cast("long"))
+      val rrfTerm = (r: org.apache.spark.sql.Column) =>
+        round(lit(1.0) / (lit(60.0) + r.cast("double")), 6).cast(DecimalType(18, 6))
+      bm.select(col("doc_id"), col("br"))
+        .join(vt.select(col("vec_id"), col("vr")),
+          col("doc_id") === col("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          (coalesce(rrfTerm(col("br")), lit(0).cast(DecimalType(18, 6))) +
+            coalesce(rrfTerm(col("vr")), lit(0).cast(DecimalType(18, 6))))
+            .cast("double").as("rrf_score"),
+          col("br").as("bm25_rank"), col("vr").as("cos_rank"))
+        .orderBy(desc("rrf_score"), col("doc_id")).limit(10)
     })
   )
 
@@ -488,6 +540,42 @@ tv AS (SELECT CAST(SUM(ABS(new_ppm - old_ppm)) AS BIGINT) tv_ppm, COUNT(*) n_tok
 SELECT j.tok, j.old_ppm, j.new_ppm, j.new_ppm - j.old_ppm AS delta_ppm,
        tv.tv_ppm, tv.n_toks
 FROM j CROSS JOIN tv
-ORDER BY ABS(j.new_ppm - j.old_ppm) DESC, j.tok LIMIT 10"""
+ORDER BY ABS(j.new_ppm - j.old_ppm) DESC, j.tok LIMIT 10""",
+
+    // q138: q109's BM25 CTEs verbatim (top-50) + q38's cosine text
+    // (top-50), each ranked by the same total order, RRF terms
+    // ROUND(..,6) into DECIMAL(18,6) before the fused sum
+    "q138_rrf_hybrid" -> """
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok
+    FROM documents) GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE tok IN ('spark','hash','window')),
+df AS (SELECT tok, COUNT(*) AS df FROM qtf GROUP BY tok),
+c AS (SELECT qtf.doc_id,
+  CAST(ROUND(ROUND(ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+       * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(nd AS DOUBLE)))))), 6)
+    AS DECIMAL(18,6)) AS contrib
+  FROM qtf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+bm AS (SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
+       FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+qv AS (SELECT embedding v FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT e.vec_id,
+  ROUND(list_sum(list_transform(list_zip(e.embedding, qv.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+  /(SQRT(list_sum(list_transform(e.embedding, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+   *SQRT(list_sum(list_transform(qv.v, x->CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),6) cs
+  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+vt AS (SELECT vec_id, cs FROM cs ORDER BY cs DESC, vec_id LIMIT 50),
+vr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS r FROM vt)
+SELECT COALESCE(bmr.doc_id, vr.vec_id) AS doc_id,
+  CAST(COALESCE(CAST(ROUND(1.0/(60.0 + bmr.r), 6) AS DECIMAL(18,6)), 0)
+     + COALESCE(CAST(ROUND(1.0/(60.0 + vr.r), 6) AS DECIMAL(18,6)), 0) AS DOUBLE) AS rrf_score,
+  CAST(bmr.r AS BIGINT) AS bm25_rank, CAST(vr.r AS BIGINT) AS cos_rank
+FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.vec_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10"""
   ).map { case (k, v) => k -> v.trim }
 }

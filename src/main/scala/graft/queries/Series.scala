@@ -168,6 +168,47 @@ object Series {
         .filter(col("prev").isNotNull)
         .groupBy("prev", "curr").agg(cnt.as("n"))
         .orderBy("prev", "curr")
+    }),
+
+    // SCD Type-2 reconstruction (round 5): each user's event stream
+    // collapsed into validity intervals of its current event_type —
+    // the gaps-and-islands build every dimension-history (and session
+    // state) pipeline runs. Change flags via LAG over the provably
+    // unique (ts, event_id) order, island ids via a running sum
+    // (ROWS frame pinned so both engines agree even though the order
+    // key is unique), valid_to = the NEXT island's valid_from (NULL =
+    // still open). The report folds the interval table per state:
+    // version counts and exact integer dwell in MICROseconds (closed
+    // intervals only — an open interval has no defined dwell; a state
+    // seen only as some user's final island reports NULL like the
+    // oracle's empty SUM). Scale shape: both windows are KEYED by
+    // user_id (per-user history is bounded; users shard), the island
+    // relation is change-count-sized, and the final agg is 5 rows.
+    "q137_scd2" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val chg = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("grp", sum(col("chg")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val versions = chg.groupBy("user_id", "grp")
+        .agg(min(col("event_type")).as("state"), // constant within an island
+          min(col("ts")).as("valid_from"),
+          cnt.as("n_events"))
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("grp")
+      val dwell = unix_micros(col("valid_to")) - unix_micros(col("valid_from"))
+      versions.withColumn("valid_to", lead(col("valid_from"), 1).over(wg))
+        .groupBy("state")
+        .agg(cnt.as("n_versions"),
+          sum(col("n_events")).as("n_events"),
+          sum(when(col("valid_to").isNotNull, dwell)).as("dwell_us"),
+          max(when(col("valid_to").isNotNull, dwell)).as("max_dwell_us"))
+        .orderBy("state")
     })
   )
 
@@ -252,6 +293,27 @@ WITH o AS (SELECT user_id, event_type,
            FROM events)
 SELECT prev, event_type AS curr, COUNT(*) n
 FROM o WHERE prev IS NOT NULL
-GROUP BY prev, curr ORDER BY prev, curr"""
+GROUP BY prev, curr ORDER BY prev, curr""",
+
+    // q137: the same islands build — LAG change flags, ROWS-framed
+    // running sum, LEAD for valid_to — with dwell in exact integer
+    // epoch microseconds (epoch_us twin of Spark's unix_micros under
+    // the shared UTC session)
+    "q137_scd2" -> """
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+f AS (SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+                      OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) grp FROM f),
+v AS (SELECT user_id, grp, MIN(event_type) state, MIN(ts) valid_from, COUNT(*) n_events
+      FROM g GROUP BY user_id, grp),
+i AS (SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp) valid_to FROM v)
+SELECT state, COUNT(*) n_versions, CAST(SUM(n_events) AS BIGINT) n_events,
+  CAST(SUM(CASE WHEN valid_to IS NOT NULL
+                THEN epoch_us(valid_to) - epoch_us(valid_from) END) AS BIGINT) dwell_us,
+  CAST(MAX(CASE WHEN valid_to IS NOT NULL
+                THEN epoch_us(valid_to) - epoch_us(valid_from) END) AS BIGINT) max_dwell_us
+FROM i GROUP BY state ORDER BY state"""
   ).map { case (k, v) => k -> v.trim }
 }

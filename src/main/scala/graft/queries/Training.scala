@@ -280,6 +280,53 @@ object Training {
         .filter(col("global_step") % 97 === 1)
         .select("global_step", "source", "doc_id", "ntok", "tok_offset")
         .orderBy("global_step")
+    }),
+
+    // DSIR-style importance weights (round 5): per-source importance
+    // of raw data under a TARGET distribution (lang='en' here — the
+    // stand-in for any curated target set), via hashed-bigram
+    // log-likelihood ratios — the published importance-resampling
+    // recipe for data selection. Bigrams hash into 256 buckets (two
+    // md5 hex digits — md5 only, §5: native hash() is not portable),
+    // so model state is 256 rows regardless of corpus size; per-bucket
+    // llr = ln(p_target) - ln(p_raw) with add-one smoothing is the one
+    // transcendental, computed once per BUCKET from exact integer
+    // counts and ROUND(..,6)-captured into DECIMAL(18,6) before any
+    // per-doc math; each doc's weight is then the exact decimal sum of
+    // its occurrences' bucket llrs (order-independent). Scale shape:
+    // one tokenize+hash pass (checkpointed once, feeds the two count
+    // passes and the scoring join), the 256-row model broadcast back,
+    // per-source rollup at the end — no pair joins, no driver state.
+    "q139_dsir_weights" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          split(lower(col("text")), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+      val hb = d.select(col("doc_id"), col("lang"), col("source"),
+          explode(expr("transform(sequence(1, size(l) - 1), " +
+            "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))")).as("bgr"))
+        .withColumn("b",
+          expr("(instr('0123456789abcdef', substr(md5(bgr), 1, 1)) - 1) * 16" +
+            " + instr('0123456789abcdef', substr(md5(bgr), 2, 1)) - 1"))
+        .select("doc_id", "lang", "source", "b")
+        .localCheckpoint()
+      val tc = hb.filter(col("lang") === "en").groupBy("b").agg(cnt.as("ct"))
+      val rc = hb.groupBy("b").agg(cnt.as("cr"))
+      val tot = tc.agg(sum(col("ct")).as("tt"))
+        .crossJoin(rc.agg(sum(col("cr")).as("rt")))
+      val llr = rc.join(tc, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          expr("CAST(ROUND(ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0D) / (CAST(tt AS DOUBLE) + 256.0D))" +
+            " - ln((CAST(cr AS DOUBLE) + 1.0D) / (CAST(rt AS DOUBLE) + 256.0D)), 6) AS DECIMAL(18,6))")
+            .as("w"))
+      hb.join(broadcast(llr), Seq("b"))
+        .groupBy("doc_id", "source").agg(sum(col("w")).as("sw"))
+        .groupBy("source")
+        .agg(cnt.as("n_docs"),
+          sum(col("sw")).cast("double").as("sum_w"),
+          max(col("sw")).cast("double").as("max_w"))
+        .orderBy("source")
     })
   )
 
@@ -431,6 +478,34 @@ SELECT CAST(offs.doc_off + loc.rk AS BIGINT) AS global_step, loc.source, loc.doc
   loc.ntok AS ntok, CAST(offs.tok_off + loc.cum_toks AS BIGINT) AS tok_offset
 FROM loc JOIN offs ON loc.source = offs.source
 WHERE (offs.doc_off + loc.rk) % 97 = 1
-ORDER BY global_step"""
+ORDER BY global_step""",
+
+    // q139: the DSIR recipe relationally — same raw split-array
+    // bigrams, two-hex-digit md5 buckets via strpos (DuckDB's instr
+    // twin), per-bucket smoothed llr rounded into DECIMAL(18,6),
+    // exact decimal per-doc sums
+    "q139_dsir_weights" -> """
+WITH d AS (SELECT doc_id, lang, source, string_split(lower(text),' ') l FROM documents),
+bg AS (SELECT doc_id, lang, source, l[i] || ' ' || l[i+1] AS bgr
+       FROM (SELECT doc_id, lang, source, unnest(generate_series(1, len(l)-1)) i, l
+             FROM d WHERE len(l) >= 2)),
+hb AS (SELECT doc_id, lang, source,
+         (strpos('0123456789abcdef', substr(md5(bgr),1,1))-1)*16
+         + strpos('0123456789abcdef', substr(md5(bgr),2,1))-1 AS b
+       FROM bg),
+tc AS (SELECT b, COUNT(*) ct FROM hb WHERE lang = 'en' GROUP BY b),
+rc AS (SELECT b, COUNT(*) cr FROM hb GROUP BY b),
+tot AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tc) tt,
+               (SELECT CAST(SUM(cr) AS BIGINT) FROM rc) rt),
+llr AS (SELECT rc.b,
+          CAST(ROUND(ln((CAST(COALESCE(tc.ct,0) AS DOUBLE)+1.0)/(CAST(tt AS DOUBLE)+256.0))
+                   - ln((CAST(cr AS DOUBLE)+1.0)/(CAST(rt AS DOUBLE)+256.0)), 6) AS DECIMAL(18,6)) w
+        FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tot),
+dw AS (SELECT hb.doc_id, hb.source, SUM(w) sw FROM hb JOIN llr ON llr.b = hb.b
+       GROUP BY hb.doc_id, hb.source)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(sw) AS DOUBLE) AS sum_w,
+       CAST(MAX(sw) AS DOUBLE) AS max_w
+FROM dw GROUP BY source ORDER BY source"""
   ).map { case (k, v) => k -> v.trim }
 }
