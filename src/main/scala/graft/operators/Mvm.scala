@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   * ways — the version-log fallback (one shuffle over each side,
   * delta-sized output); a real CDC feed should hand its changes to
   * [[applyDelta]] directly and skip that scan entirely
-  * (`streaming.ManagedSink` produces exactly such per-batch upsert
-  * bags).
+  * (`streaming.MvSink` does exactly that from the upsert stream's
+  * per-batch winners/pre-image pair).
+  *
+  * Contract: group keys must be non-null — the merge is an equi-join
+  * on them, and a null key would group in the aggregate but never
+  * match in the join. Coalesce nullable keys to a sentinel upstream.
   */
 object Mvm {
 

@@ -117,12 +117,15 @@ object Governance {
       val sums = Seq("sum_chars" -> col("n_chars"), "sum_len" -> length(col("text")).cast("long"))
       val cols = docs.columns.toSeq
       val mv0 = Mvm.compute(ManagedTable.read(s, root, asOf = Some(1)),
-        keys, "n_docs", sums).localCheckpoint()
+        keys, "n_docs", sums)
       val latest = ManagedTable.history(s, root).map(_.version).max
+      // lazy fold: the full chain (3 deltas + 3 merges over k-row
+      // views) evaluates ONCE at the sink — a per-step checkpoint
+      // would eagerly re-run the whole prefix at every step
       (2 to latest).foldLeft(mv0) { (mv, v) =>
         val d = Mvm.delta(ManagedTable.read(s, root, asOf = Some(v - 1)),
           ManagedTable.read(s, root, asOf = Some(v)), cols)
-        Mvm.applyDelta(mv, d, keys, "n_docs", sums).localCheckpoint()
+        Mvm.applyDelta(mv, d, keys, "n_docs", sums)
       }.orderBy("lang")
     })
   )

@@ -33,6 +33,23 @@ import graft.sources.ManagedTable
   */
 object ManagedSink {
 
+  /** The batch's latest row per `keys` under the total order of
+    * `orderCols` (later = greater tuple): max(struct(orderCols...,
+    * payload...)) picks the winning row per key in ONE hash aggregate
+    * — the q83/q97 argmax convention. Shared with
+    * [[MvSink.applyBatch]] so the view maintenance applies exactly the
+    * rows the table apply does. */
+  def latestPerKey(df: DataFrame, keys: Seq[String],
+                   orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column for last-writer-wins")
+    val others = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max(struct((orderCols ++ others.filterNot(orderCols.contains))
+        .map(col): _*)).as("w"))
+      .select(keys.map(col) ++
+        others.map(c => col(s"w.$c").as(c)): _*)
+  }
+
   /** Reduce `df` to its latest row per `keys` under the total order of
     * `orderCols` (later = greater tuple), then upsert into `root`.
     * Exposed for batch backfills and tested directly. */
@@ -40,15 +57,7 @@ object ManagedSink {
                  orderCols: Seq[String]): Unit = {
     require(orderCols.nonEmpty, "need at least one ordering column for last-writer-wins")
     if (!df.isEmpty) {
-      val others = df.columns.filterNot(keys.contains)
-      // max(struct(orderCols..., payload...)) picks the winning row per
-      // key in ONE hash aggregate — the q83/q97 argmax convention
-      val winner = df
-        .groupBy(keys.map(col): _*)
-        .agg(max(struct((orderCols ++ others.filterNot(orderCols.contains))
-          .map(col): _*)).as("w"))
-        .select(keys.map(col) ++
-          others.map(c => col(s"w.$c").as(c)): _*)
+      val winner = latestPerKey(df, keys, orderCols)
       val schema = ManagedTable.history(df.sparkSession, root).last.schema
       ManagedTable.upsert(df.sparkSession, root,
         winner.select(schema.fieldNames.map(col): _*), keys)
