@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph propagation in exact integer arithmetic — the
+  * link-analysis companion to [[Dedup.connectedComponents]]'s
+  * min-label propagation.
+  *
+  * Ranks are held in integer PPB (parts-per-billion of the total rank
+  * mass) and every step is integer DIV, so the fixed point is
+  * bit-identical on any engine and any partitioning — the same
+  * portability rule as the repo's ppm scores (SURVEY.md §5). The
+  * dangling-mass variant is the simple one (mass at sinks is dropped,
+  * not redistributed); documented because published PageRank variants
+  * differ exactly here.
+  *
+  * Scale shape: each iteration is one edges-to-ranks equi-join keyed
+  * on src, one hash aggregate keyed on dst, and one left join back to
+  * the node set — all hash-partitionable on node ids; with edges and
+  * nodes co-bucketed on id the per-round shuffles collapse. Rounds are
+  * the explicit `iters` budget (rank queries run a fixed handful), and
+  * each round is checkpointed so lineage stays flat — the
+  * connectedComponents discipline.
+  */
+object GraphOps {
+
+  /** `iters` rounds of damped PageRank over `edges` (directed
+    * (src, dst); parallel edges count toward out-degree and carry
+    * separately) on the node set `nodes` (one `id` column; isolated
+    * nodes keep the base rank). Returns (id, r) with r in integer ppb:
+    *   r'(v) = (100-dampPct)·10^7 DIV n  +  dampPct · Σ_{u→v} (r(u) DIV od(u)) DIV 100
+    */
+  def pagerankPpb(nodes: DataFrame, edges: DataFrame, iters: Int,
+                  dampPct: Int = 85): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dampPct >= 0 && dampPct <= 100, "dampPct must be in [0,100]")
+    val n1 = nodes.agg(count(lit(1)).as("n"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val uniform = nodes.crossJoin(broadcast(n1))
+      .selectExpr("id", "CAST(1000000000 DIV n AS BIGINT) AS r")
+    (1 to iters).foldLeft(uniform.localCheckpoint()) { (r, _) =>
+      val inc = edges.join(r.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .selectExpr("dst AS id", "r DIV od AS c")
+        .groupBy("id").agg(sum(col("c")).as("m"))
+      nodes.join(inc, Seq("id"), "left").crossJoin(broadcast(n1))
+        .selectExpr("id",
+          s"CAST((${100 - dampPct} * 10000000 DIV n) + $dampPct * coalesce(m, 0L) DIV 100 AS BIGINT) AS r")
+        .localCheckpoint()
+    }
+  }
+}

@@ -34,12 +34,12 @@ object Queries {
       Curation.queries ++ Series.queries ++ Retrieval.queries ++
       Corpus.queries ++ Quality.queries ++ Activity.queries ++ Composite.queries ++
       Training.queries ++ Diversity.queries ++ Evaluation.queries ++
-      Governance.queries
+      Governance.queries ++ Graph.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
       DecisionSupport.oracle ++ Curation.oracle ++ Series.oracle ++
       Retrieval.oracle ++ Corpus.oracle ++ Quality.oracle ++ Activity.oracle ++
       Composite.oracle ++ Training.oracle ++ Diversity.oracle ++
-      Evaluation.oracle ++ Governance.oracle
+      Evaluation.oracle ++ Governance.oracle ++ Graph.oracle
 }

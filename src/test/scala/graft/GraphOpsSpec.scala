@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraphOps
+
+/** Integer-ppb PageRank: hand-computed fixed points, dangling and
+  * isolated nodes, out-degree splitting, parallel edges, and
+  * partitioning invariance. */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(nodes: Seq[String], edges: Seq[(String, String)],
+                    iters: Int): Map[String, Long] =
+    GraphOps.pagerankPpb(nodes.toDF("id"),
+        edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("iters=0 is the uniform distribution") {
+    assert(ranks(Seq("a", "b", "c", "d"), Seq("a" -> "b"), 0)
+      == Map("a" -> 250000000L, "b" -> 250000000L,
+        "c" -> 250000000L, "d" -> 250000000L))
+  }
+
+  test("a 3-cycle conserves rank; the isolated node drops to base") {
+    // n=4: base = 15*10^7 DIV 4 = 37_500_000; cycle nodes:
+    // 37_500_000 + 85 * 250_000_000 DIV 100 = 250_000_000 (fixed point)
+    val r = ranks(Seq("a", "b", "c", "d"),
+      Seq("a" -> "b", "b" -> "c", "c" -> "a"), 3)
+    assert(r == Map("a" -> 250000000L, "b" -> 250000000L,
+      "c" -> 250000000L, "d" -> 37500000L))
+  }
+
+  test("out-degree splits contributions; sinks keep what they receive") {
+    // n=4, a -> b and a -> c: after iter1
+    //   base = 37_500_000; a gets base (no inbound)
+    //   b,c get base + 85 * (250_000_000 DIV 2) DIV 100 = 143_750_000
+    //   d isolated -> base
+    val r = ranks(Seq("a", "b", "c", "d"), Seq("a" -> "b", "a" -> "c"), 1)
+    assert(r == Map("a" -> 37500000L, "b" -> 143750000L,
+      "c" -> 143750000L, "d" -> 37500000L))
+  }
+
+  test("parallel edges count toward out-degree and carry separately") {
+    // a -> b twice, n=2: od(a)=2, inc(b) = 2 * (500_000_000 DIV 2)
+    // base = 15*10^7 DIV 2 = 75_000_000
+    // r1(b) = 75_000_000 + 85 * 500_000_000 DIV 100 = 500_000_000
+    val r = ranks(Seq("a", "b"), Seq("a" -> "b", "a" -> "b"), 1)
+    assert(r == Map("a" -> 75000000L, "b" -> 500000000L))
+  }
+
+  test("result is invariant to input partitioning") {
+    val nodes = (1 to 50).map(i => s"n$i")
+    val edges = (1 to 49).map(i => s"n$i" -> s"n${i + 1}") ++
+      Seq("n50" -> "n1", "n1" -> "n25", "n10" -> "n3")
+    val a = GraphOps.pagerankPpb(nodes.toDF("id"),
+        edges.toDF("src", "dst").repartition(1), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pagerankPpb(nodes.toDF("id").repartition(7),
+        edges.toDF("src", "dst").repartition(5), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("invalid budgets fail loudly") {
+    assertThrows[IllegalArgumentException] {
+      GraphOps.pagerankPpb(Seq("a").toDF("id"),
+        Seq("a" -> "a").toDF("src", "dst"), -1)
+    }
+    assertThrows[IllegalArgumentException] {
+      GraphOps.pagerankPpb(Seq("a").toDF("id"),
+        Seq("a" -> "a").toDF("src", "dst"), 1, dampPct = 101)
+    }
+  }
+}
