@@ -52,6 +52,10 @@ import graft.sources.ManagedTable
 final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
 
   private val tables = TrieMap.empty[String, String] // name -> root path
+  // materialized views by name; each is ALSO a managed table in
+  // `tables` (SELECT-visible, durable) plus this maintenance spec,
+  // persisted as a `_graft_mv.json` sidecar in the view's directory
+  private val mviews = TrieMap.empty[String, SqlRouter.MvSpec]
 
   private def catalogFile: Option[org.apache.hadoop.fs.Path] =
     catalogRoot.map(r => new org.apache.hadoop.fs.Path(r, "_graft_catalog.json"))
@@ -74,6 +78,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
             s"(moved or vacuumed away?) — fix or remove it from $p")
         tables.put(name, root)
         refreshView(name)
+        SqlRouter.readMvSidecar(spark, root).foreach(spec =>
+          mviews.put(spec.name, spec))
       }
     }
   }
@@ -111,6 +117,39 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     tables.getOrElse(name, throw new IllegalArgumentException(
       s"no managed table '$name' — CREATE or OPEN it first " +
         s"(have: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+
+  /** The root for a ROW-mutating statement: refuses materialized-view
+    * names (the engine maintains those; mutate the base table) —
+    * file-level maintenance (OPTIMIZE/VACUUM) stays allowed. */
+  private def mutableRoot(name: String): String = {
+    require(!mviews.contains(name),
+      s"'$name' is a materialized view maintained by the engine — " +
+        s"mutate its base table '${mviews(name).over}' instead")
+    root(name)
+  }
+
+  /** Post-DML incremental maintenance: every materialized view over
+    * `tbl` absorbs the (v-1 -> v) delta — delta-sized work via the
+    * same [[graft.operators.Mvm]] algebra the streaming sink uses.
+    * Columns are the two versions' intersection, so a metadata-only
+    * schema evolution between reads cannot break the diff (an MV
+    * whose expressions need the new column fails loudly at
+    * resolution — REFRESH it instead). */
+  private def maintainViews(tbl: String, newVersion: Int): Unit = {
+    val specs = mviews.values.filter(_.over == tbl)
+    if (specs.nonEmpty) {
+      val r = root(tbl)
+      val oldV = ManagedTable.read(spark, r, asOf = Some(newVersion - 1))
+      val newV = ManagedTable.read(spark, r, asOf = Some(newVersion))
+      val shared = newV.columns.filter(oldV.columns.contains).toSeq
+      val bag = graft.operators.Mvm.delta(oldV, newV, shared).localCheckpoint()
+      specs.foreach { mv =>
+        graft.streaming.MvSink.mergeBagIntoView(spark, mv.root, bag,
+          mv.keys, mv.countCol, mv.sums.map { case (n, e) => (n, parseCol(e)) })
+        refreshView(mv.name)
+      }
+    }
+  }
 
   private def summary(op: String, tbl: String, version: Int): DataFrame = {
     import spark.implicits._
@@ -184,6 +223,14 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+INTO\s+(\d+)\s+FILES(?:\s+BY\s*\(([^)]+)\))?\s*""".r
+  private val CreateMv =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+OVER\s+(\w+)\s+KEY\s*\(([^)]+)\)\s+COUNT\s+(\w+)(?:\s+SUM\s*\((.+)\))?\s+LOCATION\s+'([^']+)'\s*""".r
+  private val DropMv =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)(\s+PURGE)?\s*""".r
+  private val RefreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
+  private val ShowMv =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*""".r
 
   private def query(text: String): DataFrame = {
     val t = text.trim
@@ -199,13 +246,15 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     * and an unrecognized leading keyword counts as a write rather than
     * slipping past the gate as a read. */
   def isMutation(sql: String): Boolean = sql match {
-    // SHOW HISTORY is a read (and the SHOW allowlist below already
-    // admits it); VACUUM deletes files — a write.
-    case HistoryStmt(_) => false
+    // SHOW HISTORY / SHOW MATERIALIZED VIEWS are reads (and the SHOW
+    // allowlist below already admits them); VACUUM deletes files — a
+    // write.
+    case HistoryStmt(_) | ShowMv() => false
     case Create(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
          Optimize(_, _, _) | Drop(_, _) | VacuumStmt(_, _) |
-         Restore(_, _) => true
+         Restore(_, _) | CreateMv(_, _, _, _, _, _) | DropMv(_, _) |
+         RefreshMv(_) => true
     case other =>
       val kw = other.trim.takeWhile(!_.isWhitespace).toUpperCase
       !Set("SELECT", "WITH", "VALUES", "TABLE",
@@ -223,14 +272,15 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       summary("open", name, ManagedTable.history(spark, path).last.version)
 
     case Insert(name, rest) if tables.contains(name) =>
-      val r = root(name)
+      val r = mutableRoot(name)
       val schema = ManagedTable.history(spark, r).last.schema
       val snap = ManagedTable.insert(spark, r, align(query(rest), schema))
       refreshView(name)
+      maintainViews(name, snap.version)
       summary("insert", name, snap.version)
 
     case Update(name, rest) if tables.contains(name) =>
-      val r = root(name)
+      val r = mutableRoot(name)
       // SET list runs to the top-level WHERE (if any); WHERE inside a
       // quoted string or parens belongs to an expression, not to us
       val upper = rest.toUpperCase
@@ -263,17 +313,19 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val where = wherePart.map(parseCol).getOrElse(lit(true))
       val snap = ManagedTable.update(spark, r, where, sets)
       refreshView(name)
+      maintainViews(name, snap.version)
       summary("update", name, snap.version)
 
     case Delete(name, wherePart) if tables.contains(name) =>
-      val r = root(name)
+      val r = mutableRoot(name)
       val where = Option(wherePart).map(parseCol).getOrElse(lit(true))
       val snap = ManagedTable.delete(spark, r, where)
       refreshView(name)
+      maintainViews(name, snap.version)
       summary("delete", name, snap.version)
 
     case AddCol(name, colName, typeDdl) if tables.contains(name) =>
-      val r = root(name)
+      val r = mutableRoot(name)
       val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
       val snap = ManagedTable.addColumn(spark, r, colName, dt)
       refreshView(name)
@@ -305,8 +357,9 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // the target version's file list (SHOW HISTORY finds the point,
     // RESTORE makes it current; roll forward by restoring a later one)
     case Restore(name, ver) if tables.contains(name) =>
-      val snap = ManagedTable.restore(spark, root(name), ver.toInt)
+      val snap = ManagedTable.restore(spark, mutableRoot(name), ver.toInt)
       refreshView(name)
+      maintainViews(name, snap.version)
       summary("restore", name, snap.version)
 
     // DROP detaches the name (catalog + view + durable file); PURGE
@@ -314,6 +367,12 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // form, so it must be asked for by keyword. A plain DROP leaves
     // the data and snapshot log intact for a later OPEN.
     case Drop(name, purge) if tables.contains(name) =>
+      require(!mviews.contains(name),
+        s"'$name' is a materialized view — use DROP MATERIALIZED VIEW")
+      val dependents = mviews.values.filter(_.over == name).map(_.name).toSeq.sorted
+      require(dependents.isEmpty,
+        s"table '$name' has dependent materialized view(s) " +
+          s"${dependents.mkString(", ")} — DROP those first")
       val r = root(name)
       val v = ManagedTable.history(spark, r).last.version
       tables.remove(name)
@@ -328,12 +387,69 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       summary(if (purged) "drop_purge" else "drop", name, v)
 
     case Upsert(name, keys, rest) if tables.contains(name) =>
-      val r = root(name)
+      val r = mutableRoot(name)
       val schema = ManagedTable.history(spark, r).last.schema
       val keyCols = splitTop(keys, ',').map(_.trim)
       val snap = ManagedTable.upsert(spark, r, align(query(rest), schema), keyCols)
       refreshView(name)
+      maintainViews(name, snap.version)
       summary("merge", name, snap.version)
+
+    // CREATE MATERIALIZED VIEW mv OVER t KEY (g) COUNT n
+    //   [SUM (expr AS name, ...)] LOCATION '/path'
+    // — the one full compute (bootstrap); from then on every DML on t
+    // through this router maintains mv incrementally (maintainViews).
+    // The view is itself a managed table: SELECT-visible, versioned,
+    // durable, with its maintenance spec in a _graft_mv.json sidecar
+    // so a restarted router resumes maintaining it.
+    case CreateMv(name, over, keys, countCol, sumsOpt, path) =>
+      require(!tables.contains(name), s"name '$name' is already registered")
+      val r = root(over)
+      val keyCols = splitTop(keys, ',').map(_.trim)
+      val sums = Option(sumsOpt).map(SqlRouter.parseSumList).getOrElse(Nil)
+      val mv0 = graft.operators.Mvm.compute(ManagedTable.read(spark, r),
+        keyCols, countCol, sums.map { case (n, e) => (n, parseCol(e)) })
+      ManagedTable.create(spark, path, mv0.schema)
+      val snap = ManagedTable.insert(spark, path, mv0)
+      val spec = SqlRouter.MvSpec(name, over, path, keyCols, countCol, sums)
+      SqlRouter.writeMvSidecar(spark, spec)
+      mviews.put(name, spec)
+      register(name, path)
+      summary("create_mview", name, snap.version)
+
+    case DropMv(name, purge) if mviews.contains(name) =>
+      val r = root(name)
+      val v = ManagedTable.history(spark, r).last.version
+      mviews.remove(name)
+      tables.remove(name)
+      spark.catalog.dropTempView(name): Unit
+      persist()
+      val purged = purge != null
+      if (purged) {
+        val p = new org.apache.hadoop.fs.Path(r)
+        if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true))
+          throw new java.io.IOException(s"could not purge $r")
+      }
+      summary(if (purged) "drop_mview_purge" else "drop_mview", name, v)
+
+    // REFRESH: the full-recompute resync (after an out-of-band write
+    // to the base table, or a schema evolution the delta path refuses)
+    case RefreshMv(name) if mviews.contains(name) =>
+      val mv = mviews(name)
+      val fresh = graft.operators.Mvm.compute(
+        ManagedTable.read(spark, root(mv.over)), mv.keys, mv.countCol,
+        mv.sums.map { case (n, e) => (n, parseCol(e)) })
+      ManagedTable.delete(spark, mv.root, lit(true))
+      val snap = ManagedTable.insert(spark, mv.root, fresh)
+      refreshView(name)
+      summary("refresh_mview", name, snap.version)
+
+    case ShowMv() =>
+      import spark.implicits._
+      mviews.values.toSeq.sortBy(_.name)
+        .map(m => (m.name, m.over, m.root, m.keys.mkString(","), m.countCol,
+          m.sums.map { case (n, e) => s"$e AS $n" }.mkString(", ")))
+        .toDF("name", "over_table", "location", "key_cols", "count_col", "sum_cols")
 
     case other => spark.sql(other)
   }
@@ -341,16 +457,102 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
 
 object SqlRouter {
 
+  /** A materialized view's maintenance spec: `name` rolls up `over`
+    * (grouped by `keys`, COUNT(*) as `countCol`, SUM(expr) per
+    * (outName, exprText) in `sums`) into the managed table at `root`.
+    * Expressions are kept as SQL TEXT — parsed by Spark's own parser
+    * at each use, the same discipline as the router's SET/WHERE — so
+    * the spec survives serialization exactly. */
+  final case class MvSpec(name: String, over: String, root: String,
+                          keys: Seq[String], countCol: String,
+                          sums: Seq[(String, String)])
+
+  /** Parse a `SUM (expr AS name, ...)` list: top-level commas split
+    * items; the LAST top-level AS splits expr from name (so
+    * `CAST(x AS INT) AS y` keeps its inner cast). */
+  private[server] def parseSumList(text: String): Seq[(String, String)] = {
+    val Item = """(?is)(.+)\s+AS\s+(\w+)\s*""".r
+    splitTopLevel(text, ',').map(_.trim).filter(_.nonEmpty).map {
+      case Item(e, n) => (n, e.trim)
+      case other => throw new IllegalArgumentException(
+        s"malformed SUM item '$other' — expected expr AS name")
+    }
+  }
+
+  // the statement-level splitter, shared with the instance method via
+  // duplication-free delegation (object-side so parseSumList is
+  // testable without a SparkSession)
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    for (c <- s) {
+      if (quote != 0) { if (c == quote) quote = 0; cur += c }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  private def mvSidecarPath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_graft_mv.json")
+
+  private[server] def writeMvSidecar(spark: SparkSession, spec: MvSpec): Unit = {
+    val p = mvSidecarPath(spec.root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def j(s: String) = graft.util.Json.escape(s)
+    val body = Seq(
+      j("name") + ":" + j(spec.name), j("over") + ":" + j(spec.over),
+      j("keys") + ":" + j(spec.keys.mkString(",")),
+      j("count") + ":" + j(spec.countCol),
+      j("sums") + ":" + j(spec.sums.map { case (n, e) => s"$e AS $n" }.mkString(", "))
+    ).mkString("{", ",", "}")
+    val out = f.create(p, /*overwrite=*/ true)
+    try out.write(s"""{"mv":$body}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load the MV sidecar at `root`, if any — the restart path that
+    * turns a reloaded catalog entry back into a maintained view. */
+  private[server] def readMvSidecar(spark: SparkSession,
+                                    root: String): Option[MvSpec] = {
+    val p = mvSidecarPath(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val m = parseFlat(text, "mv").toMap
+      def need(k: String) = m.getOrElse(k, throw new IllegalArgumentException(
+        s"MV sidecar $p missing '$k'"))
+      Some(MvSpec(need("name"), need("over"), root,
+        need("keys").split(',').map(_.trim).toSeq, need("count"),
+        if (need("sums").trim.isEmpty) Nil else parseSumList(need("sums"))))
+    }
+  }
+
   /** Parse the catalog file: exactly what `persist` emits — a flat
     * `{"tables":{"name":"root",...}}` of JSON strings. Same minimal
     * same-grammar discipline as ManagedTable's manifest parser (the
     * engine renders it, the engine reads it); loud on any mismatch.
     */
-  private[server] def parseCatalog(text: String): Seq[(String, String)] = {
-    val start = text.indexOf("\"tables\":")
-    require(start >= 0, s"catalog file missing 'tables' field: ${text.take(120)}")
-    var i = start + "\"tables\":".length
-    require(text.charAt(i) == '{', "catalog 'tables' must be an object")
+  private[server] def parseCatalog(text: String): Seq[(String, String)] =
+    parseFlat(text, "tables")
+
+  /** Flat `{"<field>":{"k":"v",...}}` JSON-string-object parser shared
+    * by the catalog file and the MV sidecar. */
+  private[server] def parseFlat(text: String, field: String): Seq[(String, String)] = {
+    val start = text.indexOf(s""""$field":""")
+    require(start >= 0, s"missing '$field' field: ${text.take(120)}")
+    var i = start + field.length + 3
+    require(text.charAt(i) == '{', s"'$field' must be an object")
     i += 1
     def parseStr(from: Int): (String, Int) = {
       require(text.charAt(from) == '"', s"catalog: expected string at $from")

@@ -71,6 +71,17 @@ object MvSink {
     ManagedTable.upsert(spark, tableRoot, winners, keys)
     val bag = winners.withColumn(Mvm.MultCol, lit(1L))
       .unionByName(pre.withColumn(Mvm.MultCol, lit(-1L)))
+    mergeBagIntoView(spark, viewRoot, bag, viewKeys, countCol, sums)
+  }
+
+  /** Merge a multiset delta bag ([[Mvm.MultCol]]-tagged rows) into the
+    * managed view table: affected groups only — survivors upserted,
+    * dead groups deleted. Shared by the streaming sink and the SQL
+    * router's post-DML maintenance, so every maintenance path applies
+    * the identical algebra. */
+  def mergeBagIntoView(spark: SparkSession, viewRoot: String, bag: DataFrame,
+                       viewKeys: Seq[String], countCol: String,
+                       sums: Seq[(String, Column)]): Unit = {
     val affected = bag.select(viewKeys.map(col): _*).distinct()
     val viewSchema = ManagedTable.history(spark, viewRoot).last.schema
     val merged = Mvm.applyDelta(
@@ -79,7 +90,7 @@ object MvSink {
       .select(viewSchema.fieldNames.map(col): _*)
       .localCheckpoint() // pinned before the view mutations below
     // group death: affected groups absent from the merge result; their
-    // KEYS (bounded by the batch's distinct groups) come to the driver
+    // KEYS (bounded by the delta's distinct groups) come to the driver
     // to form the delete predicate — the same metadata-scale boundary
     // as the upsert's affected-file probe
     val dead = affected.join(merged.select(viewKeys.map(col): _*),

@@ -202,4 +202,72 @@ class SqlRouterSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { new SqlRouter(spark, Some(catRoot)) }
     assert(e.getMessage.contains("gone"), e.getMessage)
   }
+
+  private def mvRows(r: SqlRouter, name: String) =
+    r.execute(s"SELECT * FROM $name ORDER BY g").collect()
+      .map(x => (x.getAs[String]("g"), x.getAs[Long]("n"), x.getAs[Long]("sv"))).toSet
+
+  private def recompute(r: SqlRouter, tbl: String) =
+    r.execute(s"SELECT g, count(*) n, sum(v) sv FROM $tbl GROUP BY g").collect()
+      .map(x => (x.getAs[String]("g"), x.getAs[Long]("n"), x.getAs[Long]("sv"))).toSet
+
+  test("materialized view: bootstrap, auto-maintenance through every DML, refuse direct writes") {
+    val dir = Files.createTempDirectory("graft_mv_sql").toString
+    router.execute(
+      s"CREATE MANAGED TABLE mb (id BIGINT, g STRING, v BIGINT) LOCATION '$dir/t'")
+    router.execute("INSERT INTO mb VALUES (1, 'a', 10), (2, 'b', 5), (3, 'a', 2)")
+    router.execute(
+      s"CREATE MATERIALIZED VIEW mv1 OVER mb KEY (g) COUNT n SUM (v AS sv) LOCATION '$dir/v'")
+    assert(mvRows(router, "mv1") == Set(("a", 2L, 12L), ("b", 1L, 5L)))
+    // every DML shape maintains incrementally; view == recompute after each
+    router.execute("INSERT INTO mb VALUES (4, 'c', 7)")
+    assert(mvRows(router, "mv1") == recompute(router, "mb"))
+    router.execute("UPDATE mb SET v = v + 100 WHERE g = 'a'")
+    assert(mvRows(router, "mv1") == recompute(router, "mb"))
+    router.execute("DELETE FROM mb WHERE g = 'b'") // group death
+    assert(mvRows(router, "mv1") == recompute(router, "mb"))
+    assert(!mvRows(router, "mv1").exists(_._1 == "b"))
+    router.execute(
+      "UPSERT INTO mb BY (id) SELECT * FROM VALUES (3, 'b', 50) AS s(id, g, v)") // rebirth via group move
+    assert(mvRows(router, "mv1") == recompute(router, "mb"))
+    // direct writes to the view are refused; the base table names its maintainer
+    val e = intercept[IllegalArgumentException] {
+      router.execute("DELETE FROM mv1 WHERE g = 'a'")
+    }
+    assert(e.getMessage.contains("materialized view"), e.getMessage)
+    val d = intercept[IllegalArgumentException] { router.execute("DROP MANAGED TABLE mb") }
+    assert(d.getMessage.contains("mv1"), d.getMessage)
+    assert(router.isMutation(s"CREATE MATERIALIZED VIEW x OVER mb KEY (g) COUNT n LOCATION '$dir/x'"))
+    assert(!router.isMutation("SHOW MATERIALIZED VIEWS"))
+    router.execute("DROP MATERIALIZED VIEW mv1")
+    router.execute("DROP MANAGED TABLE mb") // dependency gone, now allowed
+  }
+
+  test("materialized view: RESTORE maintains, restart resumes maintenance, SHOW lists, REFRESH resyncs") {
+    val dir = Files.createTempDirectory("graft_mv_sql2").toString
+    val catRoot = Files.createTempDirectory("graft_mv_cat").toString
+    val r1 = new SqlRouter(spark, Some(catRoot))
+    r1.execute(
+      s"CREATE MANAGED TABLE mr (id BIGINT, g STRING, v BIGINT) LOCATION '$dir/t'")
+    r1.execute("INSERT INTO mr VALUES (1, 'a', 10), (2, 'b', 5)")
+    r1.execute(
+      s"CREATE MATERIALIZED VIEW mv2 OVER mr KEY (g) COUNT n SUM (v AS sv) LOCATION '$dir/v'")
+    r1.execute("INSERT INTO mr VALUES (3, 'b', 8)") // create=v0, inserts v1, v2
+    assert(mvRows(r1, "mv2") == recompute(r1, "mr"))
+    r1.execute("RESTORE TABLE mr TO VERSION 1") // roll the base back; view follows
+    assert(mvRows(r1, "mv2") == recompute(r1, "mr"))
+    assert(mvRows(r1, "mv2") == Set(("a", 1L, 10L), ("b", 1L, 5L)))
+    // a NEW router over the same catalog resumes maintaining the view
+    val r2 = new SqlRouter(spark, Some(catRoot))
+    val shown = r2.execute("SHOW MATERIALIZED VIEWS").collect()
+    assert(shown.map(_.getAs[String]("name")).toSeq == Seq("mv2"))
+    assert(shown.head.getAs[String]("over_table") == "mr")
+    assert(shown.head.getAs[String]("sum_cols") == "v AS sv")
+    r2.execute("INSERT INTO mr VALUES (9, 'z', 1)")
+    assert(mvRows(r2, "mv2") == recompute(r2, "mr"))
+    // REFRESH is the full-recompute resync
+    val rf = r2.execute("REFRESH MATERIALIZED VIEW mv2").collect().head
+    assert(rf.getAs[String]("op") == "refresh_mview")
+    assert(mvRows(r2, "mv2") == recompute(r2, "mr"))
+  }
 }
