@@ -28,27 +28,37 @@ object LakehouseDemo {
       router.execute(sql).show(20, truncate = false)
     }
 
-    show("create", s"CREATE MANAGED TABLE users (id BIGINT, name STRING, score DOUBLE) LOCATION '$root'")
-    show("insert", "INSERT INTO users VALUES (1, 'ada', 10.0), (2, 'grace', 20.0), (3, 'edsger', 30.0)")
+    show("create", s"CREATE MANAGED TABLE users (id BIGINT, name STRING, team STRING, score DOUBLE) LOCATION '$root'")
+    show("insert", "INSERT INTO users VALUES (1, 'ada', 'core', 10.0), " +
+      "(2, 'grace', 'core', 20.0), (3, 'edsger', 'research', 30.0)")
+    // a live per-team rollup: maintained incrementally after every DML
+    // below from version deltas — never recomputed (watch
+    // n_users/total move with each statement, and 'research' leave the
+    // view when its last member is deleted)
+    show("materialize", "CREATE MATERIALIZED VIEW team_stats OVER users " +
+      s"KEY (team) COUNT n_users SUM (score AS total) LOCATION '${root}_stats'")
     show("update", "UPDATE users SET score = score + 5 WHERE id >= 2")
     show("delete", "DELETE FROM users WHERE name = 'edsger'")
-    show("merge", "UPSERT INTO users BY (id) VALUES (2, 'grace', 99.0), (4, 'barbara', 40.0)")
+    show("merge", "UPSERT INTO users BY (id) VALUES (2, 'grace', 'infra', 99.0), (4, 'barbara', 'infra', 40.0)")
     show("select", "SELECT * FROM users ORDER BY id")
+    show("mview after the DML above (incremental, == recompute)",
+      "SELECT * FROM team_stats ORDER BY team")
+    show("mviews", "SHOW MATERIALIZED VIEWS")
 
     println("\n== streaming CDC feed -> MERGE-upserts per micro-batch")
     implicit val sqlCtx = spark.sqlContext
     // the change stream carries a change-sequence number for
     // last-writer-wins; the reduce drops it before the upsert
-    val mem = MemoryStream[(Long, String, Double, Long)]
+    val mem = MemoryStream[(Long, String, String, Double, Long)]
     val ckpt = Files.createTempDirectory("graft_lakehouse_ckpt").toString
-    val feed = mem.toDF().toDF("id", "name", "score", "ver")
+    val feed = mem.toDF().toDF("id", "name", "team", "score", "ver")
     val q = ManagedSink.upsertStream(feed, root,
       keys = Seq("id"), orderCols = Seq("ver"),
       checkpointDir = ckpt,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-    mem.addData((1L, "ada", 11.0, 1L), (5L, "annie", 50.0, 2L))
+    mem.addData((1L, "ada", "core", 11.0, 1L), (5L, "annie", "infra", 50.0, 2L))
     q.processAllAvailable()
-    mem.addData((5L, "annie", 55.0, 3L))
+    mem.addData((5L, "annie", "infra", 55.0, 3L))
     q.processAllAvailable()
     q.stop()
     router.execute(s"OPEN MANAGED TABLE users2 LOCATION '$root'") // refresh view

@@ -453,4 +453,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p135.contains("NestedLoop") && !p135.contains("CartesianProduct"),
       p135.take(800))
   }
+
+  test("q137-q143: governance/graph wave scale shapes hold") {
+    // q137: both SCD2 windows are KEYED by user_id — a SinglePartition
+    // window over the event stream would funnel it through one task
+    val p137 = plan("q137_scd2")
+    assert(p137.contains("windowspecdefinition(user_id"), p137.take(800))
+    assert(!p137.contains("windowspecdefinition(grp"), "island window must also key by user_id")
+    // q138: both fusion arms reduce to top-50 (TakeOrdered) BEFORE the
+    // rank windows and the full-outer merge; the BM25 df/totals and
+    // the 1-row query vector broadcast
+    val p138 = plan("q138_rrf_hybrid")
+    assert("TakeOrderedAndProject".r.findAllIn(p138).size >= 2, p138.take(800))
+    assert(p138.contains("FullOuter"), p138.take(500))
+    assert("BroadcastHashJoin".r.findAllIn(p138).size >= 2, p138.take(800))
+    // q139: the 256-row llr model broadcasts back onto the occurrence
+    // scan — the big relation never shuffles for the scoring join
+    val p139 = plan("q139_dsir_weights")
+    assert(p139.contains("BroadcastHashJoin"), p139.take(800))
+    // q140: FK audits are anti joins; no shape in the audit joins
+    // fact-to-fact without a key
+    val p140 = plan("q140_constraints")
+    assert("LeftAnti".r.findAllIn(p140).size >= 4, p140.take(800))
+    assert(!p140.contains("CartesianProduct") || p140.contains("BroadcastNestedLoopJoin"),
+      "only 1-row summary cross joins allowed")
+    // q142: rank propagation is equi joins + hash aggregates — an
+    // iteration that planned a nested loop would be quadratic in nodes
+    val p142 = plan("q142_graph_pagerank")
+    assert(!p142.contains("CartesianProduct"), p142.take(800))
+    assert(p142.contains("TakeOrderedAndProject"), p142.take(500))
+    // q143: the exact join sizes come from grouped counts — the plan
+    // must contain NO join of the two fact tables themselves (only
+    // 1-row assemblies and count-relation equi joins)
+    val p143 = plan("q143_join_card_est")
+    assert("HashAggregate".r.findAllIn(p143).size >= 6, p143.take(800))
+    assert(!p143.contains("SortMergeJoin"), "per-key count joins should broadcast at this size")
+  }
 }
