@@ -38,7 +38,8 @@ object ScaleBench {
   val kernels: Seq[String] = Seq(
     "q42_dedup_ngram_jaccard", "q82_containment", "q90_dup_degree",
     "q93_dup_clusters", "q97_keep_best", "q105_mirror_matrix",
-    "q101_ivfpq", "q117_span_dedup", "q109_bm25", "q127_ann_recall")
+    "q101_ivfpq", "q117_span_dedup", "q109_bm25", "q127_ann_recall",
+    "q139_dsir_weights", "q142_graph_pagerank")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
@@ -66,6 +67,31 @@ object ScaleBench {
     done.createNewFile(): Unit
   }
 
+  /** Factor-k lineitem replica for the graph kernel (round 5): copy k
+    * offsets every key, so the part<->supplier graph gains k DISJOINT
+    * copies — k x the nodes and edges with the same per-copy degree
+    * structure, which is what "the same supply network, k x bigger"
+    * means for rank propagation. Kept in its own marker file so dirs
+    * built by earlier rounds gain the table without a rebuild. */
+  private def buildScaledLineitem(spark: SparkSession, base: String,
+                                  dir: String, factor: Int): Unit = {
+    val done = new java.io.File(s"$dir/_done_lineitem")
+    if (done.exists) return
+    val li = graft.sources.Tables.load(spark, base, "lineitem")
+    val offs = li.agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey")).head()
+    val (no, np, ns) = (offs.getLong(0) + 1, offs.getLong(1) + 1, offs.getLong(2) + 1)
+    (0 until factor).map { k =>
+      li.select((col("l_orderkey") + lit(k * no)).as("l_orderkey"),
+        (col("l_partkey") + lit(k * np)).as("l_partkey"),
+        (col("l_suppkey") + lit(k * ns)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    done.createNewFile(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
@@ -89,6 +115,7 @@ object ScaleBench {
     locally {
       val wdir = s"$work/x${factors.min}"
       buildScaled(spark, base, wdir, factors.min)
+      buildScaledLineitem(spark, base, wdir, factors.min)
       kernels.foreach(k => SparkEntry.queries(k)(spark, wdir).count(): Unit)
       System.err.println(s"[scale] warmup pass done on x${factors.min}")
     }
@@ -99,6 +126,7 @@ object ScaleBench {
       val dir = s"$work/x$f"
       val b0 = System.nanoTime()
       buildScaled(spark, base, dir, f)
+      buildScaledLineitem(spark, base, dir, f)
       System.err.println(f"[scale] x$f corpus ready in ${(System.nanoTime() - b0) / 1e9}%.1f s")
       for (k <- kernels) {
         val load = osBean.getSystemLoadAverage

@@ -36,7 +36,10 @@ object GraphOps {
     require(iters >= 0, "iters must be >= 0")
     require(dampPct >= 0 && dampPct <= 100, "dampPct must be in [0,100]")
     val n1 = nodes.agg(count(lit(1)).as("n"))
+    // degrees are read EVERY round — materialize once instead of
+    // re-aggregating the edge relation per iteration
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint()
     val uniform = nodes.crossJoin(broadcast(n1))
       .selectExpr("id", "CAST(1000000000 DIV n AS BIGINT) AS r")
     (1 to iters).foldLeft(uniform.localCheckpoint()) { (r, _) =>

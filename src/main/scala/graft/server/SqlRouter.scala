@@ -129,17 +129,22 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
   }
 
   /** Post-DML incremental maintenance: every materialized view over
-    * `tbl` absorbs the (v-1 -> v) delta — delta-sized work via the
-    * same [[graft.operators.Mvm]] algebra the streaming sink uses.
-    * Columns are the two versions' intersection, so a metadata-only
-    * schema evolution between reads cannot break the diff (an MV
-    * whose expressions need the new column fails loudly at
-    * resolution — REFRESH it instead). */
-  private def maintainViews(tbl: String, newVersion: Int): Unit = {
+    * `tbl` absorbs the (preVersion -> newVersion) delta — delta-sized
+    * work via the same [[graft.operators.Mvm]] algebra the streaming
+    * sink uses. A mutation that matched nothing returns the CURRENT
+    * snapshot without committing (preVersion == newVersion) — that
+    * must be a maintenance no-op, not a re-applied previous delta
+    * (caught by the SqlRouterSpec fuzz). Columns are the two
+    * versions' intersection, so a metadata-only schema evolution
+    * between reads cannot break the diff (an MV whose expressions
+    * need the new column fails loudly at resolution — REFRESH it
+    * instead). */
+  private def maintainViews(tbl: String, preVersion: Int,
+                            newVersion: Int): Unit = {
     val specs = mviews.values.filter(_.over == tbl)
-    if (specs.nonEmpty) {
+    if (specs.nonEmpty && newVersion > preVersion) {
       val r = root(tbl)
-      val oldV = ManagedTable.read(spark, r, asOf = Some(newVersion - 1))
+      val oldV = ManagedTable.read(spark, r, asOf = Some(preVersion))
       val newV = ManagedTable.read(spark, r, asOf = Some(newVersion))
       val shared = newV.columns.filter(oldV.columns.contains).toSeq
       val bag = graft.operators.Mvm.delta(oldV, newV, shared).localCheckpoint()
@@ -273,10 +278,10 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
 
     case Insert(name, rest) if tables.contains(name) =>
       val r = mutableRoot(name)
-      val schema = ManagedTable.history(spark, r).last.schema
-      val snap = ManagedTable.insert(spark, r, align(query(rest), schema))
+      val pre = ManagedTable.history(spark, r).last
+      val snap = ManagedTable.insert(spark, r, align(query(rest), pre.schema))
       refreshView(name)
-      maintainViews(name, snap.version)
+      maintainViews(name, pre.version, snap.version)
       summary("insert", name, snap.version)
 
     case Update(name, rest) if tables.contains(name) =>
@@ -311,17 +316,19 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         a.substring(0, eq).trim -> parseCol(a.substring(eq + 1))
       }.toMap
       val where = wherePart.map(parseCol).getOrElse(lit(true))
+      val preU = ManagedTable.history(spark, r).last.version
       val snap = ManagedTable.update(spark, r, where, sets)
       refreshView(name)
-      maintainViews(name, snap.version)
+      maintainViews(name, preU, snap.version)
       summary("update", name, snap.version)
 
     case Delete(name, wherePart) if tables.contains(name) =>
       val r = mutableRoot(name)
       val where = Option(wherePart).map(parseCol).getOrElse(lit(true))
+      val preD = ManagedTable.history(spark, r).last.version
       val snap = ManagedTable.delete(spark, r, where)
       refreshView(name)
-      maintainViews(name, snap.version)
+      maintainViews(name, preD, snap.version)
       summary("delete", name, snap.version)
 
     case AddCol(name, colName, typeDdl) if tables.contains(name) =>
@@ -357,9 +364,11 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // the target version's file list (SHOW HISTORY finds the point,
     // RESTORE makes it current; roll forward by restoring a later one)
     case Restore(name, ver) if tables.contains(name) =>
-      val snap = ManagedTable.restore(spark, mutableRoot(name), ver.toInt)
+      val rr = mutableRoot(name)
+      val preR = ManagedTable.history(spark, rr).last.version
+      val snap = ManagedTable.restore(spark, rr, ver.toInt)
       refreshView(name)
-      maintainViews(name, snap.version)
+      maintainViews(name, preR, snap.version)
       summary("restore", name, snap.version)
 
     // DROP detaches the name (catalog + view + durable file); PURGE
@@ -388,11 +397,11 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
 
     case Upsert(name, keys, rest) if tables.contains(name) =>
       val r = mutableRoot(name)
-      val schema = ManagedTable.history(spark, r).last.schema
+      val pre = ManagedTable.history(spark, r).last
       val keyCols = splitTop(keys, ',').map(_.trim)
-      val snap = ManagedTable.upsert(spark, r, align(query(rest), schema), keyCols)
+      val snap = ManagedTable.upsert(spark, r, align(query(rest), pre.schema), keyCols)
       refreshView(name)
-      maintainViews(name, snap.version)
+      maintainViews(name, pre.version, snap.version)
       summary("merge", name, snap.version)
 
     // CREATE MATERIALIZED VIEW mv OVER t KEY (g) COUNT n

@@ -270,4 +270,42 @@ class SqlRouterSpec extends AnyFunSuite {
     assert(rf.getAs[String]("op") == "refresh_mview")
     assert(mvRows(r2, "mv2") == recompute(r2, "mr"))
   }
+
+  test("materialized view: randomized SQL DML sequences never drift the view from recompute") {
+    // the ManagedTableSpec fuzz discipline applied to the router's MV
+    // maintenance: seeded-random INSERT/UPDATE/DELETE/UPSERT statements
+    // as SQL TEXT, view == full recompute asserted after EVERY
+    // statement — any delta the maintenance misses (group move, death,
+    // rebirth, overlapping upsert) diverges immediately
+    val rnd = new scala.util.Random(20260814L)
+    val dir = Files.createTempDirectory("graft_mv_fuzz").toString
+    router.execute(
+      s"CREATE MANAGED TABLE mf (id BIGINT, g STRING, v BIGINT) LOCATION '$dir/t'")
+    router.execute("INSERT INTO mf VALUES (1, 'g0', 5), (2, 'g1', 7)")
+    router.execute(
+      s"CREATE MATERIALIZED VIEW mfv OVER mf KEY (g) COUNT n SUM (v AS sv) LOCATION '$dir/v'")
+    var nextId = 2L
+    for (step <- 1 to 12) {
+      rnd.nextInt(4) match {
+        case 0 =>
+          val vals = (1 to 1 + rnd.nextInt(3)).map { _ =>
+            nextId += 1; s"($nextId, 'g${rnd.nextInt(4)}', ${rnd.nextInt(50)})"
+          }.mkString(", ")
+          router.execute(s"INSERT INTO mf VALUES $vals")
+        case 1 =>
+          router.execute(s"DELETE FROM mf WHERE g = 'g${rnd.nextInt(4)}'")
+        case 2 =>
+          val m = 2 + rnd.nextInt(3)
+          router.execute(s"UPDATE mf SET v = v + 100 WHERE id % $m = 0")
+        case 3 =>
+          val hit = rnd.nextInt(nextId.toInt) + 1
+          nextId += 1
+          router.execute(s"UPSERT INTO mf BY (id) VALUES " +
+            s"($hit, 'g${rnd.nextInt(4)}', ${rnd.nextInt(50)}), " +
+            s"($nextId, 'g${rnd.nextInt(4)}', ${rnd.nextInt(50)})")
+      }
+      assert(mvRows(router, "mfv") == recompute(router, "mf"),
+        s"view drifted from recompute after step $step")
+    }
+  }
 }
