@@ -53,4 +53,35 @@ object GraphOps {
         .localCheckpoint()
     }
   }
+
+  /** Breadth-first reachability with an explicit `depth` budget:
+    * returns (id, level) for every node reached within `depth` hops of
+    * `seeds` (one `id` column; level 0 = the seeds themselves, each
+    * node reported at its FIRST level only).
+    *
+    * Scale shape: each round is one edges-to-frontier equi-join keyed
+    * on src, one distinct on the expanded frontier, and one anti join
+    * against the visited set — all hash-partitionable on node ids.
+    * The frontier is checkpointed per round (flat lineage; visited
+    * stays a union of already-checkpointed frontiers, so the anti
+    * join's lineage is one union deep). Depth is a fixed report
+    * budget, so no per-round count() barrier probes for an empty
+    * frontier — an empty round just makes later rounds no-ops.
+    */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 0, "depth must be >= 0")
+    val e = edges.select(col("src"), col("dst"))
+    val f0 = seeds.select(col("id")).distinct().localCheckpoint()
+    val (out, _, _) = (1 to depth).foldLeft(
+      (f0.withColumn("level", lit(0).cast("long")), f0, f0)) {
+      case ((acc, frontier, visited), l) =>
+        val next = e.join(frontier.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .localCheckpoint()
+        (acc.unionByName(next.withColumn("level", lit(l).cast("long"))),
+          next, visited.unionByName(next))
+    }
+    out
+  }
 }

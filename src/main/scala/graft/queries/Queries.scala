@@ -34,12 +34,13 @@ object Queries {
       Curation.queries ++ Series.queries ++ Retrieval.queries ++
       Corpus.queries ++ Quality.queries ++ Activity.queries ++ Composite.queries ++
       Training.queries ++ Diversity.queries ++ Evaluation.queries ++
-      Governance.queries ++ Graph.queries
+      Governance.queries ++ Graph.queries ++ Introspection.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
       DecisionSupport.oracle ++ Curation.oracle ++ Series.oracle ++
       Retrieval.oracle ++ Corpus.oracle ++ Quality.oracle ++ Activity.oracle ++
       Composite.oracle ++ Training.oracle ++ Diversity.oracle ++
-      Evaluation.oracle ++ Governance.oracle ++ Graph.oracle
+      Evaluation.oracle ++ Governance.oracle ++ Graph.oracle ++
+      Introspection.oracle
 }

@@ -72,4 +72,43 @@ class GraphOpsSpec extends AnyFunSuite {
         Seq("a" -> "a").toDF("src", "dst"), 1, dampPct = 101)
     }
   }
+
+  private def levels(edges: Seq[(String, String)], seeds: Seq[String],
+                     depth: Int): Map[String, Long] =
+    GraphOps.bfsLevels(edges.toDF("src", "dst"), seeds.toDF("id"), depth)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("bfsLevels: each node at its FIRST level only, depth respected") {
+    // a -> b -> c -> d, plus a shortcut a -> c: c is level 1, not 2
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c")
+    assert(levels(e, Seq("a"), 3)
+      == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    assert(levels(e, Seq("a"), 1) == Map("a" -> 0L, "b" -> 1L, "c" -> 1L))
+    assert(levels(e, Seq("a"), 0) == Map("a" -> 0L))
+  }
+
+  test("bfsLevels: multi-source frontier, duplicate seeds collapse") {
+    val e = Seq("a" -> "x", "b" -> "x", "x" -> "y")
+    assert(levels(e, Seq("a", "b", "a"), 2)
+      == Map("a" -> 0L, "b" -> 0L, "x" -> 1L, "y" -> 2L))
+  }
+
+  test("bfsLevels: an exhausted frontier makes later rounds no-ops") {
+    // whole graph reached at depth 1; rounds 2..4 must add nothing
+    // (and not error on the empty frontier)
+    assert(levels(Seq("a" -> "b"), Seq("a"), 4)
+      == Map("a" -> 0L, "b" -> 1L))
+  }
+
+  test("bfsLevels: a cycle back into visited territory terminates") {
+    val e = Seq("a" -> "b", "b" -> "a")
+    assert(levels(e, Seq("a"), 3) == Map("a" -> 0L, "b" -> 1L))
+  }
+
+  test("bfsLevels: invalid depth fails loudly") {
+    assertThrows[IllegalArgumentException] {
+      GraphOps.bfsLevels(Seq("a" -> "b").toDF("src", "dst"),
+        Seq("a").toDF("id"), -1)
+    }
+  }
 }
