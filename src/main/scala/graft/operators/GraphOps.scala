@@ -35,19 +35,25 @@ object GraphOps {
                   dampPct: Int = 85): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampPct >= 0 && dampPct <= 100, "dampPct must be in [0,100]")
-    val n1 = nodes.agg(count(lit(1)).as("n"))
-    // degrees are read EVERY round — materialize once instead of
-    // re-aggregating the edge relation per iteration
+    // The node set and the (src, dst, od) contribution edges are read
+    // EVERY round: materialize each ONCE, pre-partitioned on its join
+    // key, so the per-iteration joins REUSE the partitioning
+    // (localCheckpoint preserves the physical partitioning) instead of
+    // re-shuffling the edge relation — the dominant one — each round.
+    // Rank frames inherit hash(id) through the left join, so the next
+    // round's edges-to-ranks join needs no exchange on either side.
+    val nds = nodes.select(col("id")).localCheckpoint()
+    val n1 = nds.agg(count(lit(1)).as("n"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val eod = edges.join(deg, "src").select(col("src"), col("dst"), col("od"))
       .localCheckpoint()
-    val uniform = nodes.crossJoin(broadcast(n1))
+    val uniform = nds.crossJoin(broadcast(n1))
       .selectExpr("id", "CAST(1000000000 DIV n AS BIGINT) AS r")
     (1 to iters).foldLeft(uniform.localCheckpoint()) { (r, _) =>
-      val inc = edges.join(r.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
+      val inc = eod.join(r.withColumnRenamed("id", "src"), "src")
         .selectExpr("dst AS id", "r DIV od AS c")
         .groupBy("id").agg(sum(col("c")).as("m"))
-      nodes.join(inc, Seq("id"), "left").crossJoin(broadcast(n1))
+      nds.join(inc, Seq("id"), "left").crossJoin(broadcast(n1))
         .selectExpr("id",
           s"CAST((${100 - dampPct} * 10000000 DIV n) + $dampPct * coalesce(m, 0L) DIV 100 AS BIGINT) AS r")
         .localCheckpoint()

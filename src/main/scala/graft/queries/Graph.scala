@@ -32,18 +32,24 @@ object Graph {
     // parts — degrees differ by 5x across the graph, so the report
     // genuinely ranks.
     "q142_graph_pagerank" -> ((s, dir) => {
+      // Node ids stay INTEGERS through every PageRank shuffle (part =
+      // +pk, supplier = -sk-1, both injective — the q144 discipline):
+      // long hashing/compares beat string keys in the per-iteration
+      // joins/aggs; the 'p…'/'s…' labels the oracle sees are minted
+      // only on the final top-20.
       val pe = Tables.load(s, dir, "lineitem")
-        .select(concat(lit("p"), col("l_partkey").cast("string")).as("p"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("sup"))
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct().localCheckpoint()
-      val nodes = pe.select(col("p").as("id")).distinct()
-        .unionByName(pe.select(col("sup").as("id")).distinct())
-      val edges = pe.select(col("p").as("src"), col("sup").as("dst"))
-        .unionByName(pe.select(col("sup").as("src"), col("p").as("dst")))
+      val nodes = pe.select(col("pk").as("id")).distinct()
+        .unionByName(pe.select((-col("sk") - 1).as("id")).distinct())
+      val edges = pe.select(col("pk").as("src"), (-col("sk") - 1).as("dst"))
+        .unionByName(pe.select((-col("sk") - 1).as("src"), col("pk").as("dst")))
       val deg = edges.groupBy("src").agg(cnt.as("od"))
       GraphOps.pagerankPpb(nodes, edges, iters = 3)
         .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id").as("node"), col("r").as("rank_ppb"),
+        .select(when(col("id") >= 0, concat(lit("p"), col("id").cast("string")))
+            .otherwise(concat(lit("s"), (-col("id") - 1).cast("string"))).as("node"),
+          col("r").as("rank_ppb"),
           coalesce(col("od"), lit(0L)).as("degree"))
         .orderBy(desc("rank_ppb"), col("node")).limit(20)
     }),
