@@ -164,6 +164,16 @@ object ManagedTable {
         catch { case _: java.io.IOException => throw conflict() }
       try out.write(bytes) finally out.close()
     }
+    // Data-skipping sidecar (FileStats): carried files reuse the
+    // previous version's entries, new files get a footer harvest —
+    // metadata-scale work. Best-effort BY DESIGN: the manifest above
+    // is already durable, so a stats failure must degrade to
+    // "no pruning" (readers keep every file), never fail the commit.
+    try FileStats.write(spark, root, s, FileStats.read(spark, root, s.version - 1))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[managed-table] stats sidecar for v${s.version} " +
+        s"not written (${e.getMessage}) — range reads will scan unpruned")
+    }
     s
   }
 
@@ -232,17 +242,65 @@ object ManagedTable {
     * plain multi-file parquet read — pushdown/pruning apply as usual.
     */
   def read(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
-    val snap = asOf match {
+    val snap = resolve(spark, root, asOf)
+    scanFiles(spark, snap, root, snap.files)
+  }
+
+  private def resolve(spark: SparkSession, root: String, asOf: Option[Int]): Snapshot =
+    asOf match {
       case Some(v) =>
         history(spark, root).find(_.version == v)
           .getOrElse(throw new IllegalArgumentException(
             s"no version $v at $root (have ${history(spark, root).map(_.version).mkString(",")})"))
       case None => latest(spark, root)
     }
-    if (snap.files.isEmpty)
+
+  private def scanFiles(spark: SparkSession, snap: Snapshot, root: String,
+                        files: Seq[String]): DataFrame =
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else
-      spark.read.schema(snap.schema).parquet(snap.files.map(f => s"$root/$f"): _*)
+      spark.read.schema(snap.schema).parquet(files.map(f => s"$root/$f"): _*)
+
+  /** Range read with manifest-level data skipping: scan only the data
+    * files whose [[FileStats]] range can intersect `lo <= col <= hi`,
+    * then apply the predicate to the survivors (pruning is a superset
+    * guarantee, the filter is the exact semantics — results are
+    * row-identical to `read(...).filter(...)`, asserted in
+    * ManagedTableSpec). On a table clustered on `colName` (OPTIMIZE
+    * with clusterCols) a selective range touches a handful of files
+    * with ZERO footer opens for the rest — the O(1)-planning path the
+    * sidecar exists for. Files without recorded stats (pre-stats
+    * versions, all-null columns) are scanned — never wrong, just
+    * unpruned.
+    *
+    * `lo`/`hi` accept the JVM numeric primitives (the table column
+    * must be numeric too — loud check); bounds are inclusive.
+    */
+  def readRange(spark: SparkSession, root: String, colName: String,
+                lo: Any, hi: Any, asOf: Option[Int] = None): DataFrame = {
+    val snap = resolve(spark, root, asOf)
+    require(snap.schema.fieldNames.contains(colName),
+      s"readRange: no such column '$colName' (${snap.schema.toDDL})")
+    require(FileStats.isRangeType(snap.schema(colName).dataType),
+      s"readRange: column '$colName' is ${snap.schema(colName).dataType.simpleString} — " +
+        "range reads support numeric columns")
+    def big(v: Any): BigDecimal = v match {
+      case n: Byte => BigDecimal(n.toInt)
+      case n: Short => BigDecimal(n.toInt)
+      case n: Int => BigDecimal(n)
+      case n: Long => BigDecimal(n)
+      case n: Float => BigDecimal(n.toDouble)
+      case n: Double => BigDecimal(n)
+      case n: BigDecimal => n
+      case other => throw new IllegalArgumentException(
+        s"readRange: unsupported bound ${other.getClass.getSimpleName} — pass a numeric")
+    }
+    val (bLo, bHi) = (big(lo), big(hi))
+    val stats = FileStats.read(spark, root, snap.version)
+    val keep = FileStats.prune(stats, snap.files, colName, bLo, bHi)
+    scanFiles(spark, snap, root, keep)
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   /** The affected-file probe shared by every copy-on-write mutation:
@@ -474,8 +532,12 @@ object ManagedTable {
     val h = history(spark, root)
     require(h.nonEmpty, s"$root is not a managed table")
     val retained = h.takeRight(retainVersions)
-    // expire old manifests first, then sweep unreferenced files
-    h.dropRight(retainVersions).foreach(s => f.delete(manifestPath(root, s.version), false))
+    // expire old manifests (and their stats sidecars) first, then
+    // sweep unreferenced files
+    h.dropRight(retainVersions).foreach { s =>
+      f.delete(manifestPath(root, s.version), false)
+      f.delete(FileStats.statsPath(root, s.version), false)
+    }
     val live = retained.flatMap(_.files).toSet
     val dataDir = new Path(root, "data")
     if (!f.exists(dataDir)) return Nil
