@@ -39,7 +39,8 @@ object ScaleBench {
     "q42_dedup_ngram_jaccard", "q82_containment", "q90_dup_degree",
     "q93_dup_clusters", "q97_keep_best", "q105_mirror_matrix",
     "q101_ivfpq", "q117_span_dedup", "q109_bm25", "q127_ann_recall",
-    "q139_dsir_weights", "q142_graph_pagerank")
+    "q139_dsir_weights", "q142_graph_pagerank", "q144_bfs_reach",
+    "q146_bloom_join")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
@@ -67,19 +68,24 @@ object ScaleBench {
     done.createNewFile(): Unit
   }
 
-  /** Factor-k lineitem replica for the graph kernel (round 5): copy k
-    * offsets every key, so the part<->supplier graph gains k DISJOINT
-    * copies — k x the nodes and edges with the same per-copy degree
-    * structure, which is what "the same supply network, k x bigger"
-    * means for rank propagation. Kept in its own marker file so dirs
-    * built by earlier rounds gain the table without a rebuild. */
-  private def buildScaledLineitem(spark: SparkSession, base: String,
-                                  dir: String, factor: Int): Unit = {
-    val done = new java.io.File(s"$dir/_done_lineitem")
+  /** Factor-k lineitem + orders replicas for the graph/bloom kernels
+    * (round 5): copy k offsets every key, so the part<->supplier graph
+    * gains k DISJOINT copies — k x the nodes and edges with the same
+    * per-copy degree structure ("the same supply network, k x bigger")
+    * — and the order-key offset is SHARED between the two tables, so
+    * every lineitem→orders FK relation is preserved within each copy
+    * (q146's true-match rate stays the base corpus's at every factor).
+    */
+  private def buildScaledTrade(spark: SparkSession, base: String,
+                               dir: String, factor: Int): Unit = {
+    val done = new java.io.File(s"$dir/_done_trade")
     if (done.exists) return
     val li = graft.sources.Tables.load(spark, base, "lineitem")
+    val ord = graft.sources.Tables.load(spark, base, "orders")
     val offs = li.agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey")).head()
-    val (no, np, ns) = (offs.getLong(0) + 1, offs.getLong(1) + 1, offs.getLong(2) + 1)
+    val noOrd = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    val (no, np, ns) =
+      (math.max(offs.getLong(0) + 1, noOrd), offs.getLong(1) + 1, offs.getLong(2) + 1)
     (0 until factor).map { k =>
       li.select((col("l_orderkey") + lit(k * no)).as("l_orderkey"),
         (col("l_partkey") + lit(k * np)).as("l_partkey"),
@@ -89,6 +95,12 @@ object ScaleBench {
         col("l_linestatus"), col("l_shipdate"))
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (0 until factor).map { k =>
+      ord.select((col("o_orderkey") + lit(k * no)).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .repartition(16).write.mode("overwrite").parquet(s"$dir/orders.parquet")
     done.createNewFile(): Unit
   }
 
@@ -115,7 +127,7 @@ object ScaleBench {
     locally {
       val wdir = s"$work/x${factors.min}"
       buildScaled(spark, base, wdir, factors.min)
-      buildScaledLineitem(spark, base, wdir, factors.min)
+      buildScaledTrade(spark, base, wdir, factors.min)
       kernels.foreach(k => SparkEntry.queries(k)(spark, wdir).count(): Unit)
       System.err.println(s"[scale] warmup pass done on x${factors.min}")
     }
@@ -126,7 +138,7 @@ object ScaleBench {
       val dir = s"$work/x$f"
       val b0 = System.nanoTime()
       buildScaled(spark, base, dir, f)
-      buildScaledLineitem(spark, base, dir, f)
+      buildScaledTrade(spark, base, dir, f)
       System.err.println(f"[scale] x$f corpus ready in ${(System.nanoTime() - b0) / 1e9}%.1f s")
       for (k <- kernels) {
         val load = osBean.getSystemLoadAverage

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Drift & calibration wave (q148–q150, round 5): the measurements a
+  * production pipeline runs BETWEEN ingests — per-source distribution
+  * drift (exact two-sample KS statistic), the planner's join-order
+  * choice checked against true intermediate sizes (q143/q147's
+  * statistics put to their actual use), and deterministic weighted
+  * sampling (Efraimidis–Spirakis A-ES with content-addressed draws)
+  * with its selection shares reported against the weight shares it
+  * targets.
+  *
+  * Same t2 gate as every wave: DuckDB oracles in [[oracle]],
+  * prototyped at sf0.01 before the natives; determinism per SURVEY.md
+  * §5 — KS and the join-order report are pure integers; the sampling
+  * key is the one transcendental (ln), handled by the q139 discipline:
+  * ROUND(..,6) into DECIMAL(18,6) before any compare/order, with the
+  * doc_id tie-break making the top-k total-ordered.
+  */
+object Calibration {
+
+  private def cnt = count(lit(1))
+
+  def queries: Map[String, Queries.QueryFn] = Map(
+
+    // Per-source distribution drift: the exact two-sample
+    // Kolmogorov–Smirnov distance (in ppm) between each source's
+    // n_chars distribution and the whole corpus — the "did this
+    // source's length profile shift" report run before a source is
+    // admitted to a training mix. Exact integer arithmetic: the CDF
+    // difference |cs/n_s − ca/n| becomes |cs·n − ca·n_s|·1e6 DIV
+    // (n_s·n) — no float ever. Scale shape: rows collapse to an
+    // ndv-sized (source, value, count) relation FIRST; the per-source
+    // CDFs are windows over the k·ndv grid (k sources), the corpus
+    // CDF a window over ndv rows — never the document table. The
+    // argmax value is the min-value-at-max pattern (no second pass).
+    "q148_ks_drift" -> ((s, dir) => {
+      val vc = Tables.load(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars").as("v")).agg(cnt.as("c"))
+        .localCheckpoint() // read three ways: grid fill, corpus cdf, source totals
+      val vals = vc.select("v").distinct()
+      val srcs = vc.groupBy("source").agg(sum("c").as("n_s"))
+      val grid = srcs.crossJoin(vals)
+        .join(vc, Seq("source", "v"), "left")
+        .select(col("source"), col("n_s"), col("v"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val cum = grid.withColumn("cs", sum("c").over(
+        Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // corpus CDF: a window over the ndv-sized value relation — the
+      // one legal partition-less window (bounded by distinct lengths,
+      // the q120 precedent)
+      val acc = vc.groupBy("v").agg(sum("c").as("ac"))
+        .withColumn("ca", sum("ac").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("v", "ca")
+      val tot = vc.agg(sum("c").as("n_all"))
+      val ks = cum.join(acc, "v").crossJoin(broadcast(tot))
+        .selectExpr("source", "n_s", "v",
+          "ABS(cs * n_all - ca * n_s) * 1000000 DIV (n_s * n_all) AS d_ppm")
+      ks.withColumn("md", max("d_ppm").over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(min("n_s").as("n_docs"), max("d_ppm").as("ks_ppm"),
+          min(when(col("d_ppm") === col("md"), col("v"))).as("at_value"))
+        .orderBy("source")
+    }),
+
+    // The planner's join-order choice measured: for the 3-table query
+    // lineitem ⋈ orders[status='F'] ⋈ customer, both candidate first
+    // joins are costed with the q143 uniform estimate (BASE-table ndv,
+    // what a real optimizer has) and with the EXACT intermediate size
+    // (per-key count products — the join itself never materializes).
+    // est_agrees pins that the estimate ranks the orders right even
+    // where the filtered arm's absolute error is nonzero (err_ppm
+    // measures it). Scale shape: per-key counts are hash aggs on the
+    // join keys; every scalar reduces to a 1-row frame; the rank
+    // windows run over the 2-row order relation.
+    "q149_join_order" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val oF = o.filter(col("o_orderstatus") === "F")
+      val cu = Tables.load(s, dir, "customer")
+      def counts(df: DataFrame, k: String) =
+        df.groupBy(col(k).as("k")).agg(cnt.as("c"))
+      def actualOf(a: DataFrame, b: DataFrame) =
+        a.join(b.withColumnRenamed("c", "cb"), "k")
+          .agg(coalesce(sum(col("c") * col("cb")), lit(0L)).as("actual_rows"))
+      def arm(name: String, nL: DataFrame, nR: DataFrame,
+              ndvL: DataFrame, ndvR: DataFrame, actual: DataFrame) =
+        nL.crossJoin(nR).crossJoin(ndvL).crossJoin(ndvR).crossJoin(actual)
+          .selectExpr(s"'$name' AS join_order",
+            "n_l * n_r DIV GREATEST(ndv_l, ndv_r) AS est_rows", "actual_rows")
+      val a = arm("A_lineitem_x_filtered_orders",
+        li.agg(cnt.as("n_l")), oF.agg(cnt.as("n_r")),
+        li.agg(countDistinct(col("l_orderkey")).as("ndv_l")),
+        o.agg(countDistinct(col("o_orderkey")).as("ndv_r")),
+        actualOf(counts(li, "l_orderkey"), counts(oF, "o_orderkey")))
+      val b = arm("B_filtered_orders_x_customer",
+        oF.agg(cnt.as("n_l")), cu.agg(cnt.as("n_r")),
+        o.agg(countDistinct(col("o_custkey")).as("ndv_l")),
+        cu.agg(countDistinct(col("c_custkey")).as("ndv_r")),
+        actualOf(counts(oF, "o_custkey"), counts(cu, "c_custkey")))
+      a.unionByName(b)
+        .withColumn("err_ppm",
+          expr("ABS(est_rows - actual_rows) * 1000000 DIV actual_rows"))
+        .withColumn("est_rank", rank().over(Window.orderBy("est_rows")).cast("long"))
+        .withColumn("actual_rank", rank().over(Window.orderBy("actual_rows")).cast("long"))
+        .withColumn("est_agrees",
+          when(col("est_rank") === col("actual_rank"), 1L).otherwise(0L))
+        .select("join_order", "est_rows", "actual_rows", "err_ppm",
+          "est_rank", "actual_rank", "est_agrees")
+        .orderBy("join_order")
+    }),
+
+    // Deterministic weighted sampling (Efraimidis–Spirakis A-ES):
+    // draw a 100-document sample with selection probability ∝ n_chars
+    // from content-addressed uniforms (md5 of doc_id — exactly
+    // reproducible, the q66/q69 discipline), key = −ln(u)/w, SMALLEST
+    // k win. The report is per-source accounting: selection share vs
+    // the weight share the sampler targets. Scale shape: the key is a
+    // zero-shuffle projection; top-k is TakeOrdered (never a global
+    // sort); shares are one hash agg per side joined on source.
+    "q150_weighted_sample" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("CAST(conv(substr(md5(concat('ws:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000 + 1")
+            .as("u6"))
+        .localCheckpoint() // read twice: sample + per-source totals
+      // NOT checkpointed: each of the two consumers replays a cheap
+      // TakeOrdered over the checkpointed base, keeping the top-k
+      // visible in the executed plan (pinned in PlanSpec) instead of
+      // buried inside a checkpoint materialization
+      val sel = d.selectExpr("doc_id", "source", "n_chars",
+          "CAST(ROUND(-ln(CAST(u6 AS DOUBLE) / 1000001.0D) / n_chars, 6) AS DECIMAL(18,6)) AS akey")
+        .orderBy(col("akey").asc, col("doc_id").asc).limit(100)
+      val tw = d.agg(sum("n_chars").as("w_all"))
+      val nk = sel.agg(cnt.as("k_total"))
+      val per = d.groupBy("source").agg(cnt.as("n_docs"), sum("n_chars").as("w_src"))
+      val ps = sel.groupBy("source").agg(cnt.as("n_sel"), sum("n_chars").as("w_sel"))
+      per.join(ps, Seq("source"), "left")
+        .crossJoin(broadcast(tw)).crossJoin(broadcast(nk))
+        .selectExpr("source", "n_docs",
+          "coalesce(n_sel, 0L) AS n_selected",
+          "w_src * 1000000 DIV w_all AS weight_share_ppm",
+          "coalesce(n_sel, 0L) * 1000000 DIV k_total AS sel_share_ppm",
+          "coalesce(w_sel, 0L) AS w_selected")
+        .orderBy("source")
+    })
+  )
+
+  /** DuckDB oracles (validated at sf0.01 and sf0.1 before the natives). */
+  val oracle: Map[String, String] = Map(
+    "q148_ks_drift" -> """
+WITH vc AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY ALL),
+vals AS (SELECT DISTINCT v FROM vc),
+srcs AS (SELECT source, SUM(c) AS n_s FROM vc GROUP BY source),
+grid AS (SELECT s.source, s.n_s, va.v, COALESCE(vc.c, 0) AS c
+         FROM srcs s CROSS JOIN vals va
+         LEFT JOIN vc ON vc.source = s.source AND vc.v = va.v),
+cum AS (SELECT source, n_s, v,
+          SUM(c) OVER (PARTITION BY source ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        FROM grid),
+ac AS (SELECT v, SUM(c) AS c FROM vc GROUP BY v),
+acc AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ca FROM ac),
+tot AS (SELECT SUM(c) AS n_all FROM vc),
+ks AS (SELECT c.source, c.n_s, c.v,
+         ABS(c.cs * n_all - a.ca * c.n_s) * 1000000 // (c.n_s * n_all) AS d_ppm
+       FROM cum c JOIN acc a ON a.v = c.v CROSS JOIN tot),
+mk AS (SELECT source, n_s, v, d_ppm,
+         MAX(d_ppm) OVER (PARTITION BY source) AS md FROM ks)
+SELECT source, MIN(n_s) AS n_docs, MAX(d_ppm) AS ks_ppm,
+  MIN(CASE WHEN d_ppm = md THEN v END) AS at_value
+FROM mk GROUP BY source ORDER BY source""",
+
+    "q149_join_order" -> """
+WITH lo AS (SELECT 'A_lineitem_x_filtered_orders' AS join_order,
+    (SELECT COUNT(*) FROM lineitem) * (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')
+      // GREATEST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+                  (SELECT COUNT(DISTINCT o_orderkey) FROM orders)) AS est_rows,
+    (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) FROM
+      (SELECT l_orderkey k, COUNT(*) c FROM lineitem GROUP BY 1) a JOIN
+      (SELECT o_orderkey k, COUNT(*) c FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) b ON a.k = b.k) AS actual_rows
+  UNION ALL
+  SELECT 'B_filtered_orders_x_customer',
+    (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') * (SELECT COUNT(*) FROM customer)
+      // GREATEST((SELECT COUNT(DISTINCT o_custkey) FROM orders),
+                  (SELECT COUNT(DISTINCT c_custkey) FROM customer)),
+    (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) FROM
+      (SELECT o_custkey k, COUNT(*) c FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) a JOIN
+      (SELECT c_custkey k, COUNT(*) c FROM customer GROUP BY 1) b ON a.k = b.k)),
+r AS (SELECT join_order, est_rows, actual_rows,
+        ABS(est_rows - actual_rows) * 1000000 // actual_rows AS err_ppm,
+        RANK() OVER (ORDER BY est_rows) AS est_rank,
+        RANK() OVER (ORDER BY actual_rows) AS actual_rank
+      FROM lo)
+SELECT join_order, est_rows, actual_rows, err_ppm,
+  CAST(est_rank AS BIGINT) AS est_rank, CAST(actual_rank AS BIGINT) AS actual_rank,
+  CASE WHEN est_rank = actual_rank THEN CAST(1 AS BIGINT) ELSE 0 END AS est_agrees
+FROM r ORDER BY join_order""",
+
+    "q150_weighted_sample" -> """
+WITH d AS (SELECT doc_id, source, n_chars,
+    (('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 + 1) AS u6
+  FROM documents WHERE n_chars > 0),
+k AS (SELECT doc_id, source, n_chars,
+    CAST(ROUND(-ln(CAST(u6 AS DOUBLE) / 1000001.0) / n_chars, 6) AS DECIMAL(18,6)) AS akey FROM d),
+sel AS (SELECT * FROM k ORDER BY akey ASC, doc_id ASC LIMIT 100),
+tw AS (SELECT SUM(n_chars) AS w_all FROM d),
+nk AS (SELECT COUNT(*) AS k_total FROM sel),
+per AS (SELECT d.source, COUNT(*) AS n_docs, SUM(d.n_chars) AS w_src FROM d GROUP BY d.source),
+ps AS (SELECT source, COUNT(*) AS n_sel, SUM(n_chars) AS w_sel FROM sel GROUP BY source)
+SELECT p.source, p.n_docs, COALESCE(ps.n_sel, 0) AS n_selected,
+  p.w_src * 1000000 // w_all AS weight_share_ppm,
+  COALESCE(ps.n_sel, 0) * 1000000 // k_total AS sel_share_ppm,
+  CAST(COALESCE(ps.w_sel, 0) AS BIGINT) AS w_selected
+FROM per p LEFT JOIN ps ON ps.source = p.source CROSS JOIN tw CROSS JOIN nk
+ORDER BY p.source"""
+  ).map { case (k, v) => k -> v.trim }
+}

@@ -34,7 +34,8 @@ object Queries {
       Curation.queries ++ Series.queries ++ Retrieval.queries ++
       Corpus.queries ++ Quality.queries ++ Activity.queries ++ Composite.queries ++
       Training.queries ++ Diversity.queries ++ Evaluation.queries ++
-      Governance.queries ++ Graph.queries ++ Introspection.queries
+      Governance.queries ++ Graph.queries ++ Introspection.queries ++
+      Calibration.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
@@ -42,5 +43,5 @@ object Queries {
       Retrieval.oracle ++ Corpus.oracle ++ Quality.oracle ++ Activity.oracle ++
       Composite.oracle ++ Training.oracle ++ Diversity.oracle ++
       Evaluation.oracle ++ Governance.oracle ++ Graph.oracle ++
-      Introspection.oracle
+      Introspection.oracle ++ Calibration.oracle
 }

@@ -489,4 +489,48 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p143).size >= 6, p143.take(800))
     assert(!p143.contains("SortMergeJoin"), "per-key count joins should broadcast at this size")
   }
+
+  test("q144-q147: introspection wave scale shapes hold") {
+    // q144: the final reported round is keyed joins/aggregates, never
+    // a nested loop over the edge relation; node ids are longs, so no
+    // string concat appears before the last projection
+    val p144 = plan("q144_bfs_reach")
+    assert(!p144.contains("CartesianProduct") && !p144.contains("NestedLoop"),
+      p144.take(800))
+    // q145: the 3-row predicate table broadcasts onto both the zone
+    // stats and the match recount — the document scan never shuffles
+    // for the predicate pairing
+    val p145 = plan("q145_zone_prune")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p145).size >= 2, p145.take(800))
+    assert(!p145.contains("SortMergeJoin"), p145.take(800))
+    // q146: the occupied-position filter relation reaches the probe as
+    // a broadcast hash join (the runtime-filter shape); only the 1-row
+    // m/aggregate assemblies may appear as nested-loop broadcasts
+    val p146 = plan("q146_bloom_join")
+    assert(p146.contains("BroadcastHashJoin"), p146.take(800))
+    assert(!p146.contains("CartesianProduct"), p146.take(800))
+    // q147: ONE pair of partial+final aggregates collapses the fact
+    // rows to the ndv-sized value relation before any window; the
+    // window must be keyed by col_name, never SinglePartition
+    val p147 = plan("q147_equi_depth_hist")
+    assert(p147.contains("windowspecdefinition(col_name"), p147.take(800))
+    assert("HashAggregate".r.findAllIn(p147).size >= 2, p147.take(800))
+  }
+
+  test("q148-q150: drift/calibration wave scale shapes hold") {
+    // q148: the per-source CDF window is KEYED by source; the fact
+    // table collapses to the value relation before any window
+    val p148 = plan("q148_ks_drift")
+    assert(p148.contains("windowspecdefinition(source"), p148.take(800))
+    assert(!p148.contains("CartesianProduct"), p148.take(800))
+    // q149: exact intermediate sizes come from grouped counts — never
+    // a fact-to-fact join; rank windows run on the 2-row relation
+    val p149 = plan("q149_join_order")
+    assert("HashAggregate".r.findAllIn(p149).size >= 4, p149.take(800))
+    assert(!p149.contains("SortMergeJoin"), "count relations broadcast at this size")
+    // q150: the weighted top-k is TakeOrdered, never a global Sort of
+    // the corpus; the 1-row totals broadcast
+    val p150 = plan("q150_weighted_sample")
+    assert(p150.contains("TakeOrderedAndProject"), p150.take(800))
+  }
 }
