@@ -68,6 +68,14 @@ object LakehouseDemo {
     show("optimize", "OPTIMIZE users2 INTO 1 FILES BY (id)")
     show("read after evolve+optimize", "SELECT id, name, score, tier FROM users2 ORDER BY id")
 
+    // data skipping: the stats sidecar written at every commit lets a
+    // range read prune files BEFORE the scan — on this id-clustered
+    // table a selective range touches a strict subset of the files
+    val rr = ManagedTable.readRange(spark, root, "id", 1L, 2L)
+    println(s"\n== readRange(id in [1,2]): scans ${rr.inputFiles.length} of " +
+      s"${ManagedTable.history(spark, root).last.files.size} file(s) ==")
+    rr.orderBy("id").show(false)
+
     println("\n== history ==")
     ManagedTable.history(spark, root).foreach(s =>
       println(f"  v${s.version}%-3d ${s.op}%-11s files=${s.files.size}"))

@@ -227,7 +227,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+(\w+)\s+INTO\s+(\d+)\s+FILES(?:\s+BY\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\w+)\s+INTO\s+(\d+)\s+FILES(?:\s+(ZORDER\s+)?BY\s*\(([^)]+)\))?\s*""".r
   private val CreateMv =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+OVER\s+(\w+)\s+KEY\s*\(([^)]+)\)\s+COUNT\s+(\w+)(?:\s+SUM\s*\((.+)\))?\s+LOCATION\s+'([^']+)'\s*""".r
   private val DropMv =
@@ -257,7 +257,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     case HistoryStmt(_) | ShowMv() => false
     case Create(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
-         Optimize(_, _, _) | Drop(_, _) | VacuumStmt(_, _) |
+         Optimize(_, _, _, _) | Drop(_, _) | VacuumStmt(_, _) |
          Restore(_, _) | CreateMv(_, _, _, _, _, _) | DropMv(_, _) |
          RefreshMv(_) => true
     case other =>
@@ -338,10 +338,13 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       refreshView(name)
       summary("add_column", name, snap.version)
 
-    case Optimize(name, nFiles, byCols) if tables.contains(name) =>
+    case Optimize(name, nFiles, zorder, byCols) if tables.contains(name) =>
       val r = root(name)
       val cols = Option(byCols).map(splitTop(_, ',').map(_.trim)).getOrElse(Nil)
-      val snap = ManagedTable.compactTable(spark, r, nFiles.toInt, cols)
+      val snap =
+        if (zorder != null)
+          ManagedTable.compactTable(spark, r, nFiles.toInt, zorderCols = cols)
+        else ManagedTable.compactTable(spark, r, nFiles.toInt, cols)
       refreshView(name)
       summary("compact", name, snap.version)
 

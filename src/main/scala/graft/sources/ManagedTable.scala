@@ -502,16 +502,34 @@ object ManagedTable {
     * maintenance pass that collapses mutation-fragmented small files
     * so footer min/max stats prune again. Old files become
     * unreferenced and fall to [[vacuum]].
+    *
+    * `zorderCols` (mutually exclusive with `clusterCols`, >= 2 numeric/
+    * date/timestamp columns) instead lays the files out along the
+    * Morton-interleaved rank key ([[Tables.zkey]]): every z-ordered
+    * column's per-file min/max narrows AT ONCE, so the [[FileStats]]
+    * sidecar written by this commit makes [[readRange]] selective on
+    * ANY of them — 1-D clustering narrows only its leading column.
     */
   def compactTable(spark: SparkSession, root: String, numFiles: Int,
-                   clusterCols: Seq[String] = Nil): Snapshot = {
+                   clusterCols: Seq[String] = Nil,
+                   zorderCols: Seq[String] = Nil): Snapshot = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(clusterCols.isEmpty || zorderCols.isEmpty,
+      "optimize: BY and ZORDER BY are mutually exclusive — pick one layout")
+    require(zorderCols.isEmpty || zorderCols.size >= 2,
+      s"optimize: ZORDER BY needs >= 2 columns (use BY for 1), got $zorderCols")
     val snap = latest(spark, root)
     val df = read(spark, root)
-    val missing = clusterCols.filterNot(snap.schema.fieldNames.contains)
+    val missing = (clusterCols ++ zorderCols).filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty, s"optimize: no such column(s) ${missing.mkString(", ")}")
     val arranged =
-      if (clusterCols.nonEmpty)
+      if (zorderCols.nonEmpty)
+        Tables.zkey(df, zorderCols, bits = 16)
+          .repartitionByRange(numFiles, col("_zkey"))
+          .sortWithinPartitions(col("_zkey"))
+          .drop(("_zkey" +: zorderCols.indices.map(i => s"_zr$i")): _*)
+          .select(snap.schema.fieldNames.map(col): _*)
+      else if (clusterCols.nonEmpty)
         df.repartitionByRange(numFiles, clusterCols.map(col): _*)
           .sortWithinPartitions(clusterCols.map(col): _*)
       else df.repartition(numFiles)

@@ -158,6 +158,47 @@ class FileStatsSpec extends AnyFunSuite {
     assert(!f.exists(FileStats.statsPath(root, 0)))
   }
 
+  test("OPTIMIZE ZORDER: readRange prunes on BOTH z-ordered columns") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, schema)
+    // a 20x20 grid: id and score are independent dimensions, so a 1-D
+    // layout can only ever narrow one of them
+    ManagedTable.insert(spark, root,
+      (0L until 400L).map(i => (i % 20, "g", (i / 20).toDouble))
+        .toDF("id", "grp", "score"))
+    ManagedTable.compactTable(spark, root, numFiles = 16,
+      zorderCols = Seq("id", "score"))
+    val total = ManagedTable.history(spark, root).last.files.size
+    val byId = ManagedTable.readRange(spark, root, "id", 0L, 4L)
+    val bySc = ManagedTable.readRange(spark, root, "score", 0.0, 4.0)
+    assert(byId.count() == 100 && bySc.count() == 100)
+    assert(byId.inputFiles.length < total,
+      s"id range scans ${byId.inputFiles.length}/$total")
+    assert(bySc.inputFiles.length < total,
+      s"score range scans ${bySc.inputFiles.length}/$total")
+    // the 1-D control: clustering BY (id) leaves score spans global,
+    // so the same score range prunes nothing
+    val root2 = freshRoot()
+    ManagedTable.create(spark, root2, schema)
+    ManagedTable.insert(spark, root2,
+      (0L until 400L).map(i => (i % 20, "g", (i / 20).toDouble))
+        .toDF("id", "grp", "score"))
+    ManagedTable.compactTable(spark, root2, numFiles = 16,
+      clusterCols = Seq("id"))
+    val t2 = ManagedTable.history(spark, root2).last.files.size
+    val ctl = ManagedTable.readRange(spark, root2, "score", 0.0, 4.0)
+    assert(ctl.count() == 100 && ctl.inputFiles.length == t2,
+      s"1-D control should scan all $t2 files, scanned ${ctl.inputFiles.length}")
+    // mutually exclusive layouts and too-few zorder columns are loud
+    intercept[IllegalArgumentException] {
+      ManagedTable.compactTable(spark, root, 4,
+        clusterCols = Seq("id"), zorderCols = Seq("id", "score"))
+    }
+    intercept[IllegalArgumentException] {
+      ManagedTable.compactTable(spark, root, 4, zorderCols = Seq("id"))
+    }
+  }
+
   test("bad column or non-numeric column fails loudly") {
     val root = freshRoot()
     ManagedTable.create(spark, root, schema)

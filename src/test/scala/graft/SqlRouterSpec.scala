@@ -98,6 +98,24 @@ class SqlRouterSpec extends AnyFunSuite {
     assert(router.execute("SELECT count(*) n FROM m5").collect().head.getLong(0) == 2)
   }
 
+  test("OPTIMIZE ... ZORDER BY routes to the Morton layout") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE mz (id BIGINT, name STRING, score DOUBLE) LOCATION '$root'")
+    router.execute("INSERT INTO mz SELECT id % 20, 'g', CAST(id DIV 20 AS DOUBLE) " +
+      "FROM range(400)")
+    val opt = router.execute("OPTIMIZE mz INTO 16 FILES ZORDER BY (id, score)")
+      .collect().head
+    assert(opt.getAs[String]("op") == "compact")
+    val total = ManagedTable.history(spark, root).last.files.size
+    // both z-ordered columns prune through the stats sidecar
+    val byId = ManagedTable.readRange(spark, root, "id", 0L, 4L)
+    val bySc = ManagedTable.readRange(spark, root, "score", 0.0, 4.0)
+    assert(byId.count() == 100 && byId.inputFiles.length < total)
+    assert(bySc.count() == 100 && bySc.inputFiles.length < total)
+    assert(router.isMutation("OPTIMIZE mz INTO 16 FILES ZORDER BY (id, score)"))
+  }
+
   test("non-DML statements pass through to spark.sql untouched") {
     val n = router.execute("SELECT 1 + 1 AS two").collect().head.getInt(0)
     assert(n == 2)
