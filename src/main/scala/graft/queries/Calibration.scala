@@ -59,9 +59,15 @@ object Calibration {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select("v", "ca")
       val tot = vc.agg(sum("c").as("n_all"))
+      // the |cs·n − ca·n_s|·1e6 intermediate is bounded by n_s·n·1e6,
+      // which wraps Long once n_s·n passes ~9.2e12 (a 1M-doc source in
+      // a 10M-doc corpus) — so the products run in DECIMAL(38,0) and
+      // only the ≤1e6 ppm quotient comes back to BIGINT. DuckDB's
+      // HUGEINT absorbs the same product natively.
       val ks = cum.join(acc, "v").crossJoin(broadcast(tot))
         .selectExpr("source", "n_s", "v",
-          "ABS(cs * n_all - ca * n_s) * 1000000 DIV (n_s * n_all) AS d_ppm")
+          "CAST(ABS(CAST(cs AS DECIMAL(19,0)) * n_all - CAST(ca AS DECIMAL(19,0)) * n_s) * 1000000 " +
+            "DIV (CAST(n_s AS DECIMAL(19,0)) * n_all) AS BIGINT) AS d_ppm")
       ks.withColumn("md", max("d_ppm").over(Window.partitionBy("source")))
         .groupBy("source")
         .agg(min("n_s").as("n_docs"), max("d_ppm").as("ks_ppm"),
@@ -175,7 +181,8 @@ ks AS (SELECT c.source, c.n_s, c.v,
        FROM cum c JOIN acc a ON a.v = c.v CROSS JOIN tot),
 mk AS (SELECT source, n_s, v, d_ppm,
          MAX(d_ppm) OVER (PARTITION BY source) AS md FROM ks)
-SELECT source, MIN(n_s) AS n_docs, MAX(d_ppm) AS ks_ppm,
+SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_docs,
+  CAST(MAX(d_ppm) AS BIGINT) AS ks_ppm,
   MIN(CASE WHEN d_ppm = md THEN v END) AS at_value
 FROM mk GROUP BY source ORDER BY source""",
 
@@ -217,7 +224,7 @@ nk AS (SELECT COUNT(*) AS k_total FROM sel),
 per AS (SELECT d.source, COUNT(*) AS n_docs, SUM(d.n_chars) AS w_src FROM d GROUP BY d.source),
 ps AS (SELECT source, COUNT(*) AS n_sel, SUM(n_chars) AS w_sel FROM sel GROUP BY source)
 SELECT p.source, p.n_docs, COALESCE(ps.n_sel, 0) AS n_selected,
-  p.w_src * 1000000 // w_all AS weight_share_ppm,
+  CAST(p.w_src * 1000000 // w_all AS BIGINT) AS weight_share_ppm,
   COALESCE(ps.n_sel, 0) * 1000000 // k_total AS sel_share_ppm,
   CAST(COALESCE(ps.w_sel, 0) AS BIGINT) AS w_selected
 FROM per p LEFT JOIN ps ON ps.source = p.source CROSS JOIN tw CROSS JOIN nk

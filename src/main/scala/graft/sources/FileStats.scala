@@ -114,7 +114,22 @@ object FileStats {
       val sb = new StringBuilder
       while (text.charAt(i) != '"') {
         text.charAt(i) match {
-          case '\\' => sb.append(text.charAt(i + 1)); i += 2
+          // exact inverse of Json.escape: \" \\ \n \r \t \uXXXX. A raw
+          // append of the escaped char would turn a control character
+          // in a file/column name into a DIFFERENT string, silently
+          // desynchronizing sidecar keys from manifest file names
+          // (those files would then never prune and re-harvest forever).
+          case '\\' =>
+            text.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'u' =>
+                sb.append(Integer.parseInt(text.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case c @ ('"' | '\\') => sb.append(c); i += 2
+              case c => fail(s"unknown escape '\\$c'")
+            }
           case c => sb.append(c); i += 1
         }
       }

@@ -290,7 +290,12 @@ object ManagedTable {
       case n: Short => BigDecimal(n.toInt)
       case n: Int => BigDecimal(n)
       case n: Long => BigDecimal(n)
-      case n: Float => BigDecimal(n.toDouble)
+      // NOT n.toDouble: 0.1f widens to 0.10000000149011612, which sorts
+      // ABOVE the "0.1" FileStats.harvest records for a FloatType max —
+      // a file whose max IS the bound would be wrongly pruned. Float's
+      // shortest round-trip string preserves float order and matches
+      // the sidecar representation exactly.
+      case n: Float => BigDecimal(n.toString)
       case n: Double => BigDecimal(n)
       case n: BigDecimal => n
       case other => throw new IllegalArgumentException(

@@ -28,7 +28,9 @@ class BenchSpec extends AnyFunSuite {
     assert(quiet.contains("\"query_load\":{"), quiet.take(200))
     assert(quiet.contains("\"query_cpu\":{"), quiet.take(200))
     assert(quiet.contains("\"load_flagged\":[]"), quiet.takeRight(200))
-    // a spiked query (start loadavg beyond cpus+1) is self-diagnosing
+    assert(quiet.contains("\"env_flagged\":false"), quiet.takeRight(200))
+    // a spiked query (start loadavg beyond the quiet own-load band) is
+    // self-diagnosing even when the pre-warmup sample was quiet
     val spiked = Bench.record(
       runs(Seq("q01_a", "q03_c")) ++ runs(Seq("q02_b"), load = 9.7),
       Nil, "/root/testdata/sf0.1", 0.5, 7.8, 4)
@@ -36,11 +38,29 @@ class BenchSpec extends AnyFunSuite {
     assert(spiked.contains("\"load_flagged\":[\"q02_b\"]"), spiked.takeRight(200))
   }
 
-  test("loadFlagged thresholds on the bench's own core budget") {
-    val rs = Seq(Bench.QRun("q10_x", 1.0, 4.9, 3.0), // <= cpus+1 → quiet
-      Bench.QRun("q11_y", 1.0, 5.1, 3.0))            // > cpus+1 → flagged
-    assert(Bench.loadFlagged(rs, 4) == Seq("q11_y"))
-    assert(Bench.loadFlagged(rs, 8).isEmpty)
+  test("loadFlagged thresholds on the measured quiet own-load band") {
+    // calibration: local[32] quiet band is median 1.8 / max 3.3, so the
+    // band at 32 cores is 3.5 and scales linearly, floored at 1.5
+    assert(Bench.ownLoadBand(32) == 3.5)
+    assert(Bench.ownLoadBand(4) == 1.5) // floor, not 0.44
+    val rs = Seq(Bench.QRun("q10_x", 1.0, 3.3, 3.0), // quiet max → not flagged
+      Bench.QRun("q11_y", 1.0, 3.7, 3.0))            // above band → flagged
+    assert(Bench.loadFlagged(rs, 32) == Seq("q11_y"))
+    assert(Bench.loadFlagged(rs, 64).isEmpty)
+  }
+
+  test("the r5 graded artifact (pre-warmup load 7.36) would now be flagged") {
+    // regression for the dead `cpus+1` threshold: at local[32] it
+    // required load > 33, which no realistic contamination reaches.
+    // The r5 driver run started at external loadavg 7.36 and sampled
+    // ~7 at most query starts — both layers must fire.
+    assert(Bench.envFlagged(7.36))
+    assert(!Bench.envFlagged(0.33)) // the quiet committed bench_full.json
+    val r5ish = runs(Seq("q01_a", "q02_b"), load = 7.1)
+    assert(Bench.loadFlagged(r5ish, 32) == Seq("q01_a", "q02_b"))
+    val rec = Bench.record(r5ish, Nil, "/root/testdata/sf0.1", 7.36, 7.8, 32)
+    assert(rec.contains("\"env_flagged\":true"), rec.takeRight(200))
+    assert(rec.contains("\"load_flagged\":[\"q01_a\",\"q02_b\"]"), rec.takeRight(250))
   }
 
   test("record survives hostile sfDir paths (quotes, backslashes)") {
