@@ -92,4 +92,75 @@ object Windows {
     val w = Window.partitionBy(partitionKey).orderBy(ordering: _*)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** Distributed prefix sum (running total of `valueCol` in `orderCol`
+    * order, per `partitionCols` group) with NO single-task window —
+    * the scale-out form of `SUM(v) OVER (ORDER BY o)`.
+    *
+    * A partition-less (or low-cardinality-keyed) cumulative window
+    * funnels the whole relation through one task per key: fine when
+    * the relation is fixture-bounded (q120's ~days precedent), a
+    * scale-killer when its size follows the data's ndv. This is the
+    * classic two-level scan instead:
+    *
+    *   1. rows map to `buckets` RANGE buckets of the order domain
+    *      (order-preserving: every value in bucket i sorts before
+    *      every value in bucket i+1), from a one-row (per group)
+    *      min/max broadcast;
+    *   2. the cumulative sum runs WITHIN each bucket — a keyed
+    *      WindowExec, embarrassingly parallel;
+    *   3. per-bucket totals (≤ `buckets` rows per group) get
+    *      exclusive offsets via a broadcast lower-triangle self-join
+    *      — tiny, and deliberately window-free so the executed plan
+    *      contains no SinglePartition WindowExec at all;
+    *   4. offsets broadcast back: result = offset + local cumsum.
+    *
+    * Requirements: `orderCol` must be DISTINCT within each group
+    * (collapse to a (key, value, count) relation first — every CDF
+    * call site already does), and numerically bucketable — pass
+    * `orderNum` for a non-numeric but order-isomorphic domain (e.g.
+    * `unix_date(col("d"))` for dates). Value skew across buckets
+    * cannot affect correctness, only balance.
+    *
+    * `exclusive = true` yields the sum of strictly-preceding rows
+    * (`cum − v`, valid because order keys are distinct).
+    */
+  def prefixSum(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+                valueCol: String, outCol: String, exclusive: Boolean = false,
+                buckets: Int = 256, orderNum: Option[Column] = None): DataFrame = {
+    val num = orderNum.getOrElse(col(orderCol)).cast("double")
+    val rngAggs = Seq(min(num).as("_ps_mn"), max(num).as("_ps_mx"))
+    val withRange =
+      if (partitionCols.isEmpty)
+        df.crossJoin(broadcast(df.agg(rngAggs.head, rngAggs.tail: _*)))
+      else
+        df.join(broadcast(df.groupBy(partitionCols.map(col): _*)
+          .agg(rngAggs.head, rngAggs.tail: _*)), partitionCols)
+    val span = col("_ps_mx") - col("_ps_mn")
+    val bucketed = withRange.withColumn("_ps_b",
+      when(span <= 0, lit(0)).otherwise(
+        least(floor((num - col("_ps_mn")) / span * buckets), lit(buckets - 1)))
+        .cast("int"))
+    val grpB = partitionCols :+ "_ps_b"
+    val w = Window.partitionBy(grpB.map(col): _*).orderBy(orderCol)
+    val local = bucketed.withColumn("_ps_cum", sum(valueCol).over(w))
+    val totals = bucketed.groupBy(grpB.map(col): _*)
+      .agg(sum(valueCol).as("_ps_t"))
+    // every name on the lower (broadcast) side is fresh, so the
+    // triangle self-join needs no dataset-id disambiguation
+    val lower = totals.select(
+      partitionCols.zipWithIndex.map { case (c, i) => col(c).as(s"_ps_p$i") } ++
+        Seq(col("_ps_b").as("_ps_lb"), col("_ps_t").as("_ps_lt")): _*)
+    val cond = partitionCols.zipWithIndex
+      .map { case (c, i) => col(c) === col(s"_ps_p$i") }
+      .foldLeft(col("_ps_lb") < col("_ps_b"))(_ && _)
+    val offs = totals.join(broadcast(lower), cond, "left")
+      .groupBy(grpB.map(col): _*)
+      .agg(coalesce(sum("_ps_lt"), lit(0L)).as("_ps_off"))
+    local.join(broadcast(offs), grpB)
+      .withColumn(outCol,
+        if (exclusive) col("_ps_off") + col("_ps_cum") - col(valueCol)
+        else col("_ps_off") + col("_ps_cum"))
+      .drop("_ps_mn", "_ps_mx", "_ps_b", "_ps_cum", "_ps_off")
+  }
 }

@@ -51,12 +51,12 @@ object Calibration {
       val cum = grid.withColumn("cs", sum("c").over(
         Window.partitionBy("source").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // corpus CDF: a window over the ndv-sized value relation — the
-      // one legal partition-less window (bounded by distinct lengths,
-      // the q120 precedent)
-      val acc = vc.groupBy("v").agg(sum("c").as("ac"))
-        .withColumn("ca", sum("ac").over(Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // corpus CDF over the ndv-sized value relation — ndv follows the
+      // data (distinct doc lengths), so no partition-less window: the
+      // two-level bucketed prefix sum keeps every WindowExec keyed
+      // (PlanSpec pins the absence of SinglePartition windows)
+      val acc = graft.operators.Windows.prefixSum(
+          vc.groupBy("v").agg(sum("c").as("ac")), Nil, "v", "ac", "ca")
         .select("v", "ca")
       val tot = vc.agg(sum("c").as("n_all"))
       // the |cs·n − ca·n_s|·1e6 intermediate is bounded by n_s·n·1e6,

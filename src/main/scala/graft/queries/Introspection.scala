@@ -157,11 +157,16 @@ object Introspection {
       val pt = Tables.load(s, dir, "part")
         .select(lit("p_size").as("col_name"), col("p_size").cast("long").as("v"))
       val vc = li.unionByName(pt).groupBy("col_name", "v").agg(cnt.as("c"))
-      val cumW = Window.partitionBy("col_name").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val totW = Window.partitionBy("col_name")
-      vc.withColumn("cum_ex", coalesce(sum("c").over(cumW), lit(0L)))
-        .withColumn("total", sum("c").over(totW))
+      // the cumulative rank used to be a window PARTITIONED by
+      // col_name — keyed, but one task per COLUMN, so a high-ndv
+      // column funnels its whole (value, count) relation through one
+      // core. The bucketed two-level prefix sum parallelizes within
+      // each column; per-column totals come from a hash agg broadcast
+      // back (not an unbounded window).
+      val tots = vc.groupBy("col_name").agg(sum("c").as("total"))
+      graft.operators.Windows.prefixSum(vc, Seq("col_name"), "v", "c",
+          "cum_ex", exclusive = true)
+        .join(broadcast(tots), Seq("col_name"))
         .withColumn("bucket", expr("cum_ex * 8 DIV total"))
         .groupBy("col_name", "bucket")
         .agg(min("v").as("lo"), max("v").as("hi"),

@@ -234,10 +234,13 @@ object Training {
       val newu = ev.groupBy("user_id").agg(min("d").as("d"))
         .groupBy("d").agg(cnt.as("n_new"))
       val dau = ev.groupBy("d").agg(cnt.as("dau"))
-      dau.join(newu, Seq("d"), "left")
+      val daily = dau.join(newu, Seq("d"), "left")
         .select(col("d"), coalesce(col("n_new"), lit(0L)).as("n_new"), col("dau"))
-        .withColumn("cum_users", sum("n_new").over(
-          org.apache.spark.sql.expressions.Window.orderBy("d")))
+      // ~days-sized, but days track the fixture's time span — the
+      // bucketed prefix sum costs nothing here and removes the last
+      // partition-less window (dates bucket via their epoch-day image)
+      graft.operators.Windows.prefixSum(daily, Nil, "d", "n_new",
+          "cum_users", orderNum = Some(unix_date(col("d"))))
         .select(col("d").as("event_day"), col("n_new"), col("cum_users"), col("dau"))
         .orderBy("event_day")
     }),

@@ -52,6 +52,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Set(("a", 3, 1), ("a", 2, 2), ("b", 10, 1)))
   }
 
+  test("Windows.prefixSum matches the single-window cumulative sum") {
+    // 1000 distinct keys, values keyed off the order col so any bucket
+    // mis-order or off-by-one offset shows up as a wrong running total
+    val df = spark.range(1000)
+      .selectExpr("id * 7 % 1000 AS v", "id % 13 + 1 AS c", "id % 3 AS g")
+    val expectGlobal = df.orderBy("v").selectExpr("v",
+        "SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+      .as[(Long, Long)].collect().toMap
+    val gotGlobal = Windows.prefixSum(df, Nil, "v", "c", "cum", buckets = 16)
+      .select("v", "cum").as[(Long, Long)].collect().toMap
+    assert(gotGlobal == expectGlobal)
+    // grouped + exclusive: per-group running total of strictly-lower v
+    val dg = df.selectExpr("g", "v", "c").distinct()
+    val expectGrp = dg.selectExpr("g", "v",
+        "SUM(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum")
+      .na.fill(0L, Seq("cum")).as[(Long, Long, Long)].collect().toSet
+    val gotGrp = Windows.prefixSum(dg, Seq("g"), "v", "c", "cum",
+        exclusive = true, buckets = 8)
+      .select("g", "v", "cum").as[(Long, Long, Long)].collect().toSet
+    assert(gotGrp == expectGrp)
+    // degenerate domains: single distinct order value, single row
+    val one = Seq((5L, 2L), (5L, 3L)).toDF("v", "c").groupBy("v")
+      .agg(sum("c").as("c"))
+    assert(Windows.prefixSum(one, Nil, "v", "c", "cum")
+      .select("cum").as[Long].collect().toSeq == Seq(5L))
+    // non-numeric order domain via orderNum (dates bucket by epoch day)
+    val dts = Seq("2024-01-01", "2024-03-05", "2024-02-02")
+      .toDF("ds").selectExpr("CAST(ds AS DATE) AS d", "1L AS c")
+    val cums = Windows.prefixSum(dts, Nil, "d", "c", "cum",
+        orderNum = Some(unix_date(col("d"))))
+      .orderBy("d").select("cum").as[Long].collect().toSeq
+    assert(cums == Seq(1L, 2L, 3L))
+  }
+
   test("Dedup.shingles produces ordered 3-gram set, short docs dropped") {
     val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
     val out = Dedup.shingles(df).as[(Long, String)].collect().toSet

@@ -533,4 +533,29 @@ class PlanSpec extends AnyFunSuite {
     val p150 = plan("q150_weighted_sample")
     assert(p150.contains("TakeOrderedAndProject"), p150.take(800))
   }
+
+  test("q148/q147/q120: every WindowExec in the executed plan is keyed") {
+    // the CDF prefix sums run as the two-level bucketed scan
+    // (Windows.prefixSum) — a partition-less running window would
+    // funnel the ndv-sized relation through ONE task at 100 TB, so
+    // its reappearance (in any subplan, AQE included) is a regression
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    for (k <- Seq("q148_ks_drift", "q147_equi_depth_hist",
+                  "q120_cumulative_users")) {
+      val exec = SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan
+      val all = windows(exec)
+      assert(all.nonEmpty, s"$k lost its windows entirely — rewrite?")
+      val unkeyed = all.filter(_.partitionSpec.isEmpty)
+      assert(unkeyed.isEmpty,
+        s"$k has partition-less windows:\n${unkeyed.mkString("\n")}")
+    }
+  }
 }
