@@ -16,10 +16,9 @@ import graft.sources.Tables
   *
   * Same t2 gate as every wave: DuckDB oracles in [[oracle]],
   * prototyped at sf0.01 before the natives; determinism per SURVEY.md
-  * §5 — KS and the join-order report are pure integers; the sampling
-  * key is the one transcendental (ln), handled by the q139 discipline:
-  * ROUND(..,6) into DECIMAL(18,6) before any compare/order, with the
-  * doc_id tie-break making the top-k total-ordered.
+  * §5 — the whole wave is pure integer arithmetic (the original A-ES
+  * sampler's per-doc −ln(u)/w key was replaced by integer systematic
+  * sampling in round 6 precisely to retire its libm-drift exposure).
   */
 object Calibration {
 
@@ -122,38 +121,55 @@ object Calibration {
         .orderBy("join_order")
     }),
 
-    // Deterministic weighted sampling (Efraimidis–Spirakis A-ES):
-    // draw a 100-document sample with selection probability ∝ n_chars
-    // from content-addressed uniforms (md5 of doc_id — exactly
-    // reproducible, the q66/q69 discipline), key = −ln(u)/w, SMALLEST
-    // k win. The report is per-source accounting: selection share vs
-    // the weight share the sampler targets. Scale shape: the key is a
-    // zero-shuffle projection; top-k is TakeOrdered (never a global
-    // sort); shares are one hash agg per side joined on source.
+    // Deterministic weighted sampling, INTEGER-ONLY: systematic
+    // (midpoint) sampling over cumulative weights. Documents line up
+    // in content-addressed order (md5 of doc_id — exactly
+    // reproducible, the q66/q69 discipline) with running weight
+    // intervals [cw−w, cw); the k=100 probe positions are the exact
+    // integer midpoints p_i = ⌊(2i+1)·W / 2k⌋, and a document is
+    // drawn once per position inside its interval (multiplicity for
+    // weight-dominant docs), so Σdraws = k exactly and selection
+    // probability tracks w/W — with no transcendental anywhere. The
+    // A-ES −ln(u)/w key this replaces rolled a fresh libm call per
+    // document, where a 1-ulp ln divergence at a ROUND boundary could
+    // flip sample membership between engines (q139 bounded the same
+    // risk to 256 bucket constants; here the arithmetic is exact).
+    // positionsBelow(x) = |{i : p_i < x}| closes to
+    // LEAST(k, ((2k·x − 1) DIV W + 1) DIV 2) on POSITIVE operands
+    // only — Spark DIV truncates toward zero while DuckDB // floors,
+    // so negative intermediates are fenced out by the x <= 0 guard
+    // (DifferentialSpec pins the formula against direct position
+    // enumeration). Scale shape: the cumulative weight is the q148
+    // two-level bucketed prefix sum (no partition-less window, no
+    // global sort, no top-k barrier); draws are a pure projection
+    // against the broadcast 1-row total; shares are one hash agg per
+    // side joined on source. Long-range bound: 2k·W < 2^63 ⟺
+    // W < 4.6e16 total chars (≈46 PB of text).
     "q150_weighted_sample" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .filter(col("n_chars") > 0)
         .select(col("doc_id"), col("source"), col("n_chars"),
-          expr("CAST(conv(substr(md5(concat('ws:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000 + 1")
-            .as("u6"))
-        .localCheckpoint() // read twice: sample + per-source totals
-      // NOT checkpointed: each of the two consumers replays a cheap
-      // TakeOrdered over the checkpointed base, keeping the top-k
-      // visible in the executed plan (pinned in PlanSpec) instead of
-      // buried inside a checkpoint materialization
-      val sel = d.selectExpr("doc_id", "source", "n_chars",
-          "CAST(ROUND(-ln(CAST(u6 AS DOUBLE) / 1000001.0D) / n_chars, 6) AS DECIMAL(18,6)) AS akey")
-        .orderBy(col("akey").asc, col("doc_id").asc).limit(100)
+          expr("concat(md5(concat('ws:', CAST(doc_id AS STRING))), ':', CAST(doc_id AS STRING))")
+            .as("hk"))
+        .localCheckpoint() // read twice: cumulative walk + per-source totals
+      val cum = graft.operators.Windows.prefixSum(d, Nil, "hk", "n_chars", "cw",
+        orderNum = Some(expr("CAST(conv(substr(hk, 1, 8), 16, 10) AS BIGINT)")))
       val tw = d.agg(sum("n_chars").as("w_all"))
-      val nk = sel.agg(cnt.as("k_total"))
+      def below(x: String) =
+        s"CASE WHEN ($x) <= 0 THEN 0L ELSE LEAST(100L, ((200 * ($x) - 1) DIV w_all + 1) DIV 2) END"
+      val draws = cum.crossJoin(broadcast(tw))
+        .withColumn("m", expr(s"${below("cw")} - ${below("cw - n_chars")}"))
       val per = d.groupBy("source").agg(cnt.as("n_docs"), sum("n_chars").as("w_src"))
-      val ps = sel.groupBy("source").agg(cnt.as("n_sel"), sum("n_chars").as("w_sel"))
-      per.join(ps, Seq("source"), "left")
-        .crossJoin(broadcast(tw)).crossJoin(broadcast(nk))
+      val ps = draws.groupBy("source")
+        .agg(sum("m").as("n_sel"), sum(col("m") * col("n_chars")).as("w_sel"))
+      // ps is ~#sources rows (metadata-scale) — broadcast it so the
+      // share join never shuffles the per-source rollup
+      per.join(broadcast(ps), Seq("source"), "left")
+        .crossJoin(broadcast(tw))
         .selectExpr("source", "n_docs",
           "coalesce(n_sel, 0L) AS n_selected",
           "w_src * 1000000 DIV w_all AS weight_share_ppm",
-          "coalesce(n_sel, 0L) * 1000000 DIV k_total AS sel_share_ppm",
+          "coalesce(n_sel, 0L) * 1000000 DIV 100 AS sel_share_ppm",
           "coalesce(w_sel, 0L) AS w_selected")
         .orderBy("source")
     })
@@ -214,20 +230,24 @@ FROM r ORDER BY join_order""",
 
     "q150_weighted_sample" -> """
 WITH d AS (SELECT doc_id, source, n_chars,
-    (('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 + 1) AS u6
+    md5('ws:' || CAST(doc_id AS VARCHAR)) || ':' || CAST(doc_id AS VARCHAR) AS hk
   FROM documents WHERE n_chars > 0),
-k AS (SELECT doc_id, source, n_chars,
-    CAST(ROUND(-ln(CAST(u6 AS DOUBLE) / 1000001.0) / n_chars, 6) AS DECIMAL(18,6)) AS akey FROM d),
-sel AS (SELECT * FROM k ORDER BY akey ASC, doc_id ASC LIMIT 100),
+c AS (SELECT *, SUM(n_chars) OVER (ORDER BY hk
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM d),
 tw AS (SELECT SUM(n_chars) AS w_all FROM d),
-nk AS (SELECT COUNT(*) AS k_total FROM sel),
+m AS (SELECT c.source, c.n_chars,
+        (CASE WHEN cw <= 0 THEN 0
+              ELSE LEAST(100, ((200 * cw - 1) // w_all + 1) // 2) END)
+      - (CASE WHEN cw - n_chars <= 0 THEN 0
+              ELSE LEAST(100, ((200 * (cw - n_chars) - 1) // w_all + 1) // 2) END) AS m
+      FROM c CROSS JOIN tw),
 per AS (SELECT d.source, COUNT(*) AS n_docs, SUM(d.n_chars) AS w_src FROM d GROUP BY d.source),
-ps AS (SELECT source, COUNT(*) AS n_sel, SUM(n_chars) AS w_sel FROM sel GROUP BY source)
-SELECT p.source, p.n_docs, COALESCE(ps.n_sel, 0) AS n_selected,
+ps AS (SELECT source, SUM(m) AS n_sel, SUM(m * n_chars) AS w_sel FROM m GROUP BY source)
+SELECT p.source, p.n_docs, CAST(COALESCE(ps.n_sel, 0) AS BIGINT) AS n_selected,
   CAST(p.w_src * 1000000 // w_all AS BIGINT) AS weight_share_ppm,
-  COALESCE(ps.n_sel, 0) * 1000000 // k_total AS sel_share_ppm,
+  CAST(COALESCE(ps.n_sel, 0) * 1000000 // 100 AS BIGINT) AS sel_share_ppm,
   CAST(COALESCE(ps.w_sel, 0) AS BIGINT) AS w_selected
-FROM per p LEFT JOIN ps ON ps.source = p.source CROSS JOIN tw CROSS JOIN nk
+FROM per p LEFT JOIN ps ON ps.source = p.source CROSS JOIN tw
 ORDER BY p.source"""
   ).map { case (k, v) => k -> v.trim }
 }

@@ -12,6 +12,33 @@ import graft.queries.{Queries, QueryTexts}
 class DifferentialSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("q150's positionsBelow closure matches direct position enumeration") {
+    // the systematic sampler's count-of-midpoints-below-x closes to
+    // LEAST(k, ((2k·x − 1) DIV W + 1) DIV 2) — exercised over domains
+    // chosen to hit every boundary (x at/adjacent to each midpoint,
+    // W not divisible by 2k, W < k, single-row W). A truncate-vs-floor
+    // divergence (Spark DIV vs DuckDB //) or an off-by-one here flips
+    // sample membership silently at the gate.
+    import spark.implicits._
+    val k = 7
+    for (w <- Seq(1L, 3L, k.toLong, 50L, 51L, 1000L, 999983L)) {
+      val midpoints = (0 until k).map(i => (2L * i + 1) * w / (2 * k))
+      def direct(x: Long) = midpoints.count(_ < x)
+      val xs = (0L to math.min(w, 60L)) ++
+        midpoints.flatMap(p => Seq(p - 1, p, p + 1)).filter(x => x >= 0 && x <= w)
+      val got = xs.distinct.sorted.toDF("x")
+        .selectExpr("x", s"CASE WHEN x <= 0 THEN 0L ELSE LEAST(${k}L, " +
+          s"((2 * $k * x - 1) DIV $w + 1) DIV 2) END AS below")
+        .as[(Long, Long)].collect().toMap
+      xs.distinct.foreach { x =>
+        assert(got(x) == direct(x), s"W=$w x=$x: got ${got(x)} want ${direct(x)}")
+      }
+      // total draws over the full weight range is exactly k: every
+      // midpoint sits strictly below W, so belowCount(W) = k
+      assert(direct(w) == k, s"W=$w")
+    }
+  }
+
   QueryTexts.spark.keys.toSeq.sorted.foreach { key =>
     test(s"$key: native == SQL text") {
       val nativeDf = Queries.all(key)(spark, TestSpark.sf0001)

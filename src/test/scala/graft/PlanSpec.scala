@@ -528,10 +528,13 @@ class PlanSpec extends AnyFunSuite {
     val p149 = plan("q149_join_order")
     assert("HashAggregate".r.findAllIn(p149).size >= 4, p149.take(800))
     assert(!p149.contains("SortMergeJoin"), "count relations broadcast at this size")
-    // q150: the weighted top-k is TakeOrdered, never a global Sort of
-    // the corpus; the 1-row totals broadcast
+    // q150: systematic sampling has NO top-k barrier and no global
+    // sort at all — the cumulative walk is the bucketed prefix sum,
+    // the totals broadcast, draws are a projection. The only Sort
+    // allowed is the final ~sources-row orderBy.
     val p150 = plan("q150_weighted_sample")
-    assert(p150.contains("TakeOrderedAndProject"), p150.take(800))
+    assert(!p150.contains("TakeOrderedAndProject"), p150.take(800))
+    assert(!p150.contains("SortMergeJoin"), p150.take(800))
   }
 
   test("q148/q147/q120: every WindowExec in the executed plan is keyed") {
