@@ -26,6 +26,9 @@ import graft.sources.ManagedTable
   *   DELETE FROM t [WHERE pred]
   *   UPSERT INTO t BY (k1, k2) SELECT ...          -- MERGE: replace
   *                                                 -- matched, insert new
+  *   ANALYZE TABLE t                               -- collect optimizer
+  *                                                 -- stats (see below)
+  *   SHOW STATS [FOR] t                            -- inspect them
   *   <anything else>                               -- spark.sql
   * }}}
   * Mutations return a one-row summary frame `(op, tbl, version)` —
@@ -50,6 +53,11 @@ import graft.sources.ManagedTable
   * the embedded/test mode.
   */
 final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
+
+  // every SELECT through this router benefits from ANALYZE statistics:
+  // the rule reorders inner-join chains and injects broadcast hints
+  // from them (no-op until something is ANALYZEd — see StatsJoinPlanner)
+  graft.plans.StatsJoinPlanner.install(spark)
 
   private val tables = TrieMap.empty[String, String] // name -> root path
   // materialized views by name; each is ALSO a managed table in
@@ -78,6 +86,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
             s"(moved or vacuumed away?) — fix or remove it from $p")
         tables.put(name, root)
         refreshView(name)
+        graft.sources.TableStatistics.load(spark, root): Unit
         SqlRouter.readMvSidecar(spark, root).foreach(spec =>
           mviews.put(spec.name, spec))
       }
@@ -105,6 +114,9 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       s"$root is not a managed table")
     tables.put(name, root)
     refreshView(name)
+    // restore durable ANALYZE statistics (only if they describe the
+    // current snapshot — TableStatistics.load enforces the version)
+    graft.sources.TableStatistics.load(spark, root): Unit
     persist()
   }
 
@@ -125,7 +137,13 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     require(!mviews.contains(name),
       s"'$name' is a materialized view maintained by the engine — " +
         s"mutate its base table '${mviews(name).over}' instead")
-    root(name)
+    val r = root(name)
+    // a row mutation makes ANALYZE statistics stale — drop them rather
+    // than let the planner act on them (re-ANALYZE when convenient);
+    // OPTIMIZE/compaction keeps rows identical and goes through
+    // root(), so its stats survive
+    graft.sources.TableStatistics.invalidate(r)
+    r
   }
 
   /** Post-DML incremental maintenance: every materialized view over
@@ -149,8 +167,14 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val shared = newV.columns.filter(oldV.columns.contains).toSeq
       val bag = graft.operators.Mvm.delta(oldV, newV, shared).localCheckpoint()
       specs.foreach { mv =>
+        def cols(xs: Seq[(String, String)]) =
+          xs.map { case (n, e) => (n, parseCol(e)) }
+        val (mins, maxs) = (cols(mv.mins), cols(mv.maxs))
         graft.streaming.MvSink.mergeBagIntoView(spark, mv.root, bag,
-          mv.keys, mv.countCol, mv.sums.map { case (n, e) => (n, parseCol(e)) })
+          mv.keys, mv.countCol, cols(mv.sums), mins, maxs,
+          // extrema delete-repair reads the post-mutation base version
+          if (mins.isEmpty && maxs.isEmpty) None else Some(newV))
+        graft.sources.TableStatistics.invalidate(mv.root)
         refreshView(mv.name)
       }
     }
@@ -229,13 +253,17 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+INTO\s+(\d+)\s+FILES(?:\s+(ZORDER\s+)?BY\s*\(([^)]+)\))?\s*""".r
   private val CreateMv =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+OVER\s+(\w+)\s+KEY\s*\(([^)]+)\)\s+COUNT\s+(\w+)(?:\s+SUM\s*\((.+)\))?\s+LOCATION\s+'([^']+)'\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+OVER\s+(\w+)\s+KEY\s*\(([^)]+)\)\s+COUNT\s+(\w+)(.*?)\s+LOCATION\s+'([^']+)'\s*""".r
   private val DropMv =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)(\s+PURGE)?\s*""".r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
   private val ShowMv =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*""".r
+  private val Analyze =
+    """(?is)\s*ANALYZE\s+TABLE\s+(\w+)\s*""".r
+  private val ShowStats =
+    """(?is)\s*SHOW\s+STATS\s+(?:FOR\s+)?(\w+)\s*""".r
 
   private def query(text: String): DataFrame = {
     val t = text.trim
@@ -254,12 +282,12 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // SHOW HISTORY / SHOW MATERIALIZED VIEWS are reads (and the SHOW
     // allowlist below already admits them); VACUUM deletes files — a
     // write.
-    case HistoryStmt(_) | ShowMv() => false
+    case HistoryStmt(_) | ShowMv() | ShowStats(_) => false
     case Create(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
          Optimize(_, _, _, _) | Drop(_, _) | VacuumStmt(_, _) |
          Restore(_, _) | CreateMv(_, _, _, _, _, _) | DropMv(_, _) |
-         RefreshMv(_) => true
+         RefreshMv(_) | Analyze(_) => true
     case other =>
       val kw = other.trim.takeWhile(!_.isWhitespace).toUpperCase
       !Set("SELECT", "WITH", "VALUES", "TABLE",
@@ -408,22 +436,29 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       summary("merge", name, snap.version)
 
     // CREATE MATERIALIZED VIEW mv OVER t KEY (g) COUNT n
-    //   [SUM (expr AS name, ...)] LOCATION '/path'
+    //   [SUM (expr AS name, ...)] [MIN (expr AS name, ...)]
+    //   [MAX (expr AS name, ...)] LOCATION '/path'
     // — the one full compute (bootstrap); from then on every DML on t
     // through this router maintains mv incrementally (maintainViews).
-    // The view is itself a managed table: SELECT-visible, versioned,
-    // durable, with its maintenance spec in a _graft_mv.json sidecar
-    // so a restarted router resumes maintaining it.
-    case CreateMv(name, over, keys, countCol, sumsOpt, path) =>
+    // COUNT/SUM maintain purely from deltas; MIN/MAX additionally
+    // delete-repair the groups whose extremum was removed (see
+    // Mvm.applyDeltaExtrema). The view is itself a managed table:
+    // SELECT-visible, versioned, durable, with its maintenance spec
+    // in a _graft_mv.json sidecar so a restarted router resumes
+    // maintaining it.
+    case CreateMv(name, over, keys, countCol, aggBlob, path) =>
       require(!tables.contains(name), s"name '$name' is already registered")
       val r = root(over)
       val keyCols = splitTop(keys, ',').map(_.trim)
-      val sums = Option(sumsOpt).map(SqlRouter.parseSumList).getOrElse(Nil)
+      val (sums, mins, maxs) = SqlRouter.parseAggClauses(aggBlob)
+      def cols(xs: Seq[(String, String)]) =
+        xs.map { case (n, e) => (n, parseCol(e)) }
       val mv0 = graft.operators.Mvm.compute(ManagedTable.read(spark, r),
-        keyCols, countCol, sums.map { case (n, e) => (n, parseCol(e)) })
+        keyCols, countCol, cols(sums), cols(mins), cols(maxs))
       ManagedTable.create(spark, path, mv0.schema)
       val snap = ManagedTable.insert(spark, path, mv0)
-      val spec = SqlRouter.MvSpec(name, over, path, keyCols, countCol, sums)
+      val spec = SqlRouter.MvSpec(name, over, path, keyCols, countCol,
+        sums, mins, maxs)
       SqlRouter.writeMvSidecar(spark, spec)
       mviews.put(name, spec)
       register(name, path)
@@ -450,18 +485,45 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val mv = mviews(name)
       val fresh = graft.operators.Mvm.compute(
         ManagedTable.read(spark, root(mv.over)), mv.keys, mv.countCol,
-        mv.sums.map { case (n, e) => (n, parseCol(e)) })
+        mv.sums.map { case (n, e) => (n, parseCol(e)) },
+        mv.mins.map { case (n, e) => (n, parseCol(e)) },
+        mv.maxs.map { case (n, e) => (n, parseCol(e)) })
       ManagedTable.delete(spark, mv.root, lit(true))
       val snap = ManagedTable.insert(spark, mv.root, fresh)
+      graft.sources.TableStatistics.invalidate(mv.root)
       refreshView(name)
       summary("refresh_mview", name, snap.version)
 
+    // ANALYZE collects optimizer statistics for the current snapshot
+    // (rows, bytes, per-column ndv, equi-depth histograms), persists
+    // them alongside the snapshot log, and makes them live for the
+    // session's StatsJoinPlanner immediately
+    case Analyze(name) if tables.contains(name) =>
+      val ts = graft.sources.TableStatistics.analyze(spark, root(name))
+      import spark.implicits._
+      Seq(("analyze", name, ts.version, ts.rows, ts.bytes))
+        .toDF("op", "tbl", "version", "n_rows", "n_bytes")
+
+    case ShowStats(name) if tables.contains(name) =>
+      import spark.implicits._
+      graft.sources.TableStatistics.get(root(name)) match {
+        case None => Seq.empty[(String, Long, Option[Double], Option[Double], Int, Long)]
+          .toDF("col_name", "ndv", "min", "max", "n_hist_buckets", "table_rows")
+        case Some(ts) => ts.cols.toSeq.sortBy(_._1)
+          .map { case (c, cs) => (c, cs.ndv, cs.min, cs.max,
+            math.max(0, cs.hist.size - 1), ts.rows) }
+          .toDF("col_name", "ndv", "min", "max", "n_hist_buckets", "table_rows")
+      }
+
     case ShowMv() =>
       import spark.implicits._
+      def show(xs: Seq[(String, String)]) =
+        xs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
       mviews.values.toSeq.sortBy(_.name)
         .map(m => (m.name, m.over, m.root, m.keys.mkString(","), m.countCol,
-          m.sums.map { case (n, e) => s"$e AS $n" }.mkString(", ")))
-        .toDF("name", "over_table", "location", "key_cols", "count_col", "sum_cols")
+          show(m.sums), show(m.mins), show(m.maxs)))
+        .toDF("name", "over_table", "location", "key_cols", "count_col",
+          "sum_cols", "min_cols", "max_cols")
 
     case other => spark.sql(other)
   }
@@ -477,7 +539,60 @@ object SqlRouter {
     * the spec survives serialization exactly. */
   final case class MvSpec(name: String, over: String, root: String,
                           keys: Seq[String], countCol: String,
-                          sums: Seq[(String, String)])
+                          sums: Seq[(String, String)],
+                          mins: Seq[(String, String)] = Nil,
+                          maxs: Seq[(String, String)] = Nil)
+
+  /** Parse the CREATE MATERIALIZED VIEW aggregate-clause blob — zero
+    * or more of `SUM (...)`, `MIN (...)`, `MAX (...)` in any order,
+    * each holding a `expr AS name, ...` list. Parens are matched
+    * balanced with quote awareness (so `SUM (CAST(x AS INT) AS y)`
+    * keeps its inner parens), and anything that is not one of the
+    * three keywords fails loudly — a typo must not silently become an
+    * unmaintained aggregate. Returns (sums, mins, maxs). */
+  private[server] def parseAggClauses(blob: String):
+      (Seq[(String, String)], Seq[(String, String)], Seq[(String, String)]) = {
+    val sums = Seq.newBuilder[(String, String)]
+    val mins = Seq.newBuilder[(String, String)]
+    val maxs = Seq.newBuilder[(String, String)]
+    val up = blob.toUpperCase
+    var i = 0
+    while (i < blob.length) {
+      if (blob.charAt(i).isWhitespace) i += 1
+      else {
+        val kw = Seq("SUM", "MIN", "MAX").find(k => up.startsWith(k, i) &&
+            (i + k.length >= blob.length || !blob.charAt(i + k.length).isLetterOrDigit))
+          .getOrElse(throw new IllegalArgumentException(
+            s"expected SUM/MIN/MAX in MV aggregate list, got '${blob.substring(i).take(30)}'"))
+        i += 3
+        while (i < blob.length && blob.charAt(i).isWhitespace) i += 1
+        require(i < blob.length && blob.charAt(i) == '(', s"expected '(' after $kw")
+        val start = i + 1
+        var depth = 1
+        var quote: Char = 0
+        i += 1
+        while (depth > 0) {
+          require(i < blob.length, s"unbalanced parens after $kw")
+          val c = blob.charAt(i)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else c match {
+            case '\'' | '"' => quote = c
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        val items = parseSumList(blob.substring(start, i - 1))
+        kw match {
+          case "SUM" => sums ++= items
+          case "MIN" => mins ++= items
+          case "MAX" => maxs ++= items
+        }
+      }
+    }
+    (sums.result(), mins.result(), maxs.result())
+  }
 
   /** Parse a `SUM (expr AS name, ...)` list: top-level commas split
     * items; the LAST top-level AS splits expr from name (so
@@ -520,11 +635,15 @@ object SqlRouter {
     val p = mvSidecarPath(spec.root)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def j(s: String) = graft.util.Json.escape(s)
+    def aggList(xs: Seq[(String, String)]) =
+      xs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
     val body = Seq(
       j("name") + ":" + j(spec.name), j("over") + ":" + j(spec.over),
       j("keys") + ":" + j(spec.keys.mkString(",")),
       j("count") + ":" + j(spec.countCol),
-      j("sums") + ":" + j(spec.sums.map { case (n, e) => s"$e AS $n" }.mkString(", "))
+      j("sums") + ":" + j(aggList(spec.sums)),
+      j("mins") + ":" + j(aggList(spec.mins)),
+      j("maxs") + ":" + j(aggList(spec.maxs))
     ).mkString("{", ",", "}")
     val out = f.create(p, /*overwrite=*/ true)
     try out.write(s"""{"mv":$body}""".getBytes("UTF-8")) finally out.close()
@@ -544,9 +663,12 @@ object SqlRouter {
       val m = parseFlat(text, "mv").toMap
       def need(k: String) = m.getOrElse(k, throw new IllegalArgumentException(
         s"MV sidecar $p missing '$k'"))
+      // mins/maxs default empty so pre-extrema sidecars still load
+      def aggList(k: String): Seq[(String, String)] =
+        m.get(k).filter(_.trim.nonEmpty).map(parseSumList).getOrElse(Nil)
       Some(MvSpec(need("name"), need("over"), root,
         need("keys").split(',').map(_.trim).toSeq, need("count"),
-        if (need("sums").trim.isEmpty) Nil else parseSumList(need("sums"))))
+        aggList("sums"), aggList("mins"), aggList("maxs")))
     }
   }
 

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.server.SqlRouter
+import graft.sources.TableStatistics
+
+/** The statistics-consuming planner (VERDICT r5 item 3): ANALYZE
+  * collects rows/ndv/histograms, StatsJoinPlanner turns them into join
+  * orders and broadcast build sides. These tests pin the DECISIONS
+  * (plan shape), their STABILITY (same results with or without stats),
+  * and the statistics lifecycle (persistence, staleness invalidation).
+  */
+class StatsPlannerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fresh() = Files.createTempDirectory("graft_sp").toString
+
+  /** Managed-table roots of the scan leaves, in optimized-plan order —
+    * the join order the planner actually chose. */
+  private def leafTables(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.head.toUri.getPath
+        case _ => "?"
+      }
+    }
+
+  private def tableAt(paths: Seq[String], name: String): Int =
+    paths.indexWhere(_.contains(s"/$name/"))
+
+  test("join order follows ANALYZE stats and flips when the stats flip") {
+    val r = new SqlRouter(spark)
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE f (k1 BIGINT, k2 BIGINT, v BIGINT) LOCATION '$base/f'")
+    r.execute(s"CREATE MANAGED TABLE d1 (k1 BIGINT, a BIGINT) LOCATION '$base/d1'")
+    r.execute(s"CREATE MANAGED TABLE d2 (k2 BIGINT, b BIGINT) LOCATION '$base/d2'")
+    r.execute("INSERT INTO f SELECT id % 50 AS k1, id % 40 AS k2, id AS v FROM range(2000)")
+    r.execute("INSERT INTO d1 SELECT id AS k1, id AS a FROM range(5)")
+    r.execute("INSERT INTO d2 SELECT id AS k2, id AS b FROM range(1000)")
+    val q = "SELECT f.v, d1.a, d2.b FROM f " +
+      "JOIN d1 ON f.k1 = d1.k1 JOIN d2 ON f.k2 = d2.k2"
+    // no stats yet: the rule must not touch the plan (written order)
+    val pre = leafTables(r.execute(q))
+    assert(tableAt(pre, "f") == 0, pre)
+    val expected = r.execute(q).collect().map(_.toString).sorted.toSeq
+
+    Seq("f", "d1", "d2").foreach(t => r.execute(s"ANALYZE TABLE $t"))
+    val o1 = leafTables(r.execute(q))
+    // greedy starts from the 5-row d1, so d1 must precede f, and f
+    // must precede the 1000-row d2
+    assert(tableAt(o1, "d1") < tableAt(o1, "f"), o1)
+    assert(tableAt(o1, "f") < tableAt(o1, "d2"), o1)
+    assert(r.execute(q).collect().map(_.toString).sorted.toSeq == expected)
+
+    // flip the sizes; stats are invalidated by the mutations, then
+    // re-collected — the chosen order must flip with them
+    r.execute("DELETE FROM d1")
+    r.execute("INSERT INTO d1 SELECT id AS k1, id AS a FROM range(1000)")
+    r.execute("DELETE FROM d2")
+    r.execute("INSERT INTO d2 SELECT id AS k2, id AS b FROM range(5)")
+    Seq("f", "d1", "d2").foreach(t => r.execute(s"ANALYZE TABLE $t"))
+    val o2 = leafTables(r.execute(q))
+    assert(tableAt(o2, "d2") < tableAt(o2, "f"), o2)
+    assert(tableAt(o2, "f") < tableAt(o2, "d1"), o2)
+  }
+
+  test("row mutations invalidate stats so the planner never acts on stale ones") {
+    val r = new SqlRouter(spark)
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE tinv (k BIGINT) LOCATION '$base/tinv'")
+    r.execute("INSERT INTO tinv SELECT id AS k FROM range(10)")
+    r.execute("ANALYZE TABLE tinv")
+    assert(TableStatistics.get(s"$base/tinv").exists(_.rows == 10))
+    r.execute("INSERT INTO tinv SELECT id AS k FROM range(90)")
+    assert(TableStatistics.get(s"$base/tinv").isEmpty, "stale stats must drop")
+    assert(r.execute("SHOW STATS tinv").count() == 0)
+    r.execute("ANALYZE TABLE tinv")
+    assert(TableStatistics.get(s"$base/tinv").exists(_.rows == 100))
+    val st = r.execute("SHOW STATS FOR tinv").collect()
+    assert(st.length == 1 && st.head.getAs[Long]("table_rows") == 100)
+  }
+
+  test("histogram selectivity drives a broadcast the file sizes cannot justify") {
+    val r = new SqlRouter(spark)
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE bf (k BIGINT, v BIGINT) LOCATION '$base/bf'")
+    r.execute(s"CREATE MANAGED TABLE bd (k BIGINT, w BIGINT) LOCATION '$base/bd'")
+    r.execute("INSERT INTO bf SELECT id % 1000 AS k, id AS v FROM range(4000)")
+    // 20k rows, w uniform over 0..999 — the ANALYZE histogram knows
+    // `w < 5` keeps ~0.5%, the parquet footprint does not
+    r.execute("INSERT INTO bd SELECT id % 1000 AS k, id % 1000 AS w FROM range(20000)")
+    Seq("bf", "bd").foreach(t => r.execute(s"ANALYZE TABLE $t"))
+    val bytesOnDisk = TableStatistics.get(s"$base/bd").get.bytes
+    val q = "SELECT bf.v, s.w FROM bf JOIN " +
+      "(SELECT * FROM bd WHERE w < 5) s ON bf.k = s.k"
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // threshold far below the table's on-disk size, far above the
+      // filtered estimate (≈100 rows × avg row width)
+      val thr = math.min(bytesOnDisk / 2, 8192L)
+      assert(thr > 1000, s"fixture too small: $bytesOnDisk")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      val planned = r.execute(q).queryExecution.executedPlan.toString
+      assert(planned.contains("BroadcastHashJoin"), planned.take(800))
+      // control: without stats the static plan cannot justify it
+      TableStatistics.invalidate(s"$base/bf")
+      TableStatistics.invalidate(s"$base/bd")
+      val control = r.execute(q).queryExecution.executedPlan.toString
+      assert(!control.contains("BroadcastHashJoin"), control.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("stats persist beside the snapshot log and reload only when current") {
+    val r = new SqlRouter(spark)
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE tp (k BIGINT, s STRING) LOCATION '$base/tp'")
+    r.execute("INSERT INTO tp SELECT id AS k, CAST(id % 7 AS STRING) AS s FROM range(500)")
+    r.execute("ANALYZE TABLE tp")
+    val ts = TableStatistics.get(s"$base/tp").get
+    TableStatistics.invalidate(s"$base/tp")
+    // a new router OPENing the table restores the persisted stats
+    val r2 = new SqlRouter(spark)
+    r2.execute(s"OPEN MANAGED TABLE tp2 LOCATION '$base/tp'")
+    assert(TableStatistics.get(s"$base/tp") == Some(ts))
+    // ...but not once the snapshot moved past the analyzed version
+    r2.execute("INSERT INTO tp2 SELECT id AS k, 'x' AS s FROM range(3)")
+    TableStatistics.invalidate(s"$base/tp")
+    val r3 = new SqlRouter(spark)
+    r3.execute(s"OPEN MANAGED TABLE tp3 LOCATION '$base/tp'")
+    assert(TableStatistics.get(s"$base/tp").isEmpty,
+      "version-mismatched sidecar must be ignored")
+  }
+
+  test("TableStats render/parse round-trips") {
+    import graft.sources.TableStatistics.{render, parse, TableStats, ColStats}
+    val ts = TableStats(3, 1234L, 98765L, Map(
+      "k" -> ColStats(42L, Some(-1.5), Some(9.75), Seq(-1.5, 0.0, 2.5, 9.75)),
+      "s" -> ColStats(7L, None, None, Nil)))
+    assert(parse(render(ts)) == ts)
+    assert(graft.util.Json.isValid(render(ts)), render(ts))
+    val empty = TableStats(0, 0L, 0L, Map.empty)
+    assert(parse(render(empty)) == empty)
+  }
+}
