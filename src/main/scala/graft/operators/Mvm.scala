@@ -54,12 +54,17 @@ object Mvm {
 
   /** Compute the view directly — the bootstrap (and the recompute an
     * incremental result must equal). `countCol` maintains COUNT(*);
-    * each `(name, expr)` in `sums` maintains SUM(expr). */
+    * each `(name, expr)` in `sums` maintains SUM(expr), in `mins`
+    * MIN(expr), in `maxs` MAX(expr). */
   def compute(base: DataFrame, keys: Seq[String], countCol: String,
-              sums: Seq[(String, Column)]): DataFrame =
+              sums: Seq[(String, Column)],
+              mins: Seq[(String, Column)] = Nil,
+              maxs: Seq[(String, Column)] = Nil): DataFrame =
     base.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(countCol),
-        sums.map { case (nm, e) => sum(e).as(nm) }: _*)
+        sums.map { case (nm, e) => sum(e).as(nm) } ++
+          mins.map { case (nm, e) => min(e).as(nm) } ++
+          maxs.map { case (nm, e) => max(e).as(nm) }: _*)
 
   /** Merge a change bag into the view: aggregate the delta's partials
     * per group (COUNT -> SUM(mult), SUM(x) -> SUM(mult * x)), full-
@@ -81,5 +86,71 @@ object Mvm {
       .select(keys.map(col) ++ outCols.map(c =>
         (coalesce(col(c), lit(0L)) + coalesce(col(s"__d_$c"), lit(0L))).as(c)): _*)
       .filter(col(countCol) > 0)
+  }
+
+  /** [[applyDelta]] extended to MIN/MAX — the aggregates that are NOT
+    * fully incremental under deletes. Inserts maintain for free
+    * (`least(old_min, min(inserted))`); a delete can only change the
+    * extremum when the deleted value IS the extremum, so exactly those
+    * groups — `min(deleted) <= view_min` (resp `>=` for max) — are
+    * DELETE-REPAIRED: their extrema recompute from `base` (the
+    * post-mutation table), scoped by a semi-join on the dirty group
+    * keys. Repair cost is |dirty groups|' rows of base — delta-scoped
+    * in the common case, and the honest price of keeping MIN/MAX in an
+    * incrementally-maintained view (every production MV engine either
+    * pays it or refuses the aggregate).
+    *
+    * Null semantics match SQL aggregates: null expr values never set
+    * or remove an extremum; a group whose live values are all null has
+    * a null extremum (repair computes exactly that).
+    */
+  def applyDeltaExtrema(mv: DataFrame, deltaBag: DataFrame, base: DataFrame,
+                        keys: Seq[String], countCol: String,
+                        sums: Seq[(String, Column)],
+                        mins: Seq[(String, Column)],
+                        maxs: Seq[(String, Column)]): DataFrame = {
+    if (mins.isEmpty && maxs.isEmpty)
+      return applyDelta(mv, deltaBag, keys, countCol, sums)
+    val outCols = countCol +: sums.map(_._1)
+    val extCols = mins.map(_._1) ++ maxs.map(_._1)
+    require((outCols ++ extCols).forall(mv.columns.contains),
+      s"view is missing maintained columns " +
+        (outCols ++ extCols).filterNot(mv.columns.contains).mkString(", "))
+    val ins = col(MultCol) > 0
+    val del = col(MultCol) < 0
+    val partials = deltaBag.groupBy(keys.map(col): _*)
+      .agg(sum(col(MultCol)).as(s"__d_$countCol"),
+        sums.map { case (nm, e) => sum(col(MultCol) * e).as(s"__d_$nm") } ++
+          mins.flatMap { case (nm, e) => Seq(
+            min(when(ins, e)).as(s"__i_$nm"), min(when(del, e)).as(s"__x_$nm")) } ++
+          maxs.flatMap { case (nm, e) => Seq(
+            max(when(ins, e)).as(s"__i_$nm"), max(when(del, e)).as(s"__x_$nm")) }: _*)
+    val joined = mv.join(partials, keys, "full_outer")
+    // a group is dirty when a deleted value ties-or-beats the stored
+    // extremum (a null stored extremum means no live non-null value —
+    // inserts alone determine the new one, no repair needed)
+    val dirtyCond = (mins.map { case (nm, _) =>
+        col(s"__x_$nm").isNotNull && col(nm).isNotNull && col(s"__x_$nm") <= col(nm) } ++
+      maxs.map { case (nm, _) =>
+        col(s"__x_$nm").isNotNull && col(nm).isNotNull && col(s"__x_$nm") >= col(nm) })
+      .reduce(_ || _)
+    val merged = joined
+      .select(keys.map(col) ++
+        outCols.map(c =>
+          (coalesce(col(c), lit(0L)) + coalesce(col(s"__d_$c"), lit(0L))).as(c)) ++
+        mins.map { case (nm, _) => least(col(nm), col(s"__i_$nm")).as(nm) } ++
+        maxs.map { case (nm, _) => greatest(col(nm), col(s"__i_$nm")).as(nm) } :+
+        coalesce(dirtyCond, lit(false)).as("__dirty"): _*)
+      .filter(col(countCol) > 0)
+    val dirtyKeys = merged.filter(col("__dirty")).select(keys.map(col): _*)
+    val repairAggs = mins.map { case (nm, e) => min(e).as(s"__r_$nm") } ++
+      maxs.map { case (nm, e) => max(e).as(s"__r_$nm") }
+    val repair = base.join(broadcast(dirtyKeys), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(repairAggs.head, repairAggs.tail: _*)
+    merged.join(broadcast(repair), keys, "left")
+      .select(keys.map(col) ++ outCols.map(col) ++
+        extCols.map(c =>
+          when(col("__dirty"), col(s"__r_$c")).otherwise(col(c)).as(c)): _*)
   }
 }

@@ -46,9 +46,11 @@ object MvSink {
     * scheme pays once). */
   def bootstrap(spark: SparkSession, tableRoot: String, viewRoot: String,
                 viewKeys: Seq[String], countCol: String,
-                sums: Seq[(String, Column)]): Unit = {
+                sums: Seq[(String, Column)],
+                mins: Seq[(String, Column)] = Nil,
+                maxs: Seq[(String, Column)] = Nil): Unit = {
     val mv = Mvm.compute(ManagedTable.read(spark, tableRoot),
-      viewKeys, countCol, sums)
+      viewKeys, countCol, sums, mins, maxs)
     ManagedTable.create(spark, viewRoot, mv.schema)
     ManagedTable.insert(spark, viewRoot, mv)
   }
@@ -58,7 +60,9 @@ object MvSink {
   def applyBatch(batch: DataFrame, tableRoot: String, viewRoot: String,
                  keys: Seq[String], orderCols: Seq[String],
                  viewKeys: Seq[String], countCol: String,
-                 sums: Seq[(String, Column)]): Unit = {
+                 sums: Seq[(String, Column)],
+                 mins: Seq[(String, Column)] = Nil,
+                 maxs: Seq[(String, Column)] = Nil): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val schema = ManagedTable.history(spark, tableRoot).last.schema
@@ -71,7 +75,11 @@ object MvSink {
     ManagedTable.upsert(spark, tableRoot, winners, keys)
     val bag = winners.withColumn(Mvm.MultCol, lit(1L))
       .unionByName(pre.withColumn(Mvm.MultCol, lit(-1L)))
-    mergeBagIntoView(spark, viewRoot, bag, viewKeys, countCol, sums)
+    // extrema delete-repair reads the POST-upsert base (dirty groups only)
+    val base = if (mins.isEmpty && maxs.isEmpty) None
+               else Some(ManagedTable.read(spark, tableRoot))
+    mergeBagIntoView(spark, viewRoot, bag, viewKeys, countCol, sums,
+      mins, maxs, base)
   }
 
   /** Merge a multiset delta bag ([[Mvm.MultCol]]-tagged rows) into the
@@ -81,12 +89,23 @@ object MvSink {
     * the identical algebra. */
   def mergeBagIntoView(spark: SparkSession, viewRoot: String, bag: DataFrame,
                        viewKeys: Seq[String], countCol: String,
-                       sums: Seq[(String, Column)]): Unit = {
+                       sums: Seq[(String, Column)],
+                       mins: Seq[(String, Column)] = Nil,
+                       maxs: Seq[(String, Column)] = Nil,
+                       base: Option[DataFrame] = None): Unit = {
+    require(mins.isEmpty && maxs.isEmpty || base.nonEmpty,
+      "MIN/MAX maintenance needs the post-mutation base table for delete-repair")
     val affected = bag.select(viewKeys.map(col): _*).distinct()
     val viewSchema = ManagedTable.history(spark, viewRoot).last.schema
-    val merged = Mvm.applyDelta(
-        ManagedTable.read(spark, viewRoot).join(affected, viewKeys, "left_semi"),
-        bag, viewKeys, countCol, sums)
+    val affectedView =
+      ManagedTable.read(spark, viewRoot).join(affected, viewKeys, "left_semi")
+    val applied =
+      if (mins.isEmpty && maxs.isEmpty)
+        Mvm.applyDelta(affectedView, bag, viewKeys, countCol, sums)
+      else
+        Mvm.applyDeltaExtrema(affectedView, bag, base.get, viewKeys,
+          countCol, sums, mins, maxs)
+    val merged = applied
       .select(viewSchema.fieldNames.map(col): _*)
       .localCheckpoint() // pinned before the view mutations below
     // group death: affected groups absent from the merge result; their
@@ -114,14 +133,16 @@ object MvSink {
                            orderCols: Seq[String], viewKeys: Seq[String],
                            countCol: String, sums: Seq[(String, Column)],
                            checkpointDir: String,
-                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                           trigger: Trigger = Trigger.AvailableNow(),
+                           mins: Seq[(String, Column)] = Nil,
+                           maxs: Seq[(String, Column)] = Nil): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(batch, tableRoot, viewRoot, keys, orderCols,
-          viewKeys, countCol, sums)
+          viewKeys, countCol, sums, mins, maxs)
       }
       .start()
 }

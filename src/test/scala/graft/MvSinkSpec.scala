@@ -119,4 +119,46 @@ class MvSinkSpec extends AnyFunSuite {
       assert(viewSet(v) == Set(("b", 3L, 24L)))
     } finally q.stop()
   }
+
+  test("MIN/MAX view: a CDC replacement that removes the extremum repairs") {
+    val mins = Seq("lo" -> col("v")); val maxs = Seq("hi" -> col("v"))
+    val dir = Files.createTempDirectory("graft_mv_ext").toString
+    val (t, v) = (dir + "/t", dir + "/v")
+    ManagedTable.create(spark, t, schema)
+    ManagedTable.insert(spark, t, Seq(
+      MvChg(1L, ts("2024-01-01 00:00:01"), "a", 1L),
+      MvChg(2L, ts("2024-01-01 00:00:01"), "a", 9L),
+      MvChg(3L, ts("2024-01-01 00:00:01"), "a", 4L)).toDF())
+    MvSink.bootstrap(spark, t, v, Seq("g"), "n", sums, mins, maxs)
+    def ext(root: String) = ManagedTable.read(spark, root).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("n"), r.getAs[Long]("sv"),
+        r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toSet
+    def rc() = ext0(Mvm.compute(ManagedTable.read(spark, t),
+      Seq("g"), "n", sums, mins, maxs))
+    def ext0(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("n"), r.getAs[Long]("sv"),
+        r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toSet
+    assert(ext(v) == rc())
+    // the upsert REPLACES the max-holder (id 2: 9 -> 2): the pre-image
+    // delta deletes the group max, forcing the repair path
+    MvSink.applyBatch(
+      Seq(MvChg(2L, ts("2024-01-01 00:00:02"), "a", 2L)).toDF(),
+      t, v, keys = Seq("id"), orderCols = Seq("ts"), viewKeys = Seq("g"),
+      countCol = "n", sums = sums, mins = mins, maxs = maxs)
+    assert(ext(v) == rc())
+    assert(ext(v) == Set(("a", 3L, 7L, 1L, 4L)))
+    // replay the same batch: idempotent (pre-image == winners)
+    MvSink.applyBatch(
+      Seq(MvChg(2L, ts("2024-01-01 00:00:02"), "a", 2L)).toDF(),
+      t, v, keys = Seq("id"), orderCols = Seq("ts"), viewKeys = Seq("g"),
+      countCol = "n", sums = sums, mins = mins, maxs = maxs)
+    assert(ext(v) == Set(("a", 3L, 7L, 1L, 4L)))
+    // a replacement that BECOMES the new min (cheap path, no repair)
+    MvSink.applyBatch(
+      Seq(MvChg(3L, ts("2024-01-01 00:00:03"), "a", 0L)).toDF(),
+      t, v, keys = Seq("id"), orderCols = Seq("ts"), viewKeys = Seq("g"),
+      countCol = "n", sums = sums, mins = mins, maxs = maxs)
+    assert(ext(v) == rc())
+    assert(ext(v) == Set(("a", 3L, 3L, 0L, 2L)))
+  }
 }

@@ -85,6 +85,63 @@ class MvmSpec extends AnyFunSuite {
     assert(asSet(mv) == asSet(view(rows.toDF("g", "v"))))
   }
 
+  private val minsMaxs = (Seq("mn" -> col("v")), Seq("mx" -> col("v")))
+
+  private def viewExt(base: DataFrame) =
+    Mvm.compute(base, keys, "n", sums, minsMaxs._1, minsMaxs._2)
+
+  private def maintainedExt(oldB: DataFrame, newB: DataFrame) =
+    Mvm.applyDeltaExtrema(viewExt(oldB), Mvm.delta(oldB, newB, Seq("g", "v")),
+      newB, keys, "n", sums, minsMaxs._1, minsMaxs._2)
+
+  private def asSetExt(df: DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+
+  test("MIN/MAX maintain under inserts and delete-repair a removed extremum") {
+    val base = Seq(("a", 1L), ("a", 5L), ("a", 3L), ("b", 7L)).toDF("g", "v")
+    // insert-only: no repair path needed, extrema fold in
+    val ins = base.union(Seq(("a", 0L), ("b", 9L), ("c", 4L)).toDF("g", "v"))
+    assert(asSetExt(maintainedExt(base, ins)) == asSetExt(viewExt(ins)))
+    // the hard case: delete a's MIN (1) and MAX (5) in one mutation —
+    // the new extrema (3, 3) are NOT derivable from the view + delta,
+    // only from the repaired per-group recompute
+    val del = Seq(("a", 3L), ("b", 7L)).toDF("g", "v")
+    assert(asSetExt(maintainedExt(base, del)) == asSetExt(viewExt(del)))
+    assert(asSetExt(maintainedExt(base, del))
+      .contains(("a", 1L, 3L, 3L, 3L)), asSetExt(maintainedExt(base, del)))
+    // delete a non-extremum: no repair needed, result still exact
+    val del2 = Seq(("a", 1L), ("a", 5L), ("b", 7L)).toDF("g", "v")
+    assert(asSetExt(maintainedExt(base, del2)) == asSetExt(viewExt(del2)))
+    // group death and rebirth in one delta
+    val churn = Seq(("b", 2L), ("c", 11L)).toDF("g", "v")
+    assert(asSetExt(maintainedExt(base, churn)) == asSetExt(viewExt(churn)))
+  }
+
+  test("a 20-step random mutation walk never drifts extrema from recompute") {
+    val rnd = new scala.util.Random(260814L)
+    var rows = Vector("a" -> 3L, "b" -> 8L, "c" -> 1L)
+    var mv = viewExt(rows.toDF("g", "v")).localCheckpoint()
+    (1 to 20).foreach { _ =>
+      val next = rnd.nextInt(3) match {
+        case 0 => rows :+ (s"${('a' + rnd.nextInt(4)).toChar}" -> rnd.nextLong(20))
+        case 1 if rows.nonEmpty => rows.patch(rnd.nextInt(rows.size), Nil, 1)
+        case _ if rows.nonEmpty =>
+          val i = rnd.nextInt(rows.size)
+          rows.updated(i, rows(i)._1 -> rnd.nextLong(20))
+        case _ => rows
+      }
+      val newB = next.toDF("g", "v")
+      mv = Mvm.applyDeltaExtrema(mv,
+          Mvm.delta(rows.toDF("g", "v"), newB, Seq("g", "v")),
+          newB, keys, "n", sums, minsMaxs._1, minsMaxs._2)
+        .localCheckpoint()
+      rows = next
+      assert(asSetExt(mv) == asSetExt(viewExt(rows.toDF("g", "v"))),
+        s"drift at state $rows")
+    }
+  }
+
   test("reserved multiplicity column and missing maintained column fail loudly") {
     val base = Seq(("a", 1L)).toDF("g", "v")
     assertThrows[IllegalArgumentException] {

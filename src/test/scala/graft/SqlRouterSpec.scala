@@ -289,6 +289,42 @@ class SqlRouterSpec extends AnyFunSuite {
     assert(mvRows(r2, "mv2") == recompute(r2, "mr"))
   }
 
+  test("materialized view: MIN/MAX maintain through DML, incl. deleted extremum") {
+    def rowsExt(r: SqlRouter, q: String) = r.execute(q).collect()
+      .map(x => (x.getAs[String]("g"), x.getAs[Long]("n"), x.getAs[Long]("sv"),
+        x.getAs[Long]("lo"), x.getAs[Long]("hi"))).toSet
+    def mv(r: SqlRouter) = rowsExt(r, "SELECT * FROM mve")
+    def rc(r: SqlRouter) = rowsExt(r,
+      "SELECT g, count(*) n, sum(v) sv, min(v) lo, max(v) hi FROM me GROUP BY g")
+    val dir = Files.createTempDirectory("graft_mv_ext").toString
+    val catRoot = Files.createTempDirectory("graft_mv_ext_cat").toString
+    val r1 = new SqlRouter(spark, Some(catRoot))
+    r1.execute(
+      s"CREATE MANAGED TABLE me (id BIGINT, g STRING, v BIGINT) LOCATION '$dir/t'")
+    r1.execute("INSERT INTO me VALUES (1,'a',1), (2,'a',5), (3,'a',3), (4,'b',7)")
+    r1.execute("CREATE MATERIALIZED VIEW mve OVER me KEY (g) COUNT n " +
+      s"SUM (v AS sv) MIN (v AS lo) MAX (v AS hi) LOCATION '$dir/v'")
+    assert(mv(r1) == rc(r1))
+    // insert a new extremum (cheap path) and a new group
+    r1.execute("INSERT INTO me VALUES (5,'a',9), (6,'c',2)")
+    assert(mv(r1) == rc(r1))
+    // DELETE the group's min AND max in one statement — the repair path
+    r1.execute("DELETE FROM me WHERE g = 'a' AND (v = 1 OR v = 9)")
+    assert(mv(r1) == rc(r1))
+    assert(mv(r1).contains(("a", 2L, 8L, 3L, 5L)), mv(r1))
+    // UPDATE that moves the extremum in place (delete+insert delta)
+    r1.execute("UPDATE me SET v = 100 WHERE g = 'b'")
+    assert(mv(r1) == rc(r1))
+    // a restarted router resumes maintaining the extrema (sidecar)
+    val r2 = new SqlRouter(spark, Some(catRoot))
+    val shown = r2.execute("SHOW MATERIALIZED VIEWS").collect().head
+    assert(shown.getAs[String]("min_cols") == "v AS lo")
+    assert(shown.getAs[String]("max_cols") == "v AS hi")
+    r2.execute("DELETE FROM me WHERE v = 100") // kills b's only row
+    assert(mv(r2) == rc(r2))
+    assert(!mv(r2).exists(_._1 == "b"))
+  }
+
   test("materialized view: randomized SQL DML sequences never drift the view from recompute") {
     // the ManagedTableSpec fuzz discipline applied to the router's MV
     // maintenance: seeded-random INSERT/UPDATE/DELETE/UPSERT statements
