@@ -104,6 +104,17 @@ object ScaleBench {
     done.createNewFile(): Unit
   }
 
+  /** SPARK_GRAFT_SCALE_ONLY=q142,q144 — prefix-filter for targeted
+    * re-sweeps while iterating on one kernel (Bench's ONLY contract);
+    * a filter matching nothing fails loudly. */
+  private def selectedKernels: Seq[String] = {
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSeq)
+    val sel = kernels.filter(k => only.forall(_.exists(k.startsWith)))
+    require(sel.nonEmpty,
+      s"SPARK_GRAFT_SCALE_ONLY=${only.getOrElse(Nil).mkString(",")} matches no kernel")
+    sel
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
@@ -128,7 +139,7 @@ object ScaleBench {
       val wdir = s"$work/x${factors.min}"
       buildScaled(spark, base, wdir, factors.min)
       buildScaledTrade(spark, base, wdir, factors.min)
-      kernels.foreach(k => SparkEntry.queries(k)(spark, wdir).count(): Unit)
+      selectedKernels.foreach(k => SparkEntry.queries(k)(spark, wdir).count(): Unit)
       System.err.println(s"[scale] warmup pass done on x${factors.min}")
     }
     val out = new StringBuilder
@@ -140,7 +151,7 @@ object ScaleBench {
       buildScaled(spark, base, dir, f)
       buildScaledTrade(spark, base, dir, f)
       System.err.println(f"[scale] x$f corpus ready in ${(System.nanoTime() - b0) / 1e9}%.1f s")
-      for (k <- kernels) {
+      for (k <- selectedKernels) {
         val load = osBean.getSystemLoadAverage
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(k)(spark, dir).count()
@@ -156,8 +167,9 @@ object ScaleBench {
       // UNTIMED, then time only the MERGE of a 20% source. Twice: on
       // the broadcast fast path (keys measured small, under the default
       // threshold) and with broadcasting disabled (the big-backfill
-      // shuffle shape the gate falls back to).
-      locally {
+      // shuffle shape the gate falls back to). Skipped when a kernel
+      // subset is selected (SPARK_GRAFT_SCALE_ONLY — targeted re-sweeps).
+      if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").isEmpty) locally {
         import graft.sources.ManagedTable
         val docs = graft.sources.Tables.load(spark, dir, "documents")
         val src = docs.filter(col("doc_id") % 5 === 0)

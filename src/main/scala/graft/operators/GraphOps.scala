@@ -35,29 +35,57 @@ object GraphOps {
                   dampPct: Int = 85): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampPct >= 0 && dampPct <= 100, "dampPct must be in [0,100]")
-    // The node set and the (src, dst, od) contribution edges are read
-    // EVERY round: materialize each ONCE, pre-partitioned on its join
-    // key, so the per-iteration joins REUSE the partitioning
-    // (localCheckpoint preserves the physical partitioning) instead of
-    // re-shuffling the edge relation — the dominant one — each round.
-    // Rank frames inherit hash(id) through the left join, so the next
-    // round's edges-to-ranks join needs no exchange on either side.
-    val nds = nodes.select(col("id")).localCheckpoint()
+    val (nds, n1, eod) = prepare(nodes, edges)
+    try {
+      val uniform = nds.crossJoin(broadcast(n1))
+        .selectExpr("id", "CAST(1000000000 DIV n AS BIGINT) AS r")
+      (1 to iters).foldLeft(uniform.localCheckpoint()) { (r, _) =>
+        step(nds, n1, eod, r, dampPct).localCheckpoint()
+      }
+      // each round checkpointed eagerly, so the returned frame no
+      // longer references the cached inputs — release them (a bench
+      // session runs many queries; pinned edge caches would accumulate)
+    } finally { nds.unpersist(); eod.unpersist(): Unit }
+  }
+
+  /** CO-PARTITIONED once-materialized inputs: the node set hashed on
+    * `id` and the (src, dst, od) contribution edges hashed on `src`.
+    * `cache()` rather than `localCheckpoint()`: an InMemoryRelation
+    * REPORTS the cached plan's partitioning to every consumer, while
+    * a checkpoint's LogicalRDD comes back `UnknownPartitioning` under
+    * AQE (measured on Spark 4.1) and would re-shuffle the edge
+    * relation — the dominant one — every round. The explicit partition
+    * count keeps AQE from coalescing the map output to a count no join
+    * requirement matches. Net: each [[step]]'s only exchange is the
+    * contribution aggregation on `dst` — the inherent PageRank
+    * communication — which GraphOpsSpec pins by counting Exchange
+    * nodes in the round plan.
+    */
+  private[graft] def prepare(nodes: DataFrame,
+                             edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val np = nodes.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nds = nodes.select(col("id")).repartition(np, col("id")).cache()
     val n1 = nds.agg(count(lit(1)).as("n"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val eod = edges.join(deg, "src").select(col("src"), col("dst"), col("od"))
-      .localCheckpoint()
-    val uniform = nds.crossJoin(broadcast(n1))
-      .selectExpr("id", "CAST(1000000000 DIV n AS BIGINT) AS r")
-    (1 to iters).foldLeft(uniform.localCheckpoint()) { (r, _) =>
-      val inc = eod.join(r.withColumnRenamed("id", "src"), "src")
-        .selectExpr("dst AS id", "r DIV od AS c")
-        .groupBy("id").agg(sum(col("c")).as("m"))
-      nds.join(inc, Seq("id"), "left").crossJoin(broadcast(n1))
-        .selectExpr("id",
-          s"CAST((${100 - dampPct} * 10000000 DIV n) + $dampPct * coalesce(m, 0L) DIV 100 AS BIGINT) AS r")
-        .localCheckpoint()
-    }
+      .repartition(np, col("src")).cache()
+    eod.count(): Unit // materialize both caches before the rounds
+    nds.count(): Unit
+    (nds, n1, eod)
+  }
+
+  /** One un-checkpointed PageRank round over the [[prepare]]d inputs.
+    * Rank frames come out hash(id)-partitioned (the nds join key), so
+    * the next round's edges-to-ranks join on `src` needs no exchange
+    * on either side; contributions shuffle once on `dst`. */
+  private[graft] def step(nds: DataFrame, n1: DataFrame, eod: DataFrame,
+                          r: DataFrame, dampPct: Int): DataFrame = {
+    val inc = eod.join(r.withColumnRenamed("id", "src"), "src")
+      .selectExpr("dst AS id", "r DIV od AS c")
+      .groupBy("id").agg(sum(col("c")).as("m"))
+    nds.join(inc, Seq("id"), "left").crossJoin(broadcast(n1))
+      .selectExpr("id",
+        s"CAST((${100 - dampPct} * 10000000 DIV n) + $dampPct * coalesce(m, 0L) DIV 100 AS BIGINT) AS r")
   }
 
   /** Breadth-first reachability with an explicit `depth` budget:
@@ -76,7 +104,14 @@ object GraphOps {
     */
   def bfsLevels(edges: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
     require(depth >= 0, "depth must be >= 0")
+    // cached once, hashed on src (cache, not checkpoint — see
+    // pagerank's prepare): every round's frontier join reuses the
+    // reported partitioning, so the edge relation — the dominant one —
+    // never re-shuffles after round 0
     val e = edges.select(col("src"), col("dst"))
+      .repartition(edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("src"))
+      .cache()
     val f0 = seeds.select(col("id")).distinct().localCheckpoint()
     val (out, _, _) = (1 to depth).foldLeft(
       (f0.withColumn("level", lit(0).cast("long")), f0, f0)) {
@@ -88,6 +123,7 @@ object GraphOps {
         (acc.unionByName(next.withColumn("level", lit(l).cast("long"))),
           next, visited.unionByName(next))
     }
+    e.unpersist() // frontiers are checkpointed; the result no longer needs e
     out
   }
 }

@@ -62,6 +62,41 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("a PageRank round's only exchange is the contribution agg on dst") {
+    // nds is checkpointed hash(id), eod hash(src), and the rank frame
+    // comes out of the previous round hash(id) — so the round plan
+    // must shuffle exactly ONCE (the inherent dst-keyed contribution
+    // move). A second hash exchange means co-partitioning broke and
+    // the edge relation re-shuffles every iteration — the scale
+    // regression the r5 SCALING sweep flagged (1.81x/doubling).
+    val nodes = (1L to 200L).toDF("id")
+    val edges = (1L to 199L).map(i => i -> (i + 1)).toDF("src", "dst")
+    val (nds, n1, eod) = GraphOps.prepare(nodes, edges)
+    val r0 = nds.crossJoin(org.apache.spark.sql.functions.broadcast(n1))
+      .selectExpr("id", "CAST(1000000000 DIV n AS BIGINT) AS r")
+      .localCheckpoint()
+    val round = GraphOps.step(nds, n1, eod, r0, 85)
+    // tree walk, not text: InMemoryRelation PRINTS its one-time build
+    // exchanges inside the leaf scan's string, but they are not part
+    // of the per-round execution
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def exchanges(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case s: ShuffleExchangeLike
+          if s.outputPartitioning.toString.contains("hashpartitioning") =>
+        s +: s.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val found = exchanges(round.queryExecution.executedPlan)
+    assert(found.size == 1,
+      s"want 1 hash exchange, got ${found.size}:\n${round.queryExecution.executedPlan}")
+    // and the round still computes the right thing end-to-end
+    val full = GraphOps.pagerankPpb(nodes, edges, 2)
+    assert(full.count() == 200)
+  }
+
   test("invalid budgets fail loudly") {
     assertThrows[IllegalArgumentException] {
       GraphOps.pagerankPpb(Seq("a").toDF("id"),
