@@ -16,6 +16,9 @@ import graft.Graft
   *   - `POST /query?limit=N`    -> cap returned rows (default 1000)
   *   - `GET  /tables`           -> catalog listing (names, managed flag)
   *   - `GET  /tables/{name}`    -> schema + managed version history
+  *   - `POST /ingest/{table}`   -> row-batch MERGE-upsert + live MV
+  *                                 maintenance (writer role; see the
+  *                                 /ingest context below for the body)
   *
   * With an [[AuthStore]] configured, every endpoint except /health
   * requires `Authorization: Bearer <token>` (401 otherwise) and write
@@ -143,6 +146,71 @@ final class QueryServer(engine: Graft, port: Int,
           }
           respond(ex, code, s"""{"error":${jsonStr(msg)}}""")
       }
+      }
+    }
+  })
+
+  // --- streaming ingest: the row-batch write path --------------------
+  // POST /ingest/{table} with body
+  //   {"columns":["id","ts","v"], "rows":[[1,"2024-01-01 00:00:00",5],...],
+  //    "keys":["id"], "orderBy":["ts"]}
+  // -> one idempotent last-writer-wins MERGE-upsert into the managed
+  // table + incremental maintenance of its materialized views (the
+  // same per-batch semantics as streaming.ManagedSink/MvSink; a
+  // replayed batch is a no-op for both the table and the views).
+  // Cells travel as JSON scalars and cast through Spark's string→type
+  // rules; binary columns are out of scope for this surface.
+  server.createContext("/ingest", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
+    else principal(ex).foreach { who =>
+      if (!who.canWrite)
+        respond(ex, 403, s"""{"error":"role '${who.role}' may not ingest"}""")
+      else {
+        try {
+          val table = ex.getRequestURI.getPath.stripPrefix("/ingest")
+            .stripPrefix("/").trim
+          require(table.nonEmpty, "usage: POST /ingest/{table}")
+          require(router.registered.contains(table),
+            s"no managed table '$table' — CREATE or OPEN it first")
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val doc = graft.util.Json.parse(body) match {
+            case m: Map[String @unchecked, Any @unchecked] => m
+            case _ => throw new IllegalArgumentException("body must be a JSON object")
+          }
+          def strs(k: String): Seq[String] = doc.get(k) match {
+            case Some(v: Vector[Any @unchecked]) => v.map(String.valueOf)
+            case None => Nil
+            case _ => throw new IllegalArgumentException(s"'$k' must be an array")
+          }
+          val columns = strs("columns")
+          require(columns.nonEmpty, "'columns' (array of names) required")
+          val keys = strs("keys")
+          require(keys.nonEmpty, "'keys' (merge key columns) required")
+          val rows = doc.get("rows") match {
+            case Some(v: Vector[Any @unchecked]) => v.map {
+              case r: Vector[Any @unchecked] =>
+                r.map(c => if (c == null) null else String.valueOf(c))
+              case _ => throw new IllegalArgumentException(
+                "'rows' must be an array of arrays")
+            }
+            case _ => throw new IllegalArgumentException("'rows' required")
+          }
+          val batch = router.batchFrame(table, columns, rows)
+          val res = router.ingest(table, batch, keys, strs("orderBy")).collect().head
+          respond(ex, 200,
+            s"""{"op":"ingest","table":${jsonStr(table)},"version":${res.getAs[Int]("version")},"n_rows":${rows.size}}""")
+        } catch {
+          case e: Exception =>
+            val msg = Option(e.getMessage).toSeq
+              .flatMap(_.linesIterator).map(_.trim).find(_.nonEmpty)
+              .getOrElse(e.getClass.getSimpleName)
+            val code = e match {
+              case _: IllegalArgumentException => 400
+              case _: org.apache.spark.sql.AnalysisException => 400
+              case _ => 500
+            }
+            respond(ex, code, s"""{"error":${jsonStr(msg)}}""")
+        }
       }
     }
   })

@@ -180,6 +180,51 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     }
   }
 
+  /** Streaming-ingest apply: one idempotent last-writer-wins
+    * MERGE-upsert batch into managed table `name`, plus incremental
+    * maintenance of every dependent materialized view — the HTTP
+    * surface's row-batch write path, with exactly the per-batch
+    * semantics of `streaming.ManagedSink`/`MvSink` (reduce to winners
+    * per key under the `orderCols` total order, upsert, fold the
+    * version delta into the views). A replayed batch re-applies the
+    * same winners: the table converges to the same state and the view
+    * delta cancels to zero — idempotent by the same argument as the
+    * streaming sink's foreachBatch retry contract. */
+  def ingest(name: String, batch: DataFrame, keys: Seq[String],
+             orderCols: Seq[String]): DataFrame = {
+    val r = mutableRoot(name)
+    require(keys.nonEmpty, "ingest needs at least one key column")
+    val pre = ManagedTable.history(spark, r).last
+    // no explicit order -> the key columns themselves: an arbitrary
+    // but DETERMINISTIC winner for in-batch duplicate keys
+    val winners = graft.streaming.ManagedSink.latestPerKey(
+      batch, keys, if (orderCols.nonEmpty) orderCols else keys)
+    val snap = ManagedTable.upsert(spark, r, align(winners, pre.schema), keys)
+    refreshView(name)
+    maintainViews(name, pre.version, snap.version)
+    summary("ingest", name, snap.version)
+  }
+
+  /** Typed batch frame from string-form cells (the HTTP body's
+    * portable representation): every provided column must exist in the
+    * table, and each cell casts through Spark's own string→type rules
+    * — the same behavior VALUES-with-strings has in a query. */
+  def batchFrame(name: String, columns: Seq[String],
+                 rows: Seq[Seq[String]]): DataFrame = {
+    val schema = ManagedTable.history(spark, root(name)).last.schema
+    val unknown = columns.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"unknown column(s): ${unknown.mkString(", ")}")
+    rows.foreach(r => require(r.size == columns.size,
+      s"row arity ${r.size} != ${columns.size} declared columns"))
+    val strSchema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, strSchema)
+    df.select(columns.map(c => col(c).cast(schema(c).dataType).as(c)): _*)
+  }
+
   private def summary(op: String, tbl: String, version: Int): DataFrame = {
     import spark.implicits._
     Seq((op, tbl, version)).toDF("op", "tbl", "version")

@@ -125,6 +125,48 @@ class QueryServerSpec extends AnyFunSuite {
       assert(q.statusCode() == 200 && q.body().contains("[2]"), q.body())
     } finally s2.stop()
   }
+
+  test("streaming ingest: batches merge, views stay equal to recompute, replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_httping").toString
+    assert(post("/query",
+      s"CREATE MANAGED TABLE ing (id BIGINT, ts TIMESTAMP, g STRING, v BIGINT) LOCATION '$dir/t'")
+      .statusCode() == 200)
+    assert(post("/query", "INSERT INTO ing VALUES " +
+      "(1, TIMESTAMP '2024-01-01 00:00:00', 'a', 1), " +
+      "(2, TIMESTAMP '2024-01-01 00:00:00', 'a', 9)").statusCode() == 200)
+    assert(post("/query", "CREATE MATERIALIZED VIEW ingv OVER ing KEY (g) " +
+      s"COUNT n SUM (v AS sv) MIN (v AS lo) MAX (v AS hi) LOCATION '$dir/v'")
+      .statusCode() == 200)
+    def viewRows() = post("/query",
+      "SELECT * FROM ingv ORDER BY g").body()
+    def recompute() = post("/query",
+      "SELECT g, count(*) n, sum(v) sv, min(v) lo, max(v) hi FROM ing GROUP BY g ORDER BY g").body()
+    assert(viewRows() == recompute())
+    // batch 1: replace id 2 (REMOVES the group max -> repair path) and
+    // insert a new group; in-batch duplicate of id 3 resolved by ts
+    val batch1 = """{"columns":["id","ts","g","v"],
+      "rows":[[2,"2024-01-01 00:01:00","a",2],
+              [3,"2024-01-01 00:00:30","b",5],
+              [3,"2024-01-01 00:01:30","b",7]],
+      "keys":["id"], "orderBy":["ts"]}"""
+    val r1 = post("/ingest/ing", batch1)
+    assert(r1.statusCode() == 200, r1.body())
+    assert(r1.body().contains("\"op\":\"ingest\""), r1.body())
+    assert(viewRows() == recompute())
+    val afterBatch1 = viewRows()
+    assert(afterBatch1.contains("[\"a\",2,3,1,2]"), afterBatch1) // max repaired 9->2
+    assert(afterBatch1.contains("[\"b\",1,7,7,7]"), afterBatch1) // ts winner = 7
+    // replay the SAME batch: table and view must not change
+    assert(post("/ingest/ing", batch1).statusCode() == 200)
+    assert(viewRows() == afterBatch1)
+    assert(viewRows() == recompute())
+    // malformed bodies are clean 400s
+    assert(post("/ingest/ing", """{"rows":[[1]]}""").statusCode() == 400)
+    assert(post("/ingest/ing", "not json").statusCode() == 400)
+    assert(post("/ingest/nope", batch1).statusCode() == 400)
+    assert(post("/query", "DROP MATERIALIZED VIEW ingv PURGE").statusCode() == 200)
+    assert(post("/query", "DROP MANAGED TABLE ing PURGE").statusCode() == 200)
+  }
 }
 
 /** Bearer-token auth + role gate over a real socket, and the
@@ -181,6 +223,14 @@ class AuthServerSpec extends AnyFunSuite {
       Some("write-secret")).statusCode() == 200)
     val back = post("/query", "SELECT id FROM auth_t", Some("read-secret"))
     assert(back.statusCode() == 200 && back.body().contains("[7]"), back.body())
+    // ingest is a write: anonymous 401, reader 403, writer 200
+    val ingBody = """{"columns":["id"],"rows":[[8]],"keys":["id"]}"""
+    assert(post("/ingest/auth_t", ingBody, None).statusCode() == 401)
+    assert(post("/ingest/auth_t", ingBody, Some("read-secret")).statusCode() == 403)
+    val ing = post("/ingest/auth_t", ingBody, Some("write-secret"))
+    assert(ing.statusCode() == 200, ing.body())
+    assert(post("/query", "SELECT count(*) n FROM auth_t", Some("read-secret"))
+      .body().contains("[2]"))
   }
 
   test("store persists hashed at rest and loads back") {
