@@ -537,6 +537,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p150.contains("SortMergeJoin"), p150.take(800))
   }
 
+  test("q151-q156: profiling wave scale shapes hold") {
+    // q151: the knot lookup is a 10-row broadcast inequality join;
+    // no cartesian on data relations anywhere
+    val p151 = plan("q151_token_budget_curve")
+    assert(p151.contains("BroadcastNestedLoopJoin"), p151.take(800))
+    assert(!p151.contains("CartesianProduct"), p151.take(800))
+    // q152: exclusivity joins keyed on the token — never a pair join
+    val p152 = plan("q152_vocab_exclusivity")
+    assert(!p152.contains("CartesianProduct"), p152.take(800))
+    assert(!p152.contains("NestedLoop"), p152.take(800))
+    // q153: ONE window, keyed by (user_id, event_type); nothing global
+    val p153 = plan("q153_event_burst_echo")
+    assert(p153.contains("windowspecdefinition(user_id"), p153.take(800))
+    assert(!p153.contains("SinglePartition"), p153.take(800))
+    // q155: per-doc math is a pure projection — the plan has NO join
+    val p155 = plan("q155_head_tail_overlap")
+    assert(!p155.contains("Join"), p155.take(800))
+    // q156: distinct census keyed (source, gram); final join is tiny
+    val p156 = plan("q156_gram_diversity")
+    assert(!p156.contains("CartesianProduct"), p156.take(800))
+  }
+
   test("q148/q147/q120: every WindowExec in the executed plan is keyed") {
     // the CDF prefix sums run as the two-level bucketed scan
     // (Windows.prefixSum) — a partition-less running window would
@@ -551,7 +573,8 @@ class PlanSpec extends AnyFunSuite {
       case other => other.children.flatMap(windows)
     }
     for (k <- Seq("q148_ks_drift", "q147_equi_depth_hist",
-                  "q120_cumulative_users")) {
+                  "q120_cumulative_users", "q150_weighted_sample",
+                  "q151_token_budget_curve", "q154_hist_selectivity")) {
       val exec = SparkEntry.queries(k)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan
       val all = windows(exec)
