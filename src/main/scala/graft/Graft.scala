@@ -11,6 +11,11 @@ import graft.sources.Tables
 final class Graft(val spark: SparkSession, val dataDir: String,
                   stopOnClose: Boolean = true) {
   Tables.registerAll(spark, dataDir)
+  // statistics-driven join planning for every SELECT through this
+  // engine — a no-op until a managed table is ANALYZEd (the registry
+  // only ever holds managed-table roots, so contract queries over
+  // plain parquet are untouched)
+  graft.plans.StatsJoinPlanner.install(spark)
 
   /** SQL entry point over the registered tables (+ graft_* functions). */
   def sql(text: String): DataFrame = spark.sql(text)

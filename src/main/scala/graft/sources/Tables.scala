@@ -87,6 +87,9 @@ object Tables {
     case "json" => spark.read.schema(schema).json(path)
     case "parquet" => spark.read.schema(schema).parquet(path)
     case "orc" => spark.read.schema(schema).orc(path)
+    // no spark-avro on this classpath: container files decode per
+    // partition with stock Avro (see AvroSource for scope/limits)
+    case "avro" => AvroSource.read(spark, path, schema)
     case other => throw new IllegalArgumentException(s"unsupported format: $other")
   }
 

@@ -46,6 +46,55 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("avro ingestion: container files decode against the declared schema") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecordBuilder}
+    val avroSchema: Schema = SchemaBuilder.record("evt").fields()
+      .requiredLong("id")
+      .optionalString("name")
+      .requiredDouble("score")
+      .requiredBoolean("ok")
+      .requiredLong("ts_us") // timestamp-micros payload
+      .endRecord()
+    val dir = Files.createTempDirectory("graft_avro").toFile
+    def writeFile(name: String, rows: Seq[(Long, String, Double, Boolean, Long)]): Unit = {
+      val w = new DataFileWriter[org.apache.avro.generic.GenericRecord](
+        new GenericDatumWriter(avroSchema))
+      w.create(avroSchema, new java.io.File(dir, name))
+      rows.foreach { case (id, nm, sc, ok, ts) =>
+        val b = new GenericRecordBuilder(avroSchema)
+          .set("id", id).set("score", sc).set("ok", ok).set("ts_us", ts)
+        if (nm != null) b.set("name", nm) else b.set("name", null)
+        w.append(b.build())
+      }
+      w.close()
+    }
+    writeFile("a.avro", Seq((1L, "alpha", 1.5, true, 1704067200000000L)))
+    writeFile("b.avro", Seq((2L, null, 2.5, false, 1704067260500000L),
+      (3L, "gamma", -0.5, true, 0L)))
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("ok", BooleanType),
+      StructField("ts_us", TimestampType),
+      StructField("absent", LongType))) // not in the files -> null
+    val df = Tables.loadAs(spark, dir.getPath, "avro", target)
+    assert(df.schema == target)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2), r.getBoolean(3), r.getTimestamp(4).getTime,
+      r.isNullAt(5))).toSet
+    assert(got == Set(
+      (1L, "alpha", 1.5, true, 1704067200000L, true),
+      (2L, null, 2.5, false, 1704067260500L, true),
+      (3L, "gamma", -0.5, true, 0L, true)), got)
+    // a mis-typed target column fails with the field name, never nulls
+    val bad = StructType(Seq(StructField("name", LongType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Tables.loadAs(spark, dir.getPath, "avro", bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("compact bounds file count and keeps files key-disjoint and sorted") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
