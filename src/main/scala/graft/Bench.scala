@@ -21,12 +21,19 @@ object Bench {
   private[graft] val preLoadQuietMax = 1.5
 
   /** The loadavg the bench ITSELF sustains on a quiet machine, scaled
-    * from the measured local[32] quiet band (max 3.3 → 3.5 with
-    * slack); floored at [[preLoadQuietMax]] for small `cpus`. A query
-    * whose START loadavg exceeds this ran under external load — its
-    * wall time is environment, not plan. */
+    * from the measured local[32] quiet band — the 156-query battery
+    * runs at per-query start loads of median 4.9 / max 6.4 on a
+    * quiet host (bench_full.json, round 6), so the ceiling is 6.5
+    * with the r5 contaminated artifact's ~7.1 query loads still
+    * above it; floored at [[preLoadQuietMax]] for small `cpus`. A
+    * query whose START loadavg exceeds this ran under external load
+    * — its wall time is environment, not plan. The margin is thin by
+    * nature (1-min loadavg cannot cleanly separate own from external
+    * load mid-run), which is why the PRE-WARMUP [[envFlagged]]
+    * sample — taken before this bench contributes a thread — is the
+    * primary verdict and this per-query flag the secondary one. */
   private[graft] def ownLoadBand(cpus: Int): Double =
-    math.max(preLoadQuietMax, cpus * 3.5 / 32.0)
+    math.max(preLoadQuietMax, cpus * 6.5 / 32.0)
 
   private[graft] def loadFlagged(runs: Seq[QRun], cpus: Int): Seq[String] =
     runs.filter(_.load > ownLoadBand(cpus)).map(_.name).sorted

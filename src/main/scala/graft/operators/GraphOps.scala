@@ -69,8 +69,9 @@ object GraphOps {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val eod = edges.join(deg, "src").select(col("src"), col("dst"), col("od"))
       .repartition(np, col("src")).cache()
-    eod.count(): Unit // materialize both caches before the rounds
-    nds.count(): Unit
+    // no eager materialization: round 1 fills both caches as a side
+    // effect (two extra count() jobs here measurably slowed the
+    // 1x bench cell for nothing)
     (nds, n1, eod)
   }
 
@@ -104,14 +105,14 @@ object GraphOps {
     */
   def bfsLevels(edges: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
     require(depth >= 0, "depth must be >= 0")
-    // cached once, hashed on src (cache, not checkpoint — see
-    // pagerank's prepare): every round's frontier join reuses the
-    // reported partitioning, so the edge relation — the dominant one —
-    // never re-shuffles after round 0
+    // NOT cached: measured negative result (SCALING.md round 6) — at
+    // the typical 3-hop budget the one-shot cache build of the edge
+    // relation costs more than three scan+shuffle reuses save (10x
+    // cell regressed 7.5 s → 10.7 s cached). PageRank's prepare keeps
+    // its cache because its per-round reuse is higher and measured to
+    // win (tail slope 1.81x → 1.19x); deeper BFS budgets should
+    // pre-cache the edges themselves.
     val e = edges.select(col("src"), col("dst"))
-      .repartition(edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("src"))
-      .cache()
     val f0 = seeds.select(col("id")).distinct().localCheckpoint()
     val (out, _, _) = (1 to depth).foldLeft(
       (f0.withColumn("level", lit(0).cast("long")), f0, f0)) {
@@ -123,7 +124,6 @@ object GraphOps {
         (acc.unionByName(next.withColumn("level", lit(l).cast("long"))),
           next, visited.unionByName(next))
     }
-    e.unpersist() // frontiers are checkpointed; the result no longer needs e
     out
   }
 }

@@ -39,12 +39,13 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("loadFlagged thresholds on the measured quiet own-load band") {
-    // calibration: local[32] quiet band is median 1.8 / max 3.3, so the
-    // band at 32 cores is 3.5 and scales linearly, floored at 1.5
-    assert(Bench.ownLoadBand(32) == 3.5)
-    assert(Bench.ownLoadBand(4) == 1.5) // floor, not 0.44
-    val rs = Seq(Bench.QRun("q10_x", 1.0, 3.3, 3.0), // quiet max → not flagged
-      Bench.QRun("q11_y", 1.0, 3.7, 3.0))            // above band → flagged
+    // calibration: the 156-query battery's own quiet start loads are
+    // median 4.9 / max 6.4 at local[32] (bench_full.json, round 6),
+    // so the band at 32 cores is 6.5, scaled linearly, floored at 1.5
+    assert(Bench.ownLoadBand(32) == 6.5)
+    assert(Bench.ownLoadBand(4) == 1.5) // floor, not 0.8
+    val rs = Seq(Bench.QRun("q10_x", 1.0, 6.4, 3.0), // quiet max → not flagged
+      Bench.QRun("q11_y", 1.0, 7.1, 3.0))            // r5-style → flagged
     assert(Bench.loadFlagged(rs, 32) == Seq("q11_y"))
     assert(Bench.loadFlagged(rs, 64).isEmpty)
   }
