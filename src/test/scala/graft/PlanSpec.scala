@@ -559,6 +559,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p156.contains("CartesianProduct"), p156.take(800))
   }
 
+  test("q157-q160: tuning wave scale shapes hold") {
+    // q157: the cross-lang join keys on the SHINGLE (≤ C(langs,2)
+    // rows per shingle) — never a doc-pair or lang-matrix cartesian
+    val p157 = plan("q157_cross_lang_leakage")
+    assert(!p157.contains("CartesianProduct"), p157.take(800))
+    // q158: the Zipf knots are a 4-row broadcast inequality join over
+    // the count-value relation, never the token relation
+    val p158 = plan("q158_topk_token_share")
+    assert(p158.contains("BroadcastNestedLoopJoin"), p158.take(800))
+    assert(!p158.contains("CartesianProduct"), p158.take(800))
+    // q159: first/last prices come from ONE min/max-struct agg pair
+    // over the fact scan — no window over the fact table; top-20 is
+    // TakeOrdered, never a global sort
+    val p159 = plan("q159_price_drift")
+    assert(p159.contains("TakeOrderedAndProject"), p159.take(800))
+    assert(!p159.contains("Window"), p159.take(800))
+    // q160: the whole curve is one pass — the only join is the 4-row
+    // broadcast ctx relation
+    val p160 = plan("q160_packing_curve")
+    assert(!p160.contains("SortMergeJoin"), p160.take(800))
+    assert("HashAggregate".r.findAllIn(p160).size >= 2, p160.take(800))
+  }
+
   test("q148/q147/q120: every WindowExec in the executed plan is keyed") {
     // the CDF prefix sums run as the two-level bucketed scan
     // (Windows.prefixSum) — a partition-less running window would
@@ -574,7 +597,8 @@ class PlanSpec extends AnyFunSuite {
     }
     for (k <- Seq("q148_ks_drift", "q147_equi_depth_hist",
                   "q120_cumulative_users", "q150_weighted_sample",
-                  "q151_token_budget_curve", "q154_hist_selectivity")) {
+                  "q151_token_budget_curve", "q154_hist_selectivity",
+                  "q158_topk_token_share")) {
       val exec = SparkEntry.queries(k)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan
       val all = windows(exec)
