@@ -40,7 +40,11 @@ object ScaleBench {
     "q93_dup_clusters", "q97_keep_best", "q105_mirror_matrix",
     "q101_ivfpq", "q117_span_dedup", "q109_bm25", "q127_ann_recall",
     "q139_dsir_weights", "q142_graph_pagerank", "q144_bfs_reach",
-    "q146_bloom_join")
+    "q146_bloom_join",
+    // round 6: the bucketed-prefix-sum family (CDF/knot kernels) and
+    // the shingle-leakage pair join — the new waves' heaviest shapes
+    "q151_token_budget_curve", "q154_hist_selectivity",
+    "q158_topk_token_share", "q157_cross_lang_leakage")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

@@ -14,6 +14,38 @@ class PropertySpec extends AnyFunSuite {
   private def dir = TestSpark.sf0001
   private def q(name: String) = SparkEntry.queries(name)(spark, dir)
 
+  test("prefixSum: seeded-random relations always match the reference window") {
+    // 30 random (size, valueRange, bucketCount, grouped?) shapes — any
+    // bucket-boundary monotonicity break, offset off-by-one, or tie
+    // mishandling diverges from the single-window reference
+    import graft.operators.Windows
+    import spark.implicits._
+    val rnd = new scala.util.Random(160814L)
+    (1 to 30).foreach { i =>
+      val n = 1 + rnd.nextInt(400)
+      val span = 1 + rnd.nextInt(3000)
+      val buckets = 2 + rnd.nextInt(40)
+      val grouped = rnd.nextBoolean()
+      val rows = (0 until n).map(_ =>
+        (rnd.nextInt(span).toLong, rnd.nextInt(5).toLong,
+          rnd.nextLong(1000) - 500))
+      // distinct order keys WITHIN each partitioning scope (the
+      // operator's documented contract — collapse first)
+      val base =
+        if (grouped) rows.toDF("v0", "g", "c")
+          .groupBy("g", "v0").agg(sum("c").as("c"))
+        else rows.toDF("v0", "g", "c")
+          .groupBy("v0").agg(sum("c").as("c")).withColumn("g", lit(0L))
+      val (part, partSql) = if (grouped) (Seq("g"), "PARTITION BY g") else (Nil, "")
+      val expect = base.selectExpr("g", "v0",
+          s"SUM(c) OVER ($partSql ORDER BY v0 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+        .as[(Long, Long, Long)].collect().toSet
+      val got = Windows.prefixSum(base, part, "v0", "c", "cum", buckets = buckets)
+        .select("g", "v0", "cum").as[(Long, Long, Long)].collect().toSet
+      assert(got == expect, s"case $i: n=$n span=$span buckets=$buckets grouped=$grouped")
+    }
+  }
+
   test("q22: |UNION ALL| = |A| + |B| and |UNION| <= |UNION ALL|") {
     val rows = q("q22_union").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val c = Tables.load(spark, dir, "customer")
