@@ -55,16 +55,62 @@ object Mvm {
   /** Compute the view directly — the bootstrap (and the recompute an
     * incremental result must equal). `countCol` maintains COUNT(*);
     * each `(name, expr)` in `sums` maintains SUM(expr), in `mins`
-    * MIN(expr), in `maxs` MAX(expr). */
+    * MIN(expr), in `maxs` MAX(expr), in `avgs` AVG(expr). */
   def compute(base: DataFrame, keys: Seq[String], countCol: String,
               sums: Seq[(String, Column)],
               mins: Seq[(String, Column)] = Nil,
-              maxs: Seq[(String, Column)] = Nil): DataFrame =
-    base.groupBy(keys.map(col): _*)
+              maxs: Seq[(String, Column)] = Nil,
+              avgs: Seq[(String, Column)] = Nil): DataFrame =
+    withAvgs(base.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(countCol),
-        sums.map { case (nm, e) => sum(e).as(nm) } ++
+        (sums ++ avgBacking(avgs)).map { case (nm, e) => sum(e).as(nm) } ++
           mins.map { case (nm, e) => min(e).as(nm) } ++
-          maxs.map { case (nm, e) => max(e).as(nm) }: _*)
+          maxs.map { case (nm, e) => max(e).as(nm) }: _*),
+      countCol, avgs)
+
+  /** AVG maintains as its backing SUM (a plain distributive column in
+    * the stored view) plus a DERIVED visible column recomputed after
+    * every merge — `avg = backing_sum / count`, the only form that is
+    * exactly incremental under inserts AND deletes (maintaining the
+    * quotient directly is not). AVG ignores nulls, so the backing sum
+    * pairs with a per-expression non-null count — COUNT(*) would
+    * silently shift the average of a nullable expression. */
+  def avgBackingSum(name: String): String = s"__avg_sum_$name"
+  def avgBackingCnt(name: String): String = s"__avg_cnt_$name"
+
+  private def avgBacking(avgs: Seq[(String, Column)]): Seq[(String, Column)] =
+    avgs.flatMap { case (nm, e) => Seq(
+      avgBackingSum(nm) -> e,
+      avgBackingCnt(nm) -> when(e.isNotNull, lit(1L)).otherwise(lit(0L))) }
+
+  private def withAvgs(df: DataFrame, countCol: String,
+                       avgs: Seq[(String, Column)]): DataFrame =
+    avgs.foldLeft(df) { case (d, (nm, _)) =>
+      d.withColumn(nm,
+        when(col(avgBackingCnt(nm)) > 0,
+          col(avgBackingSum(nm)).cast("double") / col(avgBackingCnt(nm))))
+    }
+
+  /** [[applyDelta]]/[[applyDeltaExtrema]] with the AVG layer: backing
+    * sums/counts maintain as ordinary distributive columns, visible
+    * averages recompute from them afterwards. `base` is required only
+    * when `mins`/`maxs` are present (delete-repair). */
+  def applyDeltaAll(mv: DataFrame, deltaBag: DataFrame,
+                    base: Option[DataFrame], keys: Seq[String],
+                    countCol: String, sums: Seq[(String, Column)],
+                    mins: Seq[(String, Column)], maxs: Seq[(String, Column)],
+                    avgs: Seq[(String, Column)]): DataFrame = {
+    val allSums = sums ++ avgBacking(avgs)
+    val core =
+      if (mins.isEmpty && maxs.isEmpty)
+        applyDelta(mv, deltaBag, keys, countCol, allSums)
+      else
+        applyDeltaExtrema(mv, deltaBag,
+          base.getOrElse(throw new IllegalArgumentException(
+            "MIN/MAX maintenance needs the post-mutation base table")),
+          keys, countCol, allSums, mins, maxs)
+    withAvgs(core, countCol, avgs)
+  }
 
   /** Merge a change bag into the view: aggregate the delta's partials
     * per group (COUNT -> SUM(mult), SUM(x) -> SUM(mult * x)), full-

@@ -173,7 +173,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         graft.streaming.MvSink.mergeBagIntoView(spark, mv.root, bag,
           mv.keys, mv.countCol, cols(mv.sums), mins, maxs,
           // extrema delete-repair reads the post-mutation base version
-          if (mins.isEmpty && maxs.isEmpty) None else Some(newV))
+          if (mins.isEmpty && maxs.isEmpty) None else Some(newV),
+          cols(mv.avgs))
         graft.sources.TableStatistics.invalidate(mv.root)
         refreshView(mv.name)
       }
@@ -482,7 +483,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
 
     // CREATE MATERIALIZED VIEW mv OVER t KEY (g) COUNT n
     //   [SUM (expr AS name, ...)] [MIN (expr AS name, ...)]
-    //   [MAX (expr AS name, ...)] LOCATION '/path'
+    //   [MAX (expr AS name, ...)] [AVG (expr AS name, ...)]
+    //   LOCATION '/path'
     // — the one full compute (bootstrap); from then on every DML on t
     // through this router maintains mv incrementally (maintainViews).
     // COUNT/SUM maintain purely from deltas; MIN/MAX additionally
@@ -495,15 +497,15 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       require(!tables.contains(name), s"name '$name' is already registered")
       val r = root(over)
       val keyCols = splitTop(keys, ',').map(_.trim)
-      val (sums, mins, maxs) = SqlRouter.parseAggClauses(aggBlob)
+      val (sums, mins, maxs, avgs) = SqlRouter.parseAggClauses(aggBlob)
       def cols(xs: Seq[(String, String)]) =
         xs.map { case (n, e) => (n, parseCol(e)) }
       val mv0 = graft.operators.Mvm.compute(ManagedTable.read(spark, r),
-        keyCols, countCol, cols(sums), cols(mins), cols(maxs))
+        keyCols, countCol, cols(sums), cols(mins), cols(maxs), cols(avgs))
       ManagedTable.create(spark, path, mv0.schema)
       val snap = ManagedTable.insert(spark, path, mv0)
       val spec = SqlRouter.MvSpec(name, over, path, keyCols, countCol,
-        sums, mins, maxs)
+        sums, mins, maxs, avgs)
       SqlRouter.writeMvSidecar(spark, spec)
       mviews.put(name, spec)
       register(name, path)
@@ -532,7 +534,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         ManagedTable.read(spark, root(mv.over)), mv.keys, mv.countCol,
         mv.sums.map { case (n, e) => (n, parseCol(e)) },
         mv.mins.map { case (n, e) => (n, parseCol(e)) },
-        mv.maxs.map { case (n, e) => (n, parseCol(e)) })
+        mv.maxs.map { case (n, e) => (n, parseCol(e)) },
+        mv.avgs.map { case (n, e) => (n, parseCol(e)) })
       ManagedTable.delete(spark, mv.root, lit(true))
       val snap = ManagedTable.insert(spark, mv.root, fresh)
       graft.sources.TableStatistics.invalidate(mv.root)
@@ -566,9 +569,9 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         xs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
       mviews.values.toSeq.sortBy(_.name)
         .map(m => (m.name, m.over, m.root, m.keys.mkString(","), m.countCol,
-          show(m.sums), show(m.mins), show(m.maxs)))
+          show(m.sums), show(m.mins), show(m.maxs), show(m.avgs)))
         .toDF("name", "over_table", "location", "key_cols", "count_col",
-          "sum_cols", "min_cols", "max_cols")
+          "sum_cols", "min_cols", "max_cols", "avg_cols")
 
     case other => spark.sql(other)
   }
@@ -586,7 +589,8 @@ object SqlRouter {
                           keys: Seq[String], countCol: String,
                           sums: Seq[(String, String)],
                           mins: Seq[(String, String)] = Nil,
-                          maxs: Seq[(String, String)] = Nil)
+                          maxs: Seq[(String, String)] = Nil,
+                          avgs: Seq[(String, String)] = Nil)
 
   /** Parse the CREATE MATERIALIZED VIEW aggregate-clause blob — zero
     * or more of `SUM (...)`, `MIN (...)`, `MAX (...)` in any order,
@@ -596,19 +600,21 @@ object SqlRouter {
     * three keywords fails loudly — a typo must not silently become an
     * unmaintained aggregate. Returns (sums, mins, maxs). */
   private[server] def parseAggClauses(blob: String):
-      (Seq[(String, String)], Seq[(String, String)], Seq[(String, String)]) = {
+      (Seq[(String, String)], Seq[(String, String)], Seq[(String, String)],
+       Seq[(String, String)]) = {
     val sums = Seq.newBuilder[(String, String)]
     val mins = Seq.newBuilder[(String, String)]
     val maxs = Seq.newBuilder[(String, String)]
+    val avgs = Seq.newBuilder[(String, String)]
     val up = blob.toUpperCase
     var i = 0
     while (i < blob.length) {
       if (blob.charAt(i).isWhitespace) i += 1
       else {
-        val kw = Seq("SUM", "MIN", "MAX").find(k => up.startsWith(k, i) &&
+        val kw = Seq("SUM", "MIN", "MAX", "AVG").find(k => up.startsWith(k, i) &&
             (i + k.length >= blob.length || !blob.charAt(i + k.length).isLetterOrDigit))
           .getOrElse(throw new IllegalArgumentException(
-            s"expected SUM/MIN/MAX in MV aggregate list, got '${blob.substring(i).take(30)}'"))
+            s"expected SUM/MIN/MAX/AVG in MV aggregate list, got '${blob.substring(i).take(30)}'"))
         i += 3
         while (i < blob.length && blob.charAt(i).isWhitespace) i += 1
         require(i < blob.length && blob.charAt(i) == '(', s"expected '(' after $kw")
@@ -633,10 +639,11 @@ object SqlRouter {
           case "SUM" => sums ++= items
           case "MIN" => mins ++= items
           case "MAX" => maxs ++= items
+          case "AVG" => avgs ++= items
         }
       }
     }
-    (sums.result(), mins.result(), maxs.result())
+    (sums.result(), mins.result(), maxs.result(), avgs.result())
   }
 
   /** Parse a `SUM (expr AS name, ...)` list: top-level commas split
@@ -688,7 +695,8 @@ object SqlRouter {
       j("count") + ":" + j(spec.countCol),
       j("sums") + ":" + j(aggList(spec.sums)),
       j("mins") + ":" + j(aggList(spec.mins)),
-      j("maxs") + ":" + j(aggList(spec.maxs))
+      j("maxs") + ":" + j(aggList(spec.maxs)),
+      j("avgs") + ":" + j(aggList(spec.avgs))
     ).mkString("{", ",", "}")
     val out = f.create(p, /*overwrite=*/ true)
     try out.write(s"""{"mv":$body}""".getBytes("UTF-8")) finally out.close()
@@ -713,7 +721,7 @@ object SqlRouter {
         m.get(k).filter(_.trim.nonEmpty).map(parseSumList).getOrElse(Nil)
       Some(MvSpec(need("name"), need("over"), root,
         need("keys").split(',').map(_.trim).toSeq, need("count"),
-        aggList("sums"), aggList("mins"), aggList("maxs")))
+        aggList("sums"), aggList("mins"), aggList("maxs"), aggList("avgs")))
     }
   }
 

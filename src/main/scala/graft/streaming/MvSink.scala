@@ -48,9 +48,10 @@ object MvSink {
                 viewKeys: Seq[String], countCol: String,
                 sums: Seq[(String, Column)],
                 mins: Seq[(String, Column)] = Nil,
-                maxs: Seq[(String, Column)] = Nil): Unit = {
+                maxs: Seq[(String, Column)] = Nil,
+                avgs: Seq[(String, Column)] = Nil): Unit = {
     val mv = Mvm.compute(ManagedTable.read(spark, tableRoot),
-      viewKeys, countCol, sums, mins, maxs)
+      viewKeys, countCol, sums, mins, maxs, avgs)
     ManagedTable.create(spark, viewRoot, mv.schema)
     ManagedTable.insert(spark, viewRoot, mv)
   }
@@ -62,7 +63,8 @@ object MvSink {
                  viewKeys: Seq[String], countCol: String,
                  sums: Seq[(String, Column)],
                  mins: Seq[(String, Column)] = Nil,
-                 maxs: Seq[(String, Column)] = Nil): Unit = {
+                 maxs: Seq[(String, Column)] = Nil,
+                 avgs: Seq[(String, Column)] = Nil): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val schema = ManagedTable.history(spark, tableRoot).last.schema
@@ -79,7 +81,7 @@ object MvSink {
     val base = if (mins.isEmpty && maxs.isEmpty) None
                else Some(ManagedTable.read(spark, tableRoot))
     mergeBagIntoView(spark, viewRoot, bag, viewKeys, countCol, sums,
-      mins, maxs, base)
+      mins, maxs, base, avgs)
   }
 
   /** Merge a multiset delta bag ([[Mvm.MultCol]]-tagged rows) into the
@@ -92,19 +94,16 @@ object MvSink {
                        sums: Seq[(String, Column)],
                        mins: Seq[(String, Column)] = Nil,
                        maxs: Seq[(String, Column)] = Nil,
-                       base: Option[DataFrame] = None): Unit = {
+                       base: Option[DataFrame] = None,
+                       avgs: Seq[(String, Column)] = Nil): Unit = {
     require(mins.isEmpty && maxs.isEmpty || base.nonEmpty,
       "MIN/MAX maintenance needs the post-mutation base table for delete-repair")
     val affected = bag.select(viewKeys.map(col): _*).distinct()
     val viewSchema = ManagedTable.history(spark, viewRoot).last.schema
     val affectedView =
       ManagedTable.read(spark, viewRoot).join(affected, viewKeys, "left_semi")
-    val applied =
-      if (mins.isEmpty && maxs.isEmpty)
-        Mvm.applyDelta(affectedView, bag, viewKeys, countCol, sums)
-      else
-        Mvm.applyDeltaExtrema(affectedView, bag, base.get, viewKeys,
-          countCol, sums, mins, maxs)
+    val applied = Mvm.applyDeltaAll(affectedView, bag, base, viewKeys,
+      countCol, sums, mins, maxs, avgs)
     val merged = applied
       .select(viewSchema.fieldNames.map(col): _*)
       .localCheckpoint() // pinned before the view mutations below
@@ -135,14 +134,15 @@ object MvSink {
                            checkpointDir: String,
                            trigger: Trigger = Trigger.AvailableNow(),
                            mins: Seq[(String, Column)] = Nil,
-                           maxs: Seq[(String, Column)] = Nil): StreamingQuery =
+                           maxs: Seq[(String, Column)] = Nil,
+                           avgs: Seq[(String, Column)] = Nil): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(batch, tableRoot, viewRoot, keys, orderCols,
-          viewKeys, countCol, sums, mins, maxs)
+          viewKeys, countCol, sums, mins, maxs, avgs)
       }
       .start()
 }

@@ -325,6 +325,48 @@ class SqlRouterSpec extends AnyFunSuite {
     assert(!mv(r2).exists(_._1 == "b"))
   }
 
+  test("materialized view: AVG maintains exactly, including nullable expressions") {
+    def rows(r: SqlRouter, q: String) = r.execute(q).collect()
+      .map(x => (x.getAs[String]("g"), x.getAs[Long]("n"),
+        Option(x.getAs[java.lang.Double]("mv")).map(_.toDouble))).toSet
+    def mv(r: SqlRouter) = rows(r, "SELECT g, n, mv FROM mva")
+    def rc(r: SqlRouter) = rows(r,
+      "SELECT g, count(*) n, avg(v) mv FROM ma GROUP BY g")
+    val dir = Files.createTempDirectory("graft_mv_avg").toString
+    val r1 = new SqlRouter(spark)
+    r1.execute(
+      s"CREATE MANAGED TABLE ma (id BIGINT, g STRING, v BIGINT) LOCATION '$dir/t'")
+    // NULL values must not shift the average (backing non-null count,
+    // not COUNT(*))
+    r1.execute("INSERT INTO ma VALUES (1,'a',10), (2,'a',NULL), (3,'a',20), (4,'b',7)")
+    r1.execute("CREATE MATERIALIZED VIEW mva OVER ma KEY (g) COUNT n " +
+      s"AVG (v AS mv) LOCATION '$dir/v'")
+    assert(mv(r1) == rc(r1))
+    assert(mv(r1).contains(("a", 3L, Some(15.0))), mv(r1))
+    r1.execute("INSERT INTO ma VALUES (5,'a',30), (6,'c',NULL)")
+    assert(mv(r1) == rc(r1))
+    assert(mv(r1).contains(("c", 1L, None)), mv(r1)) // all-null group
+    r1.execute("DELETE FROM ma WHERE v = 10")
+    assert(mv(r1) == rc(r1))
+    assert(mv(r1).contains(("a", 3L, Some(25.0))), mv(r1))
+    r1.execute("UPDATE ma SET v = 70 WHERE g = 'b'")
+    assert(mv(r1) == rc(r1))
+    // combined with MIN/MAX in one view (repair + derived recompute)
+    r1.execute("CREATE MATERIALIZED VIEW mvb OVER ma KEY (g) COUNT n " +
+      s"MIN (v AS lo) AVG (v AS mv) LOCATION '$dir/v2'")
+    r1.execute("DELETE FROM ma WHERE v = 20") // removes a's min
+    val both = r1.execute("SELECT g, n, lo, mv FROM mvb").collect()
+      .map(x => (x.getAs[String]("g"), x.getAs[Long]("n"),
+        Option(x.getAs[java.lang.Long]("lo")).map(_.toLong),
+        Option(x.getAs[java.lang.Double]("mv")).map(_.toDouble))).toSet
+    val both2 = r1.execute(
+      "SELECT g, count(*) n, min(v) lo, avg(v) mv FROM ma GROUP BY g").collect()
+      .map(x => (x.getAs[String]("g"), x.getAs[Long]("n"),
+        Option(x.getAs[java.lang.Long]("lo")).map(_.toLong),
+        Option(x.getAs[java.lang.Double]("mv")).map(_.toDouble))).toSet
+    assert(both == both2, s"$both vs $both2")
+  }
+
   test("materialized view: randomized SQL DML sequences never drift the view from recompute") {
     // the ManagedTableSpec fuzz discipline applied to the router's MV
     // maintenance: seeded-random INSERT/UPDATE/DELETE/UPSERT statements
