@@ -35,7 +35,7 @@ object Queries {
       Corpus.queries ++ Quality.queries ++ Activity.queries ++ Composite.queries ++
       Training.queries ++ Diversity.queries ++ Evaluation.queries ++
       Governance.queries ++ Graph.queries ++ Introspection.queries ++
-      Calibration.queries ++ Profiles.queries ++ Tuning.queries
+      Calibration.queries ++ Profiles.queries ++ Tuning.queries ++ Selection.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
@@ -43,5 +43,5 @@ object Queries {
       Retrieval.oracle ++ Corpus.oracle ++ Quality.oracle ++ Activity.oracle ++
       Composite.oracle ++ Training.oracle ++ Diversity.oracle ++
       Evaluation.oracle ++ Governance.oracle ++ Graph.oracle ++
-      Introspection.oracle ++ Calibration.oracle ++ Profiles.oracle ++ Tuning.oracle
+      Introspection.oracle ++ Calibration.oracle ++ Profiles.oracle ++ Tuning.oracle ++ Selection.oracle
 }

@@ -582,6 +582,23 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p160).size >= 2, p160.take(800))
   }
 
+  test("q161-q163: selection wave scale shapes hold") {
+    // q161: candidates come from bucket equi-joins keyed on
+    // (cfg, band index, band value) and the truth kernel joins on the
+    // shingle — never a doc-pair cartesian
+    val p161 = plan("q161_lsh_band_curve")
+    assert(!p161.contains("CartesianProduct"), p161.take(800))
+    // q162: one pass — a single partial+final agg pair over the scan,
+    // no join at all
+    val p162 = plan("q162_discount_revenue")
+    assert(!p162.contains("Join"), p162.take(800))
+    assert("HashAggregate".r.findAllIn(p162).size >= 2, p162.take(800))
+    // q163: the grid join is the broadcast ~blocks-sized totals
+    val p163 = plan("q163_quality_length_grid")
+    assert(p163.contains("BroadcastHashJoin"), p163.take(800))
+    assert(!p163.contains("SortMergeJoin"), p163.take(800))
+  }
+
   test("q148/q147/q120: every WindowExec in the executed plan is keyed") {
     // the CDF prefix sums run as the two-level bucketed scan
     // (Windows.prefixSum) — a partition-less running window would
