@@ -174,6 +174,16 @@ object ManagedTable {
       System.err.println(s"[managed-table] stats sidecar for v${s.version} " +
         s"not written (${e.getMessage}) — range reads will scan unpruned")
     }
+    // ANY row-changing commit makes ANALYZE statistics stale — dropped
+    // HERE, at the one choke point every mutation path shares, so a
+    // direct-API caller (bypassing SqlRouter) can never leave the
+    // planner acting on a superseded snapshot's stats. Compaction
+    // keeps rows identical, so its stats survive; create/add_column
+    // have none/keep theirs.
+    s.op match {
+      case "compact" | "create" | "add_column" =>
+      case _ => TableStatistics.invalidate(root)
+    }
     s
   }
 
