@@ -3,13 +3,15 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** Selection-tuning wave (q161–q163, round 6): the dials a curation
-  * deployment actually turns — the LSH banding (b × r) tradeoff
-  * measured as candidate recall/precision against exact-Jaccard truth
-  * (q161), decimal-exact revenue-by-discount (the TPC-H-flavored
-  * decision report with NO float arithmetic anywhere — q162), and the
-  * quality×length grid that shows whether a length filter silently
-  * acts as a quality filter (q163).
+/** Selection-tuning & shift wave (q161–q165, round 6): the dials a
+  * curation deployment actually turns — the LSH banding (b × r)
+  * tradeoff measured as candidate recall/precision against
+  * exact-Jaccard truth (q161), decimal-exact revenue-by-discount (the
+  * TPC-H-flavored decision report with NO float arithmetic anywhere —
+  * q162), the quality×length grid that shows whether a length filter
+  * silently acts as a quality filter (q163), the temporal split drift
+  * report with exact rank-picked medians (q164), and supplier revenue
+  * concentration (q165).
   *
   * Same t2 gate (strict_check at sf0.01 AND sf0.1 before commit).
   * q161's truth threshold is the INTEGER form 10·∩ ≥ 7·∪ — unlike
@@ -104,6 +106,64 @@ object Selection {
         .orderBy("disc_pct")
     }),
 
+    // Temporal split drift: cut the event stream at its midpoint date
+    // and compare each event type's volume and EXACT lower-median
+    // value across the halves — the "did the stream shift across the
+    // deployment" report. Medians are picked by rank (no arithmetic
+    // on the double values, so they hash exactly); the rank windows
+    // are keyed per (type, half). Scale shape: one keyed window pass
+    // + two hash aggs; the midpoint is a broadcast 1-row aggregate.
+    "q164_temporal_split_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+      val mid = ev.agg(expr(
+        "timestamp_micros(CAST((unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2 AS BIGINT)) AS mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+        .withColumn("half", when(col("ts") < col("mid"), "before").otherwise("after"))
+      val w = Window.partitionBy("event_type", "half")
+        .orderBy(col("value"), col("event_id"))
+      val med = tagged
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type", "half")))
+        .filter(expr("rn = (n + 1) DIV 2"))
+        .select(col("event_type"), col("half"), col("value").as("median_value"))
+      val counts = tagged.groupBy("event_type", "half").agg(cnt.as("n"))
+      def side(df: org.apache.spark.sql.DataFrame, h: String, out: Seq[(String, String)]) =
+        df.filter(col("half") === h)
+          .select(col("event_type") +: out.map { case (c, o) => col(c).as(o) }: _*)
+      side(counts, "before", Seq("n" -> "n_before"))
+        .join(side(counts, "after", Seq("n" -> "n_after")), "event_type")
+        .join(broadcast(side(med, "before", Seq("median_value" -> "median_before"))), "event_type")
+        .join(broadcast(side(med, "after", Seq("median_value" -> "median_after"))), "event_type")
+        .selectExpr("event_type", "n_before", "n_after",
+          "n_after * 1000000 DIV n_before AS rate_ratio_ppm",
+          "median_before", "median_after",
+          "CAST(CASE WHEN median_after > median_before THEN 1 " +
+            "WHEN median_after < median_before THEN -1 ELSE 0 END AS BIGINT) AS value_shift")
+        .orderBy("event_type")
+    }),
+
+    // Supplier revenue concentration: each supplier's decimal-exact
+    // net revenue (the q162 discipline), the top-10 suppliers by
+    // revenue (rank ties broken by key), and their cumulative share
+    // of total revenue — the "how concentrated is the supply base"
+    // report. Scale shape: one hash agg per supplier, top-10 via
+    // TakeOrdered, shares against a broadcast 1-row total.
+    "q165_supplier_concentration" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "lineitem")
+        .selectExpr("l_suppkey AS supplier",
+          "CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS net_d")
+        .groupBy("supplier").agg(sum("net_d").as("rev_d"), cnt.as("n_items"))
+        .localCheckpoint() // read twice: total + top-10
+      val tot = rev.agg(sum("rev_d").as("total_d"))
+      rev.orderBy(desc("rev_d"), col("supplier")).limit(10)
+        .crossJoin(broadcast(tot))
+        .selectExpr("supplier", "n_items",
+          "CAST(rev_d AS DOUBLE) AS net_revenue",
+          "CAST(CAST(rev_d * 10000 AS DECIMAL(19,0)) * 1000000 DIV CAST(total_d * 10000 AS DECIMAL(19,0)) AS BIGINT) AS revenue_share_ppm")
+        .orderBy(desc("net_revenue"), col("supplier"))
+    }),
+
     // Quality × length grid: does a length cutoff silently act as a
     // quality filter? Type-token-ratio quality buckets against
     // 64-char length blocks (the q145 blocking convention), each cell
@@ -185,6 +245,41 @@ SELECT disc_pct, COUNT(*) n_items,
   CAST(SUM(net_d) AS DOUBLE) net_revenue,
   CAST(SUM(gross_d) - SUM(net_d) AS DOUBLE) discount_given
 FROM li GROUP BY disc_pct ORDER BY disc_pct""",
+
+    "q164_temporal_split_drift" -> """
+WITH mid AS (SELECT epoch_us(MIN(ts)) mn, epoch_us(MAX(ts)) mx FROM events),
+tagged AS (SELECT event_type, event_id, value,
+    CASE WHEN epoch_us(ts) < (mn + mx) // 2 THEN 'before' ELSE 'after' END half
+  FROM events CROSS JOIN mid),
+ranked AS (SELECT event_type, half, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type, half ORDER BY value, event_id) rn,
+    COUNT(*) OVER (PARTITION BY event_type, half) n
+  FROM tagged),
+med AS (SELECT event_type, half, value FROM ranked WHERE rn = (n + 1) // 2),
+counts AS (SELECT event_type, half, COUNT(*) n FROM tagged GROUP BY event_type, half)
+SELECT cb.event_type, cb.n AS n_before, ca.n AS n_after,
+  CAST(ca.n * 1000000 // cb.n AS BIGINT) rate_ratio_ppm,
+  mb.value AS median_before, ma.value AS median_after,
+  CAST(CASE WHEN ma.value > mb.value THEN 1
+            WHEN ma.value < mb.value THEN -1 ELSE 0 END AS BIGINT) value_shift
+FROM counts cb
+JOIN counts ca ON ca.event_type = cb.event_type AND cb.half = 'before' AND ca.half = 'after'
+JOIN med mb ON mb.event_type = cb.event_type AND mb.half = 'before'
+JOIN med ma ON ma.event_type = cb.event_type AND ma.half = 'after'
+ORDER BY cb.event_type""",
+
+    "q165_supplier_concentration" -> """
+WITH rev AS (SELECT l_suppkey supplier,
+    SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) rev_d,
+    COUNT(*) n_items
+  FROM lineitem GROUP BY l_suppkey),
+tot AS (SELECT SUM(rev_d) total_d FROM rev),
+top AS (SELECT * FROM rev ORDER BY rev_d DESC, supplier LIMIT 10)
+SELECT t.supplier, t.n_items,
+  CAST(t.rev_d AS DOUBLE) net_revenue,
+  CAST(CAST(t.rev_d * 10000 AS HUGEINT) * 1000000 // CAST(tot.total_d * 10000 AS HUGEINT) AS BIGINT) revenue_share_ppm
+FROM top t CROSS JOIN tot
+ORDER BY net_revenue DESC, t.supplier""",
 
     "q163_quality_length_grid" -> """
 WITH d AS (SELECT n_chars, list_filter(string_split(lower(text), ' '), x -> x <> '') toks FROM documents),

@@ -597,6 +597,15 @@ class PlanSpec extends AnyFunSuite {
     val p163 = plan("q163_quality_length_grid")
     assert(p163.contains("BroadcastHashJoin"), p163.take(800))
     assert(!p163.contains("SortMergeJoin"), p163.take(800))
+    // q164: median windows are KEYED per (type, half); the bounded
+    // per-type relations assemble with broadcasts, never a cartesian
+    val p164 = plan("q164_temporal_split_drift")
+    assert(p164.contains("windowspecdefinition(event_type"), p164.take(800))
+    assert(!p164.contains("CartesianProduct"), p164.take(800))
+    // q165: top-10 is TakeOrdered over the per-supplier agg — no
+    // global sort of the fact table
+    val p165 = plan("q165_supplier_concentration")
+    assert(p165.contains("TakeOrderedAndProject"), p165.take(800))
   }
 
   test("q148/q147/q120: every WindowExec in the executed plan is keyed") {
