@@ -61,6 +61,18 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (TableStatistics.isEmpty) return plan
+    // an optimization RULE must never break a query: any defect here
+    // degrades to the stock plan with a loud stderr line, not a failed
+    // SELECT (the rule runs on every query of a session with ANALYZEd
+    // tables — its blast radius is the whole session otherwise)
+    try applyUnsafe(plan)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[stats-planner] disabled for this plan: ${e.getMessage}")
+      plan
+    }
+  }
+
+  private def applyUnsafe(plan: LogicalPlan): LogicalPlan = {
     val reordered = plan.transformDown {
       case p @ (_: Join | _: Filter | _: Project) =>
         val (items, conditions) = flattenChain(p)
