@@ -63,8 +63,17 @@ object Selection {
             col("bv") === col("bv2") && col("i") < col("j"))
         .select("cfg", "i", "j").distinct()
         .localCheckpoint() // counted and truth-joined
-      val card = t.groupBy("doc_id").agg(cnt.as("nt"))
-      val truth = t.toDF("i", "sh").join(t.toDF("j", "sh2"),
+      // truth kernel under the q42 hot-shingle cap (maxDf = 1000,
+      // modeled identically in the oracle): a boilerplate shingle
+      // shared by m docs costs m²/2 join rows in one reducer — the
+      // cap bounds that blowup, and cardinalities are computed over
+      // the SAME capped shingle set so the Jaccard stays consistent
+      val tk = t.join(t.groupBy("sh").agg(cnt.as("df"))
+          .filter(col("df") <= 1000).select("sh"), "sh")
+        .localCheckpoint() // cards + the pair join
+      val card = tk.groupBy("doc_id").agg(cnt.as("nt"))
+      val truth = tk.select(col("doc_id").as("i"), col("sh"))
+        .join(tk.select(col("doc_id").as("j"), col("sh").as("sh2")),
           col("sh") === col("sh2") && col("i") < col("j"))
         .groupBy("i", "j").agg(cnt.as("ci"))
         .join(card.toDF("i", "na"), "i").join(card.toDF("j", "nb"), "j")
@@ -216,9 +225,11 @@ bands AS (
 cand AS (SELECT DISTINCT a.cfg, a.doc_id i, b.doc_id j
          FROM bands a JOIN bands b
            ON a.cfg = b.cfg AND a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
-card AS (SELECT doc_id, COUNT(*) nt FROM t GROUP BY doc_id),
+tk AS (SELECT t.doc_id, t.sh FROM t
+       JOIN (SELECT sh FROM t GROUP BY sh HAVING COUNT(*) <= 1000) k ON k.sh = t.sh),
+card AS (SELECT doc_id, COUNT(*) nt FROM tk GROUP BY doc_id),
 inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
-          FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          FROM tk a JOIN tk b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id),
 truth AS (SELECT x.i, x.j FROM inter x
           JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
