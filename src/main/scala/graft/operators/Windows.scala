@@ -122,6 +122,14 @@ object Windows {
     * `unix_date(col("d"))` for dates). Value skew across buckets
     * cannot affect correctness, only balance.
     *
+    * Partition and order keys must be NON-NULL: the range join and
+    * the offsets equi-join are null-rejecting, so (unlike the
+    * cumulative window this replaces) a null key would silently DROP
+    * the row — the worst failure mode for a general operator. The
+    * contract is enforced loudly: a per-row guard raises on the first
+    * null key (a codegen'd null check, no extra scan). Route nulls
+    * through a sentinel value first if they are legitimate.
+    *
     * `exclusive = true` yields the sum of strictly-preceding rows
     * (`cum − v`, valid because order keys are distinct).
     */
@@ -129,12 +137,20 @@ object Windows {
                 valueCol: String, outCol: String, exclusive: Boolean = false,
                 buckets: Int = 256, orderNum: Option[Column] = None): DataFrame = {
     val num = orderNum.getOrElse(col(orderCol)).cast("double")
+    // loud failure on null keys (see contract above): a filter whose
+    // predicate raises cannot be pruned away, and costs one null check
+    val anyNullKey = (partitionCols.map(col) :+ num)
+      .map(_.isNull).reduce(_ || _)
+    val guarded = df.filter(when(anyNullKey, raise_error(lit(
+      "graft prefixSum: NULL partition/order key would be silently " +
+        "dropped by the null-rejecting joins; map nulls to a sentinel first")))
+      .otherwise(lit(true)))
     val rngAggs = Seq(min(num).as("_ps_mn"), max(num).as("_ps_mx"))
     val withRange =
       if (partitionCols.isEmpty)
-        df.crossJoin(broadcast(df.agg(rngAggs.head, rngAggs.tail: _*)))
+        guarded.crossJoin(broadcast(guarded.agg(rngAggs.head, rngAggs.tail: _*)))
       else
-        df.join(broadcast(df.groupBy(partitionCols.map(col): _*)
+        guarded.join(broadcast(guarded.groupBy(partitionCols.map(col): _*)
           .agg(rngAggs.head, rngAggs.tail: _*)), partitionCols)
     val span = col("_ps_mx") - col("_ps_mn")
     val bucketed = withRange.withColumn("_ps_b",

@@ -81,13 +81,31 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
         else p
     }
     reordered.transformUp {
-      case j @ Join(l, r, _, _, JoinHint.NONE) =>
+      case j @ Join(l, r, jt, _, JoinHint.NONE) =>
         val t = conf.autoBroadcastJoinThreshold
         if (t <= 0) j
         else {
+          // only hint sides Spark can legally build from for this join
+          // type — a BROADCAST hint on e.g. the preserved side of an
+          // outer join is ignored with a warning, so emitting it is
+          // pure noise. Mirrors JoinSelection's canBuildBroadcast*.
+          import org.apache.spark.sql.catalyst.plans._
+          val canLeft = jt match {
+            case _: InnerLike | RightOuter => true
+            case _ => false
+          }
+          val canRight = jt match {
+            case _: InnerLike | LeftOuter | LeftSemi | LeftAnti |
+                 _: ExistenceJoin => true
+            case _ => false
+          }
+          // 2× safety slack: the per-predicate selectivity product
+          // assumes independence, and correlated predicates can
+          // underestimate — a forced broadcast of a too-big side OOMs
+          // the build, which is far worse than a missed broadcast.
           def small(side: LogicalPlan): Boolean =
-            estimate(side).exists(e => e.rows * e.rowBytes <= t)
-          val (ls, rs) = (small(l), small(r))
+            estimate(side).exists(e => e.rows * e.rowBytes * 2.0 <= t)
+          val (ls, rs) = (canLeft && small(l), canRight && small(r))
           if (!ls && !rs) j
           else j.copy(hint = JoinHint(
             if (ls) Some(HintInfo(strategy = Some(BROADCAST))) else None,

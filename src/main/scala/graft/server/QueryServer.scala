@@ -197,8 +197,10 @@ final class QueryServer(engine: Graft, port: Int,
           }
           val batch = router.batchFrame(table, columns, rows)
           val res = router.ingest(table, batch, keys, strs("orderBy")).collect().head
+          // n_submitted = raw body rows; n_applied = winners after
+          // in-batch duplicate-key reduction (what the MERGE saw)
           respond(ex, 200,
-            s"""{"op":"ingest","table":${jsonStr(table)},"version":${res.getAs[Int]("version")},"n_rows":${rows.size}}""")
+            s"""{"op":"ingest","table":${jsonStr(table)},"version":${res.getAs[Int]("version")},"n_submitted":${rows.size},"n_applied":${res.getAs[Long]("n_applied")}}""")
         } catch {
           case e: Exception =>
             val msg = Option(e.getMessage).toSeq

@@ -200,10 +200,16 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // but DETERMINISTIC winner for in-batch duplicate keys
     val winners = graft.streaming.ManagedSink.latestPerKey(
       batch, keys, if (orderCols.nonEmpty) orderCols else keys)
+    // in-batch duplicate keys reduce to fewer winners before the MERGE;
+    // report what was APPLIED, not what was submitted (HTTP batches are
+    // driver-resident and small, so this count is cheap)
+    val applied = winners.count()
     val snap = ManagedTable.upsert(spark, r, align(winners, pre.schema), keys)
     refreshView(name)
     maintainViews(name, pre.version, snap.version)
-    summary("ingest", name, snap.version)
+    import spark.implicits._
+    Seq(("ingest", name, snap.version, applied))
+      .toDF("op", "tbl", "version", "n_applied")
   }
 
   /** Typed batch frame from string-form cells (the HTTP body's

@@ -51,9 +51,18 @@ object TableStatistics {
   // process-wide registry keyed by normalized table root — statistics
   // describe the TABLE, not a session, so sharing across sessions in
   // one JVM is correct (and what a metastore would do)
-  private val registry = TrieMap.empty[String, TableStats]
+  private[graft] val registry = TrieMap.empty[String, TableStats]
 
-  private def norm(p: String): String = new Path(p).toUri.getPath
+  // Full qualified URI (scheme + authority + path): two tables at the
+  // same path on different filesystems (file:// vs hdfs://nn1/) must
+  // not collide in a process-wide registry. Scheme-less inputs stay
+  // scheme-less, which is self-consistent as long as callers are.
+  private[graft] def norm(p: String): String = {
+    val u = new Path(p).toUri
+    val scheme = Option(u.getScheme).map(_ + "://").getOrElse("")
+    val auth = Option(u.getAuthority).getOrElse("")
+    scheme + auth + u.getPath.stripSuffix("/")
+  }
 
   def get(root: String): Option[TableStats] = registry.get(norm(root))
 
@@ -63,12 +72,15 @@ object TableStatistics {
 
   /** Stats for the table whose root contains `filePath` (a scan leaf's
     * data file) — how the planner maps a LogicalRelation back to its
-    * managed table without a catalog in the loop. */
+    * managed table without a catalog in the loop. Longest matching
+    * root wins: if one managed root is nested under another, the file
+    * belongs to the inner table. */
   def lookupByPath(filePath: String): Option[TableStats] = {
     val p = norm(filePath)
-    registry.collectFirst {
-      case (r, ts) if p == r || p.startsWith(r + "/") => ts
+    val hits = registry.filter {
+      case (r, _) => p == r || p.startsWith(r + "/")
     }
+    if (hits.isEmpty) None else Some(hits.maxBy(_._1.length)._2)
   }
 
   private def statsPath(root: String, v: Int) =
@@ -164,8 +176,23 @@ object TableStatistics {
       require(text.charAt(i) == '"', s"expected string at $i"); i += 1
       val sb = new StringBuilder
       while (text.charAt(i) != '"') {
-        if (text.charAt(i) == '\\') { sb.append(text.charAt(i + 1)); i += 2 }
-        else { sb.append(text.charAt(i)); i += 1 }
+        // exact inverse of Json.escape (the FileStats.parse discipline):
+        // a verbatim append would round-trip a control or non-ASCII
+        // character in a column name to a different key, silently
+        // detaching that column's stats on reload.
+        if (text.charAt(i) == '\\') {
+          text.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(text.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case c @ ('"' | '\\') => sb.append(c); i += 2
+            case c =>
+              throw new IllegalArgumentException(s"bad stats escape '\\$c' at $i")
+          }
+        } else { sb.append(text.charAt(i)); i += 1 }
       }
       i += 1; sb.toString
     }

@@ -86,6 +86,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(cums == Seq(1L, 2L, 3L))
   }
 
+  test("Windows.prefixSum raises loudly on NULL keys instead of dropping rows") {
+    // the range join and offsets join are null-rejecting; the window
+    // this replaces would have KEPT such rows — silent drop is the
+    // contract violation the guard exists for
+    val nullOrder = Seq((Some(1L), 1L), (None, 2L))
+      .toDF("v", "c")
+    val e1 = intercept[Exception] {
+      Windows.prefixSum(nullOrder, Nil, "v", "c", "cum").collect()
+    }
+    assert(e1.getMessage.contains("prefixSum"), e1.getMessage)
+    val nullPart = Seq((Some("a"), 1L, 1L), (None, 2L, 1L))
+      .toDF("g", "v", "c")
+    val e2 = intercept[Exception] {
+      Windows.prefixSum(nullPart, Seq("g"), "v", "c", "cum").collect()
+    }
+    assert(e2.getMessage.contains("prefixSum"), e2.getMessage)
+    // all-non-null keys are untouched by the guard
+    val clean = Windows.prefixSum(
+      Seq((1L, 1L), (2L, 1L)).toDF("v", "c"), Nil, "v", "c", "cum")
+      .orderBy("v").select("cum").as[Long].collect().toSeq
+    assert(clean == Seq(1L, 2L))
+  }
+
   test("Dedup.shingles produces ordered 3-gram set, short docs dropped") {
     val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
     val out = Dedup.shingles(df).as[(Long, String)].collect().toSet

@@ -152,6 +152,10 @@ class QueryServerSpec extends AnyFunSuite {
     val r1 = post("/ingest/ing", batch1)
     assert(r1.statusCode() == 200, r1.body())
     assert(r1.body().contains("\"op\":\"ingest\""), r1.body())
+    // 3 rows submitted, but the in-batch id-3 duplicate reduces to 2
+    // winners before the MERGE — the response must say what was APPLIED
+    assert(r1.body().contains("\"n_submitted\":3"), r1.body())
+    assert(r1.body().contains("\"n_applied\":2"), r1.body())
     assert(viewRows() == recompute())
     val afterBatch1 = viewRows()
     assert(afterBatch1.contains("[\"a\",2,3,1,2]"), afterBatch1) // max repaired 9->2

@@ -144,5 +144,66 @@ class StatsPlannerSpec extends AnyFunSuite {
     assert(graft.util.Json.isValid(render(ts)), render(ts))
     val empty = TableStats(0, 0L, 0L, Map.empty)
     assert(parse(render(empty)) == empty)
+    // column names that NEED Json.escape must round-trip to the same
+    // key — a verbatim append of the escaped char would silently
+    // detach the column's stats after reload (ADVICE r6)
+    val exotic = TableStats(1, 10L, 100L, Map(
+      "a\nb" -> ColStats(1L, None, None, Nil),
+      "t\tq\"w\\e" -> ColStats(2L, Some(0.0), Some(1.0), Nil),
+      "ctl\u0001x" -> ColStats(3L, None, None, Nil)))
+    assert(parse(render(exotic)) == exotic)
+    assert(graft.util.Json.isValid(render(exotic)), render(exotic))
+  }
+
+  test("registry keys carry scheme/authority; nested roots resolve longest-prefix") {
+    import graft.sources.TableStatistics.{TableStats, ColStats}
+    val a = TableStats(1, 10L, 100L, Map.empty[String, ColStats])
+    val b = TableStats(2, 20L, 200L, Map.empty[String, ColStats])
+    val outer = TableStats(3, 30L, 300L, Map.empty[String, ColStats])
+    val inner = TableStats(4, 40L, 400L, Map.empty[String, ColStats])
+    val m = TableStatistics.registry
+    val before = m.toMap
+    try {
+      m.clear()
+      // same path, different filesystem: must NOT collide
+      def key(p: String) = TableStatistics.norm(p)
+      m.put(key("file:///tmp/t1"), a)
+      m.put(key("hdfs://nn1/tmp/t1"), b)
+      assert(TableStatistics.get("file:///tmp/t1") == Some(a))
+      assert(TableStatistics.get("hdfs://nn1/tmp/t1") == Some(b))
+      // nested managed roots: the file belongs to the INNER table
+      m.clear()
+      m.put(key("/w/outer"), outer)
+      m.put(key("/w/outer/inner"), inner)
+      assert(TableStatistics.lookupByPath("/w/outer/inner/part-0.parquet")
+        == Some(inner))
+      assert(TableStatistics.lookupByPath("/w/outer/part-0.parquet")
+        == Some(outer))
+    } finally { m.clear(); before.foreach { case (k, v) => m.put(k, v) } }
+  }
+
+  test("broadcast hints are restricted to legally-buildable sides") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    val r = new SqlRouter(spark)
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE hs (k BIGINT, v BIGINT) LOCATION '$base/hs'")
+    r.execute(s"CREATE MANAGED TABLE hb (k BIGINT, w BIGINT) LOCATION '$base/hb'")
+    r.execute("INSERT INTO hs SELECT id AS k, id AS v FROM range(5)")
+    r.execute("INSERT INTO hb SELECT id % 100 AS k, id AS w FROM range(20000)")
+    Seq("hs", "hb").foreach(t => r.execute(s"ANALYZE TABLE $t"))
+    def hints(sql: String): Seq[JoinHint] =
+      r.execute(sql).queryExecution.optimizedPlan.collect {
+        case j: Join => j.hint
+      }
+    // tiny hs on the PRESERVED side of a left outer join: Spark cannot
+    // build from it, so the rule must not hint it (it would only warn)
+    val lo = hints("SELECT hs.v, hb.w FROM hs LEFT JOIN hb ON hs.k = hb.k")
+    assert(lo.forall(_.leftHint.isEmpty), lo)
+    // ...but the same side of an INNER join is fair game
+    val in = hints("SELECT hs.v, hb.w FROM hs JOIN hb ON hs.k = hb.k")
+    assert(in.exists(_.leftHint.exists(_.strategy.nonEmpty)), in)
+    // full outer: neither side may ever be hinted
+    val fo = hints("SELECT hs.v, hb.w FROM hs FULL JOIN hb ON hs.k = hb.k")
+    assert(fo.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty), fo)
   }
 }
