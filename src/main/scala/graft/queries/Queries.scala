@@ -35,7 +35,8 @@ object Queries {
       Corpus.queries ++ Quality.queries ++ Activity.queries ++ Composite.queries ++
       Training.queries ++ Diversity.queries ++ Evaluation.queries ++
       Governance.queries ++ Graph.queries ++ Introspection.queries ++
-      Calibration.queries ++ Profiles.queries ++ Tuning.queries ++ Selection.queries
+      Calibration.queries ++ Profiles.queries ++ Tuning.queries ++
+      Selection.queries ++ Lifecycle.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
@@ -43,5 +44,6 @@ object Queries {
       Retrieval.oracle ++ Corpus.oracle ++ Quality.oracle ++ Activity.oracle ++
       Composite.oracle ++ Training.oracle ++ Diversity.oracle ++
       Evaluation.oracle ++ Governance.oracle ++ Graph.oracle ++
-      Introspection.oracle ++ Calibration.oracle ++ Profiles.oracle ++ Tuning.oracle ++ Selection.oracle
+      Introspection.oracle ++ Calibration.oracle ++ Profiles.oracle ++
+      Tuning.oracle ++ Selection.oracle ++ Lifecycle.oracle
 }

@@ -608,6 +608,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p165.contains("TakeOrderedAndProject"), p165.take(800))
   }
 
+  test("q166-q172: lifecycle wave scale shapes hold") {
+    // q166: cohorts assemble from keyed joins and hash aggs — never a
+    // cartesian, never a window over the orders fact
+    val p166 = plan("q166_cohort_ltv")
+    assert(!p166.contains("CartesianProduct"), p166.take(800))
+    assert(!p166.contains("Window"), p166.take(800))
+    // q167: histogram of a histogram — two stacked agg pairs, NO join
+    val p167 = plan("q167_prefix_dup")
+    assert(!p167.contains("Join"), p167.take(800))
+    assert("HashAggregate".r.findAllIn(p167).size >= 2, p167.take(800))
+    // q168: explode-free per-row HOFs then one agg pair — no join, no
+    // Generate (an explode would multiply the scan by tokens-per-doc)
+    val p168 = plan("q168_token_shape_mix")
+    assert(!p168.contains("Join"), p168.take(800))
+    assert(!p168.contains("Generate"), p168.take(800))
+    // q169: top-15 is TakeOrdered, the only nested-loop is the
+    // broadcast 1-row total (the 5-relation join chain itself sits
+    // behind the localCheckpoint barrier, so it shows as ExistingRDD
+    // here — its keyed-join shape is covered by the no-cartesian pin
+    // on the full battery and the q04 dimension-chain precedent)
+    val p169 = plan("q169_nation_trade_matrix")
+    assert(!p169.contains("CartesianProduct"), p169.take(800))
+    assert(p169.contains("TakeOrderedAndProject"), p169.take(800))
+    // q170: census joins key on the shingle — never a doc-pair product
+    val p170 = plan("q170_shingle_novelty")
+    assert(!p170.contains("CartesianProduct"), p170.take(800))
+    // q171: endpoint years arrive as a broadcast 1-row relation; the
+    // only windows run on the brands-sized (ndv-bounded) relation
+    val p171 = plan("q171_brand_share_shift")
+    assert(!p171.contains("CartesianProduct"), p171.take(800))
+    assert(p171.contains("BroadcastNestedLoopJoin"), p171.take(800))
+    // q172: two stacked agg pairs over the event scan, no join
+    val p172 = plan("q172_repeat_action_rate")
+    assert(!p172.contains("Join"), p172.take(800))
+    assert("HashAggregate".r.findAllIn(p172).size >= 2, p172.take(800))
+  }
+
   test("q148/q147/q120: every WindowExec in the executed plan is keyed") {
     // the CDF prefix sums run as the two-level bucketed scan
     // (Windows.prefixSum) — a partition-less running window would
