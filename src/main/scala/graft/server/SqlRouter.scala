@@ -26,7 +26,7 @@ import graft.sources.ManagedTable
   *   DELETE FROM t [WHERE pred]
   *   UPSERT INTO t BY (k1, k2) SELECT ...          -- MERGE: replace
   *                                                 -- matched, insert new
-  *   ANALYZE TABLE t                               -- collect optimizer
+  *   ANALYZE TABLE t [INCREMENTAL]                 -- collect optimizer
   *                                                 -- stats (see below)
   *   SHOW STATS [FOR] t                            -- inspect them
   *   <anything else>                               -- spark.sql
@@ -313,7 +313,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
   private val ShowMv =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*""".r
   private val Analyze =
-    """(?is)\s*ANALYZE\s+TABLE\s+(\w+)\s*""".r
+    """(?is)\s*ANALYZE\s+TABLE\s+(\w+)(\s+INCREMENTAL)?\s*""".r
   private val ShowStats =
     """(?is)\s*SHOW\s+STATS\s+(?:FOR\s+)?(\w+)\s*""".r
 
@@ -339,7 +339,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
          Optimize(_, _, _, _) | Drop(_, _) | VacuumStmt(_, _) |
          Restore(_, _) | CreateMv(_, _, _, _, _, _) | DropMv(_, _) |
-         RefreshMv(_) | Analyze(_) => true
+         RefreshMv(_) | Analyze(_, _) => true
     case other =>
       val kw = other.trim.takeWhile(!_.isWhitespace).toUpperCase
       !Set("SELECT", "WITH", "VALUES", "TABLE",
@@ -552,11 +552,21 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // (rows, bytes, per-column ndv, equi-depth histograms), persists
     // them alongside the snapshot log, and makes them live for the
     // session's StatsJoinPlanner immediately
-    case Analyze(name) if tables.contains(name) =>
-      val ts = graft.sources.TableStatistics.analyze(spark, root(name))
+    case Analyze(name, inc) if tables.contains(name) =>
       import spark.implicits._
-      Seq(("analyze", name, ts.version, ts.rows, ts.bytes))
-        .toDF("op", "tbl", "version", "n_rows", "n_bytes")
+      if (inc != null) {
+        // delta-only refresh: scans just the files appended since the
+        // last ANALYZE (sketch union), reports how many it touched
+        val (ts, scanned) =
+          graft.sources.TableStatistics.incrementalAnalyze(spark, root(name))
+        Seq(("analyze_incremental", name, ts.version, ts.rows, ts.bytes,
+          scanned.toLong))
+          .toDF("op", "tbl", "version", "n_rows", "n_bytes", "n_files_scanned")
+      } else {
+        val ts = graft.sources.TableStatistics.analyze(spark, root(name))
+        Seq(("analyze", name, ts.version, ts.rows, ts.bytes))
+          .toDF("op", "tbl", "version", "n_rows", "n_bytes")
+      }
 
     case ShowStats(name) if tables.contains(name) =>
       import spark.implicits._

@@ -39,9 +39,16 @@ import scala.collection.concurrent.TrieMap
   */
 object TableStatistics {
 
-  /** Equi-depth histogram = the 9 bucket boundaries (8 buckets). */
+  /** Equi-depth histogram = the 9 bucket boundaries (8 buckets).
+    * `sketch` is the column's HLL sketch (base64 of the DataSketches
+    * binary, "" = none/legacy sidecar) — the mergeable ndv state that
+    * makes [[incrementalAnalyze]] possible: sketches union exactly
+    * (register-wise max), so appending files never forces a rescan of
+    * the base data. Kept as a String so TableStats stays a value type
+    * (Array[Byte] equality is by reference). */
   final case class ColStats(ndv: Long, min: Option[Double],
-                            max: Option[Double], hist: Seq[Double])
+                            max: Option[Double], hist: Seq[Double],
+                            sketch: String = "")
 
   final case class TableStats(version: Int, rows: Long, bytes: Long,
                               cols: Map[String, ColStats]) {
@@ -86,6 +93,35 @@ object TableStatistics {
   private def statsPath(root: String, v: Int) =
     new Path(root, f"_graft_log/v$v%08d.tablestats.json")
 
+  /** The one-pass (count, per-column HLL sketch, numeric min/max)
+    * aggregate used by both the full and the incremental scan: every
+    * term is map-side partial, so the scan shape is a single
+    * partial+final HashAggregate regardless of table size. ndv comes
+    * from the sketch's own estimate (NOT a separate
+    * approx_count_distinct) so full and incremental paths can never
+    * disagree about what "ndv" means. Values sketch through a string
+    * cast — HLL accepts int/long/string/binary only, and a uniform
+    * cast keeps base and delta sketches merge-compatible on every
+    * column type. */
+  private def scanOnce(df: org.apache.spark.sql.DataFrame,
+                       numeric: Seq[String]): org.apache.spark.sql.Row = {
+    val fields = df.schema.fields.toSeq
+    val aggs = count(lit(1)).as("_n") +: fields.flatMap { f =>
+      hll_sketch_agg(col(f.name).cast("string")).as(s"_sk_${f.name}") +:
+        (if (numeric.contains(f.name))
+           Seq(min(col(f.name)).cast("double").as(s"_min_${f.name}"),
+             max(col(f.name)).cast("double").as(s"_max_${f.name}"))
+         else Nil)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("*") +: fields.map(f =>
+        hll_sketch_estimate(col(s"_sk_${f.name}")).as(s"_ndv_${f.name}")): _*)
+      .head()
+  }
+
+  private def b64(bytes: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(bytes)
+
   /** Collect + register + persist statistics for the CURRENT snapshot. */
   def analyze(spark: SparkSession, root: String): TableStats = {
     val snap = ManagedTable.history(spark, root).last
@@ -94,14 +130,7 @@ object TableStatistics {
     val numeric = fields.collect {
       case f if FileStats.isRangeType(f.dataType) => f.name
     }
-    val aggs = count(lit(1)).as("_n") +: fields.flatMap { f =>
-      approx_count_distinct(col(f.name)).as(s"_ndv_${f.name}") +:
-        (if (numeric.contains(f.name))
-           Seq(min(col(f.name)).cast("double").as(s"_min_${f.name}"),
-             max(col(f.name)).cast("double").as(s"_max_${f.name}"))
-         else Nil)
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = scanOnce(df, numeric)
     def opt(name: String): Option[Double] =
       Option(row.getAs[Any](name)).map(_.toString.toDouble)
     val n = row.getAs[Long]("_n")
@@ -117,13 +146,141 @@ object TableStatistics {
         ndv = row.getAs[Long](s"_ndv_${f.name}"),
         min = if (numeric.contains(f.name)) opt(s"_min_${f.name}") else None,
         max = if (numeric.contains(f.name)) opt(s"_max_${f.name}") else None,
-        hist = hists.getOrElse(f.name, Nil))
+        hist = hists.getOrElse(f.name, Nil),
+        sketch = Option(row.getAs[Array[Byte]](s"_sk_${f.name}"))
+          .map(b64).getOrElse(""))
     }.toMap
-    val ts = TableStats(snap.version, n, bytes, cols)
+    persist(spark, root, TableStats(snap.version, n, bytes, cols))
+  }
+
+  private def persist(spark: SparkSession, root: String, ts: TableStats): TableStats = {
     registry.put(norm(root), ts)
-    val out = fsys.create(statsPath(root, snap.version), /*overwrite=*/ true)
+    val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fsys.create(statsPath(root, ts.version), /*overwrite=*/ true)
     try out.write(render(ts).getBytes("UTF-8")) finally out.close()
     ts
+  }
+
+  /** Statistics refresh that scans ONLY the files appended since the
+    * last ANALYZE — the 100 TB maintenance path, where a full rescan
+    * after every ingest batch is unaffordable.
+    *
+    * Merge rules (the append-only fast path):
+    *   - rows/bytes: add the delta;
+    *   - min/max: element-wise extremes (exact);
+    *   - ndv: HLL sketch UNION (register-wise max — mathematically
+    *     identical to having sketched the whole table in one pass, so
+    *     the incremental ndv equals the full-scan ndv exactly);
+    *   - histograms: kept from the base (equi-depth boundaries drift
+    *     slowly under appends; a full ANALYZE refreshes them — the
+    *     planner treats them as advisory selectivity hints, never
+    *     correctness inputs).
+    *
+    * Falls back to a full [[analyze]] whenever the fast path is not
+    * sound: no persisted sidecar, a legacy sidecar without sketches,
+    * or any base file REMOVED since (update/delete/compaction rewrite
+    * data — a sketch cannot "subtract" the old rows).
+    *
+    * Returns the stats and the number of data files actually scanned
+    * (0 = metadata-only, the full file count = fallback).
+    */
+  def incrementalAnalyze(spark: SparkSession, root: String): (TableStats, Int) = {
+    val snaps = ManagedTable.history(spark, root)
+    val cur = snaps.last
+    val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseSnap = snaps.reverse.find(s => fsys.exists(statsPath(root, s.version)))
+    baseSnap match {
+      case None => (analyze(spark, root), cur.files.size)
+      case Some(bs) =>
+        val in = fsys.open(statsPath(root, bs.version))
+        val base = parse(
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close())
+        val baseFiles = bs.files.toSet
+        val removed = baseFiles -- cur.files.toSet
+        val added = cur.files.filterNot(baseFiles)
+        val hasSketches = base.cols.values.forall(_.sketch.nonEmpty)
+        if (base.version == cur.version) {
+          registry.put(norm(root), base); (base, 0)
+        } else if (removed.nonEmpty || !hasSketches) {
+          (analyze(spark, root), cur.files.size)
+        } else if (added.isEmpty) {
+          // metadata-only commits since the base (addColumn, restore
+          // onto the same file set): stats carry over to the new
+          // version verbatim; evolved columns have no stats until the
+          // next data commit or full ANALYZE
+          (persist(spark, root, base.copy(version = cur.version)), 0)
+        } else {
+          val fields = cur.schema.fields.toSeq
+          val numeric = fields.collect {
+            case f if FileStats.isRangeType(f.dataType) => f.name
+          }
+          val delta = spark.read.schema(cur.schema)
+            .parquet(added.map(f => s"$root/$f"): _*)
+          val row = scanOnce(delta, numeric)
+          def opt(name: String): Option[Double] =
+            Option(row.getAs[Any](name)).map(_.toString.toDouble)
+          val deltaBytes =
+            added.map(f => fsys.getFileStatus(new Path(root, f)).getLen).sum
+          // sketch unions + estimates run as ONE local 1-row job
+          val dec = java.util.Base64.getDecoder
+          val toMerge = fields.flatMap { f =>
+            val b = base.cols.get(f.name).map(_.sketch).filter(_.nonEmpty)
+            val d = Option(row.getAs[Array[Byte]](s"_sk_${f.name}"))
+            (b, d) match {
+              case (Some(bsk), Some(dsk)) => Some((f.name, dec.decode(bsk), dsk))
+              case _ => None
+            }
+          }
+          val merged: Map[String, (Long, String)] =
+            if (toMerge.isEmpty) Map.empty
+            else {
+              import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+              val schema = StructType(toMerge.flatMap { case (c, _, _) =>
+                Seq(StructField(s"b_$c", BinaryType), StructField(s"d_$c", BinaryType))
+              })
+              val r = org.apache.spark.sql.Row.fromSeq(
+                toMerge.flatMap { case (_, b, d) => Seq(b, d) })
+              import scala.jdk.CollectionConverters._
+              val uf = spark.createDataFrame(Seq(r).asJava, schema)
+                .select(toMerge.flatMap { case (c, _, _) =>
+                  val u = hll_union(col(s"b_$c"), col(s"d_$c"))
+                  Seq(hll_sketch_estimate(u).as(s"n_$c"), u.as(s"u_$c"))
+                }: _*)
+              val ur = uf.head()
+              toMerge.map { case (c, _, _) =>
+                c -> (ur.getAs[Long](s"n_$c"),
+                  b64(ur.getAs[Array[Byte]](s"u_$c")))
+              }.toMap
+            }
+          def mergeOpt(a: Option[Double], b: Option[Double],
+                       f: (Double, Double) => Double): Option[Double] =
+            (a, b) match {
+              case (Some(x), Some(y)) => Some(f(x, y))
+              case (x, y) => x.orElse(y)
+            }
+          val cols = fields.map { f =>
+            val b = base.cols.get(f.name)
+            val dMin = if (numeric.contains(f.name)) opt(s"_min_${f.name}") else None
+            val dMax = if (numeric.contains(f.name)) opt(s"_max_${f.name}") else None
+            val dNdv = row.getAs[Long](s"_ndv_${f.name}")
+            val dSk = Option(row.getAs[Array[Byte]](s"_sk_${f.name}"))
+              .map(b64).getOrElse("")
+            f.name -> (merged.get(f.name) match {
+              case Some((ndv, sk)) => ColStats(ndv,
+                mergeOpt(b.flatMap(_.min), dMin, math.min),
+                mergeOpt(b.flatMap(_.max), dMax, math.max),
+                b.map(_.hist).getOrElse(Nil), sk)
+              case None => // new column, or no delta values: one side only
+                b.filter(_.sketch.nonEmpty)
+                  .getOrElse(ColStats(dNdv, dMin, dMax, Nil, dSk))
+            })
+          }.toMap
+          val ts = TableStats(cur.version, base.rows + row.getAs[Long]("_n"),
+            base.bytes + deltaBytes, cols)
+          (persist(spark, root, ts), added.size)
+        }
+    }
   }
 
   /** Reload persisted stats IF they describe the current snapshot
@@ -155,7 +312,10 @@ object TableStatistics {
         ts.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
           val parts = Seq(s"ndv=${cs.ndv}") ++
             cs.min.map(v => s"min=$v") ++ cs.max.map(v => s"max=$v") ++
-            (if (cs.hist.nonEmpty) Seq(s"hist=${cs.hist.mkString("|")}") else Nil)
+            (if (cs.hist.nonEmpty) Seq(s"hist=${cs.hist.mkString("|")}") else Nil) ++
+            // base64 (no ';'/'|'/'=' except trailing padding, and the
+            // field parser splits on the FIRST '=' — safe verbatim)
+            (if (cs.sketch.nonEmpty) Seq(s"sk=${cs.sketch}") else Nil)
           s"col:$c" -> parts.mkString(";")
         }
     s"""{"table_stats":${entries.map { case (k, v) => s"${esc(k)}:${esc(v)}" }
@@ -214,7 +374,8 @@ object TableStatistics {
         ndv = fields("ndv").toLong,
         min = fields.get("min").map(_.toDouble),
         max = fields.get("max").map(_.toDouble),
-        hist = fields.get("hist").toSeq.flatMap(_.split('|')).map(_.toDouble))
+        hist = fields.get("hist").toSeq.flatMap(_.split('|')).map(_.toDouble),
+        sketch = fields.getOrElse("sk", ""))
     }
     TableStats(kv("_version").toInt, kv("_rows").toLong, kv("_bytes").toLong, cols)
   }

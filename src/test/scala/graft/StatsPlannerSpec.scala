@@ -147,6 +147,13 @@ class StatsPlannerSpec extends AnyFunSuite {
     // column names that NEED Json.escape must round-trip to the same
     // key — a verbatim append of the escaped char would silently
     // detach the column's stats after reload (ADVICE r6)
+    // base64 sketches ride the same flat format (no ';'/'|' in the
+    // alphabet; '=' only as trailing padding after the field's own)
+    val withSketch = TableStats(2, 5L, 50L, Map(
+      "k" -> ColStats(5L, Some(1.0), Some(5.0), Seq(1.0, 3.0, 5.0),
+        sketch = java.util.Base64.getEncoder.encodeToString(
+          Array[Byte](1, 2, -3, 127, 0, 42)))))
+    assert(parse(render(withSketch)) == withSketch)
     val exotic = TableStats(1, 10L, 100L, Map(
       "a\nb" -> ColStats(1L, None, None, Nil),
       "t\tq\"w\\e" -> ColStats(2L, Some(0.0), Some(1.0), Nil),
@@ -180,6 +187,57 @@ class StatsPlannerSpec extends AnyFunSuite {
       assert(TableStatistics.lookupByPath("/w/outer/part-0.parquet")
         == Some(outer))
     } finally { m.clear(); before.foreach { case (k, v) => m.put(k, v) } }
+  }
+
+  test("ANALYZE INCREMENTAL scans only appended files, matches a full rescan") {
+    val r = new SqlRouter(spark)
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE ti (k BIGINT, v DOUBLE) LOCATION '$base/ti'")
+    r.execute("INSERT INTO ti SELECT id % 700 AS k, CAST(id AS DOUBLE) AS v FROM range(5000)")
+    r.execute("ANALYZE TABLE ti")
+    val full0 = TableStatistics.get(s"$base/ti").get
+    assert(full0.cols("k").sketch.nonEmpty, "full ANALYZE must persist sketches")
+    val filesBefore = graft.sources.ManagedTable
+      .history(spark, s"$base/ti").last.files.size
+
+    // append widens k's domain and v's max
+    r.execute("INSERT INTO ti SELECT 700 + id % 300 AS k, CAST(9000000 + id AS DOUBLE) AS v FROM range(3000)")
+    val inc = r.execute("ANALYZE TABLE ti INCREMENTAL").collect().head
+    val filesAfter = graft.sources.ManagedTable
+      .history(spark, s"$base/ti").last.files.size
+    val scanned = inc.getAs[Long]("n_files_scanned")
+    assert(scanned == (filesAfter - filesBefore).toLong,
+      s"must scan only the appended files, scanned=$scanned of $filesAfter")
+    val incStats = TableStatistics.get(s"$base/ti").get
+    assert(incStats.rows == 8000)
+    assert(incStats.cols("v").max.contains(9002999.0))
+    assert(incStats.cols("v").min.contains(0.0))
+    // histogram carries over from the base (advisory; refreshed by a
+    // full ANALYZE)
+    assert(incStats.cols("v").hist == full0.cols("v").hist)
+
+    // sketch union == single-pass sketch: ndv must match a full
+    // re-ANALYZE exactly (register-wise max is the same state)
+    r.execute("ANALYZE TABLE ti")
+    val full1 = TableStatistics.get(s"$base/ti").get
+    assert(incStats.cols("k").ndv == full1.cols("k").ndv,
+      s"inc=${incStats.cols("k").ndv} full=${full1.cols("k").ndv}")
+    assert(incStats.cols("v").ndv == full1.cols("v").ndv)
+
+    // a re-run with nothing new is metadata-only
+    val noop = r.execute("ANALYZE TABLE ti INCREMENTAL").collect().head
+    assert(noop.getAs[Long]("n_files_scanned") == 0L)
+
+    // file REMOVAL breaks the append-only premise: falls back to full
+    r.execute("DELETE FROM ti WHERE k < 100")
+    val fb = r.execute("ANALYZE TABLE ti INCREMENTAL").collect().head
+    val filesNow = graft.sources.ManagedTable
+      .history(spark, s"$base/ti").last.files.size
+    assert(fb.getAs[Long]("n_files_scanned") == filesNow.toLong,
+      s"delete must force the full path: ${fb.getAs[Long]("n_files_scanned")} vs $filesNow")
+    val afterDel = TableStatistics.get(s"$base/ti").get
+    assert(afterDel.rows ==
+      r.execute("SELECT COUNT(*) n FROM ti").collect().head.getLong(0))
   }
 
   test("broadcast hints are restricted to legally-buildable sides") {
