@@ -645,6 +645,42 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p172).size >= 2, p172.take(800))
   }
 
+  test("q173-q180: flow wave scale shapes hold") {
+    // q173: the lag distribution is value-level counts + prefixSum —
+    // no rank window over the joined fact (prefixSum's own windows
+    // are keyed; the keyed-window invariant test below covers that
+    // pattern globally)
+    val p173 = plan("q173_ship_lag_profile")
+    assert(!p173.contains("CartesianProduct"), p173.take(800))
+    // q176: the pair space comes from a user-keyed self-join — the
+    // only nested-loop anywhere would be a cartesian, which is banned
+    val p176 = plan("q176_event_type_overlap")
+    assert(!p176.contains("CartesianProduct"), p176.take(800))
+    assert(!p176.contains("BroadcastNestedLoopJoin") ||
+      p176.contains("BroadcastHashJoin"), p176.take(800))
+    // q178: both cumulatives are bucketed prefix sums; deciles come
+    // from arithmetic, not ntile — no partition-less WindowExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    for (k <- Seq("q178_revenue_pareto", "q175_segment_migration")) {
+      val exec = SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan
+      val unkeyed = windows(exec).filter(_.partitionSpec.isEmpty)
+      assert(unkeyed.isEmpty,
+        s"$k has partition-less windows:\n${unkeyed.mkString("\n")}")
+    }
+    // q180: one agg pair over the scan, no join
+    val p180 = plan("q180_tax_discount_grid")
+    assert(!p180.contains("Join"), p180.take(800))
+    assert("HashAggregate".r.findAllIn(p180).size >= 2, p180.take(800))
+  }
+
   test("q148/q147/q120: every WindowExec in the executed plan is keyed") {
     // the CDF prefix sums run as the two-level bucketed scan
     // (Windows.prefixSum) — a partition-less running window would
