@@ -44,7 +44,12 @@ object ScaleBench {
     // round 6: the bucketed-prefix-sum family (CDF/knot kernels) and
     // the shingle-leakage pair join — the new waves' heaviest shapes
     "q151_token_budget_curve", "q154_hist_selectivity",
-    "q158_topk_token_share", "q157_cross_lang_leakage")
+    "q158_topk_token_share", "q157_cross_lang_leakage",
+    // round 7: the LSH banding curve (bucket self-joins × 3 configs +
+    // the capped truth kernel — the battery's heaviest single query),
+    // the shingle-novelty census, and the value-level prefix-sum
+    // quantile pick over the joined fact
+    "q161_lsh_band_curve", "q170_shingle_novelty", "q173_ship_lag_profile")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
