@@ -36,7 +36,7 @@ object Queries {
       Training.queries ++ Diversity.queries ++ Evaluation.queries ++
       Governance.queries ++ Graph.queries ++ Introspection.queries ++
       Calibration.queries ++ Profiles.queries ++ Tuning.queries ++
-      Selection.queries ++ Lifecycle.queries ++ Flows.queries
+      Selection.queries ++ Lifecycle.queries ++ Flows.queries ++ Spectrum.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
@@ -45,5 +45,6 @@ object Queries {
       Composite.oracle ++ Training.oracle ++ Diversity.oracle ++
       Evaluation.oracle ++ Governance.oracle ++ Graph.oracle ++
       Introspection.oracle ++ Calibration.oracle ++ Profiles.oracle ++
-      Tuning.oracle ++ Selection.oracle ++ Lifecycle.oracle ++ Flows.oracle
+      Tuning.oracle ++ Selection.oracle ++ Lifecycle.oracle ++ Flows.oracle ++
+      Spectrum.oracle
 }

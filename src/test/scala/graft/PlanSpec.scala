@@ -681,6 +681,34 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p180).size >= 2, p180.take(800))
   }
 
+  test("q181-q188: spectrum wave scale shapes hold") {
+    // q181/q183/q187: stacked agg pairs, no cartesian on data
+    for (k <- Seq("q181_order_fill_profile", "q183_shingle_df_spectrum",
+                  "q187_brand_type_coverage")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k: ${p.take(400)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$k: ${p.take(400)}")
+    }
+    // q185/q186: quartiles/medians ride prefix sums — no
+    // partition-less WindowExec anywhere in the executed plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    for (k <- Seq("q185_acctbal_revenue_grid", "q186_weekend_value_shift",
+                  "q182_top_customer_stability")) {
+      val exec = SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan
+      val unkeyed = windows(exec).filter(_.partitionSpec.isEmpty)
+      assert(unkeyed.isEmpty,
+        s"$k has partition-less windows:\n${unkeyed.mkString("\n")}")
+    }
+  }
+
   test("q148/q147/q120: every WindowExec in the executed plan is keyed") {
     // the CDF prefix sums run as the two-level bucketed scan
     // (Windows.prefixSum) — a partition-less running window would
