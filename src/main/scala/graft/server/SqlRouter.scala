@@ -29,6 +29,9 @@ import graft.sources.ManagedTable
   *   ANALYZE TABLE t [INCREMENTAL]                 -- collect optimizer
   *                                                 -- stats (see below)
   *   SHOW STATS [FOR] t                            -- inspect them
+  *   SHOW CHANGES t FROM v [TO v2] KEY (k1, ...)   -- CDC read: keyed
+  *                                                 -- row deltas between
+  *                                                 -- two versions
   *   <anything else>                               -- spark.sql
   * }}}
   * Mutations return a one-row summary frame `(op, tbl, version)` —
@@ -316,6 +319,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*ANALYZE\s+TABLE\s+(\w+)(\s+INCREMENTAL)?\s*""".r
   private val ShowStats =
     """(?is)\s*SHOW\s+STATS\s+(?:FOR\s+)?(\w+)\s*""".r
+  private val ShowChanges =
+    """(?is)\s*SHOW\s+CHANGES\s+(\w+)\s+FROM\s+(\d+)(?:\s+TO\s+(\d+))?\s+KEY\s*\(([^)]+)\)\s*""".r
 
   private def query(text: String): DataFrame = {
     val t = text.trim
@@ -334,7 +339,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // SHOW HISTORY / SHOW MATERIALIZED VIEWS are reads (and the SHOW
     // allowlist below already admits them); VACUUM deletes files — a
     // write.
-    case HistoryStmt(_) | ShowMv() | ShowStats(_) => false
+    case HistoryStmt(_) | ShowMv() | ShowStats(_) |
+         ShowChanges(_, _, _, _) => false
     case Create(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
          Optimize(_, _, _, _) | Drop(_, _) | VacuumStmt(_, _) |
@@ -442,6 +448,14 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       import spark.implicits._
       ManagedTable.history(spark, root(name))
         .map(s => (s.version, s.op, s.files.size)).toDF("version", "op", "n_files")
+
+    // the CDC read side: keyed row deltas between two versions
+    // (payload = new row for added/changed, old row for removed) —
+    // what a downstream consumer replays after seeing SHOW HISTORY
+    case ShowChanges(name, fromV, toV, keyList) if tables.contains(name) =>
+      ManagedTable.changes(spark, root(name), fromV.toInt,
+        Option(toV).map(_.toInt),
+        splitTop(keyList, ',').map(_.trim).filter(_.nonEmpty))
 
     // RESTORE: metadata-only rollback — commits a new version carrying
     // the target version's file list (SHOW HISTORY finds the point,

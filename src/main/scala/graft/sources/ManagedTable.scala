@@ -256,6 +256,48 @@ object ManagedTable {
     scanFiles(spark, snap, root, snap.files)
   }
 
+  /** The CDC READ side: keyed row changes between two snapshot
+    * versions — `(keys..., change, content columns...)` with change in
+    * added | removed | changed, payload = the NEW row for
+    * added/changed and the OLD row for removed (what a downstream
+    * consumer needs to replay the delta). The complement of the
+    * ingest/upsert write path: ingest moves rows IN, this reads what
+    * a version transition DID.
+    *
+    * `keys` must identify rows within each snapshot (same contract as
+    * upsert — it's a keyed table, not a bag). Schema evolution is
+    * handled by aligning the OLD side to the new schema (added
+    * columns null-fill backward, exactly like reads of pre-evolution
+    * files), so "changed" reflects real content movement, never a
+    * shape mismatch.
+    *
+    * Scale: both sides reduce to (keys, 16-byte hash) before the
+    * full-outer join ([[graft.operators.Diff.snapshotDiff]]); the
+    * payload joins are keyed equi-joins against the filtered change
+    * set — delta-sized, not table-sized, on the probe side.
+    */
+  def changes(spark: SparkSession, root: String, fromVersion: Int,
+              toVersion: Option[Int], keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o0 = read(spark, root, Some(fromVersion))
+    val n = read(spark, root, toVersion)
+    val missing = keys.filterNot(n.schema.fieldNames.contains)
+    require(missing.isEmpty, s"changes: no such key column(s): ${missing.mkString(", ")}")
+    // align old -> new schema (evolution only ever adds columns)
+    val o = n.schema.fields.foldLeft(o0) { (df, f) =>
+      if (df.schema.fieldNames.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(n.columns.map(col): _*)
+    val contentCols = n.columns.filterNot(keys.contains).toSeq
+    val d = graft.operators.Diff.snapshotDiff(o, n, keys, contentCols)
+      .filter(col("status") =!= "unchanged")
+      .select(keys.map(col) :+ col("status").as("change"): _*)
+    val fromNew = d.filter(col("change") =!= "removed").join(n, keys)
+    val fromOld = d.filter(col("change") === "removed").join(o, keys)
+    fromNew.unionByName(fromOld)
+      .select((keys.map(col) :+ col("change")) ++ contentCols.map(col): _*)
+  }
+
   private def resolve(spark: SparkSession, root: String, asOf: Option[Int]): Snapshot =
     asOf match {
       case Some(v) =>

@@ -116,6 +116,37 @@ class SqlRouterSpec extends AnyFunSuite {
     assert(router.isMutation("OPTIMIZE mz INTO 16 FILES ZORDER BY (id, score)"))
   }
 
+  test("SHOW CHANGES returns keyed row deltas between versions") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE cdc (id BIGINT, v STRING) LOCATION '$root'")      // v0
+    router.execute("INSERT INTO cdc VALUES (1, 'a'), (2, 'b'), (3, 'c')")      // v1
+    router.execute("UPDATE cdc SET v = 'b2' WHERE id = 2")                     // v2
+    router.execute("DELETE FROM cdc WHERE id = 3")                             // v3
+    router.execute("INSERT INTO cdc VALUES (4, 'd')")                          // v4
+    def rows(sql: String) = router.execute(sql).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("change"), r.getAs[String]("v")))
+      .toSet
+    // full span: update + delete + insert, payload new-side except removed
+    assert(rows("SHOW CHANGES cdc FROM 1 KEY (id)") == Set(
+      (2L, "changed", "b2"), (3L, "removed", "c"), (4L, "added", "d")))
+    // sub-span: only the delete
+    assert(rows("SHOW CHANGES cdc FROM 2 TO 3 KEY (id)") == Set(
+      (3L, "removed", "c")))
+    // identical versions: empty delta
+    assert(rows("SHOW CHANGES cdc FROM 4 TO 4 KEY (id)").isEmpty)
+    // a read, not a mutation (reader role may call it)
+    assert(!router.isMutation("SHOW CHANGES cdc FROM 1 KEY (id)"))
+    // schema evolution across the span: old side null-fills backward
+    router.execute("ALTER TABLE cdc ADD COLUMN w BIGINT")                      // v5
+    router.execute("UPDATE cdc SET w = 7 WHERE id = 4")                        // v6
+    val evolved = router.execute("SHOW CHANGES cdc FROM 4 KEY (id)").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("change"), r.getAs[Any]("w")))
+      .toSet
+    assert(evolved == Set((4L, "changed", 7L)), evolved)
+    router.execute("DROP MANAGED TABLE cdc PURGE")
+  }
+
   test("non-DML statements pass through to spark.sql untouched") {
     val n = router.execute("SELECT 1 + 1 AS two").collect().head.getInt(0)
     assert(n == 2)
