@@ -62,7 +62,8 @@ object Selection {
           col("cfg") === col("cfg2") && col("bi") === col("bi2") &&
             col("bv") === col("bv2") && col("i") < col("j"))
         .select("cfg", "i", "j").distinct()
-        .localCheckpoint() // counted and truth-joined
+      // single consumer below (one left join scores candidates AND
+      // counts them) — no checkpoint needed
       // truth kernel under the q42 hot-shingle cap (maxDf = 1000,
       // modeled identically in the oracle): a boilerplate shingle
       // shared by m docs costs m²/2 join rows in one reducer — the
@@ -81,15 +82,19 @@ object Selection {
         .select("i", "j")
         .localCheckpoint() // counted once, joined per config
       val nt = truth.agg(cnt.as("n_true_total"))
-      val nc = cand.groupBy("cfg").agg(cnt.as("n_candidates"))
-      val nv = cand.join(truth, Seq("i", "j"))
-        .groupBy("cfg").agg(cnt.as("n_true_candidates"))
-      nc.join(nv, Seq("cfg"), "left").crossJoin(broadcast(nt))
-        .selectExpr("cfg", "n_candidates",
-          "coalesce(n_true_candidates, 0L) AS n_true_candidates",
+      // ONE pass scores and counts: candidate count + true-candidate
+      // count come from the same left join against the truth set
+      // (previously a separate count agg and an inner-join agg over a
+      // checkpointed candidate relation — two stages more)
+      val scored = cand
+        .join(truth.withColumn("_t", lit(1L)), Seq("i", "j"), "left")
+        .groupBy("cfg").agg(cnt.as("n_candidates"),
+          sum(coalesce(col("_t"), lit(0L))).as("n_true_candidates"))
+      scored.crossJoin(broadcast(nt))
+        .selectExpr("cfg", "n_candidates", "n_true_candidates",
           "n_true_total",
-          "coalesce(n_true_candidates, 0L) * 1000000 DIV GREATEST(n_true_total, 1L) AS recall_ppm",
-          "coalesce(n_true_candidates, 0L) * 1000000 DIV GREATEST(n_candidates, 1L) AS precision_ppm")
+          "n_true_candidates * 1000000 DIV GREATEST(n_true_total, 1L) AS recall_ppm",
+          "n_true_candidates * 1000000 DIV GREATEST(n_candidates, 1L) AS precision_ppm")
         .orderBy("cfg")
     }),
 
