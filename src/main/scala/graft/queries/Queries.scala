@@ -36,7 +36,8 @@ object Queries {
       Training.queries ++ Diversity.queries ++ Evaluation.queries ++
       Governance.queries ++ Graph.queries ++ Introspection.queries ++
       Calibration.queries ++ Profiles.queries ++ Tuning.queries ++
-      Selection.queries ++ Lifecycle.queries ++ Flows.queries ++ Spectrum.queries
+      Selection.queries ++ Lifecycle.queries ++ Flows.queries ++
+      Spectrum.queries ++ Motifs.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
@@ -46,5 +47,5 @@ object Queries {
       Evaluation.oracle ++ Governance.oracle ++ Graph.oracle ++
       Introspection.oracle ++ Calibration.oracle ++ Profiles.oracle ++
       Tuning.oracle ++ Selection.oracle ++ Lifecycle.oracle ++ Flows.oracle ++
-      Spectrum.oracle
+      Spectrum.oracle ++ Motifs.oracle
 }

@@ -709,6 +709,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q189-q196: motif wave scale shapes hold") {
+    // q189: proximity is a keyed equi-join on (user, cell) — a
+    // cartesian or stream-wide nested loop is the failure mode
+    val p189 = plan("q189_purchase_proximity")
+    assert(!p189.contains("CartesianProduct"), p189.take(800))
+    assert(!p189.contains("BroadcastNestedLoopJoin"), p189.take(800))
+    // q190: mode via two aggs + a keyed join, no window at all
+    val p190 = plan("q190_mode_value")
+    assert(!p190.contains("Window"), p190.take(800))
+    // q191/q192/q194: sequence windows are KEYED (per user/customer)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    for (k <- Seq("q191_active_streaks", "q192_order_regularity",
+                  "q194_trend_persistence")) {
+      val exec = SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan
+      val all = windows(exec)
+      assert(all.nonEmpty, s"$k lost its windows — rewrite?")
+      assert(all.forall(_.partitionSpec.nonEmpty),
+        s"$k has partition-less windows")
+    }
+    // q196: one agg pair over the scan, no join
+    val p196 = plan("q196_round_value_bias")
+    assert(!p196.contains("Join"), p196.take(800))
+  }
+
   test("q148/q147/q120: every WindowExec in the executed plan is keyed") {
     // the CDF prefix sums run as the two-level bucketed scan
     // (Windows.prefixSum) — a partition-less running window would
