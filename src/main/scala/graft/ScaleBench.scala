@@ -49,7 +49,10 @@ object ScaleBench {
     // the capped truth kernel — the battery's heaviest single query),
     // the shingle-novelty census, and the value-level prefix-sum
     // quantile pick over the joined fact
-    "q161_lsh_band_curve", "q170_shingle_novelty", "q173_ship_lag_profile")
+    "q161_lsh_band_curve", "q170_shingle_novelty", "q173_ship_lag_profile",
+    // round 7b: the sequence kernels over the replicated user
+    // populations — keyed windows and the bucketed proximity join
+    "q189_purchase_proximity", "q191_active_streaks")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
@@ -85,6 +88,29 @@ object ScaleBench {
     * every lineitem→orders FK relation is preserved within each copy
     * (q146's true-match rate stays the base corpus's at every factor).
     */
+  /** Factor-k events replicas for the sequence kernels (round 7):
+    * copy k offsets event ids AND user ids, so the stream gains k
+    * disjoint user populations with identical per-user event
+    * sequences — k × the users and events, the same per-user
+    * timeline shape. Keyed windows (streaks, lag, proximity cells)
+    * then scale in the number of independent keys, which is exactly
+    * the claim to measure. */
+  private def buildScaledEvents(spark: SparkSession, base: String,
+                                dir: String, factor: Int): Unit = {
+    val done = new java.io.File(s"$dir/_done_events")
+    if (done.exists) return
+    val ev = graft.sources.Tables.load(spark, base, "events")
+    val offs = ev.agg(max("event_id"), max("user_id")).head()
+    val (ne, nu) = (offs.getLong(0) + 1, offs.getLong(1) + 1)
+    (0 until factor).map { k =>
+      ev.select((col("event_id") + lit(k * ne)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * nu)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(16).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    done.createNewFile(): Unit
+  }
+
   private def buildScaledTrade(spark: SparkSession, base: String,
                                dir: String, factor: Int): Unit = {
     val done = new java.io.File(s"$dir/_done_trade")
@@ -148,6 +174,7 @@ object ScaleBench {
       val wdir = s"$work/x${factors.min}"
       buildScaled(spark, base, wdir, factors.min)
       buildScaledTrade(spark, base, wdir, factors.min)
+      buildScaledEvents(spark, base, wdir, factors.min)
       selectedKernels.foreach(k => SparkEntry.queries(k)(spark, wdir).count(): Unit)
       System.err.println(s"[scale] warmup pass done on x${factors.min}")
     }
@@ -159,6 +186,7 @@ object ScaleBench {
       val b0 = System.nanoTime()
       buildScaled(spark, base, dir, f)
       buildScaledTrade(spark, base, dir, f)
+      buildScaledEvents(spark, base, dir, f)
       System.err.println(f"[scale] x$f corpus ready in ${(System.nanoTime() - b0) / 1e9}%.1f s")
       for (k <- selectedKernels) {
         val load = osBean.getSystemLoadAverage
