@@ -37,7 +37,7 @@ object Queries {
       Governance.queries ++ Graph.queries ++ Introspection.queries ++
       Calibration.queries ++ Profiles.queries ++ Tuning.queries ++
       Selection.queries ++ Lifecycle.queries ++ Flows.queries ++
-      Spectrum.queries ++ Motifs.queries
+      Spectrum.queries ++ Motifs.queries ++ Reconcile.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
@@ -47,5 +47,5 @@ object Queries {
       Evaluation.oracle ++ Governance.oracle ++ Graph.oracle ++
       Introspection.oracle ++ Calibration.oracle ++ Profiles.oracle ++
       Tuning.oracle ++ Selection.oracle ++ Lifecycle.oracle ++ Flows.oracle ++
-      Spectrum.oracle ++ Motifs.oracle
+      Spectrum.oracle ++ Motifs.oracle ++ Reconcile.oracle
 }

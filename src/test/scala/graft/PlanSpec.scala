@@ -767,4 +767,45 @@ class PlanSpec extends AnyFunSuite {
         s"$k has partition-less windows:\n${unkeyed.mkString("\n")}")
     }
   }
+
+  test("q197-q204: reconciliation wave scale shapes hold") {
+    // q197: the money audit is a keyed left join — losing the LEFT
+    // drops lineless headers; a nested loop would be table-wide
+    val p197 = plan("q197_order_reconciliation")
+    assert(p197.contains("LeftOuter"), p197.take(800))
+    assert(!p197.contains("CartesianProduct"), p197.take(800))
+    // q198: the pair join keys on the ORDER — a cartesian or
+    // stream-wide nested loop over the fact table is the failure mode
+    // (the 1-row n_orders universe legitimately rides a broadcast
+    // nested loop, so only CartesianProduct is banned)
+    val p198 = plan("q198_basket_affinity")
+    assert(!p198.contains("CartesianProduct"), p198.take(800))
+    // q203: the confusion pair join is an equi-join on pos over the
+    // 10×64 centroid relation, never a cartesian over embeddings
+    val p203 = plan("q203_centroid_confusion")
+    assert(!p203.contains("CartesianProduct"), p203.take(800))
+    // q204: both ladder windows are KEYED per (user, type)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val exec204 = SparkEntry.queries("q204_value_ladder")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan
+    val w204 = windows(exec204)
+    assert(w204.nonEmpty, "q204 lost its windows — rewrite?")
+    assert(w204.forall(_.partitionSpec.nonEmpty),
+      s"q204 has partition-less windows:\n${w204.mkString("\n")}")
+    // q199/q200/q201: stacked hash aggs, no window, no cartesian on
+    // facts (the broadcast 1-row total is a BroadcastNestedLoopJoin)
+    for (k <- Seq("q199_dual_sourcing", "q200_returns_mix",
+                  "q201_line_position_decay")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k: ${p.take(800)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$k: ${p.take(400)}")
+    }
+  }
 }
