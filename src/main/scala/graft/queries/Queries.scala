@@ -37,7 +37,8 @@ object Queries {
       Governance.queries ++ Graph.queries ++ Introspection.queries ++
       Calibration.queries ++ Profiles.queries ++ Tuning.queries ++
       Selection.queries ++ Lifecycle.queries ++ Flows.queries ++
-      Spectrum.queries ++ Motifs.queries ++ Reconcile.queries
+      Spectrum.queries ++ Motifs.queries ++ Reconcile.queries ++
+      Robust.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
@@ -47,5 +48,6 @@ object Queries {
       Evaluation.oracle ++ Governance.oracle ++ Graph.oracle ++
       Introspection.oracle ++ Calibration.oracle ++ Profiles.oracle ++
       Tuning.oracle ++ Selection.oracle ++ Lifecycle.oracle ++ Flows.oracle ++
-      Spectrum.oracle ++ Motifs.oracle ++ Reconcile.oracle
+      Spectrum.oracle ++ Motifs.oracle ++ Reconcile.oracle ++
+      Robust.oracle
 }

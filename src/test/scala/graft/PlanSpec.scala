@@ -808,4 +808,42 @@ class PlanSpec extends AnyFunSuite {
       assert("HashAggregate".r.findAllIn(p).size >= 2, s"$k: ${p.take(400)}")
     }
   }
+
+  test("q205-q212: robust-statistics wave scale shapes hold") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    def executedWindows(k: String): Seq[WindowExec] =
+      windows(SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan)
+    // q207: BOTH CDFs ride prefixSum — every window keyed, none over
+    // a data-ndv domain without the bucket key
+    val w207 = executedWindows("q207_value_mad")
+    assert(w207.nonEmpty, "q207 lost its prefixSum windows — rewrite?")
+    assert(w207.forall(_.partitionSpec.nonEmpty),
+      s"q207 has partition-less windows:\n${w207.mkString("\n")}")
+    // q206/q209: keyed windows only (bounded qty domain / part dim)
+    for (k <- Seq("q206_weighted_median_qty", "q209_rank_agreement")) {
+      val w = executedWindows(k)
+      assert(w.nonEmpty && w.forall(_.partitionSpec.nonEmpty),
+        s"$k windows must be keyed:\n${w.mkString("\n")}")
+    }
+    // q208: the pair join keys on (user, session) — never a cartesian;
+    // q205/q211/q212: no cartesian on any fact relation (broadcast
+    // 1-row totals legitimately ride BroadcastNestedLoopJoin)
+    for (k <- Seq("q205_sole_late_supplier", "q208_session_cooccur",
+                  "q211_copy_direction", "q212_tv_drift")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k: ${p.take(800)}")
+    }
+    // q205: supplier→nation stays a broadcast dim join
+    assert(plan("q205_sole_late_supplier").contains("BroadcastHashJoin"))
+    // q209: revenue joins in LEFT so zero-revenue parts keep ranking
+    assert(plan("q209_rank_agreement").contains("LeftOuter"))
+  }
 }
