@@ -52,7 +52,12 @@ object ScaleBench {
     "q161_lsh_band_curve", "q170_shingle_novelty", "q173_ship_lag_profile",
     // round 7b: the sequence kernels over the replicated user
     // populations — keyed windows and the bucketed proximity join
-    "q189_purchase_proximity", "q191_active_streaks")
+    "q189_purchase_proximity", "q191_active_streaks",
+    // round 7c: the robust-statistics wave's heavy shapes — the
+    // double prefix-sum median/MAD (value ndv grows with the data),
+    // the session-keyed pair join, and the minhash copy-flow over
+    // the replicated corpus
+    "q207_value_mad", "q208_session_cooccur", "q211_copy_direction")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {
