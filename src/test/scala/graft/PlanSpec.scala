@@ -846,4 +846,31 @@ class PlanSpec extends AnyFunSuite {
     // q209: revenue joins in LEFT so zero-revenue parts keep ranking
     assert(plan("q209_rank_agreement").contains("LeftOuter"))
   }
+
+  test("q213-q220: concordance wave scale shapes hold") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    // q214/q217: the CDFs ride prefixSum — every window keyed
+    for (k <- Seq("q214_length_gini", "q217_dim_quantiles")) {
+      val w = windows(SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan)
+      assert(w.nonEmpty && w.forall(_.partitionSpec.nonEmpty),
+        s"$k windows must be keyed (prefixSum):\n${w.mkString("\n")}")
+    }
+    // q213: the Kendall pair join keys on the brand, never a
+    // cartesian over cells of different brands
+    assert(!plan("q213_kendall_discount_qty").contains("CartesianProduct"))
+    // q219/q220: audits are stacked aggs over broadcast dims
+    for (k <- Seq("q219_discount_spread", "q220_unit_price_audit")) {
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k: ${p.take(400)}")
+      assert(!p.contains("CartesianProduct"), s"$k: ${p.take(400)}")
+    }
+  }
 }
