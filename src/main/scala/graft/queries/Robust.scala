@@ -265,7 +265,7 @@ object Robust {
         .crossJoin(broadcast(g))
         .selectExpr("event_type", "n_t",
           "abs(coalesce(n_tb, 0L) * 1000000 DIV n_t - n_b * 1000000 DIV n) AS d")
-        .groupBy("event_type", "n_t")
+        .groupBy("event_type", "n_t") // grid rows carry n_t from tt
         .agg(cnt.as("n_buckets"), sum("d").as("sd"))
         .selectExpr("event_type", "n_t AS n", "n_buckets",
           "sd DIV 2 AS tv_ppm")

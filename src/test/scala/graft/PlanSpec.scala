@@ -873,4 +873,35 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$k: ${p.take(400)}")
     }
   }
+
+  test("q221-q228: division & margin wave scale shapes hold") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    // q221: the quartile CDF rides prefixSum — keyed windows only
+    val w221 = windows(SparkEntry.queries("q221_outlier_fences")(
+      spark, TestSpark.sf0001).queryExecution.executedPlan)
+    assert(w221.nonEmpty && w221.forall(_.partitionSpec.nonEmpty),
+      s"q221 windows must be keyed:\n${w221.mkString("\n")}")
+    // q222: escalation lag is keyed per customer
+    val w222 = windows(SparkEntry.queries("q222_priority_escalation")(
+      spark, TestSpark.sf0001).queryExecution.executedPlan)
+    assert(w222.nonEmpty && w222.forall(_.partitionSpec.nonEmpty),
+      s"q222 lag must be keyed per customer:\n${w222.mkString("\n")}")
+    // q223/q224/q226: no cartesian on any fact/embedding relation;
+    // dims broadcast (1-row totals legitimately ride BNLJ)
+    for (k <- Seq("q223_trade_locality", "q224_centroid_margin",
+                  "q226_relational_division")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k: ${p.take(800)}")
+    }
+    // q222: the segment dim broadcasts (q223's broadcast dims sit
+    // behind its localCheckpoint, invisible to the final plan)
+    assert(plan("q222_priority_escalation").contains("BroadcastHashJoin"))
+  }
 }
