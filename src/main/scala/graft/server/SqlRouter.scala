@@ -288,6 +288,10 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
 
   private val Create =
     """(?is)\s*CREATE\s+MANAGED\s+TABLE\s+(\w+)\s*\((.+)\)\s*LOCATION\s+'([^']+)'\s*""".r
+  // CTAS: schema inferred from the query, create + insert in one
+  // statement (one version-0 create commit + one version-1 insert)
+  private val CreateAs =
+    """(?is)\s*CREATE\s+MANAGED\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+(.+)""".r
   private val Open =
     """(?is)\s*OPEN\s+MANAGED\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s*""".r
   private val Insert = """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(.+)""".r
@@ -341,7 +345,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // write.
     case HistoryStmt(_) | ShowMv() | ShowStats(_) |
          ShowChanges(_, _, _, _) => false
-    case Create(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
+    case Create(_, _, _) | CreateAs(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
          Optimize(_, _, _, _) | Drop(_, _) | VacuumStmt(_, _) |
          Restore(_, _) | CreateMv(_, _, _, _, _, _) | DropMv(_, _) |
@@ -357,6 +361,17 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val snap = ManagedTable.create(spark, path, StructType.fromDDL(ddl))
       register(name, path)
       summary("create", name, snap.version)
+
+    case CreateAs(name, path, sel) =>
+      // materialize the query ONCE (localCheckpoint) — its plan is
+      // consumed twice (schema for the create, rows for the insert),
+      // and a non-deterministic or mutating-source SELECT must not
+      // run two different results into the two commits
+      val df = query(sel).localCheckpoint()
+      ManagedTable.create(spark, path, df.schema)
+      val snap = ManagedTable.insert(spark, path, df)
+      register(name, path)
+      summary("ctas", name, snap.version)
 
     case Open(name, path) =>
       register(name, path)

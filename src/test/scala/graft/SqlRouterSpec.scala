@@ -27,6 +27,30 @@ class SqlRouterSpec extends AnyFunSuite {
       Seq((1L, "alpha", 1.5), (2L, "beta", 2.5)))
   }
 
+  test("CTAS: CREATE MANAGED TABLE ... AS SELECT infers schema, writes rows, registers") {
+    val src = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE ctas_src (id BIGINT, grp STRING, v DOUBLE) LOCATION '$src'")
+    router.execute(
+      "INSERT INTO ctas_src VALUES (1, 'a', 1.5), (2, 'a', 2.5), (3, 'b', 4.0)")
+    val dst = freshRoot()
+    val res = router.execute(
+      s"CREATE MANAGED TABLE ctas_agg LOCATION '$dst' AS " +
+        "SELECT grp, count(*) AS n, sum(v) AS sv FROM ctas_src GROUP BY grp").collect().head
+    assert(res.getAs[String]("op") == "ctas" && res.getAs[Int]("version") == 1)
+    // the new table is SELECT-visible with the query's schema and rows
+    val got = router.execute("SELECT grp, n, sv FROM ctas_agg ORDER BY grp").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 2L, 4.0), ("b", 1L, 4.0)))
+    // it is a REAL managed table: create + insert history, mutable
+    assert(ManagedTable.history(spark, dst).map(_.op) == Seq("create", "insert"))
+    router.execute("DELETE FROM ctas_agg WHERE grp = 'b'")
+    assert(router.execute("SELECT count(*) c FROM ctas_agg").collect().head.getLong(0) == 1)
+    // and CTAS is classified as a mutation for the writer-role gate
+    assert(router.isMutation(
+      s"CREATE MANAGED TABLE x LOCATION '/tmp/x' AS SELECT 1 AS a"))
+  }
+
   test("update with SET expressions and WHERE; delete; versions advance") {
     val root = freshRoot()
     router.execute(
