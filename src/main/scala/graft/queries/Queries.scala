@@ -38,7 +38,8 @@ object Queries {
       Calibration.queries ++ Profiles.queries ++ Tuning.queries ++
       Selection.queries ++ Lifecycle.queries ++ Flows.queries ++
       Spectrum.queries ++ Motifs.queries ++ Reconcile.queries ++
-      Robust.queries ++ Concord.queries ++ Division.queries
+      Robust.queries ++ Concord.queries ++ Division.queries ++
+      Forensics.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
@@ -49,5 +50,6 @@ object Queries {
       Introspection.oracle ++ Calibration.oracle ++ Profiles.oracle ++
       Tuning.oracle ++ Selection.oracle ++ Lifecycle.oracle ++ Flows.oracle ++
       Spectrum.oracle ++ Motifs.oracle ++ Reconcile.oracle ++
-      Robust.oracle ++ Concord.oracle ++ Division.oracle
+      Robust.oracle ++ Concord.oracle ++ Division.oracle ++
+      Forensics.oracle
 }

@@ -904,4 +904,30 @@ class PlanSpec extends AnyFunSuite {
     // behind its localCheckpoint, invisible to the final plan)
     assert(plan("q222_priority_escalation").contains("BroadcastHashJoin"))
   }
+
+  test("q229-q236: forensics wave scale shapes hold") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    // q229/q230/q231: every window keyed (user / discount / brand)
+    for (k <- Seq("q229_seq_predictability", "q230_conditional_quantiles",
+                  "q231_revenue_halfdate")) {
+      val w = windows(SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan)
+      assert(w.nonEmpty && w.forall(_.partitionSpec.nonEmpty),
+        s"$k windows must be keyed:\n${w.mkString("\n")}")
+    }
+    // q232/q234: profile/pair joins stay keyed — no cartesian
+    for (k <- Seq("q232_diurnal_distance", "q234_survivorship_policies")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k: ${p.take(800)}")
+    }
+    // q236: the part dim broadcasts
+    assert(plan("q236_lifecycle_span").contains("BroadcastHashJoin"))
+  }
 }
