@@ -930,4 +930,29 @@ class PlanSpec extends AnyFunSuite {
     // q236: the part dim broadcasts
     assert(plan("q236_lifecycle_span").contains("BroadcastHashJoin"))
   }
+
+  test("q237-q244: dynamics wave scale shapes hold") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    // q237/q243: island/lag windows keyed per user/customer
+    for (k <- Seq("q237_monotone_runs", "q243_order_overlap")) {
+      val w = windows(SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan)
+      assert(w.nonEmpty && w.forall(_.partitionSpec.nonEmpty),
+        s"$k windows must be keyed:\n${w.mkString("\n")}")
+    }
+    // q240/q241: the audit joins stay keyed — no cartesian on facts
+    for (k <- Seq("q240_split_fairness", "q241_dedup_vocab_cost")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k: ${p.take(800)}")
+    }
+    // q244: the part dim broadcasts
+    assert(plan("q244_basket_breadth").contains("BroadcastHashJoin"))
+  }
 }
