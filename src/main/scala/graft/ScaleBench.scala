@@ -57,7 +57,10 @@ object ScaleBench {
     // double prefix-sum median/MAD (value ndv grows with the data),
     // the session-keyed pair join, and the minhash copy-flow over
     // the replicated corpus
-    "q207_value_mad", "q208_session_cooccur", "q211_copy_direction")
+    "q207_value_mad", "q208_session_cooccur", "q211_copy_direction",
+    // round 7d: the centroid-margin DECIMAL ladder over replicated
+    // embeddings and the dedup vocabulary-cost double-distinct
+    "q224_centroid_margin", "q241_dedup_vocab_cost")
 
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           factor: Int): Unit = {

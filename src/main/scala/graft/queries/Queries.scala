@@ -39,7 +39,7 @@ object Queries {
       Selection.queries ++ Lifecycle.queries ++ Flows.queries ++
       Spectrum.queries ++ Motifs.queries ++ Reconcile.queries ++
       Robust.queries ++ Concord.queries ++ Division.queries ++
-      Forensics.queries ++ Dynamics.queries
+      Forensics.queries ++ Dynamics.queries ++ Tenure.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
@@ -51,5 +51,5 @@ object Queries {
       Tuning.oracle ++ Selection.oracle ++ Lifecycle.oracle ++ Flows.oracle ++
       Spectrum.oracle ++ Motifs.oracle ++ Reconcile.oracle ++
       Robust.oracle ++ Concord.oracle ++ Division.oracle ++
-      Forensics.oracle ++ Dynamics.oracle
+      Forensics.oracle ++ Dynamics.oracle ++ Tenure.oracle
 }

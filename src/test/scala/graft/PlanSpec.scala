@@ -955,4 +955,35 @@ class PlanSpec extends AnyFunSuite {
     // q244: the part dim broadcasts
     assert(plan("q244_basket_breadth").contains("BroadcastHashJoin"))
   }
+
+  test("q245-q252: tenure wave scale shapes hold") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    // q246: the dormancy lag is keyed per customer
+    val w246 = windows(SparkEntry.queries("q246_dormancy_revival")(
+      spark, TestSpark.sf0001).queryExecution.executedPlan)
+    assert(w246.nonEmpty && w246.forall(_.partitionSpec.nonEmpty),
+      s"q246 lag must be keyed:\n${w246.mkString("\n")}")
+    // q247/q248/q252: threshold CDFs ride prefixSum — no rank window
+    // over a data-sized customer/order partition anywhere
+    for (k <- Seq("q247_priority_premium", "q248_elite_retention",
+                  "q252_first_value_ltv_grid")) {
+      val w = windows(SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan)
+      assert(w.forall(_.partitionSpec.nonEmpty),
+        s"$k has a partition-less window:\n${w.mkString("\n")}")
+    }
+    // q245/q249/q250: no cartesian on facts (1-row totals ride BNLJ)
+    for (k <- Seq("q245_reciprocal_trade", "q249_style_fingerprint",
+                  "q250_churn_census")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k: ${p.take(800)}")
+    }
+  }
 }
