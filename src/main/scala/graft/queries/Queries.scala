@@ -39,7 +39,8 @@ object Queries {
       Selection.queries ++ Lifecycle.queries ++ Flows.queries ++
       Spectrum.queries ++ Motifs.queries ++ Reconcile.queries ++
       Robust.queries ++ Concord.queries ++ Division.queries ++
-      Forensics.queries ++ Dynamics.queries ++ Tenure.queries
+      Forensics.queries ++ Dynamics.queries ++ Tenure.queries ++
+      Integrity.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
@@ -51,5 +52,6 @@ object Queries {
       Tuning.oracle ++ Selection.oracle ++ Lifecycle.oracle ++ Flows.oracle ++
       Spectrum.oracle ++ Motifs.oracle ++ Reconcile.oracle ++
       Robust.oracle ++ Concord.oracle ++ Division.oracle ++
-      Forensics.oracle ++ Dynamics.oracle ++ Tenure.oracle
+      Forensics.oracle ++ Dynamics.oracle ++ Tenure.oracle ++
+      Integrity.oracle
 }

@@ -986,4 +986,31 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$k: ${p.take(800)}")
     }
   }
+
+  test("q253-q260: integrity wave scale shapes hold") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    // q256/q260: gap lag keyed per (user, type); top-3 threshold via
+    // prefixSum — every window keyed, no rank over customers
+    for (k <- Seq("q256_gap_quantiles", "q260_top3_concentration")) {
+      val w = windows(SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan)
+      assert(w.forall(_.partitionSpec.nonEmpty),
+        s"$k has a partition-less window:\n${w.mkString("\n")}")
+    }
+    // q254/q255: lift grid and split-mode joins keyed — no cartesian
+    for (k <- Seq("q254_specialist_suppliers", "q255_mode_stability")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k: ${p.take(800)}")
+    }
+    // q257: the audit is one keyed hash-agg pass, no join at all
+    val p257 = plan("q257_linenumber_audit")
+    assert("HashAggregate".r.findAllIn(p257).size >= 2, p257.take(400))
+  }
 }
