@@ -40,7 +40,7 @@ object Queries {
       Spectrum.queries ++ Motifs.queries ++ Reconcile.queries ++
       Robust.queries ++ Concord.queries ++ Division.queries ++
       Forensics.queries ++ Dynamics.queries ++ Tenure.queries ++
-      Integrity.queries
+      Integrity.queries ++ Gains.queries
 
   val oracle: Map[String, String] =
     QueryTexts.oracle ++ Extensions.oracle ++ Extended.oracle ++
@@ -53,5 +53,5 @@ object Queries {
       Spectrum.oracle ++ Motifs.oracle ++ Reconcile.oracle ++
       Robust.oracle ++ Concord.oracle ++ Division.oracle ++
       Forensics.oracle ++ Dynamics.oracle ++ Tenure.oracle ++
-      Integrity.oracle
+      Integrity.oracle ++ Gains.oracle
 }

@@ -1013,4 +1013,30 @@ class PlanSpec extends AnyFunSuite {
     val p257 = plan("q257_linenumber_audit")
     assert("HashAggregate".r.findAllIn(p257).size >= 2, p257.take(400))
   }
+
+  test("q261-q268: gains wave scale shapes hold") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    // q266: the per-year quartile CDF rides keyed prefixSum; q265's
+    // first-pick window is keyed per customer
+    for (k <- Seq("q265_first_brand_loyalty", "q266_supplier_quartile_shift")) {
+      val w = windows(SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan)
+      assert(w.forall(_.partitionSpec.nonEmpty),
+        s"$k has a partition-less window over data:\n${w.mkString("\n")}")
+    }
+    // q261/q262: no cartesian on facts (1-row totals ride BNLJ)
+    for (k <- Seq("q261_value_gains_curve", "q262_hapax_mass")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k: ${p.take(800)}")
+    }
+    // q268: dimension-only — no fact scan in the plan
+    assert(!plan("q268_size_profile").contains("lineitem"))
+  }
 }
