@@ -47,7 +47,7 @@ object Bench {
   private[graft] def record(results: Seq[QRun],
                             failed: Seq[String], sfDir: String,
                             load: Double, warmupSec: Double,
-                            cpus: Int): String = {
+                            cpus: Int, statsOn: Boolean = false): String = {
     val qs = results.map { r => s"\"" + r.name + "\":" + r.sec }
       .mkString("{", ",", "}")
     val qload = results.map { r => s"\"" + r.name + "\":" + r.load }
@@ -58,7 +58,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_.sec).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.escape(sfDir)},"load":$load,"warmup_sec":$warmupSec,"query_load":$qload,"query_cpu":$qcpu,"load_flagged":$flagged,"env_flagged":${envFlagged(load)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.escape(sfDir)},"load":$load,"warmup_sec":$warmupSec,"query_load":$qload,"query_cpu":$qcpu,"load_flagged":$flagged,"env_flagged":${envFlagged(load)},"stats_on":$statsOn}"""
   }
 
   /** Why this artifact must NOT ship (empty = good): it fails to parse
@@ -129,6 +129,22 @@ object Bench {
       }
       rm(new java.io.File(w))
     }
+    // SPARK_GRAFT_STATS=1: run the battery the way a Graft user gets
+    // the engine — StatsJoinPlanner installed and every contract table
+    // ANALYZEd up front (in-memory only; the testdata is read-only).
+    // The A/B switch the planner's graded evidence comes from: the
+    // default artifact stays stock-Catalyst so cross-round comparisons
+    // hold, a stats-on artifact (stats_on:true) measures the planner.
+    // ANALYZE cost lands in warmup_sec, never in a query's timing.
+    val statsOn = sys.env.get("SPARK_GRAFT_STATS").contains("1")
+    if (statsOn) {
+      graft.plans.StatsJoinPlanner.install(spark)
+      graft.sources.Tables.names.foreach { n =>
+        graft.sources.TableStatistics.analyzeParquet(
+          spark, s"$sfDir/$n.parquet",
+          graft.sources.Tables.load(spark, sfDir, n)): Unit
+      }
+    }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // SPARK_GRAFT_ONLY=q42,q57 — comma-separated name prefixes to time a
     // subset while iterating; unset = the full graded battery.
@@ -173,7 +189,7 @@ object Bench {
     // a failed query must be visible in the output, not a fast "success"
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jstr(s: String) = graft.util.Json.escape(s)
-    val full = record(results, failed, sfDir, load, warmupSec, cpus.toInt)
+    val full = record(results, failed, sfDir, load, warmupSec, cpus.toInt, statsOn)
     // Ship-gate: a record that doesn't parse or doesn't cover exactly
     // the graded battery must fail THIS run loudly, not surface as a
     // truncated-but-plausible graded artifact later. An unfiltered run

@@ -14,6 +14,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATS=1: same A/B switch as Bench — the correctness
+    // gate must stay 268/268 green with the stats planner reshaping
+    // joins, or a planner "win" is a wrong answer delivered faster.
+    if (sys.env.get("SPARK_GRAFT_STATS").contains("1")) {
+      graft.plans.StatsJoinPlanner.install(spark)
+      graft.sources.Tables.names.foreach { n =>
+        graft.sources.TableStatistics.analyzeParquet(
+          spark, s"$sfDir/$n.parquet",
+          graft.sources.Tables.load(spark, sfDir, n)): Unit
+      }
+    }
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q42,q101_ivfpq — iterate on a subset (same
     // contract as Bench); the dumped oracle_sql.json is filtered to

@@ -152,7 +152,7 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
       l.relation match {
         case h: HadoopFsRelation =>
           h.location.rootPaths.headOption
-            .flatMap(p => TableStatistics.lookupByPath(p.toUri.getPath))
+            .flatMap(p => TableStatistics.lookupByPath(p.toString))
             .map { ts =>
               val attrs = l.output.flatMap(a =>
                 ts.cols.get(a.name).map(a.exprId -> _)).toMap

@@ -198,9 +198,12 @@ final class QueryServer(engine: Graft, port: Int,
           val batch = router.batchFrame(table, columns, rows)
           val res = router.ingest(table, batch, keys, strs("orderBy")).collect().head
           // n_submitted = raw body rows; n_applied = winners after
-          // in-batch duplicate-key reduction (what the MERGE saw)
+          // in-batch duplicate-key reduction (what the MERGE saw).
+          // n_rows is a compatibility alias for n_submitted — the
+          // pre-round-7 response named the raw count n_rows, and a
+          // client keying on it must not break on a field rename.
           respond(ex, 200,
-            s"""{"op":"ingest","table":${jsonStr(table)},"version":${res.getAs[Int]("version")},"n_submitted":${rows.size},"n_applied":${res.getAs[Long]("n_applied")}}""")
+            s"""{"op":"ingest","table":${jsonStr(table)},"version":${res.getAs[Int]("version")},"n_rows":${rows.size},"n_submitted":${rows.size},"n_applied":${res.getAs[Long]("n_applied")}}""")
         } catch {
           case e: Exception =>
             val msg = Option(e.getMessage).toSeq

@@ -35,7 +35,9 @@ import graft.sources.ManagedTable
   *   <anything else>                               -- spark.sql
   * }}}
   * Mutations return a one-row summary frame `(op, tbl, version)` —
-  * JSON-friendly for the HTTP layer. Expressions inside SET/WHERE are
+  * JSON-friendly for the HTTP layer. Exceptions that carry extra
+  * accounting widen it: ingest adds `n_applied` (post-dedup winners
+  * the MERGE saw); OPTIMIZE adds `n_rows`/`n_bytes`(/`n_files_scanned`). Expressions inside SET/WHERE are
   * parsed by Spark's own parser (`parseExpression`), so functions,
   * casts, and column references all behave exactly as in queries.
   *

@@ -289,9 +289,22 @@ object ManagedTable {
       else df.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(n.columns.map(col): _*)
     val contentCols = n.columns.filterNot(keys.contains).toSeq
+    require(contentCols.nonEmpty,
+      s"changes: keys (${keys.mkString(", ")}) cover every column — a CDC read " +
+        "needs at least one non-key content column to diff")
+    // NULL key values would match nothing in the payload equi-joins
+    // below and vanish from the output silently — the one failure mode
+    // a CDC consumer can never detect downstream. Raise loudly instead
+    // (same contract as upsert: it's a keyed table). The guard rides
+    // the delta-sized diff, not the table scan.
+    val nullGuard = keys.map(k =>
+      when(col(k).isNull, raise_error(lit(
+        s"changes: NULL value in key column '$k' — CDC keys must be non-null " +
+          s"(they identify rows across versions of $root)")))
+        .otherwise(col(k)).as(k))
     val d = graft.operators.Diff.snapshotDiff(o, n, keys, contentCols)
       .filter(col("status") =!= "unchanged")
-      .select(keys.map(col) :+ col("status").as("change"): _*)
+      .select(nullGuard :+ col("status").as("change"): _*)
     val fromNew = d.filter(col("change") =!= "removed").join(n, keys)
     val fromOld = d.filter(col("change") === "removed").join(o, keys)
     fromNew.unionByName(fromOld)
@@ -443,6 +456,52 @@ object ManagedTable {
     val kf = src.select(keys.map(col): _*).distinct()
     val threshold = src.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     if (threshold > 0 && nKeys * keyWidth <= threshold) broadcast(kf) else kf
+  }
+
+  /** Relative paths (vs `root`) of the data files holding at least one
+    * row whose key tuple appears in `keyFrame` — the matched-file
+    * probe shared by [[upsert]] and [[deleteKeys]]: a distributed
+    * semi-join (keyFrame broadcast only when [[mergeKeyFrame]] measured
+    * it small), collecting file PATHS only — metadata-scale. */
+  private def filesMatchingKeys(cur: DataFrame, root: String,
+                                keyFrame: DataFrame, keys: Seq[String]): Seq[String] = {
+    val rootUri = new Path(root).toUri.getPath
+    cur.withColumn("_graft_file", input_file_name())
+      .join(keyFrame, keys, "left_semi")
+      .select("_graft_file").distinct().collect()
+      .map { r =>
+        val p = new Path(r.getString(0)).toUri.getPath
+        val i = p.indexOf(rootUri)
+        require(i >= 0, s"data file $p outside table root $root")
+        p.substring(i + rootUri.length).stripPrefix("/")
+      }.toSeq.sorted
+  }
+
+  /** DELETE by key set: drop every current row whose key tuple appears
+    * in `keySource` — the apply path for a CDC "removed" delta
+    * ([[changes]]), where the doomed rows arrive as a keyed frame, not
+    * a predicate. Copy-on-write like [[upsert]]'s matched-file
+    * rewrite: the semi-join probe finds the files holding matched
+    * keys; only those rewrite (left-anti against the key frame);
+    * everything else carries over untouched. Keys absent from the
+    * table are a no-op, so replaying a delta is idempotent; an empty
+    * key frame commits nothing.
+    */
+  def deleteKeys(spark: SparkSession, root: String, keySource: DataFrame,
+                 keys: Seq[String]): Snapshot = {
+    val snap = latest(spark, root)
+    require(keys.nonEmpty, "deleteKeys needs at least one key column")
+    val missing = keys.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty, s"deleteKeys: no such key column(s) ${missing.mkString(", ")}")
+    val src = keySource.select(keys.map(col): _*).distinct().localCheckpoint()
+    val nKeys = src.count()
+    if (nKeys == 0) return snap
+    val keyWidth = keys.map(k => snap.schema(k).dataType.defaultSize.toLong).sum + 16L
+    def kf = mergeKeyFrame(src, keys, nKeys, keyWidth)
+    val affected = filesMatchingKeys(read(spark, root), root, kf, keys)
+    rewrite(spark, root, snap, affected,
+      _.join(kf, keys, "left_anti").select(snap.schema.fieldNames.map(col): _*),
+      "delete")
   }
 
   /** MERGE (upsert): rows of `source` matching on `keys` replace the

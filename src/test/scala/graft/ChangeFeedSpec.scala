@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{ManagedTable, Tables}
+import graft.streaming.ChangeFeed
+
+/** Table-follows-table CDC replication: a downstream managed table
+  * driven only by ChangeFeed.sync must equal the upstream at every
+  * step of q121's mutation sequence — including a replayed (crash
+  * between apply and cursor advance) span, which must be idempotent.
+  */
+class ChangeFeedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def content(root: String): Set[String] =
+    ManagedTable.read(spark, root).collect().map(_.toString).toSet
+
+  private def assertFollows(up: String, down: String): Unit =
+    assert(content(down) == content(up),
+      s"downstream diverged from upstream at ${ManagedTable.history(spark, up).last.version}")
+
+  test("downstream follows q121's mutation sequence version by version") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    val docs: DataFrame = Tables.load(spark, dir, "documents")
+    val base = Files.createTempDirectory("graft_feed").toString
+    val up = s"$base/up"
+    val down = s"$base/down"
+    val keys = Seq("doc_id")
+
+    ManagedTable.create(spark, up, docs.schema)
+    ManagedTable.insert(spark, up, docs)                                    // v1
+
+    // bootstrap from the current snapshot; cursor lands at v1
+    val boot = ChangeFeed.init(spark, up, down)
+    assert(boot.toVersion == 1 && ChangeFeed.cursor(spark, down).contains(1))
+    assertFollows(up, down)
+
+    // q121's mutation sequence, one sync per version
+    ManagedTable.delete(spark, up, col("lang") === "de")                    // v2
+    val s2 = ChangeFeed.sync(spark, up, down, keys)
+    assert(s2.fromVersion == 1 && s2.toVersion == 2 && s2.removed > 0)
+    assertFollows(up, down)
+
+    ManagedTable.update(spark, up, col("doc_id") % 10 === 0,
+      Map("n_chars" -> (col("n_chars") + 1000)))                            // v3
+    assertFollows(up, { ChangeFeed.sync(spark, up, down, keys); down })
+
+    ManagedTable.upsert(spark, up,
+      docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("n_chars", col("n_chars") * 2), keys)                   // v4
+    val s4 = ChangeFeed.sync(spark, up, down, keys)
+    assert(s4.upserted > 0) // re-inserted deleted 'de' docs + replaced rows
+    assertFollows(up, down)
+
+    // a span of SEVERAL versions drains in one sync
+    ManagedTable.delete(spark, up, col("doc_id") % 13 === 5)                // v5
+    ManagedTable.update(spark, up, col("doc_id") % 11 === 2,
+      Map("n_chars" -> (col("n_chars") + 7)))                               // v6
+    val s6 = ChangeFeed.sync(spark, up, down, keys)
+    assert(s6.fromVersion == 4 && s6.toVersion == 6)
+    assertFollows(up, down)
+
+    // idempotent replay: re-apply an ALREADY-applied span (cursor lost
+    // mid-advance = crash between apply and cursor write)
+    val replayed = ManagedTable.changes(spark, up, 4, Some(6), keys)
+      .localCheckpoint()
+    ManagedTable.upsert(spark, down,
+      replayed.filter(col("change") =!= "removed").drop("change")
+        .select(ManagedTable.history(spark, up).last.schema.fieldNames.map(col): _*),
+      keys)
+    ManagedTable.deleteKeys(spark, down,
+      replayed.filter(col("change") === "removed").select(keys.map(col): _*), keys)
+    assertFollows(up, down)
+
+    // current downstream: sync is a no-op and the cursor holds
+    val noop = ChangeFeed.sync(spark, up, down, keys)
+    assert(noop.fromVersion == 6 && noop.toVersion == 6 &&
+      noop.upserted == 0 && noop.removed == 0)
+
+    // schema evolution flows through the feed
+    ManagedTable.addColumn(spark, up, "flag",
+      org.apache.spark.sql.types.LongType)                                  // v7
+    ManagedTable.update(spark, up, col("doc_id") % 17 === 3,
+      Map("flag" -> lit(9L)))                                               // v8
+    val s8 = ChangeFeed.sync(spark, up, down, keys)
+    assert(s8.toVersion == 8 && s8.upserted > 0)
+    assertFollows(up, down)
+  }
+
+  test("sync without a bootstrap fails loudly") {
+    val base = Files.createTempDirectory("graft_feed2").toString
+    val up = s"$base/up"
+    ManagedTable.create(spark, up,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING"))
+    val e = intercept[IllegalStateException] {
+      ChangeFeed.sync(spark, up, s"$base/down", Seq("id"))
+    }
+    assert(e.getMessage.contains("bootstrap with ChangeFeed.init"))
+  }
+
+  test("deleteKeys rewrites only files holding doomed keys; misses are no-ops") {
+    val base = Files.createTempDirectory("graft_delkeys").toString
+    val root = s"$base/t"
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    ManagedTable.create(spark, root, schema)
+    // three inserts = at least three files with disjoint id ranges
+    ManagedTable.insert(spark, root,
+      spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS v").coalesce(1))
+    ManagedTable.insert(spark, root,
+      spark.range(100, 200).selectExpr("id", "CAST(id AS STRING) AS v").coalesce(1))
+    ManagedTable.insert(spark, root,
+      spark.range(200, 300).selectExpr("id", "CAST(id AS STRING) AS v").coalesce(1))
+    val before = ManagedTable.history(spark, root).last.files.toSet
+
+    val snap = ManagedTable.deleteKeys(spark, root,
+      Seq(5L, 7L, 900L).toDF("id"), Seq("id")) // 900 misses: idempotent-safe
+    assert(ManagedTable.read(spark, root).count() == 298)
+    assert(ManagedTable.read(spark, root)
+      .filter(col("id").isin(5L, 7L)).count() == 0)
+    // only the first file (ids 0-99) was rewritten; the other two carried over
+    val kept = snap.files.toSet.intersect(before)
+    assert(kept.size == 2, s"expected 2 untouched files, kept $kept of $before")
+
+    // empty key frame: nothing commits
+    val v = ManagedTable.history(spark, root).last.version
+    ManagedTable.deleteKeys(spark, root, Seq.empty[Long].toDF("id"), Seq("id"))
+    assert(ManagedTable.history(spark, root).last.version == v)
+  }
+}

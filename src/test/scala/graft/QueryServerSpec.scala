@@ -156,6 +156,8 @@ class QueryServerSpec extends AnyFunSuite {
     // winners before the MERGE — the response must say what was APPLIED
     assert(r1.body().contains("\"n_submitted\":3"), r1.body())
     assert(r1.body().contains("\"n_applied\":2"), r1.body())
+    // compatibility alias: pre-rename clients read n_rows (= submitted)
+    assert(r1.body().contains("\"n_rows\":3"), r1.body())
     assert(viewRows() == recompute())
     val afterBatch1 = viewRows()
     assert(afterBatch1.contains("[\"a\",2,3,1,2]"), afterBatch1) // max repaired 9->2

@@ -171,6 +171,33 @@ class SqlRouterSpec extends AnyFunSuite {
     router.execute("DROP MANAGED TABLE cdc PURGE")
   }
 
+  test("SHOW CHANGES raises loudly on NULL keys and key-only tables") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE cdcn (id BIGINT, v STRING) LOCATION '$root'")     // v0
+    router.execute("INSERT INTO cdcn VALUES (1, 'a')")                         // v1
+    router.execute("INSERT INTO cdcn VALUES (NULL, 'ghost')")                  // v2
+    // a NULL key row would silently vanish from the payload equi-joins;
+    // the guard must surface it as an error, not an empty delta
+    val e = intercept[Exception] {
+      router.execute("SHOW CHANGES cdcn FROM 1 KEY (id)").collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      val m = Option(t.getMessage).getOrElse("")
+      if (m.contains("NULL value in key column") || t.getCause == null) m
+      else rootMsg(t.getCause)
+    }
+    assert(rootMsg(e).contains("NULL value in key column 'id'"), rootMsg(e))
+    // keys covering every column: loud changes-specific message, not
+    // snapshotDiff's generic require
+    val e2 = intercept[IllegalArgumentException] {
+      ManagedTable.changes(spark, root, 1, None, Seq("id", "v"))
+    }
+    assert(e2.getMessage.contains("needs at least one non-key content column"),
+      e2.getMessage)
+    router.execute("DROP MANAGED TABLE cdcn PURGE")
+  }
+
   test("non-DML statements pass through to spark.sql untouched") {
     val n = router.execute("SELECT 1 + 1 AS two").collect().head.getInt(0)
     assert(n == 2)

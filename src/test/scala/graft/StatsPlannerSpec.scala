@@ -186,7 +186,40 @@ class StatsPlannerSpec extends AnyFunSuite {
         == Some(inner))
       assert(TableStatistics.lookupByPath("/w/outer/part-0.parquet")
         == Some(outer))
+      // scan leaves carry qualified URIs; registration form must not
+      // matter — qualified scan ↔ scheme-less registration and
+      // qualified scan ↔ qualified registration both resolve, while a
+      // qualified registration never leaks across filesystems
+      m.clear()
+      m.put(key("file:///w2/t"), a)
+      m.put(key("hdfs://nn1/w2/t"), b)
+      assert(TableStatistics.lookupByPath("file:/w2/t/part-0.parquet") == Some(a))
+      assert(TableStatistics.lookupByPath("hdfs://nn1/w2/t/part-0.parquet") == Some(b))
+      m.clear()
+      m.put(key("/w3/t"), a)
+      assert(TableStatistics.lookupByPath("file:/w3/t/part-0.parquet") == Some(a))
     } finally { m.clear(); before.foreach { case (k, v) => m.put(k, v) } }
+  }
+
+  test("scheme-qualified managed roots still drive stats broadcast hints") {
+    val r = new SqlRouter(spark)
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE sqf (k BIGINT, v BIGINT) LOCATION 'file://$base/sqf'")
+    r.execute(s"CREATE MANAGED TABLE sqd (k BIGINT, w BIGINT) LOCATION 'file://$base/sqd'")
+    r.execute("INSERT INTO sqf SELECT id % 1000 AS k, id AS v FROM range(4000)")
+    r.execute("INSERT INTO sqd SELECT id % 1000 AS k, id % 1000 AS w FROM range(20000)")
+    Seq("sqf", "sqd").foreach(t => r.execute(s"ANALYZE TABLE $t"))
+    val stats = TableStatistics.get(s"file://$base/sqd")
+    assert(stats.nonEmpty, "ANALYZE must register under the qualified root")
+    val q = "SELECT sqf.v, s.w FROM sqf JOIN " +
+      "(SELECT * FROM sqd WHERE w < 5) s ON sqf.k = s.k"
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val thr = math.min(stats.get.bytes / 2, 8192L)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      val planned = r.execute(q).queryExecution.executedPlan.toString
+      assert(planned.contains("BroadcastHashJoin"), planned.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("ANALYZE INCREMENTAL scans only appended files, matches a full rescan") {
