@@ -20,6 +20,11 @@ import graft.sources.ManagedTable
   * query/expressions are full Spark SQL):
   * {{{
   *   CREATE MANAGED TABLE t (id BIGINT, name STRING) LOCATION '/path'
+  *     -- optional write-time constraints in the column list, enforced
+  *     -- by every INSERT/UPSERT/UPDATE/ingest (Constraints.scala):
+  *     --   ..., PRIMARY KEY (id), NOT NULL (name), CHECK (id >= 0))
+  *     --   LOCATION '/path' ON VIOLATION REJECT|QUARANTINE
+  *   SHOW QUARANTINE [FOR] t                       -- diverted rows
   *   OPEN MANAGED TABLE t LOCATION '/path'         -- attach existing
   *   INSERT INTO t SELECT ... | INSERT INTO t VALUES (...), (...)
   *   UPDATE t SET c = expr, ... [WHERE pred]
@@ -289,7 +294,13 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
   }
 
   private val Create =
-    """(?is)\s*CREATE\s+MANAGED\s+TABLE\s+(\w+)\s*\((.+)\)\s*LOCATION\s+'([^']+)'\s*""".r
+    """(?is)\s*CREATE\s+MANAGED\s+TABLE\s+(\w+)\s*\((.+)\)\s*LOCATION\s+'([^']+)'(?:\s+ON\s+VIOLATION\s+(REJECT|QUARANTINE))?\s*""".r
+  // table-level constraint clauses inside the CREATE column list
+  private val PkClause = """(?is)\s*PRIMARY\s+KEY\s*\(([^)]+)\)\s*""".r
+  private val NotNullClause = """(?is)\s*NOT\s+NULL\s*\(([^)]+)\)\s*""".r
+  private val CheckClause = """(?is)\s*CHECK\s*\((.+)\)\s*""".r
+  private val ShowQuarantine =
+    """(?is)\s*SHOW\s+QUARANTINE\s+(?:FOR\s+)?(\w+)\s*""".r
   // CTAS: schema inferred from the query, create + insert in one
   // statement (one version-0 create commit + one version-1 insert)
   private val CreateAs =
@@ -359,10 +370,48 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
   }
 
   def execute(sql: String): DataFrame = sql match {
-    case Create(name, ddl, path) =>
-      val snap = ManagedTable.create(spark, path, StructType.fromDDL(ddl))
+    case Create(name, ddl, path, onViolation) =>
+      // split column defs from table-level constraint clauses: the
+      // clauses come out, the rest is the schema DDL as before
+      val parts = splitTop(ddl, ',').map(_.trim).filter(_.nonEmpty)
+      var pk = Seq.empty[String]
+      var nn = Seq.empty[String]
+      var checks = Seq.empty[graft.sources.Constraints.Check]
+      val colParts = parts.filterNot {
+        case PkClause(cols) => pk ++= cols.split(',').map(_.trim); true
+        case NotNullClause(cols) => nn ++= cols.split(',').map(_.trim); true
+        case CheckClause(e) =>
+          checks :+= graft.sources.Constraints.Check(
+            s"check_${checks.size + 1}", e.trim); true
+        case _ => false
+      }
+      val schema = StructType.fromDDL(colParts.mkString(", "))
+      val spec = graft.sources.Constraints.Spec(pk, nn, checks,
+        Option(onViolation).map(_.toLowerCase).getOrElse("reject"))
+      require(onViolation == null || !spec.isEmpty,
+        "ON VIOLATION without any constraint clause")
+      // validate BEFORE the create commit: a bad constraint must not
+      // leave a half-made table behind
+      if (!spec.isEmpty) graft.sources.Constraints.validate(spark, spec, schema)
+      val snap = ManagedTable.create(spark, path, schema)
+      if (!spec.isEmpty) graft.sources.Constraints.save(spark, path, spec, schema)
       register(name, path)
       summary("create", name, snap.version)
+
+    // quarantined rows of a constrained table (empty before the first
+    // violation — served with the right shape either way)
+    case ShowQuarantine(name) if tables.contains(name) =>
+      val qr = graft.sources.Constraints.quarantineRoot(root(name))
+      val fs = new org.apache.hadoop.fs.Path(qr)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(qr, "_graft_log")))
+        ManagedTable.read(spark, qr)
+      else {
+        val hostSchema = ManagedTable.history(spark, root(name)).last.schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          hostSchema.add("_violation", org.apache.spark.sql.types.StringType))
+      }
 
     case CreateAs(name, path, sel) =>
       // materialize the query ONCE (localCheckpoint) — its plan is

@@ -243,7 +243,16 @@ object ManagedTable {
   def insert(spark: SparkSession, root: String, rows: DataFrame): Snapshot = {
     val snap = latest(spark, root)
     requireSchema(rows, snap, "insert")
-    val added = writeData(rows, root)
+    // write-time constraints (declared at CREATE): violating rows are
+    // refused or quarantined HERE — the choke point every insert
+    // shares — never committed and audited later
+    val admitted = Constraints.load(spark, root) match {
+      case Some(spec) if !spec.isEmpty =>
+        Constraints.enforceInsert(spark, root, rows, read(spark, root), spec)
+      case _ => rows
+    }
+    if ((admitted ne rows) && admitted.isEmpty) return snap // all quarantined
+    val added = writeData(admitted, root)
     commit(spark, root, Snapshot(snap.version + 1, "insert", snap.schemaDdl,
       snap.files ++ added))
   }
@@ -431,11 +440,19 @@ object ManagedTable {
     require(unknown.isEmpty, s"update: no such column(s) ${unknown.mkString(", ")}")
     val cur = read(spark, root)
     val hit = coalesce(where, lit(false))
+    // an UPDATE must not rewrite a row INTO violation: the in-plan
+    // guard raises at materialization (reject-only — no incoming row
+    // to quarantine), so a violating SET aborts before any commit
+    val guard: DataFrame => DataFrame = Constraints.load(spark, root) match {
+      case Some(spec) if spec.notNull.nonEmpty || spec.checks.nonEmpty =>
+        Constraints.updateGuard(spec)
+      case _ => identity
+    }
     rewrite(spark, root, snap, affectedFiles(cur, root, where), aff =>
-      aff.select(cols.map { c =>
+      guard(aff.select(cols.map { c =>
         (if (set.contains(c)) when(hit, set(c)).otherwise(col(c)) else col(c))
           .cast(snap.schema(c).dataType).as(c)
-      }: _*), "update")
+      }: _*)), "update")
   }
 
   /** The merge probe's key frame: the source's distinct keys, hinted
@@ -520,7 +537,20 @@ object ManagedTable {
     require(keys.nonEmpty, "merge needs at least one key column")
     val missing = keys.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty, s"merge: no such key column(s) ${missing.mkString(", ")}")
-    val src = source.localCheckpoint() // probe + rewrite + insert reuse one materialization
+    // write-time constraints: a merge by anything OTHER than the
+    // declared primary key could land two rows with one PK — refuse
+    // the shape, then enforce the row-local rules on the source
+    val admitted = Constraints.load(spark, root) match {
+      case Some(spec) if !spec.isEmpty =>
+        if (spec.primaryKey.nonEmpty)
+          require(keys.toSet == spec.primaryKey.toSet,
+            s"merge: keys (${keys.mkString(", ")}) must be the declared " +
+              s"PRIMARY KEY (${spec.primaryKey.mkString(", ")})")
+        Constraints.enforceUpsert(spark, root, source, spec)
+      case _ => source
+    }
+    if ((admitted ne source) && admitted.isEmpty) return snap // all quarantined
+    val src = admitted.localCheckpoint() // probe + rewrite + insert reuse one materialization
     // ONE aggregation pass yields both the dup-key guard and the
     // distinct-key count the broadcast gate needs
     val keyStats = src.select(keys.map(col): _*)
