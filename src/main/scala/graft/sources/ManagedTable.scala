@@ -50,9 +50,12 @@ object ManagedTable {
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
-  /** One committed snapshot: `files` are root-relative data paths. */
+  /** One committed snapshot: `files` are root-relative data paths.
+    * `txn` (None for ordinary commits) is a staged transaction's
+    * marker path — the manifest is INVISIBLE to readers until that
+    * marker exists ([[graft.sources.Txn]]'s publish point). */
   final case class Snapshot(version: Int, op: String, schemaDdl: String,
-                            files: Seq[String]) {
+                            files: Seq[String], txn: Option[String] = None) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
@@ -66,8 +69,9 @@ object ManagedTable {
   // -- manifest (de)serialization: flat JSON via the repo's util.Json --
   private def render(s: Snapshot): String = {
     val files = s.files.map(graft.util.Json.escape).mkString("[", ",", "]")
+    val txn = s.txn.map(m => s""","txn":${graft.util.Json.escape(m)}""").getOrElse("")
     s"""{"version":${s.version},"op":${graft.util.Json.escape(s.op)},""" +
-      s""""schema":${graft.util.Json.escape(s.schemaDdl)},"files":$files}"""
+      s""""schema":${graft.util.Json.escape(s.schemaDdl)},"files":$files$txn}"""
   }
 
   private def parse(text: String, v: Int): Snapshot = {
@@ -111,14 +115,24 @@ object ManagedTable {
       if (text.charAt(i) == ',') i += 1
       else { val (s, next) = parseStr(i); files += s; i = next }
     }
-    Snapshot(v, op, schemaDdl, files.result())
+    // optional: staged-transaction marker (absent on ordinary commits
+    // and on every pre-txn manifest — the format stays readable both ways)
+    val txn =
+      if (text.indexOf("\"txn\":") >= 0) Some(parseStr(field("txn"))._1) else None
+    Snapshot(v, op, schemaDdl, files.result(), txn)
   }
 
-  /** All committed versions, ascending. Empty if not a managed table. */
+  /** All committed versions, ascending. Empty if not a managed table.
+    * A manifest staged by a transaction ([[Txn]]) is visible only once
+    * its marker is published — or to the staging transaction itself
+    * (read-your-own-writes). The marker probe is one `exists` per
+    * DISTINCT marker among still-tagged manifests, memoized per call. */
   def history(spark: SparkSession, root: String): Seq[Snapshot] = {
     val f = fs(spark, root)
     val dir = logDir(root)
     if (!f.exists(dir)) return Nil
+    val own = Txn.current.map(_.markerPath)
+    val committed = scala.collection.mutable.Map.empty[String, Boolean]
     f.listStatus(dir).map(_.getPath).filter(_.getName.matches("v\\d{8}\\.json"))
       .sortBy(_.getName).toSeq.map { p =>
         val v = p.getName.stripPrefix("v").stripSuffix(".json").toInt
@@ -126,6 +140,25 @@ object ManagedTable {
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
         parse(text, v)
+      }
+      .filter(s => s.txn.isEmpty || own.contains(s.txn.get) ||
+        committed.getOrElseUpdate(s.txn.get, Txn.isCommitted(spark, s.txn.get)))
+  }
+
+  /** (version, marker path) of every still-tagged manifest at `root` —
+    * [[Txn.rollbackStale]]'s probe surface. */
+  private[sources] def pendingManifests(spark: SparkSession,
+                                        root: String): Seq[(Int, String)] = {
+    val f = fs(spark, root)
+    val dir = logDir(root)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath).filter(_.getName.matches("v\\d{8}\\.json"))
+      .sortBy(_.getName).toSeq.flatMap { p =>
+        val v = p.getName.stripPrefix("v").stripSuffix(".json").toInt
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        parse(text, v).txn.map(v -> _)
       }
   }
 
@@ -148,11 +181,33 @@ object ManagedTable {
     * store's own contract (atomic on HDFS; object stores document
     * their own conditional-create semantics).
     */
-  private[graft] def commit(spark: SparkSession, root: String, s: Snapshot): Snapshot = {
+  private[graft] def commit(spark: SparkSession, root: String, s0: Snapshot): Snapshot = {
+    // inside a transaction the manifest stages TAGGED (invisible until
+    // the marker publishes) — same exclusive create, so version-slot
+    // conflicts surface at stage time, not at publish
+    val s = Txn.current.map(c => s0.copy(txn = Some(c.markerPath))).getOrElse(s0)
     val p = manifestPath(root, s.version)
     val bytes = render(s).getBytes("UTF-8")
-    def conflict() = new CommitConflict(
-      s"version ${s.version} at $root was committed concurrently — re-read and retry")
+    def conflict() = {
+      // name the blocker when it's an unpublished transaction: that
+      // slot never frees on its own (Txn.rollbackStale is the remedy)
+      val detail =
+        try {
+          val f = fs(spark, root)
+          val in = f.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          parse(text, s.version).txn match {
+            case Some(m) if !Txn.isCommitted(spark, m) =>
+              s" (slot held by an unpublished transaction, marker $m — " +
+                "Txn.rollbackStale clears it if that writer crashed)"
+            case _ => ""
+          }
+        } catch { case scala.util.control.NonFatal(_) => "" }
+      new CommitConflict(
+        s"version ${s.version} at $root was committed concurrently — " +
+          s"re-read and retry$detail")
+    }
     val scheme = Option(p.toUri.getScheme)
     if (scheme.forall(_ == "file")) {
       try java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath), bytes,
@@ -169,6 +224,9 @@ object ManagedTable {
     // metadata-scale work. Best-effort BY DESIGN: the manifest above
     // is already durable, so a stats failure must degrade to
     // "no pruning" (readers keep every file), never fail the commit.
+    // the manifest is durably staged: record it with the live
+    // transaction (publish tags exactly these; abort deletes them)
+    Txn.current.foreach(_.stage(root, s.version))
     try FileStats.write(spark, root, s, FileStats.read(spark, root, s.version - 1))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[managed-table] stats sidecar for v${s.version} " +
