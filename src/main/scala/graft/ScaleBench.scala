@@ -170,6 +170,8 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed graph tables (g_pr_* A/B) land in the work dir, not ./spark-warehouse
+      .config("spark.sql.warehouse.dir", s"$work/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -239,6 +241,65 @@ object ScaleBench {
           val line = f"""{"factor":$f,"query":"$label","sec":$sec%.3f,"rows":${snap.files.size},"load":$load%.2f}"""
           println(line)
           out.append(line).append('\n')
+        }
+      }
+      // SPARK_GRAFT_SCALE_GRAPH=1 — the persisted-graph PageRank A/B
+      // (SCALING.md round 8): does reading the contribution relation
+      // from PRE-BUCKETED tables beat the in-session repartition+cache
+      // inside the rounds, once the graph is big enough that ranks
+      // stop broadcasting? Three timed cells over the SAME mined
+      // graph (mining itself is checkpointed out of every cell):
+      //   g_pr_insession — pagerankPpb as q142 runs it (derives
+      //     out-degrees, repartitions + caches both relations);
+      //   g_pr_plain     — pagerankPpbOver on a plain-parquet
+      //     persisted (src,dst,od): no cache, layout unknown, every
+      //     round re-shuffles the edge side once ranks exceed the
+      //     broadcast threshold;
+      //   g_pr_bucketed  — pagerankPpbOver on writeBucketed tables
+      //     (nodes on id, eod on src, buckets = shuffle partitions):
+      //     no cache, rounds consume pre-partitioned buckets.
+      // g_pr_build reports the one-time bucket-write cost the layout
+      // amortizes over every later rank report.
+      if (sys.env.get("SPARK_GRAFT_SCALE_GRAPH").contains("1")) locally {
+        import graft.operators.GraphOps
+        import graft.sources.Tables
+        val pe = Tables.load(spark, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct().localCheckpoint()
+        val nodes = pe.select(col("pk").as("id")).distinct()
+          .unionByName(pe.select((-col("sk") - 1).as("id")).distinct())
+        val edges = pe.select(col("pk").as("src"), (-col("sk") - 1).as("dst"))
+          .unionByName(pe.select((-col("sk") - 1).as("src"), col("pk").as("dst")))
+        val eod = edges
+          .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+          .select(col("src"), col("dst"), col("od"))
+        val plainDir = s"$dir/g_eod_plain.parquet"
+        nodes.write.mode("overwrite").parquet(s"$dir/g_nodes_plain.parquet")
+        eod.write.mode("overwrite").parquet(plainDir)
+        def cell(label: String)(body: => Long): Unit = {
+          val load = osBean.getSystemLoadAverage
+          val t0 = System.nanoTime()
+          val rows = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          summary.getOrElseUpdate(label, scala.collection.mutable.LinkedHashMap.empty)
+            .put(f, sec)
+          val line = f"""{"factor":$f,"query":"$label","sec":$sec%.3f,"rows":$rows,"load":$load%.2f}"""
+          println(line)
+          out.append(line).append('\n'): Unit
+        }
+        cell("g_pr_build") {
+          Tables.writeBucketed(nodes, s"g_nodes_x$f", cpus.toInt, Seq("id"))
+          Tables.writeBucketed(eod, s"g_eod_x$f", cpus.toInt, Seq("src"))
+          spark.table(s"g_eod_x$f").count()
+        }
+        cell("g_pr_insession")(GraphOps.pagerankPpb(nodes, edges, 3).count())
+        cell("g_pr_plain") {
+          GraphOps.pagerankPpbOver(spark.read.parquet(s"$dir/g_nodes_plain.parquet"),
+            spark.read.parquet(plainDir), 3).count()
+        }
+        cell("g_pr_bucketed") {
+          GraphOps.pagerankPpbOver(spark.table(s"g_nodes_x$f"),
+            spark.table(s"g_eod_x$f"), 3).count()
         }
       }
     }

@@ -36,16 +36,49 @@ object GraphOps {
     require(iters >= 0, "iters must be >= 0")
     require(dampPct >= 0 && dampPct <= 100, "dampPct must be in [0,100]")
     val (nds, n1, eod) = prepare(nodes, edges)
-    try {
-      val uniform = nds.crossJoin(broadcast(n1))
-        .selectExpr("id", "CAST(1000000000 DIV n AS BIGINT) AS r")
-      (1 to iters).foldLeft(uniform.localCheckpoint()) { (r, _) =>
-        step(nds, n1, eod, r, dampPct).localCheckpoint()
-      }
+    try rounds(nds, n1, eod, iters, dampPct)
       // each round checkpointed eagerly, so the returned frame no
       // longer references the cached inputs — release them (a bench
       // session runs many queries; pinned edge caches would accumulate)
-    } finally { nds.unpersist(); eod.unpersist(): Unit }
+    finally { nds.unpersist(); eod.unpersist(): Unit }
+  }
+
+  /** Bring-your-own-layout PageRank: the same rounds as
+    * [[pagerankPpb]], but over a caller-provided node set `nds` (one
+    * `id` column) and PRE-DERIVED contribution relation `eod`
+    * ((src, dst, od) — od = out-degree of src over the WHOLE edge
+    * set, parallel edges carried separately). No repartition, no
+    * cache: the inputs' own physical layout is trusted as-is.
+    *
+    * This is the persisted-graph entry for data that outgrows an
+    * in-session cache: store both sides as bucketed tables
+    * ([[graft.sources.Tables.writeBucketed]] — nodes on `id`, eod on
+    * `src`, bucket count = `spark.sql.shuffle.partitions`) and every
+    * round's src-side join and the final id-keyed left join consume
+    * pre-partitioned buckets straight from disk; the only exchange
+    * left is the dst contribution aggregation, PageRank's inherent
+    * communication. ScaleBench's `g_pr_*` A/B (SCALING.md round 8)
+    * measures this layout against [[pagerankPpb]]'s
+    * repartition+cache. */
+  def pagerankPpbOver(nds: DataFrame, eod: DataFrame, iters: Int,
+                      dampPct: Int = 85): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dampPct >= 0 && dampPct <= 100, "dampPct must be in [0,100]")
+    val nodes = nds.select(col("id"))
+    val n1 = nodes.agg(count(lit(1)).as("n"))
+    rounds(nodes, n1, eod.select(col("src"), col("dst"), col("od")),
+      iters, dampPct)
+  }
+
+  /** The damped-iteration loop shared by both entries: uniform start,
+    * `iters` [[step]]s, each round checkpointed so lineage stays flat. */
+  private def rounds(nds: DataFrame, n1: DataFrame, eod: DataFrame,
+                     iters: Int, dampPct: Int): DataFrame = {
+    val uniform = nds.crossJoin(broadcast(n1))
+      .selectExpr("id", "CAST(1000000000 DIV n AS BIGINT) AS r")
+    (1 to iters).foldLeft(uniform.localCheckpoint()) { (r, _) =>
+      step(nds, n1, eod, r, dampPct).localCheckpoint()
+    }
   }
 
   /** CO-PARTITIONED once-materialized inputs: the node set hashed on

@@ -37,8 +37,29 @@ import graft.sources.ManagedTable
   *   SHOW CHANGES t FROM v [TO v2] KEY (k1, ...)   -- CDC read: keyed
   *                                                 -- row deltas between
   *                                                 -- two versions
+  *   BEGIN; <stmt>; <stmt>; ...; COMMIT            -- one atomic multi-
+  *                                                 -- statement batch
+  *                                                 -- (ROLLBACK: stage,
+  *                                                 -- then discard)
   *   <anything else>                               -- spark.sql
   * }}}
+  * Transactions are submitted as ONE batch statement (the whole
+  * BEGIN…COMMIT text in a single request): the router runs the inner
+  * statements inside [[graft.sources.Txn.transaction]], so every
+  * managed-table mutation they perform — including MV maintenance and
+  * constraint-quarantine writes those mutations trigger — publishes
+  * atomically, and a failing statement aborts them all. The batch
+  * shape is deliberate: an interactive OPEN transaction would have to
+  * pin filesystem state to one HTTP connection across requests.
+  * Registration metadata (CREATE/OPEN's name→root entry) is catalog
+  * state, not table data — a rolled-back CREATE keeps the name
+  * registered but the table stays empty/versionless. Isolation caveat:
+  * temp views refresh after each inner statement so the batch's own
+  * SELECTs read their writes, and Spark temp views are session-scoped
+  * — a concurrent reader sharing this session can glimpse staged rows
+  * mid-batch (the views are re-pinned to the published outcome at the
+  * end). Snapshot readers going through ManagedTable directly, or any
+  * other session, never see an unpublished version.
   * Mutations return a one-row summary frame `(op, tbl, version)` —
   * JSON-friendly for the HTTP layer. Exceptions that carry extra
   * accounting widen it: ingest adds `n_applied` (post-dedup winners
@@ -338,6 +359,11 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*SHOW\s+STATS\s+(?:FOR\s+)?(\w+)\s*""".r
   private val ShowChanges =
     """(?is)\s*SHOW\s+CHANGES\s+(\w+)\s+FROM\s+(\d+)(?:\s+TO\s+(\d+))?\s+KEY\s*\(([^)]+)\)\s*""".r
+  // one multi-statement batch; greedy body + anchored terminator, so a
+  // ';COMMIT' inside a quoted string cannot end the batch early
+  private val TxnBatch =
+    """(?is)\s*BEGIN\s*;(.+);\s*(COMMIT|ROLLBACK)\s*;?\s*""".r
+  private val BareTxnKw = """(?is)\s*(BEGIN|COMMIT|ROLLBACK)\b.*""".r
 
   private def query(text: String): DataFrame = {
     val t = text.trim
@@ -362,7 +388,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
          Optimize(_, _, _, _) | Drop(_, _) | VacuumStmt(_, _) |
          Restore(_, _) | CreateMv(_, _, _, _, _, _) | DropMv(_, _) |
-         RefreshMv(_) | Analyze(_, _) => true
+         RefreshMv(_) | Analyze(_, _) | TxnBatch(_, _) | BareTxnKw(_) => true
     case other =>
       val kw = other.trim.takeWhile(!_.isWhitespace).toUpperCase
       !Set("SELECT", "WITH", "VALUES", "TABLE",
@@ -669,11 +695,81 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         .toDF("name", "over_table", "location", "key_cols", "count_col",
           "sum_cols", "min_cols", "max_cols", "avg_cols")
 
+    case TxnBatch(inner, term) =>
+      import graft.sources.Txn
+      val stmts = splitTop(inner, ';').map(_.trim).filter(_.nonEmpty)
+      require(stmts.nonEmpty, "empty transaction: BEGIN; <statements>; COMMIT")
+      val anchor = txnAnchor(stmts)
+      val wantCommit = term.trim.equalsIgnoreCase("COMMIT")
+      var staged: Seq[(String, Int)] = Nil
+      try {
+        try Txn.transaction(spark, anchor) {
+          // capture the staged list after EVERY statement (not once at
+          // the end): a mid-batch failure must still know which tables
+          // were touched so their views can be un-pinned below
+          stmts.foreach { s =>
+            try execute(s): Unit
+            finally staged = graft.sources.Txn.currentStaged
+          }
+          // ROLLBACK terminator = stage-and-discard (the dry-run
+          // shape): unwinding through Txn.transaction aborts every
+          // staged manifest, exactly like a failing statement would
+          if (!wantCommit) throw new SqlRouter.RollbackRequested
+        } catch { case _: SqlRouter.RollbackRequested => }
+      } finally {
+        // per-statement handlers refreshed views against STAGED state;
+        // re-pin every touched table's view to the published outcome
+        // (commit: the new versions; rollback/failure: the old ones —
+        // without this, an aborted manifest's view would keep serving
+        // the orphaned data files)
+        val nameOf = tables.toMap.map(_.swap)
+        staged.foreach { case (r, _) => nameOf.get(r).foreach(refreshView) }
+      }
+      val nameOf = tables.toMap.map(_.swap)
+      import spark.implicits._
+      val op = if (wantCommit) "commit" else "rollback"
+      // one row per staged (table, version); a rollback reports the
+      // versions it DISCARDED. A read-only batch stages nothing.
+      val rows =
+        if (staged.isEmpty) Seq((op, "", -1))
+        else staged.map { case (r, v) => (op, nameOf.getOrElse(r, r), v) }
+      rows.toDF("op", "tbl", "version")
+
+    case BareTxnKw(kw) => throw new IllegalArgumentException(
+      s"${kw.toUpperCase} outside a batch: transactions are submitted as ONE " +
+        "statement 'BEGIN; <stmt>; ...; COMMIT' (or ROLLBACK to stage-and-" +
+        "discard) — an open interactive transaction would pin filesystem " +
+        "state to one connection across requests")
+
     case other => spark.sql(other)
   }
+
+  /** The root whose `_graft_log/_txn/` holds the batch's publish
+    * marker: the first statement that creates or mutates a managed
+    * table. A batch with none has nothing to make atomic — refused
+    * loudly rather than silently run unprotected. */
+  private def txnAnchor(stmts: Seq[String]): String =
+    stmts.collectFirst {
+      case Create(_, _, path, _) => path
+      case CreateAs(_, path, _) => path
+      case Insert(n, _) if tables.contains(n) => root(n)
+      case Update(n, _) if tables.contains(n) => root(n)
+      case Delete(n, _) if tables.contains(n) => root(n)
+      case Upsert(n, _, _) if tables.contains(n) => root(n)
+      case Restore(n, _) if tables.contains(n) => root(n)
+      case AddCol(n, _, _) if tables.contains(n) => root(n)
+    }.getOrElse(throw new IllegalArgumentException(
+      "transaction batch has no statement that creates or mutates a managed " +
+        "table — nothing to make atomic"))
 }
 
 object SqlRouter {
+
+  /** Control-flow signal for a BEGIN…ROLLBACK batch: unwinds through
+    * `Txn.transaction` (aborting the staged manifests) and is caught
+    * by the batch handler — never user-visible. */
+  private final class RollbackRequested
+    extends RuntimeException("rollback requested")
 
   /** A materialized view's maintenance spec: `name` rolls up `over`
     * (grouped by `keys`, COUNT(*) as `countCol`, SUM(expr) per

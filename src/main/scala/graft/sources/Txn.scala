@@ -58,6 +58,13 @@ object Txn {
   /** The transaction the current thread is inside, if any. */
   private[sources] def current: Option[Context] = Option(active.get())
 
+  /** (root, version) of every mutation the current thread's live
+    * transaction has staged so far — empty outside a transaction. The
+    * SQL surface reads this at the end of a BEGIN…COMMIT batch to
+    * report which tables the transaction touched. */
+  private[graft] def currentStaged: Seq[(String, Int)] =
+    current.map(_.staged.toList).getOrElse(Nil)
+
   private def markerFor(anchorRoot: String, id: String): String =
     new Path(anchorRoot, s"_graft_log/_txn/$id.committed").toString
 

@@ -97,6 +97,56 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(full.count() == 200)
   }
 
+  test("pagerankPpbOver on bucketed tables matches pagerankPpb; buckets feed the rounds unshuffled") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val nodes = (1L to 300L).toDF("id")
+    val edges = ((1L to 299L).map(i => i -> (i + 1)) ++
+      Seq(300L -> 1L, 1L -> 150L, 10L -> 3L)).toDF("src", "dst")
+    val expected = GraphOps.pagerankPpb(nodes, edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the caller-owned layout: out-degrees derived once, both sides
+    // persisted as bucketed tables (buckets = the session's shuffle
+    // partitions, so agg output and bucket scans are co-partitioned)
+    val eod = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .select(col("src"), col("dst"), col("od"))
+    graft.sources.Tables.writeBucketed(nodes, "g_t_nodes", 4, Seq("id"))
+    graft.sources.Tables.writeBucketed(eod, "g_t_eod", 4, Seq("src"))
+    val bNodes = spark.table("g_t_nodes")
+    val bEod = spark.table("g_t_eod")
+    val got = GraphOps.pagerankPpbOver(bNodes, bEod, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // Layout claim: with broadcast off (ranks too big to ship at real
+    // scale), a round over the bucketed relations shuffles exactly
+    // twice — the rank frame to the eod buckets and the inherent dst
+    // contribution agg. Neither BUCKETED relation re-shuffles; plain
+    // parquet inputs would add an exchange per scan per round.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val n1 = bNodes.agg(count(lit(1)).as("n"))
+      val r0 = bNodes.select("id").crossJoin(org.apache.spark.sql.functions.broadcast(n1))
+        .selectExpr("id", "CAST(1000000000 DIV n AS BIGINT) AS r")
+        .localCheckpoint()
+      val round = GraphOps.step(bNodes.select("id"), n1,
+        bEod.select("src", "dst", "od"), r0, 85)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def exchanges(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case s: ShuffleExchangeLike
+            if s.outputPartitioning.toString.contains("hashpartitioning") =>
+          s +: s.children.flatMap(exchanges)
+        case other => other.children.flatMap(exchanges)
+      }
+      val found = exchanges(round.queryExecution.executedPlan)
+      assert(found.size <= 2,
+        s"want <=2 hash exchanges over bucketed inputs, got ${found.size}:\n${round.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("invalid budgets fail loudly") {
     assertThrows[IllegalArgumentException] {
       GraphOps.pagerankPpb(Seq("a").toDF("id"),

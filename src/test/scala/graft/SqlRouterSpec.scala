@@ -486,4 +486,66 @@ class SqlRouterSpec extends AnyFunSuite {
         s"view drifted from recompute after step $step")
     }
   }
+
+  test("BEGIN...COMMIT publishes multi-table mutations atomically") {
+    val r1 = freshRoot(); val r2 = freshRoot()
+    router.execute(s"CREATE MANAGED TABLE tx_a (id BIGINT, v DOUBLE) LOCATION '$r1'")
+    router.execute(s"CREATE MANAGED TABLE tx_b (id BIGINT, v DOUBLE) LOCATION '$r2'")
+    router.execute("INSERT INTO tx_a VALUES (1, 1.0)")
+    val res = router.execute(
+      "BEGIN; INSERT INTO tx_a VALUES (2, 2.0); " +
+        "INSERT INTO tx_b VALUES (10, 5.0); " +
+        "UPDATE tx_a SET v = v + 1 WHERE id = 1; COMMIT").collect()
+    assert(res.length == 3 && res.forall(_.getString(0) == "commit"),
+      res.mkString(","))
+    assert(router.execute("SELECT count(*) c FROM tx_a")
+      .collect().head.getLong(0) == 2)
+    assert(router.execute("SELECT v FROM tx_a WHERE id = 1")
+      .collect().head.getDouble(0) == 2.0)
+    assert(router.execute("SELECT count(*) c FROM tx_b")
+      .collect().head.getLong(0) == 1)
+    // the gate sees the whole batch as a write
+    assert(router.isMutation("BEGIN; INSERT INTO tx_a VALUES (3, 3.0); COMMIT"))
+  }
+
+  test("a failing statement aborts the whole batch; tables keep their old versions") {
+    val r1 = freshRoot(); val r2 = freshRoot()
+    router.execute(s"CREATE MANAGED TABLE tx_c (id BIGINT, v DOUBLE) LOCATION '$r1'")
+    router.execute(s"CREATE MANAGED TABLE tx_d (id BIGINT, v DOUBLE) LOCATION '$r2'")
+    router.execute("INSERT INTO tx_c VALUES (1, 1.0)")
+    val e = intercept[Exception] {
+      router.execute("BEGIN; INSERT INTO tx_c VALUES (2, 2.0); " +
+        "INSERT INTO tx_d SELECT * FROM no_such_table_xyz; COMMIT")
+    }
+    assert(e != null)
+    // the first INSERT staged, then the abort deleted its manifest
+    assert(router.execute("SELECT count(*) c FROM tx_c")
+      .collect().head.getLong(0) == 1)
+    assert(ManagedTable.history(spark, r1).map(_.op) == Seq("create", "insert"))
+    assert(ManagedTable.history(spark, r2).map(_.op) == Seq("create"))
+  }
+
+  test("ROLLBACK terminator stages then discards (dry-run)") {
+    val r1 = freshRoot()
+    router.execute(s"CREATE MANAGED TABLE tx_e (id BIGINT, v DOUBLE) LOCATION '$r1'")
+    router.execute("INSERT INTO tx_e VALUES (1, 1.0)")
+    val res = router.execute(
+      "BEGIN; INSERT INTO tx_e VALUES (2, 2.0); DELETE FROM tx_e WHERE id = 1; ROLLBACK")
+      .collect()
+    assert(res.nonEmpty && res.forall(_.getString(0) == "rollback"))
+    // both staged versions were discarded; the view shows the old state
+    assert(router.execute("SELECT count(*) c FROM tx_e")
+      .collect().head.getLong(0) == 1)
+    assert(ManagedTable.history(spark, r1).map(_.op) == Seq("create", "insert"))
+  }
+
+  test("bare txn keywords and read-only batches are refused loudly") {
+    val bare = intercept[IllegalArgumentException](router.execute("BEGIN"))
+    assert(bare.getMessage.contains("BEGIN; <stmt>"))
+    val commit = intercept[IllegalArgumentException](router.execute("COMMIT"))
+    assert(commit.getMessage.contains("ONE"))
+    val ro = intercept[IllegalArgumentException](
+      router.execute("BEGIN; SELECT 1; COMMIT"))
+    assert(ro.getMessage.contains("nothing to make atomic"))
+  }
 }
