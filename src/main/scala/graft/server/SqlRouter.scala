@@ -359,6 +359,12 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*SHOW\s+STATS\s+(?:FOR\s+)?(\w+)\s*""".r
   private val ShowChanges =
     """(?is)\s*SHOW\s+CHANGES\s+(\w+)\s+FROM\s+(\d+)(?:\s+TO\s+(\d+))?\s+KEY\s*\(([^)]+)\)\s*""".r
+  private val ShowConstraints =
+    """(?is)\s*SHOW\s+CONSTRAINTS\s+(?:FOR\s+)?(\w+)\s*""".r
+  // table-follows-table CDC replication (ChangeFeed) on the SQL
+  // surface; LOCATION only on the bootstrap call
+  private val SyncStmt =
+    """(?is)\s*SYNC\s+TABLE\s+(\w+)\s+FROM\s+(\w+)\s+KEY\s*\(([^)]+)\)(?:\s+LOCATION\s+'([^']+)')?\s*""".r
   // one multi-statement batch; greedy body + anchored terminator, so a
   // ';COMMIT' inside a quoted string cannot end the batch early
   private val TxnBatch =
@@ -383,7 +389,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // allowlist below already admits them); VACUUM deletes files — a
     // write.
     case HistoryStmt(_) | ShowMv() | ShowStats(_) |
-         ShowChanges(_, _, _, _) => false
+         ShowChanges(_, _, _, _) | ShowConstraints(_) => false
+    case SyncStmt(_, _, _, _) => true
     case Create(_, _, _) | CreateAs(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
          Optimize(_, _, _, _) | Drop(_, _) | VacuumStmt(_, _) |
@@ -549,6 +556,55 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         Option(toV).map(_.toInt),
         splitTop(keyList, ',').map(_.trim).filter(_.nonEmpty))
 
+    // the declared write-time rules of a constrained table, one row
+    // per rule (empty result, same shape, for an unconstrained one)
+    case ShowConstraints(name) if tables.contains(name) =>
+      import spark.implicits._
+      val rows = graft.sources.Constraints.load(spark, root(name)) match {
+        case None => Seq.empty[(String, String, String)]
+        case Some(s) =>
+          (if (s.primaryKey.isEmpty) Nil
+           else Seq(("primary_key", "pk", s.primaryKey.mkString(", ")))) ++
+            s.notNull.map(c => ("not_null", c, s"$c IS NOT NULL")) ++
+            s.checks.map(c => ("check", c.name, c.sql)) :+
+            (("on_violation", "policy", s.onViolation))
+      }
+      rows.toDF("rule_type", "rule_name", "definition")
+
+    // SYNC TABLE dst FROM src KEY (...): apply every upstream version
+    // committed since dst's durable feed cursor as one delta-sized
+    // upsert + keyed delete (ChangeFeed). First call carries LOCATION
+    // and bootstraps the follower from src's current snapshot; later
+    // calls drain the span (no-op when current, replay-idempotent).
+    // Dependent materialized views fold the synced delta like any DML.
+    case SyncStmt(dst, srcName, keyList, loc) if tables.contains(srcName) =>
+      import spark.implicits._
+      val keys = splitTop(keyList, ',').map(_.trim).filter(_.nonEmpty)
+      val srcRoot = root(srcName)
+      val res =
+        if (!tables.contains(dst)) {
+          require(loc != null,
+            s"unknown table '$dst' — bootstrap the follower with " +
+              s"SYNC TABLE $dst FROM $srcName KEY (...) LOCATION '<root>'")
+          val r = graft.streaming.ChangeFeed.init(spark, srcRoot, loc)
+          register(dst, loc)
+          r
+        } else {
+          require(!mviews.contains(dst),
+            s"'$dst' is a materialized view maintained by the engine — " +
+              "SYNC into a managed table instead")
+          val dstRoot = root(dst)
+          val pre = ManagedTable.history(spark, dstRoot).last.version
+          val r = graft.streaming.ChangeFeed.sync(spark, srcRoot, dstRoot, keys)
+          graft.sources.TableStatistics.invalidate(dstRoot)
+          refreshView(dst)
+          maintainViews(dst, pre,
+            ManagedTable.history(spark, dstRoot).last.version)
+          r
+        }
+      Seq(("sync", dst, res.fromVersion, res.toVersion, res.upserted, res.removed))
+        .toDF("op", "tbl", "from_version", "to_version", "n_upserted", "n_removed")
+
     // RESTORE: metadata-only rollback — commits a new version carrying
     // the target version's file list (SHOW HISTORY finds the point,
     // RESTORE makes it current; roll forward by restoring a later one)
@@ -699,6 +755,15 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       import graft.sources.Txn
       val stmts = splitTop(inner, ';').map(_.trim).filter(_.nonEmpty)
       require(stmts.nonEmpty, "empty transaction: BEGIN; <statements>; COMMIT")
+      // SYNC advances a durable feed cursor OUTSIDE the manifest-marker
+      // protocol — a rolled-back batch would still advance it and the
+      // follower would silently skip the span on its next sync
+      stmts.foreach {
+        case SyncStmt(d, _, _, _) => throw new IllegalArgumentException(
+          s"SYNC TABLE $d inside a transaction is not supported — the feed " +
+            "cursor advance is not transactional; run SYNC as its own statement")
+        case _ => ()
+      }
       val anchor = txnAnchor(stmts)
       val wantCommit = term.trim.equalsIgnoreCase("COMMIT")
       var staged: Seq[(String, Int)] = Nil

@@ -548,4 +548,90 @@ class SqlRouterSpec extends AnyFunSuite {
       router.execute("BEGIN; SELECT 1; COMMIT"))
     assert(ro.getMessage.contains("nothing to make atomic"))
   }
+
+  test("SHOW CONSTRAINTS lists the declared rules; empty shape for unconstrained") {
+    val root = freshRoot()
+    router.execute(
+      s"""CREATE MANAGED TABLE sc (id BIGINT, name STRING,
+         |PRIMARY KEY (id), NOT NULL (name), CHECK (id >= 0))
+         |LOCATION '$root' ON VIOLATION QUARANTINE""".stripMargin)
+    val rows = router.execute("SHOW CONSTRAINTS FOR sc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("primary_key", "pk", "id"),
+      ("not_null", "name", "name IS NOT NULL"),
+      ("check", "check_1", "id >= 0"),
+      ("on_violation", "policy", "quarantine")))
+    // a read, not a mutation (reader role may call it)
+    assert(!router.isMutation("SHOW CONSTRAINTS FOR sc"))
+    // unconstrained table: empty result, same 3-column shape
+    val plain = freshRoot()
+    router.execute(s"CREATE MANAGED TABLE sc2 (id BIGINT) LOCATION '$plain'")
+    val none = router.execute("SHOW CONSTRAINTS sc2")
+    assert(none.columns.toSeq == Seq("rule_type", "rule_name", "definition"))
+    assert(none.count() == 0)
+    router.execute("DROP MANAGED TABLE sc PURGE")
+    router.execute("DROP MANAGED TABLE sc2 PURGE")
+  }
+
+  test("SYNC TABLE: bootstrap with LOCATION, drain the span, idempotent replay") {
+    val srcRoot = freshRoot()
+    val dstRoot = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE up (id BIGINT, v STRING) LOCATION '$srcRoot'")    // v0
+    router.execute("INSERT INTO up VALUES (1, 'a'), (2, 'b')")                 // v1
+    // bootstrap: follower is created from the current snapshot + registered
+    val boot = router.execute(
+      s"SYNC TABLE down FROM up KEY (id) LOCATION '$dstRoot'").collect().head
+    assert(boot.getString(0) == "sync" && boot.getString(1) == "down")
+    assert(router.execute("SELECT * FROM down").count() == 2)
+    // upstream moves: update + delete + insert; one SYNC drains the span
+    router.execute("UPDATE up SET v = 'b2' WHERE id = 2")                      // v2
+    router.execute("DELETE FROM up WHERE id = 1")                              // v3
+    router.execute("INSERT INTO up VALUES (3, 'c')")                           // v4
+    val s1 = router.execute("SYNC TABLE down FROM up KEY (id)").collect().head
+    assert(s1.getAs[Long]("n_upserted") == 2 && s1.getAs[Long]("n_removed") == 1)
+    def snap(t: String) = router.execute(s"SELECT id, v FROM $t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap("down") == snap("up"))
+    // already current: no-op sync, versions equal
+    val s2 = router.execute("SYNC TABLE down FROM up KEY (id)").collect().head
+    assert(s2.getAs[Int]("from_version") == s2.getAs[Int]("to_version"))
+    assert(snap("down") == Set((2L, "b2"), (3L, "c")))
+    // a mutation (writer role), and refused inside a transaction
+    assert(router.isMutation("SYNC TABLE down FROM up KEY (id)"))
+    val intx = intercept[IllegalArgumentException](router.execute(
+      "BEGIN; INSERT INTO up VALUES (9, 'z'); SYNC TABLE down FROM up KEY (id); COMMIT"))
+    assert(intx.getMessage.contains("not transactional"))
+    // the refused batch staged nothing: upstream kept its version
+    assert(ManagedTable.history(spark, srcRoot).last.version == 4)
+    // unknown follower without LOCATION: loud bootstrap hint
+    val noloc = intercept[IllegalArgumentException](
+      router.execute("SYNC TABLE nowhere FROM up KEY (id)"))
+    assert(noloc.getMessage.contains("LOCATION"))
+    router.execute("DROP MANAGED TABLE down PURGE")
+    router.execute("DROP MANAGED TABLE up PURGE")
+  }
+
+  test("SYNC TABLE maintains a materialized view over the follower") {
+    val srcRoot = freshRoot()
+    val dstRoot = freshRoot()
+    val mvRoot = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE fup (k STRING, x BIGINT) LOCATION '$srcRoot'")
+    router.execute("INSERT INTO fup VALUES ('a', 1), ('a', 2), ('b', 5)")
+    router.execute(s"SYNC TABLE fdown FROM fup KEY (x) LOCATION '$dstRoot'")
+    router.execute(
+      s"CREATE MATERIALIZED VIEW fmv OVER fdown KEY (k) COUNT n SUM (x AS sx) LOCATION '$mvRoot'")
+    router.execute("INSERT INTO fup VALUES ('b', 7)")
+    router.execute("DELETE FROM fup WHERE x = 1")
+    router.execute("SYNC TABLE fdown FROM fup KEY (x)")
+    // the view folded the synced delta exactly like local DML would
+    val mv = router.execute("SELECT k, n, sx FROM fmv ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mv == Seq(("a", 1L, 2L), ("b", 2L, 12L)))
+    router.execute("DROP MATERIALIZED VIEW fmv PURGE")
+    router.execute("DROP MANAGED TABLE fdown PURGE")
+    router.execute("DROP MANAGED TABLE fup PURGE")
+  }
 }
