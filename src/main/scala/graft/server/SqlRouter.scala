@@ -371,8 +371,30 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*BEGIN\s*;(.+);\s*(COMMIT|ROLLBACK)\s*;?\s*""".r
   private val BareTxnKw = """(?is)\s*(BEGIN|COMMIT|ROLLBACK)\b.*""".r
 
+  // SELECT-side time travel: `t VERSION AS OF n` pins a registered
+  // managed table to snapshot n through a version-named temp view
+  // (so the SAME version everywhere it appears in the query — a live
+  // `t` elsewhere in the statement still reads current). Names that
+  // are not registered managed tables are left untouched (Spark's
+  // parser then reports them as it always did). The rewrite is
+  // textual, so the phrase inside a string LITERAL would be rewritten
+  // too — the standard caveat of this router's statement regexes.
+  private val VersionAsOf = """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
+  private def rewriteTimeTravel(sql: String): String =
+    VersionAsOf.replaceAllIn(sql, m => {
+      val name = m.group(1)
+      if (!tables.contains(name)) scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val v = m.group(2).toInt
+        val alias = s"${name}__v$v"
+        ManagedTable.read(spark, root(name), asOf = Some(v))
+          .createOrReplaceTempView(alias)
+        alias
+      }
+    })
+
   private def query(text: String): DataFrame = {
-    val t = text.trim
+    val t = rewriteTimeTravel(text.trim)
     if (t.toUpperCase.startsWith("VALUES")) spark.sql(s"SELECT * FROM $t")
     else spark.sql(t)
   }
@@ -806,7 +828,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         "discard) — an open interactive transaction would pin filesystem " +
         "state to one connection across requests")
 
-    case other => spark.sql(other)
+    case other => spark.sql(rewriteTimeTravel(other))
   }
 
   /** The root whose `_graft_log/_txn/` holds the batch's publish

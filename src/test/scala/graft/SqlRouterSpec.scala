@@ -613,6 +613,38 @@ class SqlRouterSpec extends AnyFunSuite {
     router.execute("DROP MANAGED TABLE up PURGE")
   }
 
+  test("SELECT ... VERSION AS OF reads a pinned snapshot; current reads stay live") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE tt (id BIGINT, v STRING) LOCATION '$root'")       // v0
+    router.execute("INSERT INTO tt VALUES (1, 'a'), (2, 'b')")                 // v1
+    router.execute("UPDATE tt SET v = 'b2' WHERE id = 2")                      // v2
+    router.execute("DELETE FROM tt WHERE id = 1")                              // v3
+    def vals(sql: String) = router.execute(sql).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(vals("SELECT id, v FROM tt VERSION AS OF 1") ==
+      Set((1L, "a"), (2L, "b")))
+    assert(vals("SELECT id, v FROM tt VERSION AS OF 2") ==
+      Set((1L, "a"), (2L, "b2")))
+    // current and pinned versions of the SAME table join in one query
+    val drift = router.execute(
+      """SELECT count(*) AS n FROM tt VERSION AS OF 1 o
+        |LEFT ANTI JOIN tt c ON o.id = c.id AND o.v = c.v""".stripMargin)
+      .collect().head.getLong(0)
+    assert(drift == 2) // (1,'a') deleted, (2,'b') changed
+    // works as an INSERT source too (the query() path)
+    val r2 = freshRoot()
+    router.execute(s"CREATE MANAGED TABLE tt2 (id BIGINT, v STRING) LOCATION '$r2'")
+    router.execute("INSERT INTO tt2 SELECT id, v FROM tt VERSION AS OF 1")
+    assert(vals("SELECT id, v FROM tt2") == Set((1L, "a"), (2L, "b")))
+    // names that are not registered managed tables pass through untouched
+    val e = intercept[Exception](
+      router.execute("SELECT * FROM no_such VERSION AS OF 1"))
+    assert(e.getMessage != null)
+    router.execute("DROP MANAGED TABLE tt2 PURGE")
+    router.execute("DROP MANAGED TABLE tt PURGE")
+  }
+
   test("SYNC TABLE maintains a materialized view over the follower") {
     val srcRoot = freshRoot()
     val dstRoot = freshRoot()
