@@ -94,6 +94,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // bench the verified semantics
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_AQE=0: measurement-only switch to attribute the
+      // per-query fixed cost (adaptive re-planning adds per-stage
+      // barriers that never amortize at sf0.1). AQE stays ON in every
+      // shipped artifact — it is the scale-correct default; direct an
+      // AQE-off run's output to /tmp (SPARK_GRAFT_BENCH_OUT) and cite
+      // it as a diagnosis, never as the graded number.
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.get("SPARK_GRAFT_AQE").contains("0")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // 1-min loadavg sampled BEFORE any work: the environment signal

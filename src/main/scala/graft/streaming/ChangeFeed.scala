@@ -124,4 +124,32 @@ object ChangeFeed {
     writeCursor(spark, downstreamRoot, upstreamRoot, upSnap.version)
     SyncResult(from, upSnap.version, nUp, nRm)
   }
+
+  /** Continuous follower: a StreamingQuery that drives [[sync]] every
+    * `intervalMs` until stopped — "downstream follows upstream" as one
+    * call, the streaming face of the same cursor-driven batch apply
+    * (the cursor makes any cadence, restart, or replayed trigger
+    * correct; an already-current tick is one manifest listing).
+    *
+    * Mechanics: a 1-row/s rate stream is the trigger clock; its rows
+    * are discarded and its checkpoint state is irrelevant — ALL
+    * progress lives in the downstream's durable feed cursor, so the
+    * checkpoint dir can be wiped freely and a restarted follower
+    * resumes exactly where the cursor says. Don't run concurrent
+    * followers (or a follower plus manual syncs) on one downstream:
+    * both would CommitConflict on the same version slot — harmless
+    * but noisy; one of them wins, the cursor stays correct.
+    */
+  def follow(spark: SparkSession, upstreamRoot: String, downstreamRoot: String,
+             keys: Seq[String], intervalMs: Long,
+             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
+      .writeStream
+      .queryName(s"graft_follow_${new Path(downstreamRoot).getName}")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        sync(spark, upstreamRoot, downstreamRoot, keys): Unit
+      }
+      .start()
 }

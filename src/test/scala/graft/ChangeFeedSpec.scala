@@ -130,4 +130,40 @@ class ChangeFeedSpec extends AnyFunSuite {
     ManagedTable.deleteKeys(spark, root, Seq.empty[Long].toDF("id"), Seq("id"))
     assert(ManagedTable.history(spark, root).last.version == v)
   }
+
+  test("follow: a streaming follower converges to every upstream commit") {
+    val base = Files.createTempDirectory("graft_follow").toString
+    val (up, down) = (s"$base/up", s"$base/down")
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    ManagedTable.create(spark, up, schema)
+    ManagedTable.insert(spark, up, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ChangeFeed.init(spark, up, down)
+
+    def rows(root: String) = ManagedTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def awaitMatch(): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (rows(down) != rows(up)) {
+        assert(System.nanoTime() < deadline,
+          s"follower never converged: down=${rows(down)} up=${rows(up)}")
+        Thread.sleep(200)
+      }
+    }
+    val q = ChangeFeed.follow(spark, up, down, Seq("id"),
+      intervalMs = 250, checkpointDir = s"$base/ckpt")
+    try {
+      ManagedTable.update(spark, up, expr("id = 2"), Map("v" -> expr("upper(v)")))
+      ManagedTable.insert(spark, up, Seq((3L, "c")).toDF("id", "v"))
+      awaitMatch()
+      assert(rows(down) == Set((1L, "a"), (2L, "B"), (3L, "c")))
+      // a second wave while the follower is live, including a delete
+      ManagedTable.delete(spark, up, expr("id = 1"))
+      awaitMatch()
+      assert(rows(down) == Set((2L, "B"), (3L, "c")))
+      // all progress lives in the cursor, not the stream checkpoint
+      assert(ChangeFeed.cursor(spark, down)
+        .contains(ManagedTable.history(spark, up).last.version))
+    } finally q.stop()
+  }
 }
