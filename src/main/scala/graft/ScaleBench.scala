@@ -243,6 +243,62 @@ object ScaleBench {
           out.append(line).append('\n')
         }
       }
+      // SPARK_GRAFT_SCALE_CDC=1 — is the ChangeFeed follower really
+      // delta-sized? Per factor: an upstream managed table holds the
+      // factor-k documents; a follower bootstraps once (g_cdc_init —
+      // the one table-sized step, by design); the upstream then takes
+      // a FIXED-SIZE mutation wave (update 1000 rows + insert 100 +
+      // delete 100 — constant however big the table) and ONE sync
+      // drains it (g_cdc_sync). The claim under test: g_cdc_init
+      // grows with the data, g_cdc_sync does NOT — the changes() diff
+      // reduces both snapshots to (key, hash) and the apply probes
+      // with the delta, so a 1000-row wave costs the same against a
+      // 100k-doc table as against 5k. g_cdc_noop times the
+      // already-current sync (one manifest listing).
+      if (sys.env.get("SPARK_GRAFT_SCALE_CDC").contains("1")) locally {
+        import graft.sources.ManagedTable
+        import graft.streaming.ChangeFeed
+        val docs = graft.sources.Tables.load(spark, dir, "documents")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_scale_cdc").toString
+        val (up, down) = (s"$base/up", s"$base/down")
+        ManagedTable.create(spark, up, docs.schema)
+        ManagedTable.insert(spark, up, docs)
+        def cdcCell(label: String)(body: => Long): Unit = {
+          val load = osBean.getSystemLoadAverage
+          val t0 = System.nanoTime()
+          val rows = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          summary.getOrElseUpdate(label, scala.collection.mutable.LinkedHashMap.empty)
+            .put(f, sec)
+          val line = f"""{"factor":$f,"query":"$label","sec":$sec%.3f,"rows":$rows,"load":$load%.2f}"""
+          println(line)
+          out.append(line).append('\n'): Unit
+        }
+        cdcCell("g_cdc_init") {
+          ChangeFeed.init(spark, up, down)
+          ManagedTable.read(spark, down).count()
+        }
+        // the fixed-size wave: ids are corpus-independent (low range)
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        ManagedTable.update(spark, up, col("doc_id") < 1000,
+          Map("n_chars" -> (col("n_chars") + lit(1))))
+        ManagedTable.insert(spark, up,
+          spark.range(maxId + 1, maxId + 101).toDF("doc_id")
+            .selectExpr("doc_id", "'new row' AS text", "'en' AS lang",
+              "'cdc' AS source", "CAST(7 AS BIGINT) AS n_chars")
+            .select(docs.columns.map(col): _*))
+        ManagedTable.delete(spark, up,
+          col("doc_id") >= 1000 && col("doc_id") < 1100)
+        cdcCell("g_cdc_sync") {
+          val r = ChangeFeed.sync(spark, up, down, Seq("doc_id"))
+          r.upserted + r.removed
+        }
+        cdcCell("g_cdc_noop") {
+          val r = ChangeFeed.sync(spark, up, down, Seq("doc_id"))
+          r.upserted + r.removed
+        }
+      }
       // SPARK_GRAFT_SCALE_GRAPH=1 — the persisted-graph PageRank A/B
       // (SCALING.md round 8): does reading the contribution relation
       // from PRE-BUCKETED tables beat the in-session repartition+cache

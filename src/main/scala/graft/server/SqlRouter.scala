@@ -361,6 +361,11 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*SHOW\s+CHANGES\s+(\w+)\s+FROM\s+(\d+)(?:\s+TO\s+(\d+))?\s+KEY\s*\(([^)]+)\)\s*""".r
   private val ShowConstraints =
     """(?is)\s*SHOW\s+CONSTRAINTS\s+(?:FOR\s+)?(\w+)\s*""".r
+  // post-hoc constraint DDL: the clause reuses the CREATE-time grammar
+  private val AddConstraintStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(.+?)(?:\s+ON\s+VIOLATION\s+(REJECT|QUARANTINE))?\s*""".r
+  private val DropConstraintsStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINTS\s*""".r
   // table-follows-table CDC replication (ChangeFeed) on the SQL
   // surface; LOCATION only on the bootstrap call
   private val SyncStmt =
@@ -415,6 +420,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     case SyncStmt(_, _, _, _) => true
     case Create(_, _, _) | CreateAs(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
+         AddConstraintStmt(_, _, _) | DropConstraintsStmt(_) |
          Optimize(_, _, _, _) | Drop(_, _) | VacuumStmt(_, _) |
          Restore(_, _) | CreateMv(_, _, _, _, _, _) | DropMv(_, _) |
          RefreshMv(_) | Analyze(_, _) | TxnBatch(_, _) | BareTxnKw(_) => true
@@ -592,6 +598,48 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
             (("on_violation", "policy", s.onViolation))
       }
       rows.toDF("rule_type", "rule_name", "definition")
+
+    // post-hoc constraint DDL: the new rule must hold on the EXISTING
+    // rows (one audit scan) before it persists — a rule the table
+    // already violates is refused, never half-adopted. ON VIOLATION
+    // re-declares the table's policy; omitted = keep the current one.
+    case AddConstraintStmt(name, clause, onViol) if tables.contains(name) =>
+      require(!mviews.contains(name),
+        s"'$name' is a materialized view maintained by the engine — " +
+          "constrain its base table instead")
+      val r = root(name)
+      val schema = ManagedTable.history(spark, r).last.schema
+      val cur = graft.sources.Constraints.load(spark, r)
+        .getOrElse(graft.sources.Constraints.Spec(Nil, Nil, Nil, "reject"))
+      val merged = clause.trim match {
+        case PkClause(cols) =>
+          require(cur.primaryKey.isEmpty,
+            s"table '$name' already declares a PRIMARY KEY " +
+              s"(${cur.primaryKey.mkString(", ")}) — DROP CONSTRAINTS first")
+          cur.copy(primaryKey = cols.split(',').map(_.trim).toSeq)
+        case NotNullClause(cols) =>
+          cur.copy(notNull = (cur.notNull ++ cols.split(',').map(_.trim)).distinct)
+        case CheckClause(e) =>
+          cur.copy(checks = cur.checks :+ graft.sources.Constraints.Check(
+            s"check_${cur.checks.size + 1}", e.trim))
+        case other => throw new IllegalArgumentException(
+          s"unsupported constraint clause '$other' — use PRIMARY KEY (...), " +
+            "NOT NULL (...), or CHECK (...)")
+      }
+      val spec = Option(onViol)
+        .map(v => merged.copy(onViolation = v.toLowerCase)).getOrElse(merged)
+      graft.sources.Constraints.validate(spark, spec, schema)
+      graft.sources.Constraints.requireTableClean(spark, r, spec)
+      graft.sources.Constraints.save(spark, r, spec, schema)
+      summary("add_constraint", name,
+        ManagedTable.history(spark, r).last.version)
+
+    case DropConstraintsStmt(name) if tables.contains(name) =>
+      require(!mviews.contains(name),
+        s"'$name' is a materialized view — it has no declared constraints")
+      graft.sources.Constraints.drop(spark, root(name))
+      summary("drop_constraints", name,
+        ManagedTable.history(spark, root(name)).last.version)
 
     // SYNC TABLE dst FROM src KEY (...): apply every upstream version
     // committed since dst's durable feed cursor as one delta-sized

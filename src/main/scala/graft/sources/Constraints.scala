@@ -136,6 +136,41 @@ object Constraints {
     }
   }
 
+  /** Remove every declared constraint (the sidecar). Quarantined rows
+    * already diverted are kept — they are data, not rules. */
+  def drop(spark: SparkSession, root: String): Unit = {
+    val p = specPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false): Unit
+  }
+
+  /** Audit the CURRENT table content against `spec` — the gate an
+    * ALTER TABLE ADD CONSTRAINT passes before the rule persists: a
+    * rule that existing rows already violate would make the table
+    * unwritable-by-surprise on its next legitimate mutation, so the
+    * ALTER is refused loudly (with per-rule counts) instead. ONE scan
+    * of the table (plus the PK distinct-group probe when a key is
+    * declared); no quarantine path — the rows were legal when written,
+    * the proposed RULE is what gets rejected. */
+  def requireTableClean(spark: SparkSession, root: String, spec: Spec): Unit = {
+    val t = ManagedTable.read(spark, root)
+    val counts = t.withColumn("_violation", rowRuleViolations(spec))
+      .filter(col("_violation") =!= "")
+      .groupBy("_violation").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+    if (counts.nonEmpty)
+      throw new ConstraintViolation(
+        s"ALTER TABLE refused: existing rows in $root violate the proposed " +
+          s"constraint(s): ${counts.mkString("; ")}")
+    if (spec.primaryKey.nonEmpty) {
+      val dups = t.groupBy(spec.primaryKey.map(col): _*)
+        .count().filter(col("count") > 1).count()
+      if (dups > 0) throw new ConstraintViolation(
+        s"ALTER TABLE refused: $dups duplicate PRIMARY KEY group(s) " +
+          s"already present in $root")
+    }
+  }
+
   // -- enforcement ----------------------------------------------------
 
   /** Comma-joined names of every row-local rule (NOT NULL + CHECK) the

@@ -613,6 +613,42 @@ class SqlRouterSpec extends AnyFunSuite {
     router.execute("DROP MANAGED TABLE up PURGE")
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT: audit-then-adopt, refuse rules the data violates") {
+    val root = freshRoot()
+    router.execute(
+      s"CREATE MANAGED TABLE ac (id BIGINT, name STRING) LOCATION '$root'")
+    router.execute("INSERT INTO ac VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+    // a rule the existing rows violate is refused with counts
+    val bad = intercept[Exception](
+      router.execute("ALTER TABLE ac ADD CONSTRAINT NOT NULL (name)"))
+    assert(bad.getMessage.contains("not_null:name=1"), bad.getMessage)
+    assert(router.execute("SHOW CONSTRAINTS ac").count() == 0) // nothing adopted
+    // a rule the rows satisfy adopts, and enforces from then on
+    router.execute("ALTER TABLE ac ADD CONSTRAINT CHECK (id > 0)")
+    router.execute("ALTER TABLE ac ADD CONSTRAINT PRIMARY KEY (id)")
+    val rules = router.execute("SHOW CONSTRAINTS ac").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(rules == Set(("check", "id > 0"), ("primary_key", "id"),
+      ("on_violation", "reject")))
+    val ins = intercept[Exception](
+      router.execute("INSERT INTO ac VALUES (-7, 'x')"))
+    assert(ins.getMessage.contains("check:check_1"), ins.getMessage)
+    val dup = intercept[Exception](
+      router.execute("INSERT INTO ac VALUES (1, 'again')"))
+    assert(dup.getMessage.contains("pk_exists"), dup.getMessage)
+    // a second PK is refused; a duplicate-ridden PK proposal is refused
+    val twoPk = intercept[Exception](
+      router.execute("ALTER TABLE ac ADD CONSTRAINT PRIMARY KEY (name)"))
+    assert(twoPk.getMessage.contains("already declares"), twoPk.getMessage)
+    // mutation classification + DROP returns the table to unconstrained
+    assert(router.isMutation("ALTER TABLE ac ADD CONSTRAINT CHECK (id > 0)"))
+    assert(router.isMutation("ALTER TABLE ac DROP CONSTRAINTS"))
+    router.execute("ALTER TABLE ac DROP CONSTRAINTS")
+    router.execute("INSERT INTO ac VALUES (-7, 'x'), (1, 'again')") // now legal
+    assert(router.execute("SELECT count(*) n FROM ac").collect().head.getLong(0) == 5)
+    router.execute("DROP MANAGED TABLE ac PURGE")
+  }
+
   test("SELECT ... VERSION AS OF reads a pinned snapshot; current reads stay live") {
     val root = freshRoot()
     router.execute(
