@@ -129,6 +129,51 @@ class TxnSpec extends AnyFunSuite {
     assert(rows(a) == Set((1L, "a1"), (6L, "a6"), (7L, "a7")))
   }
 
+  test("multi-writer stress: conflicting transactions retry to a lossless end state") {
+    val (a, b) = fresh()
+    import spark.implicits._
+    val writers = 4
+    val perWriter = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          for (i <- 0 until perWriter) {
+            val id = 100L + w * perWriter + i
+            var done = false
+            var attempts = 0
+            while (!done) {
+              attempts += 1
+              if (attempts > 200)
+                throw new IllegalStateException(s"writer $w starved on id $id")
+              try {
+                // one atomic pair: the same id lands in BOTH tables or neither
+                Txn.transaction(spark, a) {
+                  ManagedTable.insert(spark, a, Seq((id, s"a$id")).toDF("id", "v"))
+                  ManagedTable.insert(spark, b, Seq((id, s"b$id")).toDF("id", "v"))
+                }
+                done = true
+              } catch {
+                case _: ManagedTable.CommitConflict =>
+                  Thread.sleep(5L + scala.util.Random.nextInt(45)) // jittered retry
+              }
+            }
+          }
+        } catch { case e: Throwable => errs.add(e): Unit }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failures: ${errs.toArray.mkString("; ")}")
+    // lossless: every writer's every pair landed exactly once, atomically
+    val ids = (0 until writers * perWriter).map(k => 100L + k)
+    assert(rows(a) == Set((1L, "a1")) ++ ids.map(id => (id, s"a$id")).toSet)
+    assert(rows(b) == Set((1L, "b1")) ++ ids.map(id => (id, s"b$id")).toSet)
+    // and no orphaned staged manifests survived the contention
+    assert(Txn.rollbackStale(spark, a).isEmpty)
+    assert(Txn.rollbackStale(spark, b).isEmpty)
+  }
+
   test("nested transactions are refused") {
     val (a, _) = fresh()
     intercept[IllegalArgumentException] {
