@@ -239,6 +239,31 @@ class AuthServerSpec extends AnyFunSuite {
       .body().contains("[2]"))
   }
 
+  test("round-8 statements over the socket: SYNC is writer-gated, SHOW CONSTRAINTS is a read") {
+    val base2 = java.nio.file.Files.createTempDirectory("graft_authcdc").toString
+    val (up, down) = (s"$base2/up", s"$base2/down")
+    assert(post("/query",
+      s"""CREATE MANAGED TABLE auth_up (id BIGINT, v STRING,
+         |PRIMARY KEY (id), CHECK (id >= 0)) LOCATION '$up'""".stripMargin,
+      Some("write-secret")).statusCode() == 200)
+    assert(post("/query", "INSERT INTO auth_up VALUES (1, 'a'), (2, 'b')",
+      Some("write-secret")).statusCode() == 200)
+    // reader may inspect rules but not start a follower
+    val rules = post("/query", "SHOW CONSTRAINTS auth_up", Some("read-secret"))
+    assert(rules.statusCode() == 200 && rules.body().contains("primary_key"), rules.body())
+    val sync = s"SYNC TABLE auth_down FROM auth_up KEY (id) LOCATION '$down'"
+    assert(post("/query", sync, Some("read-secret")).statusCode() == 403)
+    val boot = post("/query", sync, Some("write-secret"))
+    assert(boot.statusCode() == 200, boot.body())
+    assert(post("/query", "SELECT count(*) n FROM auth_down", Some("read-secret"))
+      .body().contains("[2]"))
+    // constraint DDL is a write; time travel is a read
+    assert(post("/query", "ALTER TABLE auth_up DROP CONSTRAINTS",
+      Some("read-secret")).statusCode() == 403)
+    assert(post("/query", "SELECT count(*) n FROM auth_up VERSION AS OF 1",
+      Some("read-secret")).body().contains("[2]"))
+  }
+
   test("store persists hashed at rest and loads back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_auth").toString + "/tokens"
     AuthStore.save(spark, dir, Map("s3cret" -> Principal("svc", AuthStore.Writer)))
