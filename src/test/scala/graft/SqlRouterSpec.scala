@@ -613,6 +613,39 @@ class SqlRouterSpec extends AnyFunSuite {
     router.execute("DROP MANAGED TABLE up PURGE")
   }
 
+  test("constraints inside transactions: REJECT aborts the batch, QUARANTINE publishes with it") {
+    val (r1, r2, r3) = (freshRoot(), freshRoot(), freshRoot())
+    router.execute(
+      s"""CREATE MANAGED TABLE txc (id BIGINT, name STRING,
+         |PRIMARY KEY (id), CHECK (id > 0)) LOCATION '$r1'""".stripMargin)
+    router.execute(s"CREATE MANAGED TABLE txo (id BIGINT) LOCATION '$r2'")
+    router.execute("INSERT INTO txc VALUES (1, 'a')")
+    // a constraint REJECT mid-batch aborts the WHOLE batch: the other
+    // table's already-staged insert is discarded with it
+    val ex = intercept[Exception](router.execute(
+      "BEGIN; INSERT INTO txo VALUES (9); INSERT INTO txc VALUES (-1, 'bad'); COMMIT"))
+    assert(ex.getMessage.contains("check:check_1"), ex.getMessage)
+    assert(router.execute("SELECT count(*) n FROM txo")
+      .collect().head.getLong(0) == 0)
+    assert(router.execute("SELECT count(*) n FROM txc")
+      .collect().head.getLong(0) == 1)
+    // QUARANTINE: the diversion is itself a managed write, so it
+    // stages and publishes WITH the batch — clean rows, the other
+    // table's insert, and the quarantined row appear together
+    router.execute(
+      s"""CREATE MANAGED TABLE txq (id BIGINT, name STRING,
+         |CHECK (id > 0)) LOCATION '$r3' ON VIOLATION QUARANTINE""".stripMargin)
+    router.execute(
+      "BEGIN; INSERT INTO txq VALUES (5, 'ok'), (-5, 'bad'); INSERT INTO txo VALUES (9); COMMIT")
+    assert(router.execute("SELECT id FROM txq").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(router.execute("SELECT id FROM txo").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    val q = router.execute("SHOW QUARANTINE txq").collect()
+    assert(q.length == 1 && q.head.getAs[Long]("id") == -5L, q.mkString(","))
+    router.execute("DROP MANAGED TABLE txq PURGE")
+    router.execute("DROP MANAGED TABLE txo PURGE")
+    router.execute("DROP MANAGED TABLE txc PURGE")
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT: audit-then-adopt, refuse rules the data violates") {
     val root = freshRoot()
     router.execute(
