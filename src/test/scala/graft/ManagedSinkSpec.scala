@@ -66,4 +66,39 @@ class ManagedSinkSpec extends AnyFunSuite {
       assert(ManagedTable.history(spark, root).map(_.op).count(_ == "merge") == 2)
     } finally q.stop()
   }
+
+  test("a constrained target enforces at the stream's choke point: violators quarantine") {
+    import graft.sources.Constraints
+    val root = Files.createTempDirectory("graft_sink_c").toString + "/t"
+    ManagedTable.create(spark, root, schema)
+    // declare after create, the way a table gains rules post-hoc:
+    // PK = the sink's merge keys, plus a domain rule with quarantine
+    Constraints.save(spark, root, Constraints.Spec(
+      primaryKey = Seq("id"), notNull = Nil,
+      checks = Seq(Constraints.Check("check_1", "v >= 0")),
+      onViolation = "quarantine"), schema)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Chg]
+    val ckpt = Files.createTempDirectory("graft_sink_c_ckpt").toString
+    val q = ManagedSink.upsertStream(mem.toDF(), root,
+      keys = Seq("id"), orderCols = Seq("ts"), checkpointDir = ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(Chg(1L, ts("2024-01-01 00:00:01"), 1.0),
+        Chg(2L, ts("2024-01-01 00:00:01"), -5.0)) // violates v >= 0
+      q.processAllAvailable()
+      // the clean row landed; the violator was diverted, not dropped
+      val got = ManagedTable.read(spark, root).as[Chg].collect()
+        .map(c => c.id -> c.v).toMap
+      assert(got == Map(1L -> 1.0))
+      val quarantined = ManagedTable.read(spark, Constraints.quarantineRoot(root))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_violation")))
+      assert(quarantined.toSeq == Seq((2L, "check:check_1")))
+      // a later clean version of the same key flows through normally
+      mem.addData(Chg(2L, ts("2024-01-01 00:00:09"), 7.0))
+      q.processAllAvailable()
+      assert(ManagedTable.read(spark, root).as[Chg].collect()
+        .map(c => c.id -> c.v).toMap == Map(1L -> 1.0, 2L -> 7.0))
+    } finally q.stop()
+  }
 }
