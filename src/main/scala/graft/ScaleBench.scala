@@ -344,6 +344,18 @@ object ScaleBench {
           out.append(line).append('\n'): Unit
         }
         cell("g_pr_build") {
+          // idempotent across runs: DROP TABLE alone leaves the
+          // warehouse directory behind when the catalog entry is gone
+          // (fresh session, same work dir) and saveAsTable then fails
+          // with LOCATION_ALREADY_EXISTS — clear both
+          Seq(s"g_nodes_x$f", s"g_eod_x$f").foreach { t =>
+            spark.sql(s"DROP TABLE IF EXISTS $t")
+            val loc = new java.io.File(s"$work/warehouse/$t")
+            def rm(x: java.io.File): Unit = {
+              Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+            }
+            if (loc.exists) rm(loc)
+          }
           Tables.writeBucketed(nodes, s"g_nodes_x$f", cpus.toInt, Seq("id"))
           Tables.writeBucketed(eod, s"g_eod_x$f", cpus.toInt, Seq("src"))
           spark.table(s"g_eod_x$f").count()
