@@ -110,6 +110,20 @@ class GraphOpsSpec extends AnyFunSuite {
     val eod = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
       .select(col("src"), col("dst"), col("od"))
+    // idempotent across suite runs: DROP TABLE alone leaves the
+    // warehouse directory behind once the catalog entry is gone (new
+    // session, same ./spark-warehouse) and saveAsTable then dies with
+    // LOCATION_ALREADY_EXISTS — clear both before writing
+    Seq("g_t_nodes", "g_t_eod").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      if (loc.exists) rm(loc)
+    }
     graft.sources.Tables.writeBucketed(nodes, "g_t_nodes", 4, Seq("id"))
     graft.sources.Tables.writeBucketed(eod, "g_t_eod", 4, Seq("src"))
     val bNodes = spark.table("g_t_nodes")
