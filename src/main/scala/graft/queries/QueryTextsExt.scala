@@ -1,0 +1,344 @@
+package graft.queries
+
+/** Hand-written Spark-SQL texts extending the differential-testing
+  * surface beyond the generated 40-core [[QueryTexts]]: each entry is
+  * an INDEPENDENT SQL formulation of a wave query whose native
+  * DataFrame implementation it must match row-for-row (schema, order,
+  * and values — DifferentialSpec generates one test per key). Unlike
+  * [[QueryTexts]] these are not generated; each was adapted into
+  * Spark dialect from the wave's validated DuckDB oracle text (the
+  * same formulation the driver's gate runs), so the differential
+  * triangle is closed in CI without DuckDB: native == Spark-SQL here,
+  * Spark-SQL ≡ DuckDB oracle by construction, native == DuckDB at the
+  * driver's gate.
+  *
+  * Determinism rules follow SURVEY.md §5 (exact DECIMAL sums, doubles
+  * only in final casts/rounds, total-order ORDER BY keys) — do not
+  * "simplify" a CAST here; several exist precisely because a double
+  * aggregate would tie-break differently across engines.
+  */
+object QueryTextsExt {
+
+  val spark: Map[String, String] = Map(
+
+    "q58_agg_of_agg" -> """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT c_count, COUNT(*) custdist FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
+
+    "q59_argmax_of_agg" -> """
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) r
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, CAST(r AS DOUBLE) total_revenue
+FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+ORDER BY s_suppkey""",
+
+    "q60_scan_agg" -> """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) revenue,
+       COUNT(*) n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+
+    "q61_cond_ratio" -> """
+WITH j AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) rev, p_type
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01')
+SELECT CAST(ROUND(100.0 * CAST(SUM(CASE WHEN p_type='PROMO' THEN rev END) AS DOUBLE)
+          / CAST(SUM(rev) AS DOUBLE), 6) AS DOUBLE) promo_pct, COUNT(*) n FROM j""",
+
+    "q62_correlated_ratio" -> """
+WITH pa AS (SELECT l_partkey pk, AVG(l_quantity) aq FROM lineitem GROUP BY l_partkey)
+SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS DOUBLE) avg_yearly,
+       COUNT(*) n
+FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pa ON pa.pk = lineitem.l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * aq""",
+
+    "q63_having_in" -> """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) tot, big.sq
+FROM orders o
+JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sq
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180) big
+  ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY tot DESC, o.o_orderkey LIMIT 50""",
+
+    "q64_anti_scalar" -> """
+WITH pos AS (SELECT CAST(c_acctbal AS DECIMAL(18,2)) b FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, COUNT(*) numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) totacctbal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM pos) > (SELECT SUM(b) FROM pos)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q52_stats_agg" -> """
+WITH m AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price,
+  ROUND(SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS stddev_pop_qty
+FROM m ORDER BY l_returnflag""",
+
+    "q53_win_distribution" -> """
+SELECT c_custkey, c_mktsegment,
+  NTILE(4) OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+  ROUND(CUME_DIST() OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_custkey LIMIT 200""",
+
+    "q55_fuzzy_match" -> """
+WITH p1 AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 100),
+     p2 AS (SELECT p_partkey, p_name FROM part WHERE p_partkey >= 100 AND p_partkey < 200)
+SELECT p1.p_partkey AS a, p2.p_partkey AS b, levenshtein(p1.p_name, p2.p_name) AS dist
+FROM p1 CROSS JOIN p2
+WHERE levenshtein(p1.p_name, p2.p_name) <= 3
+ORDER BY dist, a, b LIMIT 100""",
+
+    "q71_funnel" -> """
+WITH s1 AS (SELECT user_id, min(ts) t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+       GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM s1) n_view,
+       (SELECT COUNT(*) FROM s2) n_view_click,
+       (SELECT COUNT(*) FROM s3) n_view_click_purchase""",
+
+    "q72_transitions" -> """
+WITH o AS (SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+           FROM events)
+SELECT prev, event_type AS curr, COUNT(*) n
+FROM o WHERE prev IS NOT NULL
+GROUP BY prev, curr ORDER BY prev, curr""",
+
+    "q73_unpivot" -> """
+SELECT measure, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) total, COUNT(*) n
+FROM (
+  SELECT 'discount' measure, l_discount v FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'quantity', l_quantity FROM lineitem
+) GROUP BY measure ORDER BY measure""",
+
+    "q74_win_navigation" -> """
+SELECT c_custkey, c_mktsegment,
+  CAST(FIRST_VALUE(c_acctbal) OVER w AS DOUBLE) seg_min_bal,
+  CAST(NTH_VALUE(c_acctbal, 3) OVER w AS DOUBLE) seg_third_bal,
+  CAST(LAST_VALUE(c_acctbal) OVER w AS DOUBLE) seg_max_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY c_mktsegment, c_custkey LIMIT 200""",
+
+    "q78_setops_all" -> """
+WITH a AS (SELECT o_custkey k FROM orders WHERE o_totalprice > 100000),
+     b AS (SELECT o_custkey k FROM orders WHERE o_orderstatus = 'F')
+SELECT 'except_all' op, COUNT(*) n FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'intersect_all', COUNT(*) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+ORDER BY op""",
+
+    "q83_latest_version" -> """
+WITH r AS (SELECT user_id, event_type, value,
+  ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT event_type, COUNT(*) AS n_keys,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_latest
+FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type""",
+
+    "q84_skew_salted" -> """
+SELECT p.p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand""",
+
+    "q118_user_anomaly" -> """
+WITH e AS (SELECT event_id, user_id, value,
+        CAST(value AS DECIMAL(18,6)) v,
+        CAST(ROUND(value*value, 10) AS DECIMAL(28,10)) v2 FROM events),
+u AS (SELECT user_id, CAST(COUNT(*) AS DECIMAL(8,0)) n, SUM(v) sv,
+        CAST(SUM(v2) AS DECIMAL(20,10)) sq
+      FROM e GROUP BY user_id HAVING COUNT(*) >= 30),
+z AS (SELECT e.event_id, e.user_id, e.value,
+        CAST(u.n * e.v - u.sv AS DECIMAL(19,6)) dlt,
+        CAST(u.n * u.sq AS DECIMAL(24,12))
+          - CAST(CAST(u.sv AS DECIMAL(19,6)) * CAST(u.sv AS DECIMAL(19,6)) AS DECIMAL(24,12)) den
+      FROM e JOIN u USING (user_id))
+SELECT event_id, user_id, value,
+  ROUND(CAST(dlt * dlt AS DOUBLE) / CAST(den AS DOUBLE), 6) AS z2
+FROM z WHERE den > 0
+ORDER BY z2 DESC, event_id LIMIT 10""",
+
+    "q120_cumulative_users" -> """
+WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+fd AS (SELECT user_id, MIN(d) d0 FROM ev GROUP BY user_id),
+newu AS (SELECT d0 AS d, COUNT(*) n_new FROM fd GROUP BY d0),
+dau AS (SELECT d, COUNT(*) dau FROM ev GROUP BY d)
+SELECT dau.d AS event_day, CAST(COALESCE(newu.n_new, 0) AS BIGINT) AS n_new,
+  CAST(SUM(COALESCE(newu.n_new, 0)) OVER (ORDER BY dau.d) AS BIGINT) AS cum_users,
+  dau.dau AS dau
+FROM dau LEFT JOIN newu USING (d) ORDER BY event_day""",
+
+    "q162_discount_revenue" -> """
+WITH li AS (SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) disc_pct,
+              CAST(l_extendedprice AS DECIMAL(14,2)) gross_d,
+              CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) net_d
+            FROM lineitem)
+SELECT disc_pct, COUNT(*) n_items,
+  CAST(SUM(gross_d) AS DOUBLE) gross_revenue,
+  CAST(SUM(net_d) AS DOUBLE) net_revenue,
+  CAST(SUM(gross_d) - SUM(net_d) AS DOUBLE) discount_given
+FROM li GROUP BY disc_pct ORDER BY disc_pct""",
+
+    "q197_order_reconciliation" -> """
+WITH line AS (SELECT l_orderkey,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) * 1000000 AS BIGINT)) AS BIGINT) line_micro
+  FROM lineitem GROUP BY l_orderkey),
+o AS (SELECT o_orderstatus,
+    COALESCE(l.line_micro, 0) - CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) * 10000 diff,
+    CASE WHEN l.line_micro IS NULL THEN 'no_lines'
+         WHEN l.line_micro > CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) * 10000 THEN 'over'
+         WHEN l.line_micro < CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) * 10000 THEN 'under'
+         ELSE 'exact' END band
+  FROM orders LEFT JOIN line l ON l.l_orderkey = o_orderkey)
+SELECT o_orderstatus, band, COUNT(*) n_orders,
+  CAST(SUM(abs(diff)) AS BIGINT) abs_diff_micro,
+  CAST(MAX(abs(diff)) AS BIGINT) max_abs_diff_micro
+FROM o GROUP BY o_orderstatus, band ORDER BY o_orderstatus, band""",
+
+    "q215_rank_churn" -> """
+WITH cn AS (SELECT c_custkey, n_name FROM customer JOIN nation ON n_nationkey = c_nationkey),
+qrev AS (SELECT n_name, year(o_orderdate) * 10 + quarter(o_orderdate) yq,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) rev
+  FROM orders JOIN cn ON c_custkey = o_custkey GROUP BY n_name, yq),
+rk AS (SELECT n_name, yq,
+    ROW_NUMBER() OVER (PARTITION BY yq ORDER BY rev DESC, n_name) r
+  FROM qrev),
+ch AS (SELECT n_name, r,
+    LAG(r) OVER (PARTITION BY n_name ORDER BY yq) pr
+  FROM rk)
+SELECT n_name, COUNT(*) n_quarters,
+  CAST(SUM(CASE WHEN pr IS NOT NULL THEN abs(r - pr) ELSE 0 END) AS BIGINT) rank_churn,
+  CAST(MIN(r) AS BIGINT) best_rank, CAST(MAX(r) AS BIGINT) worst_rank
+FROM ch GROUP BY n_name ORDER BY n_name""",
+
+    "q226_relational_division" -> """
+WITH o95 AS (SELECT o_custkey, quarter(o_orderdate) q,
+    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) c2
+  FROM orders WHERE year(o_orderdate) = 1995),
+div AS (SELECT o_custkey FROM (SELECT DISTINCT o_custkey, q FROM o95)
+  GROUP BY o_custkey HAVING COUNT(*) = 4),
+rev AS (SELECT o_custkey ck, CAST(SUM(c2) AS BIGINT) rev, COUNT(*) n_orders
+  FROM o95 GROUP BY o_custkey)
+SELECT c_mktsegment, COUNT(*) n_customers,
+  CAST(SUM(n_orders) AS BIGINT) n_orders, CAST(SUM(rev) AS BIGINT) rev_cents
+FROM div JOIN rev ON ck = div.o_custkey
+JOIN customer ON c_custkey = div.o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q237_monotone_runs" -> """
+WITH f AS (SELECT user_id, ts, event_id,
+    CASE WHEN value > LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         THEN 1 ELSE 0 END rise
+  FROM events),
+i AS (SELECT user_id, rise,
+    SUM(1 - rise) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) isl
+  FROM f),
+runs AS (SELECT user_id, isl, CAST(SUM(rise) AS BIGINT) rises FROM i GROUP BY user_id, isl),
+u AS (SELECT user_id, MAX(rises) + 1 longest FROM runs GROUP BY user_id)
+SELECT CAST(longest AS BIGINT) longest, COUNT(*) n_users
+FROM u GROUP BY longest ORDER BY longest""",
+
+    "q244_basket_breadth" -> """
+WITH per AS (SELECT l_orderkey, COUNT(*) n_lines,
+    COUNT(DISTINCT p_brand) n_brands
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY l_orderkey)
+SELECT n_lines, n_brands, COUNT(*) n_orders
+FROM per GROUP BY n_lines, n_brands ORDER BY n_lines, n_brands""",
+
+    "q259_id_continuity" -> """
+SELECT * FROM (
+  SELECT 'documents' tbl, COUNT(*) n, CAST(MIN(doc_id) AS BIGINT) min_id,
+    CAST(MAX(doc_id) AS BIGINT) max_id,
+    CAST(MAX(doc_id) - MIN(doc_id) + 1 - COUNT(*) AS BIGINT) n_missing
+  FROM documents
+  UNION ALL
+  SELECT 'events', COUNT(*), CAST(MIN(event_id) AS BIGINT),
+    CAST(MAX(event_id) AS BIGINT),
+    CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'orders', COUNT(*), CAST(MIN(o_orderkey) AS BIGINT),
+    CAST(MAX(o_orderkey) AS BIGINT),
+    CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1 - COUNT(*) AS BIGINT)
+  FROM orders) ORDER BY tbl""",
+
+    "q51_pivot" -> """
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p,
+  COUNT(*) AS n
+FROM orders GROUP BY yr ORDER BY yr""",
+
+    "q66_hash_split" -> """
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+    CASE WHEN md5(CAST(doc_id AS STRING)) < 'c' THEN 'train'
+         WHEN md5(CAST(doc_id AS STRING)) < 'e' THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM s GROUP BY split, lang ORDER BY split, lang""",
+
+    "q69_stratified_sample" -> """
+WITH r AS (SELECT doc_id, lang,
+  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS STRING)), doc_id) rn
+  FROM documents)
+SELECT lang, doc_id, rn FROM r WHERE rn <= 5 ORDER BY lang, rn""",
+
+    "q75_retention" -> """
+WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) w FROM events),
+fw AS (SELECT user_id, min(w) cohort FROM uw GROUP BY user_id)
+SELECT fw.cohort, uw.w, COUNT(*) n_users
+FROM uw JOIN fw ON fw.user_id = uw.user_id
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q255_mode_stability" -> """
+WITH vc AS (SELECT event_type,
+    CASE WHEN MD5(CAST(event_id AS STRING)) < '8' THEN 'a' ELSE 'b' END half,
+    value, COUNT(*) c
+  FROM events GROUP BY event_type, half, value),
+mx AS (SELECT event_type, half, MAX(c) mc, CAST(SUM(c) AS BIGINT) n_h
+  FROM vc GROUP BY event_type, half),
+md AS (SELECT vc.event_type, vc.half, mx.n_h, MIN(value) AS mval
+  FROM vc JOIN mx ON mx.event_type = vc.event_type AND mx.half = vc.half
+  WHERE vc.c = mx.mc GROUP BY vc.event_type, vc.half, mx.n_h)
+SELECT a.event_type, a.n_h n_a, b.n_h n_b, a.mval mode_a, b.mval mode_b,
+  CAST(CASE WHEN a.mval = b.mval THEN 1 ELSE 0 END AS BIGINT) AS stable
+FROM md a JOIN md b ON b.event_type = a.event_type
+  AND a.half = 'a' AND b.half = 'b'
+ORDER BY a.event_type"""
+  ).map { case (k, v) => k -> v.trim }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{Queries, QueryTexts}
+import graft.queries.{Queries, QueryTexts, QueryTextsExt}
 
 /** Differential testing: every native DataFrame implementation must
   * return exactly the rows its validated Spark-SQL text returns (same
@@ -43,6 +43,25 @@ class DifferentialSpec extends AnyFunSuite {
     test(s"$key: native == SQL text") {
       val nativeDf = Queries.all(key)(spark, TestSpark.sf0001)
       val sqlDf = Queries.sql(key)(spark, TestSpark.sf0001)
+      // schema too: Row.toString alone would mask type/name drift
+      // (LONG vs INT, DECIMAL vs DOUBLE) that the oracle gate catches late
+      assert(nativeDf.schema.map(f => (f.name, f.dataType)) ==
+        sqlDf.schema.map(f => (f.name, f.dataType)),
+        s"schema drift: ${nativeDf.schema.simpleString} vs ${sqlDf.schema.simpleString}")
+      assert(nativeDf.collect().map(_.toString).toSeq ==
+        sqlDf.collect().map(_.toString).toSeq)
+    }
+  }
+
+  // the hand-written extension surface (QueryTextsExt): same triangle,
+  // adapted from the waves' validated DuckDB oracle formulations
+  QueryTextsExt.spark.keys.toSeq.sorted.foreach { key =>
+    test(s"$key: native == SQL text (ext)") {
+      val nativeDf = Queries.all(key)(spark, TestSpark.sf0001)
+      val sqlDf = {
+        graft.sources.Tables.registerAll(spark, TestSpark.sf0001)
+        spark.sql(QueryTextsExt.spark(key))
+      }
       // schema too: Row.toString alone would mask type/name drift
       // (LONG vs INT, DECIMAL vs DOUBLE) that the oracle gate catches late
       assert(nativeDf.schema.map(f => (f.name, f.dataType)) ==
