@@ -339,6 +339,126 @@ SELECT a.event_type, a.n_h n_a, b.n_h n_b, a.mval mode_a, b.mval mode_b,
   CAST(CASE WHEN a.mval = b.mval THEN 1 ELSE 0 END AS BIGINT) AS stable
 FROM md a JOIN md b ON b.event_type = a.event_type
   AND a.half = 'a' AND b.half = 'b'
-ORDER BY a.event_type"""
+ORDER BY a.event_type""",
+
+    // ---- text-family adaptations: DuckDB string_split/unnest/// map
+    // to Spark split/explode/DIV; element_at is the 1-based indexer
+    // (arr[i] would be 0-based), slice(arr, start, LENGTH) replaces
+    // the inclusive-end list_slice, and sequence() must be guarded
+    // against start > stop (it would count DOWN, not return empty).
+
+    "q47_token_count" -> """
+SELECT lang, COUNT(*) n_docs,
+       CAST(SUM(size(split(text, ' '))) AS BIGINT) sum_ws_tokens,
+       CAST(SUM(size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))) AS BIGINT) sum_re_tokens,
+       CAST(SUM((n_chars + 3) DIV 4) AS BIGINT) sum_bpe_est
+FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q89_vocab_growth" -> """
+WITH tk AS (SELECT source, tok FROM documents
+            LATERAL VIEW explode(filter(split(lower(text), ' '), x -> x != '')) t AS tok),
+tf AS (SELECT source, tok, COUNT(*) c FROM tk GROUP BY source, tok)
+SELECT source, CAST(SUM(c) AS BIGINT) AS toks, COUNT(*) AS vocab,
+  CAST(COUNT(*) * 1000000 DIV SUM(c) AS BIGINT) AS ttr_ppm,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+FROM tf GROUP BY source ORDER BY source""",
+
+    "q111_token_entropy" -> """
+WITH tk AS (SELECT doc_id, source, tok FROM documents
+            LATERAL VIEW explode(filter(split(lower(text), ' '), x -> x != '')) t AS tok),
+tf AS (SELECT doc_id, source, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, source, tok),
+h AS (SELECT doc_id, source,
+        SUM(CAST(ROUND(-(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))
+          * ln(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)), 9) AS DECIMAL(18,9))) AS hd
+      FROM (SELECT *, SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM tf)
+      GROUP BY doc_id, source)
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(hd) AS DOUBLE) / COUNT(*), 6) AS mean_entropy,
+  CAST(MIN(hd) AS DOUBLE) AS min_entropy,
+  CAST(MAX(hd) AS DOUBLE) AS max_entropy
+FROM h GROUP BY source ORDER BY source""",
+
+    "q152_vocab_exclusivity" -> """
+WITH pairs AS (SELECT DISTINCT source, tok FROM documents
+               LATERAL VIEW explode(filter(split(lower(text), ' '), x -> x != '')) t AS tok),
+card AS (SELECT tok, COUNT(*) ns FROM pairs GROUP BY tok)
+SELECT p.source, COUNT(*) n_vocab,
+  CAST(SUM(CASE WHEN c.ns = 1 THEN 1 ELSE 0 END) AS BIGINT) n_exclusive,
+  CAST(SUM(CASE WHEN c.ns = 1 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) exclusive_ppm
+FROM pairs p JOIN card c ON c.tok = p.tok
+GROUP BY p.source ORDER BY p.source""",
+
+    "q238_wordlen_spectrum" -> """
+WITH t AS (SELECT lang, tok FROM documents
+           LATERAL VIEW explode(split(LOWER(text), ' ')) e AS tok),
+wl AS (SELECT lang, least(CAST(length(tok) AS BIGINT), 20) wlen, COUNT(*) n
+  FROM t WHERE tok != '' GROUP BY lang, wlen),
+tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) nt FROM wl GROUP BY lang)
+SELECT wl.lang, CAST(wlen AS BIGINT) wlen, n,
+  CAST(n * 1000000 DIV nt AS BIGINT) ppm
+FROM wl JOIN tot ON tot.lang = wl.lang ORDER BY wl.lang, wlen""",
+
+    "q262_hapax_mass" -> """
+WITH t AS (SELECT lang, doc_id, tok FROM documents
+           LATERAL VIEW explode(split(LOWER(text), ' ')) e AS tok),
+lt AS (SELECT lang, tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS mass
+  FROM t WHERE tok != '' GROUP BY lang, tok)
+SELECT lang, COUNT(*) AS vocab,
+  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_vocab,
+  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) AS hapax_vocab_ppm,
+  CAST(SUM(CASE WHEN df = 1 THEN mass ELSE 0 END) * 1000000 DIV SUM(mass) AS BIGINT) AS hapax_mass_ppm
+FROM lt GROUP BY lang ORDER BY lang""",
+
+    "q167_prefix_dup" -> """
+WITH d AS (SELECT text, filter(split(lower(text), ' '), x -> x != '') l FROM documents),
+k AS (SELECT md5(text) full_h, array_join(slice(l, 1, 8), ' ') pfx FROM d WHERE size(l) >= 8),
+fam AS (SELECT pfx, COUNT(*) family_size, COUNT(DISTINCT full_h) n_texts FROM k GROUP BY pfx)
+SELECT family_size, COUNT(*) n_families,
+  CAST(SUM(CASE WHEN n_texts < family_size THEN 1 ELSE 0 END) AS BIGINT) n_exact_dup_families,
+  CAST(SUM(family_size - n_texts) AS BIGINT) n_redundant_docs
+FROM fam GROUP BY family_size ORDER BY family_size""",
+
+    "q86_chunking" -> """
+WITH d AS (SELECT doc_id, source, filter(split(lower(text), ' '), x -> x != '') l FROM documents),
+n AS (SELECT doc_id, source, l, size(l) n FROM d WHERE size(l) > 0),
+c AS (SELECT doc_id, source, st, l, n FROM n
+      LATERAL VIEW explode(sequence(1, n, 24)) s AS st),
+ch AS (SELECT doc_id, source, slice(l, st, least(32, n - st + 1)) chunk FROM c),
+h AS (SELECT doc_id, source, md5(array_join(chunk, ' ')) ch_hash, size(chunk) ch_toks FROM ch)
+SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+  COUNT(DISTINCT ch_hash) AS n_distinct,
+  CAST(SUM(ch_toks) AS BIGINT) AS toks,
+  CAST(MIN(ch_toks) AS BIGINT) AS min_toks
+FROM h GROUP BY source ORDER BY source""",
+
+    "q90_dup_degree" -> """
+WITH d AS (SELECT doc_id, split(lower(text), ' ') l FROM documents
+           WHERE size(split(lower(text), ' ')) >= 3),
+s AS (SELECT doc_id, i, l FROM d
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) t AS i),
+sh AS (SELECT DISTINCT doc_id,
+         concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh
+       FROM s),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) nt FROM shk GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+edge AS (SELECT i, j FROM inter x
+         JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
+         WHERE CAST(x.ci AS DOUBLE) / (ca.nt + cb.nt - x.ci) >= 0.2),
+deg AS (SELECT doc_id, COUNT(*) degree FROM
+        (SELECT i doc_id FROM edge UNION ALL SELECT j FROM edge) GROUP BY doc_id)
+SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree ORDER BY degree""",
+
+    "q203_centroid_confusion" -> """
+WITH c AS (SELECT label, CAST(i AS INT) pos,
+    CAST(SUM(CAST(element_at(embedding, CAST(i AS INT)) AS DECIMAL(18,9))) AS DECIMAL(14,9)) v
+  FROM embeddings LATERAL VIEW explode(sequence(1, 64)) r AS i GROUP BY label, pos)
+SELECT a.label l1, b.label l2,
+  CAST(ROUND(CAST(SUM(a.v * b.v) AS DOUBLE)
+    / SQRT(CAST(SUM(a.v * a.v) AS DOUBLE) * CAST(SUM(b.v * b.v) AS DOUBLE)), 6) AS DOUBLE) cos6
+FROM c a JOIN c b ON b.pos = a.pos AND a.label < b.label
+GROUP BY a.label, b.label ORDER BY l1, l2"""
   ).map { case (k, v) => k -> v.trim }
 }
