@@ -459,6 +459,41 @@ SELECT a.label l1, b.label l2,
   CAST(ROUND(CAST(SUM(a.v * b.v) AS DOUBLE)
     / SQRT(CAST(SUM(a.v * a.v) AS DOUBLE) * CAST(SUM(b.v * b.v) AS DOUBLE)), 6) AS DOUBLE) cos6
 FROM c a JOIN c b ON b.pos = a.pos AND a.label < b.label
-GROUP BY a.label, b.label ORDER BY l1, l2"""
+GROUP BY a.label, b.label ORDER BY l1, l2""",
+
+    // list_sum(list_transform(list_zip(a,b), ...)) maps to
+    // aggregate(zip_with(a, b, ...), 0d, (acc,v) -> acc+v) — BOTH fold
+    // left-to-right over the same in-row array order, so the double
+    // sums are bit-identical across the engines
+    "q43_dedup_embedding" -> """
+WITH p AS (SELECT a.label, a.vec_id i, b.vec_id j,
+  aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+  / (SQRT(aggregate(transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+   * SQRT(aggregate(transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    CAST(0 AS DOUBLE), (acc, v) -> acc + v))) cos
+ FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT label, COUNT(*) n_pairs, ROUND(MAX(cos), 6) max_cos
+FROM p WHERE cos >= 0.3 GROUP BY label ORDER BY label""",
+
+    "q44_ann_lsh" -> """
+WITH b AS (SELECT vec_id, label, embedding,
+  concat(CASE WHEN element_at(embedding, 1) >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN element_at(embedding, 2) >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN element_at(embedding, 3) >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN element_at(embedding, 4) >= 0 THEN '1' ELSE '0' END) bucket
+  FROM embeddings),
+qv AS (SELECT embedding v, bucket FROM b WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+  ROUND(aggregate(zip_with(e.embedding, qv.v, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                  CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+  / (SQRT(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+   * SQRT(aggregate(transform(qv.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    CAST(0 AS DOUBLE), (acc, v) -> acc + v))), 6) cos_sim
+FROM b e JOIN qv ON e.bucket = qv.bucket
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 5"""
   ).map { case (k, v) => k -> v.trim }
 }
