@@ -494,6 +494,321 @@ SELECT e.vec_id, e.label,
                     CAST(0 AS DOUBLE), (acc, v) -> acc + v))), 6) cos_sim
 FROM b e JOIN qv ON e.bucket = qv.bucket
 WHERE e.vec_id <> 0
-ORDER BY cos_sim DESC, e.vec_id LIMIT 5"""
+ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
+
+    // ---- integer-ppm kernels: DuckDB epoch_us maps to unix_micros,
+    // // to DIV; the ppm arithmetic stays all-integer on both engines
+
+    "q68_mixing_weights" -> """
+WITH t AS (SELECT source,
+             CAST(SUM(size(filter(split(lower(text), ' '), x -> x != ''))) AS BIGINT) AS toks,
+             COUNT(*) AS n_docs
+           FROM documents GROUP BY source)
+SELECT source, n_docs, toks,
+  CAST(toks * 1000000 DIV (SELECT SUM(toks) FROM t) AS BIGINT) AS weight_ppm
+FROM t ORDER BY source""",
+
+    "q76_gap_histogram" -> """
+WITH d AS (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+           FROM events),
+g AS (SELECT (unix_micros(ts) - unix_micros(prev)) DIV 600000000 AS bucket_10min
+      FROM d WHERE prev IS NOT NULL)
+SELECT CAST(bucket_10min AS BIGINT) bucket_10min, COUNT(*) n
+FROM g GROUP BY 1 ORDER BY 1 LIMIT 100""",
+
+    "q77_pct_of_total" -> """
+WITH c AS (SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) cents
+           FROM customer WHERE c_acctbal > 0)
+SELECT c_custkey, c_mktsegment,
+  CAST(cents * 1000000 DIV SUM(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) share_ppm
+FROM c ORDER BY c_mktsegment, c_custkey LIMIT 200""",
+
+    "q91_burstiness" -> """
+WITH b AS (SELECT user_id, unix_micros(ts) DIV 3600000000 h, COUNT(*) c
+           FROM events GROUP BY user_id, h)
+SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, CAST(MAX(c) AS BIGINT) AS max_h,
+  CAST(MAX(c) * 1000000 DIV SUM(c) AS BIGINT) AS burst_ppm
+FROM b GROUP BY user_id ORDER BY burst_ppm DESC, user_id LIMIT 25""",
+
+    "q99_seasonality" -> """
+SELECT (unix_micros(ts) DIV 86400000000 + 4) % 7 AS dow,
+       (unix_micros(ts) % 86400000000) DIV 3600000000 AS hour,
+       COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY dow, hour ORDER BY dow, hour""",
+
+    "q102_skew_profile" -> """
+WITH c AS (SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY o_custkey),
+s AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)
+SELECT c.o_custkey, c.n_rows,
+  c.n_rows * 1000000 DIV s.total AS share_ppm,
+  s.n_keys,
+  GREATEST(1, (c.n_rows * 32 + s.total - 1) DIV s.total) AS salts
+FROM c CROSS JOIN s
+ORDER BY c.n_rows DESC, c.o_custkey LIMIT 20""",
+
+    "q196_round_value_bias" -> """
+SELECT event_type, COUNT(*) n_events,
+  CAST(SUM(CASE WHEN value = floor(value) THEN 1 ELSE 0 END) AS BIGINT) n_round,
+  CAST(CAST(SUM(CASE WHEN value = floor(value) THEN 1 ELSE 0 END) AS BIGINT) * 1000000 DIV COUNT(*) AS BIGINT) round_ppm
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q263_month_amplitude" -> """
+WITH m AS (SELECT event_type, CAST(month(ts) AS BIGINT) AS m, COUNT(*) AS n_m
+  FROM events GROUP BY event_type, m)
+SELECT event_type, COUNT(*) AS n_months, CAST(SUM(n_m) AS BIGINT) AS n,
+  CAST(MIN(n_m) AS BIGINT) AS min_month, CAST(MAX(n_m) AS BIGINT) AS max_month,
+  CAST((MAX(n_m) - MIN(n_m)) * 1000000 DIV MAX(n_m) AS BIGINT) AS amplitude_ppm
+FROM m GROUP BY event_type ORDER BY event_type""",
+
+    "q264_zero_discount_bands" -> """
+SELECT CAST(l_quantity AS BIGINT) DIV 10 AS qty_band, COUNT(*) AS n_lines,
+  CAST(SUM(CASE WHEN CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+  CAST(SUM(CASE WHEN CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) = 0 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) AS zero_ppm
+FROM lineitem GROUP BY qty_band ORDER BY qty_band""",
+
+    "q267_month_end_bias" -> """
+SELECT o_orderpriority AS prio, COUNT(*) AS n_orders,
+  CAST(SUM(CASE WHEN day(o_orderdate) >= day(last_day(o_orderdate)) - 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end,
+  CAST(SUM(CASE WHEN day(o_orderdate) >= day(last_day(o_orderdate)) - 2 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) AS month_end_ppm
+FROM orders GROUP BY prio ORDER BY prio""",
+
+    "q81_inverted_index" -> """
+WITH tk AS (SELECT DISTINCT doc_id, tok FROM documents
+            LATERAL VIEW explode(filter(split(lower(text), ' '), x -> x != '')) t AS tok),
+post AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok)
+SELECT COUNT(*) AS n_terms,
+  CAST(SUM(df) AS BIGINT) AS n_postings,
+  CAST(MAX(df) AS BIGINT) AS max_posting,
+  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+  MIN(CASE WHEN df = (SELECT MAX(df) FROM post) THEN tok END) AS heaviest_term
+FROM post""",
+
+    "q87_packing_waste" -> """
+WITH d AS (SELECT size(filter(split(lower(text), ' '), x -> x != '')) n FROM documents),
+b AS (SELECT n, CAST(GREATEST(16, shiftleft(1, length(bin(n - 1)))) AS BIGINT) bucket
+  FROM d WHERE n > 0)
+SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS toks,
+  CAST(SUM(bucket - n) AS BIGINT) AS pad,
+  CAST(SUM(bucket - n) * 1000000 DIV (SUM(n) + SUM(bucket - n)) AS BIGINT) AS pad_ppm
+FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "q92_apply_mixing" -> """
+WITH d AS (SELECT doc_id, source,
+  size(filter(split(lower(text), ' '), x -> x != '')) toks,
+  substr(md5(CAST(doc_id AS STRING)), 1, 8) r
+  FROM documents),
+k AS (SELECT * FROM d WHERE r <= CASE source
+  WHEN 'src0' THEN 'ffffffff' WHEN 'src1' THEN 'bfffffff'
+  WHEN 'src2' THEN '7fffffff' WHEN 'src3' THEN '3fffffff'
+  WHEN 'src4' THEN '19999999' ELSE '7fffffff' END)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS toks_kept
+FROM k GROUP BY source ORDER BY source""",
+
+    "q172_repeat_action_rate" -> """
+WITH g AS (SELECT event_type, user_id, date_trunc('day', ts) d, COUNT(*) c
+  FROM events GROUP BY event_type, user_id, d)
+SELECT event_type,
+  CAST(SUM(c) AS BIGINT) n_events,
+  COUNT(*) n_user_days,
+  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) n_repeat_groups,
+  CAST((CAST(SUM(c) AS BIGINT) - COUNT(*)) * 1000000 DIV CAST(SUM(c) AS BIGINT) AS BIGINT) repeat_ppm,
+  CAST(MAX(c) AS BIGINT) max_repeats
+FROM g GROUP BY event_type ORDER BY event_type""",
+
+    "q190_mode_value" -> """
+WITH counts AS (SELECT event_type, value, COUNT(*) c FROM events GROUP BY event_type, value),
+mx AS (SELECT event_type, MAX(c) mx, CAST(SUM(c) AS BIGINT) n_events FROM counts GROUP BY event_type)
+SELECT c.event_type, MIN(c.value) mode_value,
+  CAST(MIN(m.mx) AS BIGINT) mode_count, MIN(m.n_events) n_events,
+  CAST(MIN(m.mx) * 1000000 DIV MIN(m.n_events) AS BIGINT) support_ppm
+FROM counts c JOIN mx m ON m.event_type = c.event_type AND c.c = m.mx
+GROUP BY c.event_type ORDER BY c.event_type""",
+
+    "q235_precision_census" -> """
+SELECT event_type, COUNT(*) n,
+  CAST(SUM(CASE WHEN value = floor(value) THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) int_ppm,
+  CAST(SUM(CASE WHEN value * 10 = floor(value * 10) THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) dec1_ppm,
+  CAST(SUM(CASE WHEN value * 100 = floor(value * 100) THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) dec2_ppm
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q236_lifecycle_span" -> """
+WITH pq AS (SELECT p_brand,
+    year(l_shipdate) * 4 + quarter(l_shipdate) - 1 aq
+  FROM lineitem JOIN part ON p_partkey = l_partkey)
+SELECT p_brand, CAST(MIN(aq) AS BIGINT) first_q, CAST(MAX(aq) AS BIGINT) last_q,
+  CAST(MAX(aq) - MIN(aq) + 1 AS BIGINT) span_q,
+  COUNT(DISTINCT aq) active,
+  CAST(COUNT(DISTINCT aq) * 1000000 DIV (MAX(aq) - MIN(aq) + 1) AS BIGINT) coverage_ppm
+FROM pq GROUP BY p_brand ORDER BY p_brand""",
+
+    "q242_repurchase_rate" -> """
+WITH cpo AS (SELECT DISTINCT o_custkey, l_partkey, l_orderkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+pairs AS (SELECT o_custkey, l_partkey, COUNT(*) n_orders
+  FROM cpo GROUP BY o_custkey, l_partkey)
+SELECT p_brand, COUNT(*) n_pairs,
+  CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) n_repeat,
+  CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) repeat_ppm
+FROM pairs JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand ORDER BY p_brand""",
+
+    "q257_linenumber_audit" -> """
+WITH per AS (SELECT l_orderkey, COUNT(*) n, MIN(l_linenumber) mn,
+    MAX(l_linenumber) mx, COUNT(DISTINCT l_linenumber) nd
+  FROM lineitem GROUP BY l_orderkey)
+SELECT COUNT(*) n_orders,
+  CAST(SUM(CASE WHEN mn = 1 AND mx = n AND nd = n THEN 0 ELSE 1 END) AS BIGINT) n_violations,
+  CAST(SUM(CASE WHEN mn = 1 AND mx = n AND nd = n THEN 0 ELSE 1 END) * 1000000 DIV COUNT(*) AS BIGINT) violation_ppm,
+  CAST(MAX(n) AS BIGINT) max_lines
+FROM per""",
+
+    "q258_dim_key_audit" -> """
+WITH pop AS (
+  SELECT 'customer' dim,
+    CASE WHEN CAST(regexp_extract(c_name, '#(\\d+)$', 1) AS BIGINT) = c_custkey
+         THEN 0 ELSE 1 END bad
+  FROM customer
+  UNION ALL
+  SELECT 'supplier' dim,
+    CASE WHEN CAST(regexp_extract(s_name, '#(\\d+)$', 1) AS BIGINT) = s_suppkey
+         THEN 0 ELSE 1 END bad
+  FROM supplier)
+SELECT dim, COUNT(*) n_rows, CAST(SUM(bad) AS BIGINT) n_mismatch,
+  CAST(SUM(bad) * 1000000 DIV COUNT(*) AS BIGINT) mismatch_ppm
+FROM pop GROUP BY dim ORDER BY dim""",
+
+    "q96_rolling_actives" -> """
+WITH du AS (SELECT DISTINCT user_id, unix_micros(ts) DIV 86400000000 d FROM events),
+days AS (SELECT explode(sequence(MIN(d), MAX(d))) AS day FROM du),
+span AS (SELECT user_id, explode(sequence(d, d + 6)) rd FROM du),
+r7 AS (SELECT rd, COUNT(DISTINCT user_id) dau7 FROM span GROUP BY rd),
+r1 AS (SELECT d, COUNT(*) dau1 FROM du GROUP BY d)
+SELECT days.day, COALESCE(r1.dau1, 0) AS dau1, COALESCE(r7.dau7, 0) AS dau7
+FROM days LEFT JOIN r7 ON r7.rd = days.day LEFT JOIN r1 ON r1.d = days.day
+ORDER BY day""",
+
+    "q113_sig_groups" -> """
+WITH d AS (SELECT doc_id, lower(text) lt, split(lower(text), ' ') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) t AS i),
+t AS (SELECT DISTINCT doc_id,
+        concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh
+      FROM s),
+sig AS (SELECT doc_id,
+  MIN(substr(md5(sh), 1, 4)) || ':' || MIN(substr(md5(sh), 5, 4)) || ':' ||
+  MIN(substr(md5(sh), 9, 4)) || ':' || MIN(substr(md5(sh), 13, 4)) || ':' ||
+  MIN(substr(md5(sh), 17, 4)) || ':' || MIN(substr(md5(sh), 21, 4)) || ':' ||
+  MIN(substr(md5(sh), 25, 4)) || ':' || MIN(substr(md5(sh), 29, 4)) AS sig
+  FROM t GROUP BY doc_id),
+alls AS (SELECT d.doc_id, COALESCE(sig.sig, 'short:' || md5(d.lt), 'null:') AS sig
+         FROM d LEFT JOIN sig USING (doc_id)),
+g AS (SELECT sig, COUNT(*) n FROM alls GROUP BY sig)
+SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant, MAX(n) AS max_group
+FROM g""",
+
+    "q165_supplier_concentration" -> """
+WITH rev AS (SELECT l_suppkey supplier,
+    SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) rev_d,
+    COUNT(*) n_items
+  FROM lineitem GROUP BY l_suppkey),
+tot AS (SELECT SUM(rev_d) total_d FROM rev),
+top AS (SELECT * FROM rev ORDER BY rev_d DESC, supplier LIMIT 10)
+SELECT t.supplier, t.n_items,
+  CAST(t.rev_d AS DOUBLE) net_revenue,
+  CAST(CAST(t.rev_d * 10000 AS BIGINT) * 1000000 DIV CAST(tot.total_d * 10000 AS BIGINT) AS BIGINT) revenue_share_ppm
+FROM top t CROSS JOIN tot
+ORDER BY net_revenue DESC, t.supplier""",
+
+    "q184_props_value_profile" -> """
+WITH k AS (SELECT event_type, CAST(get_json_object(props, '$.k') AS BIGINT) k
+  FROM events WHERE get_json_object(props, '$.k') IS NOT NULL),
+grid AS (SELECT event_type, k DIV 10 k_band, COUNT(*) n FROM k GROUP BY event_type, k_band),
+tot AS (SELECT event_type, COUNT(*) n_type FROM k GROUP BY event_type)
+SELECT g.event_type, CAST(g.k_band AS BIGINT) k_band, g.n,
+  CAST(g.n * 1000000 DIV t.n_type AS BIGINT) type_share_ppm
+FROM grid g JOIN tot t ON t.event_type = g.event_type
+ORDER BY g.event_type, k_band""",
+
+    "q201_line_position_decay" -> """
+WITH pos AS (SELECT l_linenumber, COUNT(*) n_lines,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) qty_sum,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) DIV 100 AS BIGINT) c2
+  FROM lineitem GROUP BY l_linenumber),
+tot AS (SELECT CAST(SUM(c2) AS BIGINT) g_c2 FROM pos)
+SELECT l_linenumber, n_lines,
+  CAST(qty_sum DIV n_lines AS BIGINT) mean_qty,
+  CAST(c2 * 1000000 DIV g_c2 AS BIGINT) rev_share_ppm
+FROM pos CROSS JOIN tot ORDER BY l_linenumber""",
+
+    "q214_length_gini" -> """
+WITH lc AS (SELECT lang, n_chars x, COUNT(*) c FROM documents GROUP BY lang, x),
+cum AS (SELECT lang, x, c,
+    CAST(COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) cb
+  FROM lc),
+g AS (SELECT lang, CAST(SUM(c) AS BIGINT) n, CAST(SUM(x * c) AS BIGINT) s,
+    CAST(SUM(x * (2 * c * cb + c * (c + 1))) AS BIGINT) r2
+  FROM cum GROUP BY lang)
+SELECT lang, n, s total_chars,
+  CAST((r2 - (n + 1) * s) * 1000000 DIV (n * s) AS BIGINT) gini_ppm
+FROM g ORDER BY lang""",
+
+    "q218_user_diversity" -> """
+WITH ut AS (SELECT user_id, event_type, COUNT(*) c FROM events GROUP BY user_id, event_type),
+u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) n, CAST(SUM(c * c) AS BIGINT) ss,
+    COUNT(*) n_types
+  FROM ut GROUP BY user_id),
+b AS (SELECT user_id, n, n_types,
+    (1000000 - ss * 1000000 DIV (n * n)) DIV 5000 band FROM u)
+SELECT CAST(band AS BIGINT) band, COUNT(*) n_users,
+  CAST(SUM(n) AS BIGINT) n_events,
+  CAST(MIN(n_types) AS BIGINT) min_types, CAST(MAX(n_types) AS BIGINT) max_types
+FROM b GROUP BY band ORDER BY band""",
+
+    "q227_composition_lift" -> """
+WITH ls AS (SELECT lang, source, COUNT(*) n_ls FROM documents GROUP BY lang, source),
+nl AS (SELECT lang, CAST(SUM(n_ls) AS BIGINT) n_l FROM ls GROUP BY lang),
+ns AS (SELECT source, CAST(SUM(n_ls) AS BIGINT) n_s FROM ls GROUP BY source),
+g AS (SELECT CAST(SUM(n_ls) AS BIGINT) n FROM ls)
+SELECT ls.lang, ls.source, ls.n_ls,
+  CAST(ls.n_ls * g.n * 1000000 DIV (nl.n_l * ns.n_s) AS BIGINT) lift_ppm
+FROM ls JOIN nl ON nl.lang = ls.lang JOIN ns ON ns.source = ls.source
+CROSS JOIN g ORDER BY ls.lang, ls.source""",
+
+    "q248_elite_retention" -> """
+WITH yr AS (SELECT CAST(year(o_orderdate) AS BIGINT) y, o_custkey,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) rev
+  FROM orders GROUP BY y, o_custkey),
+rc AS (SELECT y, rev, COUNT(*) c FROM yr GROUP BY y, rev),
+rt AS (SELECT y, CAST(SUM(c) AS BIGINT) n FROM rc GROUP BY y),
+cum AS (SELECT y, rev, CAST(SUM(c) OVER (PARTITION BY y ORDER BY rev) AS BIGINT) cum FROM rc),
+thr AS (SELECT c.y, MIN(rev) thr FROM cum c JOIN rt t ON t.y = c.y
+  WHERE c.cum >= t.n - t.n DIV 10 GROUP BY c.y),
+elite AS (SELECT yr.y, yr.o_custkey FROM yr JOIN thr ON thr.y = yr.y
+  WHERE yr.rev >= thr.thr)
+SELECT e.y, COUNT(*) n_elite,
+  CAST(SUM(CASE WHEN n.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) n_stay,
+  CAST(SUM(CASE WHEN n.o_custkey IS NOT NULL THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) stay_ppm
+FROM elite e LEFT JOIN elite n ON n.y = e.y + 1 AND n.o_custkey = e.o_custkey
+WHERE e.y < 2001 GROUP BY e.y ORDER BY e.y""",
+
+    "q250_churn_census" -> """
+WITH ev AS (SELECT user_id, event_type, unix_micros(ts) us FROM events),
+h AS (SELECT MAX(us) h_us FROM ev),
+l AS (SELECT user_id, MAX(us) last_us FROM ev GROUP BY user_id),
+tc AS (SELECT user_id, event_type, COUNT(*) c FROM ev GROUP BY user_id, event_type),
+mx AS (SELECT user_id, MAX(c) mc FROM tc GROUP BY user_id),
+modal AS (SELECT tc.user_id, MIN(event_type) modal_type
+  FROM tc JOIN mx ON mx.user_id = tc.user_id WHERE tc.c = mx.mc GROUP BY tc.user_id),
+u AS (SELECT modal_type,
+    CASE WHEN last_us < h_us - 60 * 86400000000 THEN 1 ELSE 0 END churned
+  FROM l JOIN modal ON modal.user_id = l.user_id CROSS JOIN h)
+SELECT modal_type, COUNT(*) n_users, CAST(SUM(churned) AS BIGINT) n_churned,
+  CAST(SUM(churned) * 1000000 DIV COUNT(*) AS BIGINT) churn_ppm
+FROM u GROUP BY modal_type ORDER BY modal_type"""
   ).map { case (k, v) => k -> v.trim }
 }
