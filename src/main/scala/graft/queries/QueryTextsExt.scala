@@ -809,6 +809,317 @@ u AS (SELECT modal_type,
   FROM l JOIN modal ON modal.user_id = l.user_id CROSS JOIN h)
 SELECT modal_type, COUNT(*) n_users, CAST(SUM(churned) AS BIGINT) n_churned,
   CAST(SUM(churned) * 1000000 DIV COUNT(*) AS BIGINT) churn_ppm
-FROM u GROUP BY modal_type ORDER BY modal_type"""
+FROM u GROUP BY modal_type ORDER BY modal_type""",
+
+    // Spark has no QUALIFY — the window filter moves to an outer select
+    "q229_seq_predictability" -> """
+WITH lg AS (SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+  FROM events),
+bg AS (SELECT user_id, prev || '>' || event_type bigram FROM lg WHERE prev IS NOT NULL),
+u AS (SELECT user_id, COUNT(*) n_tr, COUNT(DISTINCT bigram) n_bg FROM bg GROUP BY user_id),
+b AS (SELECT user_id, n_tr,
+    (n_tr - n_bg) * 1000000 DIV n_tr DIV 100000 band FROM u)
+SELECT CAST(band AS BIGINT) band, COUNT(*) n_users,
+  CAST(SUM(n_tr) AS BIGINT) n_transitions
+FROM b GROUP BY band ORDER BY band""",
+
+    "q110_epoch_mix" -> """
+WITH t AS (SELECT source,
+             CAST(SUM(size(filter(split(lower(text), ' '), x -> x != ''))) AS BIGINT) AS toks
+           FROM documents GROUP BY source),
+w AS (SELECT * FROM (VALUES ('src0',300000),('src1',250000),('src2',200000),
+                            ('src3',150000),('src4',100000)) AS w(source, w_ppm))
+SELECT t.source, toks,
+  CAST(CAST(1000000000 AS BIGINT) * w_ppm DIV 1000000 AS BIGINT) AS target_toks,
+  CAST(CAST(1000000000 AS BIGINT) * w_ppm DIV 1000000 * 1000000 DIV toks AS BIGINT) AS epochs_ppm
+FROM t JOIN w USING (source) ORDER BY source""",
+
+    "q153_event_burst_echo" -> """
+WITH e AS (SELECT event_type, user_id,
+        CASE WHEN LAG(ts) OVER w IS NOT NULL
+              AND unix_millis(ts) - unix_millis(LAG(ts) OVER w) <= 10000
+             THEN 1 ELSE 0 END AS echo
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+SELECT event_type, COUNT(*) n_events,
+  CAST(SUM(echo) AS BIGINT) n_echoes,
+  CAST(COUNT(DISTINCT CASE WHEN echo = 1 THEN user_id END) AS BIGINT) n_echo_users,
+  CAST(SUM(echo) * 1000000 DIV COUNT(*) AS BIGINT) echo_ppm
+FROM e GROUP BY event_type ORDER BY event_type""",
+
+    "q176_event_type_overlap" -> """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+aud AS (SELECT event_type, COUNT(*) n_aud FROM ut GROUP BY event_type),
+inter AS (SELECT a.event_type ta, b.event_type tb, COUNT(*) n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY ta, tb)
+SELECT i.ta type_a, i.tb type_b, aa.n_aud n_a, ab.n_aud n_b, i.n_both,
+  CAST(i.n_both * 1000000 DIV (aa.n_aud + ab.n_aud - i.n_both) AS BIGINT) jaccard_ppm
+FROM inter i JOIN aud aa ON aa.event_type = i.ta JOIN aud ab ON ab.event_type = i.tb
+ORDER BY type_a, type_b""",
+
+    "q179_supply_redundancy" -> """
+WITH per_part AS (SELECT l_partkey,
+    COUNT(DISTINCT l_suppkey) n_suppliers,
+    SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) rev_d
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT SUM(rev_d) tot_d FROM per_part)
+SELECT n_suppliers, COUNT(*) n_parts,
+  CAST(SUM(rev_d) AS DOUBLE) net_revenue,
+  CAST(CAST(SUM(rev_d) * 10000 AS BIGINT) * 1000000 DIV CAST(tot.tot_d * 10000 AS BIGINT) AS BIGINT) revenue_share_ppm
+FROM per_part CROSS JOIN tot
+GROUP BY n_suppliers, tot.tot_d ORDER BY n_suppliers""",
+
+    "q187_brand_type_coverage" -> """
+WITH p AS (SELECT p_brand, p_type, CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) centi FROM part),
+cell AS (SELECT p_brand, p_type, COUNT(*) n_parts, CAST(SUM(centi) AS BIGINT) sc
+  FROM p GROUP BY p_brand, p_type),
+bt AS (SELECT p_brand, CAST(SUM(n_parts) AS BIGINT) brand_n FROM cell GROUP BY p_brand)
+SELECT c.p_brand, c.p_type, c.n_parts,
+  CAST(c.sc DIV c.n_parts AS BIGINT) mean_centiprice,
+  CAST(c.n_parts * 1000000 DIV bt.brand_n AS BIGINT) brand_share_ppm
+FROM cell c JOIN bt ON bt.p_brand = c.p_brand
+ORDER BY c.p_brand, c.p_type""",
+
+    "q189_purchase_proximity" -> """
+WITH ev AS (SELECT event_id, user_id, event_type, unix_micros(ts) us FROM events),
+p AS (SELECT e.event_id p_id, e.user_id p_user, e.us p_us, e.us DIV 300000000 + d.d cell
+  FROM ev e CROSS JOIN (SELECT explode(array(-1, 0, 1)) d) d WHERE e.event_type = 'purchase'),
+o AS (SELECT event_id, user_id, event_type, us, us DIV 300000000 cell FROM ev)
+SELECT o.event_type, COUNT(*) n_near,
+  COUNT(DISTINCT p.p_id) n_purchases_touched
+FROM p JOIN o ON o.user_id = p.p_user AND o.cell = p.cell
+WHERE o.event_id <> p.p_id AND abs(o.us - p.p_us) <= 300000000
+GROUP BY o.event_type ORDER BY o.event_type""",
+
+    "q198_basket_affinity" -> """
+WITH ob AS (SELECT DISTINCT l_orderkey ok, p_brand b
+    FROM lineitem JOIN part ON p_partkey = l_partkey),
+n_orders AS (SELECT COUNT(DISTINCT ok) n_orders FROM ob),
+nb AS (SELECT b, COUNT(*) n_b FROM ob GROUP BY b),
+pairs AS (SELECT l.b b1, r.b b2, COUNT(*) n_pair
+  FROM ob l JOIN ob r ON r.ok = l.ok AND l.b < r.b GROUP BY l.b, r.b)
+SELECT p.b1, p.b2, p.n_pair, n1.n_b n_b1, n2.n_b n_b2,
+  CAST(p.n_pair * no.n_orders * 1000000 DIV (n1.n_b * n2.n_b) AS BIGINT) lift_ppm
+FROM pairs p JOIN nb n1 ON n1.b = p.b1 JOIN nb n2 ON n2.b = p.b2
+CROSS JOIN n_orders no ORDER BY p.b1, p.b2""",
+
+    "q200_returns_mix" -> """
+WITH by_brand AS (SELECT p_brand, COUNT(*) n_lines,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) n_returned
+  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY p_brand),
+tot AS (SELECT CAST(SUM(n_lines) AS BIGINT) g_lines,
+    CAST(SUM(n_returned) AS BIGINT) g_returned FROM by_brand)
+SELECT p_brand, n_lines, n_returned,
+  CAST(n_returned * 1000000 DIV n_lines AS BIGINT) return_ppm,
+  CAST(n_returned * 1000000 DIV n_lines - g_returned * 1000000 DIV g_lines AS BIGINT) delta_ppm
+FROM by_brand CROSS JOIN tot ORDER BY p_brand""",
+
+    "q219_discount_spread" -> """
+WITH pd AS (SELECT l_partkey,
+    MIN(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) dmin,
+    MAX(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) dmax,
+    COUNT(DISTINCT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) nd
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_brand, COUNT(*) n_parts,
+  CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) n_single,
+  CAST(MAX(dmax - dmin) AS BIGINT) max_spread,
+  CAST(SUM(dmax - dmin) * 1000000 DIV COUNT(*) AS BIGINT) mean_spread_ppm
+FROM pd JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand ORDER BY p_brand""",
+
+    // percentile() is Spark's exact interpolated quantile — the same
+    // linear-interpolation semantics as DuckDB's quantile_cont
+    "q79_percentile_stats" -> """
+SELECT l_returnflag, COUNT(*) AS n,
+  ROUND(percentile(l_extendedprice, 0.25), 6) AS p25,
+  ROUND(percentile(l_extendedprice, 0.50), 6) AS p50,
+  ROUND(percentile(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // octet_length(text) IS the UTF-8 byte length (DuckDB needed an
+    // explicit encode() to BLOB first)
+    "q49_multimodal_features" -> """
+SELECT lang, COUNT(*) n_media,
+       CAST(SUM(octet_length(text)) AS BIGINT) sum_bytes,
+       COUNT(DISTINCT md5(text)) n_distinct_content,
+       CAST(SUM(octet_length(text) DIV 100) AS BIGINT) sum_frames
+FROM documents GROUP BY lang ORDER BY lang""",
+
+    // collect_list is order-nondeterministic; sort_array makes the
+    // result canonical exactly like DuckDB's list_sort(list(...))
+    "q54_array_funcs" -> """
+WITH t AS (SELECT l_returnflag, l_linestatus FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag,
+  array_join(sort_array(collect_list(l_linestatus)), ',') AS statuses,
+  CAST(size(collect_list(l_linestatus)) AS BIGINT) AS n_statuses,
+  array_contains(collect_list(l_linestatus), 'F') AS has_f
+FROM t GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q70_gap_fill" -> """
+WITH e AS (SELECT user_id, date_trunc('hour', ts) h FROM events WHERE user_id <= 3),
+hourly AS (SELECT user_id, h, COUNT(*) n FROM e GROUP BY 1, 2),
+b AS (SELECT user_id, min(h) h0, max(h) h1 FROM hourly GROUP BY 1),
+grid AS (SELECT user_id, explode(sequence(h0, h1, INTERVAL 1 HOUR)) h FROM b),
+f AS (SELECT g.user_id, g.h, COALESCE(n, 0) n
+      FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h)
+SELECT user_id, h, n,
+  COALESCE(LAST_VALUE(CASE WHEN n > 0 THEN n END) IGNORE NULLS
+           OVER (PARTITION BY user_id ORDER BY h), 0) carried
+FROM f ORDER BY user_id, h LIMIT 200""",
+
+    "q104_snapshot_diff" -> """
+WITH d AS (SELECT doc_id, text FROM documents),
+o AS (SELECT doc_id, md5(COALESCE(text, chr(0))) h FROM d
+      WHERE md5('old:' || CAST(doc_id AS STRING)) < 'e'),
+n AS (SELECT doc_id, md5(COALESCE(CASE WHEN md5('edit:' || CAST(doc_id AS STRING)) < '2'
+        THEN text || ' v2' ELSE text END, chr(0))) h
+      FROM d WHERE md5('new:' || CAST(doc_id AS STRING)) < 'e'),
+j AS (SELECT CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
+        WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status""",
+
+    "q106_bpe_merges" -> """
+WITH w AS (SELECT t AS word, COUNT(*) n
+           FROM (SELECT tok AS t FROM documents
+                 LATERAL VIEW explode(split(lower(text), ' ')) e AS tok)
+           WHERE t != '' GROUP BY t),
+p AS (SELECT substr(word, CAST(i AS INT), 2) pair, n
+      FROM (SELECT * FROM w WHERE length(word) >= 2)
+      LATERAL VIEW explode(sequence(1, length(word) - 1)) u AS i)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS freq
+FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""",
+
+    "q121_dml_roundtrip" -> """
+WITH survivors AS (SELECT doc_id, text, lang, source,
+        CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      FROM documents WHERE lang != 'de'),
+src AS (SELECT doc_id, text, lang, source, n_chars * 2 AS n_chars
+        FROM documents WHERE doc_id % 7 = 3),
+final AS (SELECT * FROM src UNION ALL SELECT * FROM survivors WHERE doc_id % 7 != 3)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+FROM final GROUP BY lang ORDER BY lang""",
+
+    "q141_mv_incremental" -> """
+WITH survivors AS (SELECT doc_id, text, lang, source,
+        CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      FROM documents WHERE lang != 'de'),
+src AS (SELECT doc_id, text, lang, source, n_chars * 2 AS n_chars
+        FROM documents WHERE doc_id % 7 = 3),
+final AS (SELECT * FROM src UNION ALL SELECT * FROM survivors WHERE doc_id % 7 != 3)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+FROM final GROUP BY lang ORDER BY lang""",
+
+    "q163_quality_length_grid" -> """
+WITH d AS (SELECT n_chars, filter(split(lower(text), ' '), x -> x != '') toks FROM documents),
+t AS (SELECT n_chars DIV 64 len_block,
+        CAST(size(array_distinct(toks)) AS BIGINT) * 1000000 DIV size(toks) DIV 100000 q_bucket
+      FROM d WHERE size(toks) > 0),
+grid AS (SELECT len_block, q_bucket, COUNT(*) n_docs FROM t GROUP BY len_block, q_bucket),
+tot AS (SELECT len_block, COUNT(*) block_total FROM t GROUP BY len_block)
+SELECT g.len_block, g.q_bucket, g.n_docs,
+  CAST(g.n_docs * 1000000 DIV tt.block_total AS BIGINT) block_share_ppm
+FROM grid g JOIN tot tt ON tt.len_block = g.len_block
+ORDER BY g.len_block, g.q_bucket""",
+
+    "q181_order_fill_profile" -> """
+WITH per_o AS (SELECT l_orderkey, COUNT(*) n_lines,
+    SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) rev_d
+  FROM lineitem GROUP BY l_orderkey),
+tot AS (SELECT COUNT(*) n_orders_tot, SUM(rev_d) tot_d FROM per_o)
+SELECT n_lines, COUNT(*) n_orders,
+  CAST(SUM(rev_d) AS DOUBLE) net_revenue,
+  CAST(COUNT(*) * 1000000 DIV tot.n_orders_tot AS BIGINT) order_share_ppm,
+  CAST(CAST(SUM(rev_d) * 10000 AS BIGINT) * 1000000 DIV CAST(tot.tot_d * 10000 AS BIGINT) AS BIGINT) revenue_share_ppm
+FROM per_o CROSS JOIN tot
+GROUP BY n_lines, tot.n_orders_tot, tot.tot_d ORDER BY n_lines""",
+
+    "q188_priority_mix_drift" -> """
+WITH mix AS (SELECT CAST(year(o_orderdate) AS BIGINT) y, o_orderpriority pri, COUNT(*) n
+  FROM orders GROUP BY y, pri),
+yr AS (SELECT y, CAST(SUM(n) AS BIGINT) y_n FROM mix GROUP BY y),
+shares AS (SELECT m.y, m.pri, m.n, CAST(m.n * 1000000 DIV yr.y_n AS BIGINT) share_ppm
+  FROM mix m JOIN yr ON yr.y = m.y),
+y0 AS (SELECT MIN(y) y0 FROM shares),
+base AS (SELECT pri, share_ppm base_share_ppm FROM shares CROSS JOIN y0 WHERE y = y0.y0)
+SELECT s.y AS `year`, s.pri o_orderpriority, s.n n_orders, s.share_ppm,
+  CAST(s.share_ppm - b.base_share_ppm AS BIGINT) drift_ppm
+FROM shares s JOIN base b ON b.pri = s.pri
+ORDER BY `year`, o_orderpriority""",
+
+    "q191_active_streaks" -> """
+WITH days AS (SELECT DISTINCT user_id,
+    CAST(datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01') AS BIGINT) d
+  FROM events),
+runs AS (SELECT user_id, d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) island FROM days),
+lens AS (SELECT user_id, island, COUNT(*) len FROM runs GROUP BY user_id, island),
+best AS (SELECT user_id, CAST(MAX(len) AS BIGINT) best FROM lens GROUP BY user_id),
+tot AS (SELECT COUNT(*) n_users_tot FROM best)
+SELECT best streak_days, COUNT(*) n_users,
+  CAST(COUNT(*) * 1000000 DIV tot.n_users_tot AS BIGINT) user_share_ppm
+FROM best CROSS JOIN tot GROUP BY best, tot.n_users_tot ORDER BY streak_days""",
+
+    "q210_sign_agreement" -> """
+WITH x AS (SELECT label, vec_id, CAST(i AS INT) pos,
+    element_at(embedding, CAST(i AS INT)) x
+  FROM embeddings LATERAL VIEW explode(sequence(1, 64)) r AS i),
+ref AS (SELECT label, pos, SUM(CAST(x AS DECIMAL(18,9))) >= 0 ref_pos
+  FROM x GROUP BY label, pos),
+agree AS (SELECT x.label, x.vec_id,
+    CAST(SUM(CASE WHEN (x.x >= 0) = r.ref_pos THEN 1 ELSE 0 END) AS BIGINT) n_agree
+  FROM x JOIN ref r ON r.label = x.label AND r.pos = x.pos
+  GROUP BY x.label, x.vec_id)
+SELECT label, n_agree DIV 8 band, COUNT(*) n_vecs,
+  CAST(MIN(n_agree) AS BIGINT) min_agree, CAST(MAX(n_agree) AS BIGINT) max_agree
+FROM agree GROUP BY label, band ORDER BY label, band""",
+
+    // arg_min maps to min_by
+    "q211_copy_direction" -> """
+WITH toks AS (
+  SELECT doc_id, source, tok FROM documents
+  LATERAL VIEW explode(split(LOWER(text), ' ')) e AS tok),
+sig AS (
+  SELECT doc_id, source,
+         MIN(MD5(tok)) h1, MIN(MD5('a' || tok)) h2, MIN(MD5('b' || tok)) h3
+  FROM toks WHERE tok != '' GROUP BY doc_id, source),
+grp AS (SELECT h1, h2, h3, COUNT(*) n, MIN(doc_id) rep,
+    min_by(source, doc_id) src_from
+  FROM sig GROUP BY h1, h2, h3 HAVING COUNT(*) > 1)
+SELECT g.src_from, s.source src_to, COUNT(*) n_copies,
+  COUNT(DISTINCT g.rep) n_groups
+FROM sig s JOIN grp g ON g.h1 = s.h1 AND g.h2 = s.h2 AND g.h3 = s.h3
+WHERE s.doc_id <> g.rep
+GROUP BY g.src_from, s.source ORDER BY src_from, src_to""",
+
+    "q228_supplier_loyalty" -> """
+WITH per AS (SELECT o_custkey,
+    COUNT(DISTINCT l_orderkey) n_orders, COUNT(*) n_lines,
+    COUNT(DISTINCT l_suppkey) n_supp
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY o_custkey HAVING COUNT(DISTINCT l_orderkey) >= 2),
+r AS (SELECT c_mktsegment, n_lines,
+    (n_lines - n_supp) * 1000000 DIV n_lines reuse_ppm
+  FROM per JOIN customer ON c_custkey = o_custkey)
+SELECT c_mktsegment, COUNT(*) n_customers, CAST(SUM(n_lines) AS BIGINT) n_lines,
+  CAST(MIN(reuse_ppm) AS BIGINT) min_reuse_ppm,
+  CAST(MAX(reuse_ppm) AS BIGINT) max_reuse_ppm
+FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q232_diurnal_distance" -> """
+WITH th AS (SELECT event_type, hour(ts) h, COUNT(*) n_th FROM events GROUP BY event_type, h),
+tt AS (SELECT event_type, CAST(SUM(n_th) AS BIGINT) n_t FROM th GROUP BY event_type),
+hours AS (SELECT DISTINCT h FROM th),
+prof AS (SELECT tt.event_type, hours.h,
+    CAST(COALESCE(th.n_th, 0) * 1000000 DIV tt.n_t AS BIGINT) ppm
+  FROM tt CROSS JOIN hours
+  LEFT JOIN th ON th.event_type = tt.event_type AND th.h = hours.h)
+SELECT a.event_type t1, b.event_type t2,
+  CAST(SUM(abs(a.ppm - b.ppm)) DIV 2 AS BIGINT) tv_ppm
+FROM prof a JOIN prof b ON b.h = a.h AND a.event_type < b.event_type
+GROUP BY t1, t2 ORDER BY t1, t2"""
   ).map { case (k, v) => k -> v.trim }
 }
