@@ -1120,6 +1120,207 @@ prof AS (SELECT tt.event_type, hours.h,
 SELECT a.event_type t1, b.event_type t2,
   CAST(SUM(abs(a.ppm - b.ppm)) DIV 2 AS BIGINT) tv_ppm
 FROM prof a JOIN prof b ON b.h = a.h AND a.event_type < b.event_type
-GROUP BY t1, t2 ORDER BY t1, t2"""
+GROUP BY t1, t2 ORDER BY t1, t2""",
+
+    "q65_repetition" -> """
+WITH d AS (SELECT doc_id, split(lower(text), ' ') l FROM documents),
+t AS (SELECT doc_id, size(l) nt, size(array_distinct(l)) nd FROM d WHERE size(l) >= 2),
+i AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 2)
+      LATERAL VIEW explode(sequence(1, size(l) - 1)) e AS i),
+bg AS (SELECT doc_id, element_at(l, i) || ' ' || element_at(l, i + 1) bg FROM i),
+bc AS (SELECT doc_id, bg, COUNT(*) c FROM bg GROUP BY doc_id, bg),
+tb AS (SELECT doc_id, MAX(c) maxc, SUM(c) tot FROM bc GROUP BY doc_id)
+SELECT t.doc_id, t.nt n_tokens,
+  CAST(ROUND(1 - CAST(nd AS DOUBLE) / nt, 6) AS DOUBLE) dup_word_frac,
+  CAST(ROUND(CAST(maxc AS DOUBLE) / tot, 6) AS DOUBLE) top_bigram_frac
+FROM t JOIN tb ON tb.doc_id = t.doc_id
+ORDER BY t.doc_id LIMIT 25""",
+
+    "q67_contamination" -> """
+WITH d AS (SELECT doc_id, source, split(lower(text), ' ') l FROM documents),
+s AS (SELECT doc_id, source, i, l FROM (SELECT * FROM d WHERE size(l) >= 5)
+      LATERAL VIEW explode(sequence(1, size(l) - 4)) e AS i),
+sh AS (SELECT DISTINCT doc_id, source,
+         concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2),
+                   element_at(l, i + 3), element_at(l, i + 4)) sh
+       FROM s),
+ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+cont AS (SELECT DISTINCT sh.doc_id FROM sh WHERE source != 'src0' AND sh IN (SELECT sh FROM ev))
+SELECT d.source, COUNT(*) AS n_train_docs,
+  CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM d LEFT JOIN cont ON d.doc_id = cont.doc_id
+WHERE d.source != 'src0'
+GROUP BY d.source ORDER BY d.source""",
+
+    "q103_concat_packing" -> """
+WITH d AS (SELECT doc_id, source,
+  size(filter(split(lower(text), ' '), x -> x != '')) n FROM documents),
+p AS (SELECT source, n,
+  CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM d WHERE n > 0),
+g AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS toks,
+  CAST(SUM(CASE WHEN st DIV 512 < (st + n - 1) DIV 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+  FROM p GROUP BY source)
+SELECT source, n_docs, toks, (toks + 511) DIV 512 AS n_bins, n_split_docs,
+  (toks - ((toks + 511) DIV 512 - 1) * 512) * 1000000 DIV 512 AS tail_fill_ppm
+FROM g ORDER BY source""",
+
+    "q116_intradoc_repeat" -> """
+WITH d AS (SELECT doc_id, source, filter(split(lower(text), ' '), x -> x != '') l FROM documents),
+s AS (SELECT doc_id, source, i, l FROM (SELECT * FROM d WHERE size(l) >= 2)
+      LATERAL VIEW explode(sequence(1, size(l) - 1)) e AS i),
+bg AS (SELECT doc_id, source, element_at(l, i) || ' ' || element_at(l, i + 1) g FROM s),
+c AS (SELECT doc_id, source, g, COUNT(*) c FROM bg GROUP BY ALL),
+pd AS (SELECT doc_id, source, SUM(c) tot, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) dup FROM c GROUP BY ALL)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(tot) AS BIGINT) AS total_bigrams,
+  CAST(SUM(dup) AS BIGINT) AS dup_bigrams,
+  CAST(SUM(dup) * 1000000 DIV SUM(tot) AS BIGINT) AS dup_ppm
+FROM pd GROUP BY source ORDER BY source""",
+
+    "q119_stopword_scrub" -> """
+WITH d AS (SELECT source, filter(split(lower(text), ' '), x -> x != '') l FROM documents),
+sc AS (SELECT source, size(l) nt,
+        length(array_join(l, ' ')) len_orig,
+        filter(l, x -> x NOT IN ('the', 'a')) kept FROM d),
+pd AS (SELECT source, nt, nt - size(kept) removed,
+        len_orig - length(array_join(kept, ' ')) chars_removed FROM sc)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_toks,
+  CAST(SUM(removed) AS BIGINT) AS toks_removed,
+  CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
+  CAST(SUM(removed) * 1000000 DIV SUM(nt) AS BIGINT) AS removed_ppm
+FROM pd GROUP BY source ORDER BY source""",
+
+    "q180_tax_discount_grid" -> """
+WITH li AS (SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) disc_pct,
+    CAST(ROUND(l_tax * 100, 0) AS BIGINT) tax_pct,
+    CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) net_d,
+    CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * CAST(l_tax AS DECIMAL(4,2)) tax_d
+  FROM lineitem)
+SELECT disc_pct, tax_pct, COUNT(*) n_items,
+  CAST(SUM(net_d) AS DOUBLE) net_revenue,
+  CAST(SUM(tax_d) AS DOUBLE) tax_collected,
+  CAST(CAST(SUM(tax_d) * 1000000 AS BIGINT) * 1000000 DIV CAST(SUM(net_d) * 1000000 AS BIGINT) AS BIGINT) effective_tax_ppm
+FROM li GROUP BY disc_pct, tax_pct ORDER BY disc_pct, tax_pct""",
+
+    "q194_trend_persistence" -> """
+WITH e AS (SELECT event_id, user_id, event_type, value, unix_micros(ts) us FROM events),
+p AS (SELECT event_type, value,
+    LAG(value) OVER (PARTITION BY user_id ORDER BY us, event_id) prev
+  FROM e)
+SELECT event_type, COUNT(*) n_pairs,
+  CAST(SUM(CASE WHEN value > prev THEN 1 ELSE 0 END) AS BIGINT) n_up,
+  CAST(SUM(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT) n_down,
+  CAST(CAST(SUM(CASE WHEN value > prev THEN 1 ELSE 0 END) AS BIGINT) * 1000000 DIV COUNT(*) AS BIGINT) up_ppm,
+  CAST(CAST(SUM(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT) * 1000000 DIV COUNT(*) AS BIGINT) down_ppm
+FROM p WHERE prev IS NOT NULL
+GROUP BY event_type ORDER BY event_type""",
+
+    "q199_dual_sourcing" -> """
+WITH ps AS (SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) sc
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+per AS (SELECT l_partkey, COUNT(*) n_suppliers,
+    CAST(SUM(sc) AS BIGINT) pc, CAST(MAX(sc) AS BIGINT) mx
+  FROM ps GROUP BY l_partkey),
+dec AS (SELECT n_suppliers, mx * 1000000 DIV pc DIV 100000 top_share_decile, pc FROM per)
+SELECT n_suppliers, CAST(top_share_decile AS BIGINT) top_share_decile,
+  COUNT(*) n_parts, CAST(SUM(pc) AS BIGINT) cents4
+FROM dec GROUP BY n_suppliers, top_share_decile
+ORDER BY n_suppliers, top_share_decile""",
+
+    "q212_tv_drift" -> """
+WITH tb AS (SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) b, COUNT(*) n_tb
+  FROM events GROUP BY event_type, b),
+tt AS (SELECT event_type, CAST(SUM(n_tb) AS BIGINT) n_t FROM tb GROUP BY event_type),
+gb AS (SELECT b, CAST(SUM(n_tb) AS BIGINT) n_b FROM tb GROUP BY b),
+g AS (SELECT CAST(SUM(n_tb) AS BIGINT) n FROM tb),
+grid AS (SELECT tt.event_type, tt.n_t, gb.b, gb.n_b,
+    COALESCE(tb.n_tb, 0) n_tb
+  FROM tt CROSS JOIN gb
+  LEFT JOIN tb ON tb.event_type = tt.event_type AND tb.b = gb.b)
+SELECT event_type, n_t n, COUNT(*) n_buckets,
+  CAST(SUM(abs(n_tb * 1000000 DIV n_t - n_b * 1000000 DIV n)) DIV 2 AS BIGINT) tv_ppm
+FROM grid CROSS JOIN g
+GROUP BY event_type, n_t ORDER BY event_type""",
+
+    "q222_priority_escalation" -> """
+WITH o AS (SELECT o_custkey, CAST(substring(o_orderpriority, 1, 1) AS INT) ord,
+    LAG(CAST(substring(o_orderpriority, 1, 1) AS INT))
+      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) prev
+  FROM orders),
+tr AS (SELECT o_custkey,
+    CASE WHEN ord < prev THEN 1 ELSE 0 END esc,
+    CASE WHEN ord > prev THEN 1 ELSE 0 END de
+  FROM o WHERE prev IS NOT NULL)
+SELECT c_mktsegment, COUNT(*) n_transitions,
+  CAST(SUM(esc) AS BIGINT) n_esc, CAST(SUM(de) AS BIGINT) n_de,
+  CAST(SUM(esc) * 1000000 DIV COUNT(*) AS BIGINT) esc_ppm,
+  CAST(SUM(de) * 1000000 DIV COUNT(*) AS BIGINT) de_ppm
+FROM tr JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q233_balance_census" -> """
+WITH pop AS (
+  SELECT c_nationkey nk, c_acctbal bal, 'customer' AS role FROM customer
+  UNION ALL
+  SELECT s_nationkey nk, s_acctbal bal, 'supplier' AS role FROM supplier),
+banded AS (SELECT n_name, role,
+    CASE WHEN bal < 0 THEN 'a_neg' WHEN bal < 1000 THEN 'b_low'
+         WHEN bal < 5000 THEN 'c_mid' ELSE 'd_high' END band,
+    COUNT(*) n
+  FROM pop JOIN nation ON n_nationkey = nk GROUP BY n_name, role, band),
+tot AS (SELECT n_name, role, CAST(SUM(n) AS BIGINT) nt FROM banded GROUP BY n_name, role)
+SELECT b.n_name, b.role, b.band, b.n,
+  CAST(b.n * 1000000 DIV t.nt AS BIGINT) share_ppm
+FROM banded b JOIN tot t ON t.n_name = b.n_name AND t.role = b.role
+ORDER BY b.n_name, b.role, b.band""",
+
+    // Spark datediff(end, start); DuckDB datediff('day', start, end)
+    "q243_order_overlap" -> """
+WITH per AS (SELECT o_custkey, o_orderkey, o_orderdate, MAX(l_shipdate) last_ship
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, o_orderkey, o_orderdate),
+lagd AS (SELECT o_custkey, o_orderdate,
+    LAG(last_ship) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) prev_ship
+  FROM per),
+p AS (SELECT o_custkey,
+    CASE WHEN prev_ship > o_orderdate THEN 1 ELSE 0 END ov
+  FROM lagd WHERE prev_ship IS NOT NULL)
+SELECT c_mktsegment, COUNT(*) n_pairs, CAST(SUM(ov) AS BIGINT) n_overlap,
+  CAST(SUM(ov) * 1000000 DIV COUNT(*) AS BIGINT) overlap_ppm
+FROM p JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q245_reciprocal_trade" -> """
+WITH m AS (SELECT cn.n_name cnat, sn.n_name snat,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) DIV 100 AS BIGINT) rev
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer c ON c.c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN supplier s ON s.s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  GROUP BY cnat, snat)
+SELECT f.cnat a, f.snat b, f.rev rev_ab, r.rev rev_ba,
+  CAST(abs(f.rev - r.rev) * 1000000 DIV (f.rev + r.rev) AS BIGINT) asym_ppm
+FROM m f JOIN m r ON r.cnat = f.snat AND r.snat = f.cnat
+WHERE f.cnat < f.snat ORDER BY a, b""",
+
+    "q246_dormancy_revival" -> """
+WITH lagd AS (SELECT o_custkey, o_orderdate,
+    LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) prev_d
+  FROM orders),
+g AS (SELECT o_custkey, datediff(o_orderdate, prev_d) gap
+  FROM lagd WHERE prev_d IS NOT NULL),
+per AS (SELECT o_custkey, COUNT(*) n_gaps, MAX(gap) max_gap,
+    CAST(SUM(CASE WHEN gap >= 365 THEN 1 ELSE 0 END) AS BIGINT) n_dormant
+  FROM g GROUP BY o_custkey)
+SELECT c_mktsegment, COUNT(*) n_customers,
+  CAST(SUM(CASE WHEN n_dormant >= 1 THEN 1 ELSE 0 END) AS BIGINT) n_revived,
+  CAST(SUM(CASE WHEN n_dormant >= 1 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) revived_ppm,
+  CAST(MAX(max_gap) AS BIGINT) max_gap_days
+FROM per JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   ).map { case (k, v) => k -> v.trim }
 }
