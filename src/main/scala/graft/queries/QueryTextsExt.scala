@@ -1321,6 +1321,151 @@ SELECT c_mktsegment, COUNT(*) n_customers,
   CAST(SUM(CASE WHEN n_dormant >= 1 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) revived_ppm,
   CAST(MAX(max_gap) AS BIGINT) max_gap_days
 FROM per JOIN customer ON c_custkey = o_custkey
-GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q80_tfidf_topterm" -> """
+WITH tk AS (SELECT doc_id, tok FROM documents
+            LATERAL VIEW explode(filter(split(lower(text), ' '), x -> x != '')) t AS tok),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY doc_id),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+sc AS (SELECT tf.doc_id, tf.tok, tf.tf * 1000000000 DIV (dl.len * df.df) AS score
+       FROM tf JOIN dl USING (doc_id) JOIN df USING (tok)),
+top AS (SELECT doc_id, tok,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+        FROM sc)
+SELECT tok AS term, COUNT(*) AS n_docs_top
+FROM top WHERE rn = 1
+GROUP BY tok ORDER BY n_docs_top DESC, term LIMIT 20""",
+
+    "q88_bigram_lm" -> """
+WITH d AS (SELECT filter(split(lower(text), ' '), x -> x != '') l FROM documents),
+p AS (SELECT i, l FROM (SELECT * FROM d WHERE size(l) >= 2)
+      LATERAL VIEW explode(sequence(1, size(l) - 1)) e AS i),
+bg AS (SELECT element_at(l, i) tok, element_at(l, i + 1) nxt FROM p),
+cnt AS (SELECT tok, nxt, COUNT(*) c FROM bg GROUP BY tok, nxt),
+tot AS (SELECT tok, CAST(SUM(c) AS BIGINT) t FROM cnt GROUP BY tok),
+top AS (SELECT tok, nxt, c, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY c DESC, nxt) rn FROM cnt)
+SELECT tot.tok AS tok, tot.t AS n_follow, top.nxt AS top_next,
+  CAST(top.c AS BIGINT) AS top_c,
+  CAST(top.c * 1000000 DIV tot.t AS BIGINT) AS p_ppm
+FROM tot JOIN top ON top.tok = tot.tok AND top.rn = 1
+ORDER BY n_follow DESC, tok LIMIT 20""",
+
+    "q155_head_tail_overlap" -> """
+WITH d AS (SELECT source, filter(split(lower(text), ' '), x -> x != '') toks FROM documents),
+h AS (SELECT source,
+        slice(toks, 1, size(toks) DIV 2) h,
+        slice(toks, size(toks) DIV 2 + 1, size(toks) - size(toks) DIV 2) t2
+      FROM d WHERE size(toks) >= 2),
+j AS (SELECT source,
+        CAST(size(array_distinct(h)) AS BIGINT) nh,
+        CAST(size(array_distinct(t2)) AS BIGINT) ntl,
+        CAST(size(array_distinct(concat(h, t2))) AS BIGINT) un
+      FROM h),
+x AS (SELECT source, (nh + ntl - un) * 1000000 DIV un AS jacc FROM j)
+SELECT source, COUNT(*) n_docs,
+  CAST(SUM(jacc) DIV COUNT(*) AS BIGINT) mean_jacc_ppm,
+  CAST(SUM(CASE WHEN jacc >= 500000 THEN 1 ELSE 0 END) AS BIGINT) n_high_overlap
+FROM x GROUP BY source ORDER BY source""",
+
+    "q157_cross_lang_leakage" -> """
+WITH d AS (SELECT lang, filter(split(lower(text), ' '), x -> x != '') t FROM documents),
+s AS (SELECT lang, i, t FROM (SELECT * FROM d WHERE size(t) >= 3)
+      LATERAL VIEW explode(sequence(1, size(t) - 2)) e AS i),
+sl AS (SELECT DISTINCT lang,
+         concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)) sh
+       FROM s),
+vocab AS (SELECT lang, COUNT(*) v FROM sl GROUP BY lang),
+pairs AS (SELECT a.lang lang_a, b.lang lang_b, COUNT(*) n_shared
+          FROM sl a JOIN sl b ON a.sh = b.sh AND a.lang < b.lang
+          GROUP BY a.lang, b.lang)
+SELECT p.lang_a, p.lang_b, p.n_shared,
+  CAST(p.n_shared * 1000000 DIV LEAST(va.v, vb.v) AS BIGINT) leak_ppm
+FROM pairs p JOIN vocab va ON va.lang = p.lang_a
+JOIN vocab vb ON vb.lang = p.lang_b
+ORDER BY p.lang_a, p.lang_b""",
+
+    "q174_source_concentration" -> """
+WITH by_src AS (SELECT source, COUNT(*) n_docs, CAST(SUM(n_chars) AS BIGINT) chars
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(chars) AS BIGINT) tot FROM by_src),
+shares AS (SELECT source, n_docs, chars,
+    CAST(chars * 1000000 DIV tot.tot AS BIGINT) share_ppm FROM by_src CROSS JOIN tot),
+hhi AS (SELECT CAST(CAST(SUM(share_ppm * share_ppm) AS BIGINT) DIV 1000000 AS BIGINT) hhi_ppm FROM shares)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY share_ppm DESC, source) AS BIGINT) rank,
+  source, n_docs, chars n_chars, share_ppm,
+  CAST(SUM(share_ppm) OVER (ORDER BY share_ppm DESC, source
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_share_ppm,
+  hhi.hhi_ppm
+FROM shares CROSS JOIN hhi ORDER BY rank""",
+
+    "q202_doc_meta_audit" -> """
+WITH d AS (SELECT lang, n_chars, CAST(length(text) AS BIGINT) real_chars,
+    CAST(size(split(text, ' ')) AS BIGINT) n_words FROM documents),
+g AS (SELECT lang, COUNT(*) n_docs,
+    CAST(SUM(CASE WHEN n_chars != real_chars THEN 1 ELSE 0 END) AS BIGINT) n_meta_mismatch,
+    CAST(MAX(abs(n_chars - real_chars)) AS BIGINT) max_meta_diff,
+    CAST(SUM(n_words) AS BIGINT) words_total,
+    CAST(MAX(n_words) AS BIGINT) words_max,
+    CAST(SUM(real_chars) AS BIGINT) chars_total
+  FROM d GROUP BY lang)
+SELECT lang, n_docs, n_meta_mismatch, max_meta_diff, words_total, words_max,
+  CAST(words_total DIV n_docs AS BIGINT) words_per_doc,
+  CAST(chars_total * 1000000 DIV words_total AS BIGINT) chars_per_word_ppm
+FROM g ORDER BY lang""",
+
+    "q220_unit_price_audit" -> """
+WITH pu AS (SELECT l_partkey,
+    COUNT(DISTINCT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) * 10000 DIV CAST(l_quantity AS BIGINT)) nu,
+    MIN(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) * 10000 DIV CAST(l_quantity AS BIGINT)) umin,
+    MAX(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) * 10000 DIV CAST(l_quantity AS BIGINT)) umax
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_brand, COUNT(*) n_parts,
+  CAST(SUM(CASE WHEN nu = 1 THEN 1 ELSE 0 END) AS BIGINT) n_consistent,
+  CAST(MAX(nu) AS BIGINT) max_prices,
+  CAST(MAX((umax - umin) * 1000000 DIV umin) AS BIGINT) max_rel_spread_ppm
+FROM pu JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand ORDER BY p_brand""",
+
+    "q239_hhi_drift" -> """
+WITH ys AS (SELECT CAST(year(l_shipdate) AS BIGINT) y, l_suppkey,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) sc
+  FROM lineitem GROUP BY y, l_suppkey),
+yt AS (SELECT y, CAST(SUM(sc) AS BIGINT) yc, COUNT(*) n_suppliers FROM ys GROUP BY y),
+hhi AS (SELECT ys.y, yt.n_suppliers,
+    CAST(SUM((ys.sc * 1000000 DIV yt.yc) * (ys.sc * 1000000 DIV yt.yc)) DIV 1000000 AS BIGINT) hhi_ppm
+  FROM ys JOIN yt ON yt.y = ys.y GROUP BY ys.y, yt.n_suppliers),
+d AS (SELECT y, n_suppliers, hhi_ppm,
+    LAG(hhi_ppm) OVER (ORDER BY y) prev FROM hhi)
+SELECT y, n_suppliers, hhi_ppm,
+  CAST(hhi_ppm - COALESCE(prev, hhi_ppm) AS BIGINT) delta_ppm
+FROM d ORDER BY y""",
+
+    "q251_seasonal_peak" -> """
+WITH bq AS (SELECT p_brand, CAST(quarter(l_shipdate) AS BIGINT) qoy,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) qc
+  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY p_brand, qoy),
+tot AS (SELECT p_brand, CAST(SUM(qc) AS BIGINT) tc FROM bq GROUP BY p_brand),
+mx AS (SELECT p_brand, CAST(MAX(qc) AS BIGINT) mc FROM bq GROUP BY p_brand),
+pk AS (SELECT bq.p_brand, m.mc, MIN(qoy) peak_q
+  FROM bq JOIN mx m ON m.p_brand = bq.p_brand WHERE bq.qc = m.mc
+  GROUP BY bq.p_brand, m.mc)
+SELECT p.p_brand, p.peak_q, CAST(p.mc * 1000000 DIV t.tc AS BIGINT) peak_ppm
+FROM pk p JOIN tot t ON t.p_brand = p.p_brand ORDER BY p.p_brand""",
+
+    "q268_size_profile" -> """
+WITH sc AS (SELECT p_brand, CAST(p_size AS BIGINT) AS sz, COUNT(*) AS c
+  FROM part GROUP BY p_brand, sz),
+tot AS (SELECT p_brand, CAST(SUM(c) AS BIGINT) AS n_parts, COUNT(*) AS n_sizes,
+    CAST(MIN(sz) AS BIGINT) AS min_size, CAST(MAX(sz) AS BIGINT) AS max_size
+  FROM sc GROUP BY p_brand),
+mx AS (SELECT p_brand, CAST(MAX(c) AS BIGINT) AS mc FROM sc GROUP BY p_brand),
+modal AS (SELECT sc.p_brand, mx.mc, MIN(sz) AS modal_size
+  FROM sc JOIN mx ON mx.p_brand = sc.p_brand WHERE sc.c = mx.mc
+  GROUP BY sc.p_brand, mx.mc)
+SELECT t.p_brand, t.n_parts, t.n_sizes, t.min_size, t.max_size,
+  m.modal_size, CAST(m.mc * 1000000 DIV t.n_parts AS BIGINT) AS modal_ppm
+FROM tot t JOIN modal m ON m.p_brand = t.p_brand ORDER BY t.p_brand"""
   ).map { case (k, v) => k -> v.trim }
 }
