@@ -1466,6 +1466,167 @@ modal AS (SELECT sc.p_brand, mx.mc, MIN(sz) AS modal_size
   GROUP BY sc.p_brand, mx.mc)
 SELECT t.p_brand, t.n_parts, t.n_sizes, t.min_size, t.max_size,
   m.modal_size, CAST(m.mc * 1000000 DIV t.n_parts AS BIGINT) AS modal_ppm
-FROM tot t JOIN modal m ON m.p_brand = t.p_brand ORDER BY t.p_brand"""
+FROM tot t JOIN modal m ON m.p_brand = t.p_brand ORDER BY t.p_brand""",
+
+    // DuckDB's ordered string_agg maps to array_join over a
+    // struct-sorted collect_list (array_sort orders by the leading
+    // field, the bit position)
+    "q41_dedup_simhash" -> """
+WITH t AS (SELECT doc_id, tok FROM documents
+           LATERAL VIEW explode(split(lower(text), ' ')) e AS tok
+           WHERE tok != ''),
+bits AS (SELECT doc_id, tok, b FROM t
+         LATERAL VIEW explode(sequence(1, 16)) s AS b),
+contrib AS (SELECT doc_id, b,
+  CASE WHEN instr('0123456789abcdef', substr(md5(tok), b, 1)) - 1 >= 8 THEN 1 ELSE -1 END c
+  FROM bits),
+bitsum AS (SELECT doc_id, b, SUM(c) s FROM contrib GROUP BY doc_id, b),
+sig AS (SELECT doc_id,
+  array_join(transform(array_sort(collect_list(struct(b,
+    CASE WHEN s > 0 THEN '1' ELSE '0' END AS bit))), x -> x.bit), '') sg
+  FROM bitsum GROUP BY doc_id),
+grp AS (SELECT sg, COUNT(*) n FROM sig GROUP BY sg)
+SELECT COUNT(*) n_groups, CAST(SUM(n) AS BIGINT) n_docs,
+       CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) n_near_dupes
+FROM grp""",
+
+    "q45_lang_id" -> """
+WITH t AS (SELECT doc_id, lang, tok FROM documents
+           LATERAL VIEW explode(split(lower(text), ' ')) e AS tok
+           WHERE tok != ''),
+profile AS (SELECT lang pl, tok ptok, COUNT(*) c FROM t GROUP BY lang, tok),
+tot AS (SELECT lang plang, COUNT(*) tc FROM t GROUP BY lang),
+scored AS (
+  SELECT t.doc_id, t.lang, tot.plang, SUM((COALESCE(p.c, 0) * 1000000) DIV tot.tc) score
+  FROM t CROSS JOIN tot
+  LEFT JOIN profile p ON p.pl = tot.plang AND p.ptok = t.tok
+  GROUP BY t.doc_id, t.lang, tot.plang),
+pred AS (SELECT doc_id, lang, plang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) rn FROM scored)
+SELECT lang, plang AS pred_lang, COUNT(*) n FROM pred WHERE rn = 1
+GROUP BY lang, plang ORDER BY lang, pred_lang""",
+
+    "q98_attribution" -> """
+WITH w AS (SELECT user_id, ts, event_type, event_id,
+        MAX(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) last_view
+      FROM events)
+SELECT unix_micros(ts) DIV 86400000000 AS day,
+  COUNT(*) AS n_purchases,
+  CAST(SUM(CASE WHEN last_view IS NOT NULL
+      AND unix_micros(ts) - unix_micros(last_view) <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS attributed,
+  CAST(SUM(CASE WHEN last_view IS NOT NULL
+      AND unix_micros(ts) - unix_micros(last_view) <= 86400000000
+      THEN (unix_micros(ts) - unix_micros(last_view)) DIV 60000000 ELSE 0 END) AS BIGINT) AS attr_latency_min
+FROM w WHERE event_type = 'purchase'
+GROUP BY day ORDER BY day""",
+
+    "q130_temperature_mix" -> """
+WITH t AS (SELECT source,
+             CAST(SUM(size(filter(split(lower(text), ' '), x -> x != ''))) AS BIGINT) AS toks
+           FROM documents GROUP BY source),
+r AS (SELECT source, toks,
+        CAST(CAST(ROUND(SQRT(CAST(toks AS DOUBLE)), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) micro
+      FROM t),
+tot AS (SELECT SUM(toks) tt, SUM(micro) tm FROM r),
+p AS (SELECT source, toks,
+        CAST(toks * 1000000 DIV tot.tt AS BIGINT) natural_ppm,
+        CAST(micro * 1000000 DIV tot.tm AS BIGINT) tempered_ppm
+      FROM r CROSS JOIN tot)
+SELECT source, toks, natural_ppm, tempered_ppm,
+  CAST(tempered_ppm * 100 DIV NULLIF(natural_ppm, 0) AS BIGINT) AS boost_pct
+FROM p ORDER BY source""",
+
+    "q147_equi_depth_hist" -> """
+WITH src AS (
+  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS BIGINT) AS v FROM lineitem
+  UNION ALL
+  SELECT 'p_size', CAST(p_size AS BIGINT) FROM part),
+vc AS (SELECT col_name, v, COUNT(*) AS c FROM src GROUP BY ALL),
+cu AS (SELECT col_name, v, c,
+         SUM(c) OVER (PARTITION BY col_name ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_ex,
+         SUM(c) OVER (PARTITION BY col_name) AS total
+       FROM vc),
+b AS (SELECT col_name, COALESCE(cum_ex, 0) * 8 DIV total AS bucket, v, c FROM cu)
+SELECT col_name, CAST(bucket AS BIGINT) AS bucket, MIN(v) AS lo, MAX(v) AS hi,
+  CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_distinct
+FROM b GROUP BY col_name, bucket ORDER BY col_name, bucket""",
+
+    "q156_gram_diversity" -> """
+WITH d AS (SELECT source, filter(split(lower(text), ' '), x -> x != '') l FROM documents),
+g AS (SELECT source, l FROM d WHERE size(l) >= 3),
+tt AS (SELECT source, COUNT(*) n_docs, SUM(size(l) - 2) total_grams FROM g GROUP BY source),
+s AS (SELECT source, i, l FROM g
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) e AS i),
+dg AS (SELECT DISTINCT source,
+         concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) gram
+       FROM s),
+dc AS (SELECT source, COUNT(*) distinct_grams FROM dg GROUP BY source)
+SELECT tt.source, tt.n_docs,
+  CAST(tt.total_grams AS BIGINT) total_grams,
+  CAST(dc.distinct_grams AS BIGINT) distinct_grams,
+  CAST(dc.distinct_grams * 1000000 DIV tt.total_grams AS BIGINT) diversity_ppm
+FROM tt JOIN dc ON dc.source = tt.source ORDER BY tt.source""",
+
+    "q192_order_regularity" -> """
+WITH o AS (SELECT o_custkey, o_orderkey,
+    CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) d FROM orders),
+g AS (SELECT o_custkey, d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) gap FROM o),
+per_c AS (SELECT o_custkey, COUNT(*) n_orders,
+    CAST(SUM(gap) AS BIGINT) gap_sum, COUNT(gap) n_gaps,
+    CAST(MAX(gap) AS BIGINT) max_gap
+  FROM g GROUP BY o_custkey),
+banded AS (SELECT o_custkey, n_orders, max_gap,
+    CASE WHEN n_gaps = 0 THEN -1 ELSE gap_sum DIV n_gaps DIV 30 END cadence_band
+  FROM per_c)
+SELECT CAST(cadence_band AS BIGINT) cadence_band, COUNT(*) n_customers,
+  CAST(SUM(n_orders) AS BIGINT) n_orders,
+  CAST(MAX(max_gap) AS INT) max_gap_days
+FROM banded GROUP BY cadence_band ORDER BY cadence_band""",
+
+    "q209_rank_agreement" -> """
+WITH rev AS (SELECT l_partkey,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) rev
+  FROM lineitem GROUP BY l_partkey),
+p AS (SELECT p_partkey, p_brand, p_retailprice, COALESCE(r.rev, 0) rev
+  FROM part LEFT JOIN rev r ON r.l_partkey = p_partkey),
+rk AS (SELECT p_brand,
+    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) rp,
+    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) rr
+  FROM p)
+SELECT p_brand, COUNT(*) n_parts, CAST(SUM(abs(rp - rr)) AS BIGINT) footrule,
+  CAST(SUM(abs(rp - rr)) * 1000000 DIV (COUNT(*) * COUNT(*) DIV 2) AS BIGINT) footrule_ppm
+FROM rk GROUP BY p_brand ORDER BY p_brand""",
+
+    "q230_conditional_quantiles" -> """
+WITH dq AS (SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) d,
+    CAST(l_quantity AS BIGINT) qty, COUNT(*) c
+  FROM lineitem GROUP BY d, qty),
+tot AS (SELECT d, CAST(SUM(c) AS BIGINT) n FROM dq GROUP BY d),
+cum AS (SELECT dq.d, qty, CAST(SUM(c) OVER (PARTITION BY dq.d ORDER BY qty) AS BIGINT) cum,
+    t.n FROM dq JOIN tot t ON t.d = dq.d),
+q25 AS (SELECT d, MIN(qty) q25 FROM cum WHERE cum >= (n + 3) DIV 4 GROUP BY d),
+q50 AS (SELECT d, MIN(qty) q50 FROM cum WHERE cum >= (n + 1) DIV 2 GROUP BY d),
+q75 AS (SELECT d, MIN(qty) q75 FROM cum WHERE cum >= (3 * n + 3) DIV 4 GROUP BY d)
+SELECT t.d, t.n, a.q25, b.q50, c.q75
+FROM tot t JOIN q25 a ON a.d = t.d JOIN q50 b ON b.d = t.d JOIN q75 c ON c.d = t.d
+ORDER BY t.d""",
+
+    "q241_dedup_vocab_cost" -> """
+WITH toks0 AS (SELECT doc_id, lang, tok FROM documents
+               LATERAL VIEW explode(split(LOWER(text), ' ')) e AS tok),
+sig AS (SELECT doc_id, lang,
+    MIN(MD5(tok)) h1, MIN(MD5('a' || tok)) h2, MIN(MD5('b' || tok)) h3
+  FROM toks0 WHERE tok != '' GROUP BY doc_id, lang),
+keep AS (SELECT MIN(doc_id) doc_id FROM sig GROUP BY h1, h2, h3),
+before AS (SELECT lang, COUNT(DISTINCT tok) vocab_before
+  FROM toks0 WHERE tok != '' GROUP BY lang),
+after AS (SELECT lang, COUNT(DISTINCT tok) vocab_after
+  FROM toks0 JOIN keep USING (doc_id) WHERE tok != '' GROUP BY lang)
+SELECT b.lang, b.vocab_before, a.vocab_after,
+  CAST((b.vocab_before - a.vocab_after) * 1000000 DIV b.vocab_before AS BIGINT) lost_ppm
+FROM before b JOIN after a ON a.lang = b.lang ORDER BY b.lang"""
   ).map { case (k, v) => k -> v.trim }
 }
