@@ -1627,6 +1627,192 @@ after AS (SELECT lang, COUNT(DISTINCT tok) vocab_after
   FROM toks0 JOIN keep USING (doc_id) WHERE tok != '' GROUP BY lang)
 SELECT b.lang, b.vocab_before, a.vocab_after,
   CAST((b.vocab_before - a.vocab_after) * 1000000 DIV b.vocab_before AS BIGINT) lost_ppm
-FROM before b JOIN after a ON a.lang = b.lang ORDER BY b.lang"""
+FROM before b JOIN after a ON a.lang = b.lang ORDER BY b.lang""",
+
+    "q48_fingerprint" -> """
+WITH d AS (SELECT doc_id, split(lower(text), ' ') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) e AS i),
+sh AS (SELECT DISTINCT doc_id,
+         md5(concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2))) h
+       FROM s),
+rk AS (SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) rn FROM sh),
+fp AS (SELECT doc_id, md5(concat(
+         MAX(CASE WHEN rn=1 THEN h ELSE '' END), '|', MAX(CASE WHEN rn=2 THEN h ELSE '' END), '|',
+         MAX(CASE WHEN rn=3 THEN h ELSE '' END), '|', MAX(CASE WHEN rn=4 THEN h ELSE '' END))) f
+       FROM rk WHERE rn <= 4 GROUP BY doc_id),
+grp AS (SELECT f, COUNT(*) n FROM fp GROUP BY f)
+SELECT COUNT(*) n_fingerprints, CAST(SUM(n) AS BIGINT) n_docs,
+       CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) n_shared
+FROM grp""",
+
+    "q94_winsorize" -> """
+WITH f AS (SELECT l_returnflag flag,
+    ROUND(percentile(l_extendedprice, 0.05), 6) lo,
+    ROUND(percentile(l_extendedprice, 0.95), 6) hi
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag, f.lo, f.hi, COUNT(*) AS n,
+  CAST(SUM(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+  CAST(SUM(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+  CAST(SUM(CASE WHEN l.l_extendedprice < f.lo THEN CAST(f.lo AS DECIMAL(18,6))
+                WHEN l.l_extendedprice > f.hi THEN CAST(f.hi AS DECIMAL(18,6))
+                ELSE CAST(l.l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE) AS wsum
+FROM lineitem l JOIN f ON f.flag = l.l_returnflag
+GROUP BY l.l_returnflag, f.lo, f.hi ORDER BY l.l_returnflag""",
+
+    "q100_curation_pipeline" -> """
+WITH rep AS (SELECT MIN(doc_id) doc_id FROM documents GROUP BY md5(text)),
+u AS (SELECT d.* FROM documents d LEFT SEMI JOIN rep ON rep.doc_id = d.doc_id),
+k AS (SELECT * FROM u WHERE substr(md5(CAST(doc_id AS STRING)), 1, 8) <= CASE source
+  WHEN 'src0' THEN 'ffffffff' WHEN 'src1' THEN 'bfffffff'
+  WHEN 'src2' THEN '7fffffff' WHEN 'src3' THEN '3fffffff'
+  WHEN 'src4' THEN '19999999' ELSE '7fffffff' END),
+s AS (SELECT *, CASE WHEN md5('s:' || CAST(doc_id AS STRING)) < 'c' THEN 'train'
+                     WHEN md5('s:' || CAST(doc_id AS STRING)) < 'e' THEN 'val'
+                     ELSE 'test' END split FROM k)
+SELECT split, source, COUNT(*) AS n_docs,
+  CAST(SUM(size(filter(split(lower(text), ' '), x -> x != ''))) AS BIGINT) AS toks
+FROM s GROUP BY split, source ORDER BY split, source""",
+
+    "q117_span_dedup" -> """
+WITH d AS (SELECT doc_id, filter(split(lower(text), ' '), x -> x != '') l FROM documents),
+tot AS (SELECT CAST(SUM(size(l)) AS BIGINT) total_tokens FROM d),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 8)
+      LATERAL VIEW explode(sequence(1, size(l) - 7)) e AS i),
+g AS (SELECT doc_id, i, array_join(slice(l, i, 8), ' ') gram FROM s),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT doc_id, p FROM
+        (SELECT doc_id, p FROM (SELECT doc_id, i FROM g LEFT SEMI JOIN dup USING (gram))
+         LATERAL VIEW explode(sequence(i, i + 7)) e AS p)),
+agg AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) docs_affected,
+               CAST(COUNT(*) AS BIGINT) covered FROM cov)
+SELECT docs_affected, covered AS covered_tokens, total_tokens,
+  CAST(covered * 1000000 DIV total_tokens AS BIGINT) AS covered_ppm
+FROM agg, tot""",
+
+    "q168_token_shape_mix" -> """
+WITH d AS (SELECT lang, filter(split(lower(text), ' '), x -> x != '') toks FROM documents),
+t AS (SELECT lang,
+    CAST(size(toks) AS BIGINT) n_toks,
+    CAST(aggregate(transform(toks, x -> length(x)), 0, (acc, v) -> acc + v) AS BIGINT) sum_len,
+    CAST(size(filter(toks, x -> length(x) <= 3)) AS BIGINT) n_short,
+    CAST(size(filter(toks, x -> length(x) >= 8)) AS BIGINT) n_long
+  FROM d WHERE size(toks) > 0)
+SELECT lang, COUNT(*) n_docs,
+  CAST(SUM(n_toks) AS BIGINT) n_tokens,
+  CAST(CAST(SUM(sum_len) AS BIGINT) * 100 DIV CAST(SUM(n_toks) AS BIGINT) AS BIGINT) mean_len_centichar,
+  CAST(CAST(SUM(n_short) AS BIGINT) * 1000000 DIV CAST(SUM(n_toks) AS BIGINT) AS BIGINT) short_ppm,
+  CAST(CAST(SUM(n_long) AS BIGINT) * 1000000 DIV CAST(SUM(n_toks) AS BIGINT) AS BIGINT) long_ppm
+FROM t GROUP BY lang ORDER BY lang""",
+
+    "q193_region_rollup" -> """
+WITH by_nation AS (SELECT r_name region, n_name nation,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) cents,
+    COUNT(*) n_orders
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY r_name, n_name),
+reg AS (SELECT region, CAST(SUM(cents) AS BIGINT) reg_cents FROM by_nation GROUP BY region),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) tot_cents FROM by_nation)
+SELECT b.region, b.nation, b.n_orders,
+  CAST(b.cents AS DOUBLE) / 100 net_revenue,
+  CAST(b.cents * 1000000 DIV r.reg_cents AS BIGINT) nation_share_of_region_ppm,
+  CAST(r.reg_cents * 1000000 DIV tot.tot_cents AS BIGINT) region_share_ppm
+FROM by_nation b JOIN reg r ON r.region = b.region CROSS JOIN tot
+ORDER BY b.region, b.nation""",
+
+    "q195_nation_supplier_hhi" -> """
+WITH per_s AS (SELECT n_name nation, s_suppkey,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) cents
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY n_name, s_suppkey),
+nat AS (SELECT nation, CAST(SUM(cents) AS BIGINT) nat_cents, COUNT(*) n_suppliers
+  FROM per_s GROUP BY nation),
+shares AS (SELECT p.nation, n.n_suppliers, n.nat_cents,
+    CAST(p.cents * 1000000 DIV n.nat_cents AS BIGINT) share_ppm
+  FROM per_s p JOIN nat n ON n.nation = p.nation)
+SELECT nation, MIN(n_suppliers) n_suppliers,
+  CAST(MIN(nat_cents) AS DOUBLE) / 10000 net_revenue,
+  CAST(CAST(SUM(share_ppm * share_ppm) AS BIGINT) DIV 1000000 AS BIGINT) hhi_ppm
+FROM shares GROUP BY nation ORDER BY nation""",
+
+    "q205_sole_late_supplier" -> """
+WITH per_supp AS (SELECT l_orderkey, l_suppkey,
+    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY l_orderkey, l_suppkey),
+sole AS (SELECT l_orderkey, COUNT(*) n_supp,
+    CAST(SUM(late) AS BIGINT) n_late,
+    MAX(CASE WHEN late = 1 THEN l_suppkey END) blame
+  FROM per_supp GROUP BY l_orderkey
+  HAVING COUNT(*) >= 2 AND SUM(late) = 1),
+tot AS (SELECT COUNT(*) g_orders FROM sole),
+sn AS (SELECT s_suppkey, n_name FROM supplier JOIN nation ON n_nationkey = s_nationkey)
+SELECT n_name, COUNT(*) n_orders, COUNT(DISTINCT blame) n_suppliers,
+  CAST(COUNT(*) * 1000000 DIV g_orders AS BIGINT) share_ppm
+FROM sole JOIN sn ON s_suppkey = blame CROSS JOIN tot
+GROUP BY n_name, g_orders ORDER BY n_name""",
+
+    "q216_revenue_momentum" -> """
+WITH day AS (SELECT CAST(o_orderdate AS DATE) d,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) rev
+  FROM orders GROUP BY d),
+sg AS (SELECT d, CAST(sign(rev - LAG(rev, 1) OVER (ORDER BY d)) AS BIGINT) dir FROM day),
+lg AS (SELECT dir, LAG(dir, 1) OVER (ORDER BY d) pdir1,
+    LAG(dir, 7) OVER (ORDER BY d) pdir7 FROM sg)
+SELECT COUNT(*) n_days,
+  CAST(SUM(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS BIGINT) up_days,
+  CAST(SUM(CASE WHEN dir <> 0 AND pdir1 <> 0 AND dir = pdir1 THEN 1 ELSE 0 END) * 1000000
+    DIV SUM(CASE WHEN dir <> 0 AND pdir1 <> 0 THEN 1 ELSE 0 END) AS BIGINT) mom1_ppm,
+  CAST(SUM(CASE WHEN dir <> 0 AND pdir7 <> 0 AND dir = pdir7 THEN 1 ELSE 0 END) * 1000000
+    DIV SUM(CASE WHEN dir <> 0 AND pdir7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) mom7_ppm
+FROM lg""",
+
+    "q249_style_fingerprint" -> """
+WITH d AS (SELECT source, filter(split(lower(text), ' '), x -> x != '') l FROM documents),
+p AS (SELECT source, i, l FROM (SELECT * FROM d WHERE size(l) >= 2)
+      LATERAL VIEW explode(sequence(1, size(l) - 1)) e AS i),
+bg AS (SELECT source, element_at(l, i) || '>' || element_at(l, i + 1) bigram FROM p),
+c AS (SELECT source, bigram, COUNT(*) c FROM bg GROUP BY source, bigram),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) n_bigrams FROM c GROUP BY source),
+mx AS (SELECT source, CAST(MAX(c) AS BIGINT) mc FROM c GROUP BY source),
+top AS (SELECT c.source, m.mc, MIN(bigram) top_bigram
+  FROM c JOIN mx m ON m.source = c.source WHERE c.c = m.mc GROUP BY c.source, m.mc)
+SELECT t.source, t.n_bigrams, p.top_bigram, p.mc top_n,
+  CAST(p.mc * 1000000 DIV t.n_bigrams AS BIGINT) top_share_ppm
+FROM tot t JOIN top p ON p.source = t.source ORDER BY t.source""",
+
+    "q254_specialist_suppliers" -> """
+WITH sb AS (SELECT l_suppkey, p_brand, COUNT(*) n_sb
+  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY l_suppkey, p_brand),
+ms AS (SELECT l_suppkey, CAST(SUM(n_sb) AS BIGINT) n_s FROM sb GROUP BY l_suppkey),
+mb AS (SELECT p_brand, CAST(SUM(n_sb) AS BIGINT) n_b FROM sb GROUP BY p_brand),
+g AS (SELECT CAST(SUM(n_sb) AS BIGINT) n FROM sb),
+lift AS (SELECT sb.p_brand,
+    sb.n_sb * g.n * 1000000 DIV (ms.n_s * mb.n_b) lift_ppm
+  FROM sb JOIN ms ON ms.l_suppkey = sb.l_suppkey
+  JOIN mb ON mb.p_brand = sb.p_brand CROSS JOIN g)
+SELECT p_brand, COUNT(*) n_active,
+  CAST(SUM(CASE WHEN lift_ppm >= 2000000 THEN 1 ELSE 0 END) AS BIGINT) n_specialists,
+  CAST(SUM(CASE WHEN lift_ppm >= 2000000 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) specialist_ppm
+FROM lift GROUP BY p_brand ORDER BY p_brand""",
+
+    "q261_value_gains_curve" -> """
+WITH rev AS (SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY o_custkey),
+rc AS (SELECT rev, COUNT(*) AS c FROM rev GROUP BY rev),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM rc),
+dec AS (SELECT (CAST(SUM(c) OVER (ORDER BY rev) AS BIGINT) - 1) * 10 DIV n.n AS decile,
+    c, rev FROM rc CROSS JOIN n),
+cur AS (SELECT decile, CAST(SUM(c) AS BIGINT) AS n_customers,
+    CAST(SUM(rev * c) AS BIGINT) AS d_rev
+  FROM dec GROUP BY decile),
+tot AS (SELECT CAST(SUM(d_rev) AS BIGINT) AS t_rev FROM cur)
+SELECT decile, n_customers,
+  CAST(d_rev * 1000000 DIV t_rev AS BIGINT) AS share_ppm,
+  CAST(CAST(SUM(d_rev) OVER (ORDER BY decile DESC) AS BIGINT) * 1000000 DIV t_rev AS BIGINT) AS cum_from_top_ppm
+FROM cur CROSS JOIN tot ORDER BY decile"""
   ).map { case (k, v) => k -> v.trim }
 }
