@@ -1813,6 +1813,177 @@ tot AS (SELECT CAST(SUM(d_rev) AS BIGINT) AS t_rev FROM cur)
 SELECT decile, n_customers,
   CAST(d_rev * 1000000 DIV t_rev AS BIGINT) AS share_ppm,
   CAST(CAST(SUM(d_rev) OVER (ORDER BY decile DESC) AS BIGINT) * 1000000 DIV t_rev AS BIGINT) AS cum_from_top_ppm
-FROM cur CROSS JOIN tot ORDER BY decile"""
+FROM cur CROSS JOIN tot ORDER BY decile""",
+
+    "q42_dedup_ngram_jaccard" -> """
+WITH d AS (SELECT doc_id, split(lower(text), ' ') l FROM documents
+           WHERE size(split(lower(text), ' ')) >= 3),
+s AS (SELECT doc_id, i, l FROM d
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) t AS i),
+sh AS (SELECT DISTINCT doc_id,
+         concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh
+       FROM s),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) nt FROM shk GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+jac AS (SELECT x.i, x.j, CAST(x.ci AS DOUBLE) / (ca.nt + cb.nt - x.ci) jc
+        FROM inter x
+        JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j)
+SELECT COUNT(*) n_pairs, CAST(ROUND(AVG(CAST(jc AS DECIMAL(18,9))), 6) AS DOUBLE) avg_j, ROUND(MAX(jc), 6) max_j
+FROM jac WHERE jc >= 0.2""",
+
+    "q82_containment" -> """
+WITH d AS (SELECT doc_id, split(lower(text), ' ') l FROM documents
+           WHERE size(split(lower(text), ' ')) >= 3),
+s AS (SELECT doc_id, i, l FROM d
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) t AS i),
+sh AS (SELECT DISTINCT doc_id,
+         concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh
+       FROM s),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) AS nt FROM shk GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT COUNT(*) AS n_pairs,
+  CAST(SUM(CASE WHEN ci * 10 >= nt * 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+  CAST(ROUND(AVG(CAST(CAST(ci AS DOUBLE) / nt AS DECIMAL(18,9))), 6) AS DOUBLE) AS avg_ct,
+  ROUND(MAX(CAST(ci AS DOUBLE) / nt), 6) AS max_ct
+FROM inter JOIN card ON inter.i = card.doc_id""",
+
+    "q95_cooccur_lift" -> """
+WITH dt AS (SELECT DISTINCT doc_id, tok FROM documents
+            LATERAL VIEW explode(filter(split(lower(text), ' '), x -> x != '')) e AS tok),
+dfreq AS (SELECT tok, COUNT(*) c FROM dt GROUP BY tok),
+vocab AS (SELECT tok, c FROM (SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) rn FROM dfreq) WHERE rn <= 1000),
+dv AS (SELECT dt.doc_id, dt.tok FROM dt LEFT SEMI JOIN vocab ON vocab.tok = dt.tok),
+pair AS (SELECT a.tok ta, b.tok tb, COUNT(*) cab
+         FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY a.tok, b.tok),
+nd AS (SELECT COUNT(*) n FROM documents)
+SELECT p.ta, p.tb, p.cab,
+  CAST(p.cab * nd.n * 1000000 DIV (va.c * vb.c) AS BIGINT) AS lift_ppm
+FROM pair p CROSS JOIN nd
+JOIN vocab va ON va.tok = p.ta JOIN vocab vb ON vb.tok = p.tb
+WHERE p.cab >= 5
+ORDER BY lift_ppm DESC, p.ta, p.tb LIMIT 20""",
+
+    "q160_packing_curve" -> """
+WITH d AS (SELECT size(filter(split(lower(text), ' '), x -> x != '')) n FROM documents),
+t AS (SELECT CAST(n AS BIGINT) n FROM d WHERE n > 0),
+ctx AS (SELECT CAST(c AS BIGINT) ctx FROM (SELECT explode(array(512, 1024, 2048, 4096)) c)),
+a AS (SELECT ctx, COUNT(*) n_docs, SUM(n) total_tokens,
+        SUM(GREATEST(0, ctx - n)) solo_pad, SUM(GREATEST(0, n - ctx)) solo_trunc
+      FROM t CROSS JOIN ctx GROUP BY ctx)
+SELECT ctx, n_docs, CAST(total_tokens AS BIGINT) total_tokens,
+  CAST(solo_pad * 1000000 DIV (n_docs * ctx) AS BIGINT) solo_pad_ppm,
+  CAST(solo_trunc * 1000000 DIV total_tokens AS BIGINT) solo_trunc_ppm,
+  CAST((total_tokens + ctx - 1) DIV ctx AS BIGINT) concat_bins,
+  CAST(((total_tokens + ctx - 1) DIV ctx * ctx - total_tokens) * 1000000
+       DIV ((total_tokens + ctx - 1) DIV ctx * ctx) AS BIGINT) concat_waste_ppm
+FROM a ORDER BY ctx""",
+
+    "q169_nation_trade_matrix" -> """
+WITH pairs AS (SELECT ns.n_name supp_nation, nc.n_name cust_nation,
+    SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) rev_d,
+    COUNT(*) n_items
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation nc ON nc.n_nationkey = c_nationkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s_nationkey
+  GROUP BY ns.n_name, nc.n_name),
+tot AS (SELECT SUM(rev_d) total_d FROM pairs),
+top AS (SELECT * FROM pairs ORDER BY rev_d DESC, supp_nation, cust_nation LIMIT 15)
+SELECT t.supp_nation, t.cust_nation, t.n_items,
+  CAST(t.rev_d AS DOUBLE) net_revenue,
+  CAST(CAST(t.rev_d * 10000 AS BIGINT) * 1000000 DIV CAST(tot.total_d * 10000 AS BIGINT) AS BIGINT) trade_share_ppm
+FROM top t CROSS JOIN tot
+ORDER BY net_revenue DESC, t.supp_nation, t.cust_nation""",
+
+    "q170_shingle_novelty" -> """
+WITH d AS (SELECT doc_id, filter(split(lower(text), ' '), x -> x != '') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) e AS i),
+t AS (SELECT DISTINCT doc_id,
+        concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh
+      FROM s),
+df AS (SELECT sh, COUNT(*) dfreq FROM t GROUP BY sh),
+per_doc AS (SELECT t.doc_id, COUNT(*) nt,
+    SUM(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) nu
+  FROM t JOIN df ON df.sh = t.sh GROUP BY t.doc_id),
+b AS (SELECT nt, nu, CAST(nu * 1000000 DIV nt DIV 100000 AS BIGINT) novelty_decile FROM per_doc)
+SELECT novelty_decile, COUNT(*) n_docs,
+  CAST(SUM(nt) AS BIGINT) n_shingles, CAST(SUM(nu) AS BIGINT) n_unique,
+  CAST(CAST(SUM(nu) AS BIGINT) * 1000000 DIV CAST(SUM(nt) AS BIGINT) AS BIGINT) unique_ppm
+FROM b GROUP BY novelty_decile ORDER BY novelty_decile""",
+
+    "q177_length_novelty_grid" -> """
+WITH d AS (SELECT doc_id, n_chars, filter(split(lower(text), ' '), x -> x != '') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) e AS i),
+t AS (SELECT DISTINCT doc_id,
+        concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh
+      FROM s),
+df AS (SELECT sh, COUNT(*) dfreq FROM t GROUP BY sh),
+per_doc AS (SELECT t.doc_id, COUNT(*) nt,
+    SUM(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) nu
+  FROM t JOIN df ON df.sh = t.sh GROUP BY t.doc_id),
+g AS (SELECT d.n_chars DIV 256 len_block, p.nt, p.nu
+  FROM per_doc p JOIN d ON d.doc_id = p.doc_id)
+SELECT len_block, COUNT(*) n_docs,
+  CAST(SUM(nt) AS BIGINT) n_shingles, CAST(SUM(nu) AS BIGINT) n_unique,
+  CAST(CAST(SUM(nu) AS BIGINT) * 1000000 DIV CAST(SUM(nt) AS BIGINT) AS BIGINT) unique_ppm
+FROM g GROUP BY len_block ORDER BY len_block""",
+
+    "q178_revenue_pareto" -> """
+WITH spend AS (SELECT o_custkey,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) spend
+  FROM orders GROUP BY o_custkey),
+tot AS (SELECT COUNT(*) n, CAST(SUM(spend) AS BIGINT) tot_rev FROM spend),
+vals AS (SELECT spend, COUNT(*) c, CAST(SUM(spend) AS BIGINT) rev FROM spend GROUP BY spend),
+cums AS (SELECT spend,
+    CAST(SUM(c) OVER (ORDER BY spend DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_cust,
+    CAST(SUM(rev) OVER (ORDER BY spend DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_rev
+  FROM vals)
+SELECT CAST((cum_cust * 10 + tot.n - 1) DIV tot.n AS BIGINT) decile,
+  CAST(MAX(cum_cust) AS BIGINT) n_customers_cum,
+  CAST(MAX(cum_rev * 1000000 DIV tot.tot_rev) AS BIGINT) revenue_cum_ppm
+FROM cums CROSS JOIN tot
+GROUP BY decile ORDER BY decile""",
+
+    "q240_split_fairness" -> """
+WITH e AS (SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) b,
+    CASE WHEN MD5(CAST(event_id AS STRING)) < '8' THEN 'a' ELSE 'b' END half,
+    COUNT(*) n_tbh
+  FROM events GROUP BY event_type, b, half),
+ht AS (SELECT event_type, half, CAST(SUM(n_tbh) AS BIGINT) n_h FROM e GROUP BY event_type, half),
+dom AS (SELECT DISTINCT event_type, b FROM e),
+grid AS (SELECT dom.event_type, dom.b, ht.half,
+    CAST(COALESCE(e.n_tbh, 0) * 1000000 DIV ht.n_h AS BIGINT) ppm
+  FROM dom JOIN ht ON ht.event_type = dom.event_type
+  LEFT JOIN e ON e.event_type = dom.event_type AND e.b = dom.b AND e.half = ht.half)
+SELECT a.event_type, COUNT(*) n_buckets,
+  CAST(SUM(abs(a.ppm - b.ppm)) DIV 2 AS BIGINT) tv_ppm
+FROM grid a JOIN grid b ON b.event_type = a.event_type AND b.b = a.b
+  AND a.half = 'a' AND b.half = 'b'
+GROUP BY a.event_type ORDER BY a.event_type""",
+
+    "q266_supplier_quartile_shift" -> """
+WITH yr AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS y, l_suppkey,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem WHERE year(l_shipdate) IN (1995, 2000) GROUP BY y, l_suppkey),
+rc AS (SELECT y, rev, COUNT(*) AS c FROM yr GROUP BY y, rev),
+rt AS (SELECT y, CAST(SUM(c) AS BIGINT) AS n FROM rc GROUP BY y),
+q AS (SELECT rc.y, rc.rev,
+    (CAST(SUM(c) OVER (PARTITION BY rc.y ORDER BY rev) AS BIGINT) - 1) * 4 DIV rt.n AS quart
+  FROM rc JOIN rt ON rt.y = rc.y),
+qs AS (SELECT yr.y, yr.l_suppkey, q.quart FROM yr JOIN q ON q.y = yr.y AND q.rev = yr.rev)
+SELECT a.quart AS q95, b.quart AS q00, COUNT(*) AS n_suppliers
+FROM qs a JOIN qs b ON b.l_suppkey = a.l_suppkey AND a.y = 1995 AND b.y = 2000
+GROUP BY q95, q00 ORDER BY q95, q00"""
   ).map { case (k, v) => k -> v.trim }
 }
