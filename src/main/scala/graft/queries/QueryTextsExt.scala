@@ -1984,6 +1984,201 @@ q AS (SELECT rc.y, rc.rev,
 qs AS (SELECT yr.y, yr.l_suppkey, q.quart FROM yr JOIN q ON q.y = yr.y AND q.rev = yr.rev)
 SELECT a.quart AS q95, b.quart AS q00, COUNT(*) AS n_suppliers
 FROM qs a JOIN qs b ON b.l_suppkey = a.l_suppkey AND a.y = 1995 AND b.y = 2000
-GROUP BY q95, q00 ORDER BY q95, q00"""
+GROUP BY q95, q00 ORDER BY q95, q00""",
+
+    "q46_quality_score" -> """
+WITH t AS (SELECT doc_id, source, tok FROM documents
+           LATERAL VIEW explode(split(lower(text), ' ')) e AS tok
+           WHERE tok <> ''),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) ntok, COUNT(DISTINCT tok) nuniq,
+         SUM(CASE WHEN tok IN ('the','a') THEN 1 ELSE 0 END) nstop,
+         SUM(length(tok)) sumlen
+  FROM t GROUP BY doc_id, source),
+scored AS (
+  SELECT doc_id, source,
+    (6 * ((nuniq * 1000000) DIV ntok)
+   + 3 * (1000000 - ((nstop * 1000000) DIV ntok))
+   + 1 * (least((sumlen * 100) DIV ntok, 800) * 1250)) DIV 10 AS score
+  FROM per_doc)
+SELECT source, COUNT(*) n_docs,
+       CAST(ROUND(AVG(CAST(score AS DECIMAL(18,6))), 6) AS DOUBLE) avg_score,
+       CAST(MIN(score) AS BIGINT) min_score, CAST(MAX(score) AS BIGINT) max_score,
+       CAST(SUM(CASE WHEN score < 500000 THEN 1 ELSE 0 END) AS BIGINT) n_low
+FROM scored GROUP BY source ORDER BY source""",
+
+    "q105_mirror_matrix" -> """
+WITH d AS (SELECT doc_id, source, split(lower(text), ' ') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) t AS i),
+sh AS (SELECT DISTINCT doc_id,
+         concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh
+       FROM s),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) nt FROM shk GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+edge AS (SELECT i, j FROM inter x
+         JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
+         WHERE CAST(x.ci AS DOUBLE) / (ca.nt + cb.nt - x.ci) >= 0.2),
+sp AS (SELECT da.source sa, db.source sb FROM edge e
+       JOIN d da ON da.doc_id = e.i JOIN d db ON db.doc_id = e.j
+       WHERE da.source <> db.source)
+SELECT LEAST(sa, sb) AS src_a, GREATEST(sa, sb) AS src_b, COUNT(*) AS n_pairs
+FROM sp GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+
+    "q107_quality_floor" -> """
+WITH t AS (SELECT doc_id, source, tok FROM documents
+           LATERAL VIEW explode(split(lower(text), ' ')) e AS tok
+           WHERE tok <> ''),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) ntok, COUNT(DISTINCT tok) nuniq,
+         SUM(CASE WHEN tok IN ('the','a') THEN 1 ELSE 0 END) nstop,
+         SUM(length(tok)) sumlen
+  FROM t GROUP BY doc_id, source),
+scored AS (
+  SELECT source, ntok, CAST(
+    (6 * ((nuniq * 1000000) DIV ntok)
+   + 3 * (1000000 - ((nstop * 1000000) DIV ntok))
+   + 1 * (least((sumlen * 100) DIV ntok, 800) * 1250)) DIV 10 AS DOUBLE) AS v
+  FROM per_doc),
+f AS (SELECT source, ROUND(percentile(v, 0.10), 6) floor_score
+      FROM scored GROUP BY source)
+SELECT s.source, f.floor_score, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN s.v >= f.floor_score THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN s.v >= f.floor_score THEN s.ntok ELSE 0 END) AS BIGINT) AS kept_toks
+FROM scored s JOIN f USING (source)
+GROUP BY s.source, f.floor_score ORDER BY s.source""",
+
+    "q109_bm25" -> """
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id, tok FROM documents
+    LATERAL VIEW explode(filter(split(lower(text), ' '), x -> x <> '')) e AS tok
+  ) GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE tok IN ('spark','hash','window')),
+df AS (SELECT tok, COUNT(*) AS df FROM qtf GROUP BY tok),
+c AS (SELECT qtf.doc_id,
+  CAST(ROUND(ROUND(ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+       * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(nd AS DOUBLE)))))), 6)
+    AS DECIMAL(18,6)) AS contrib
+  FROM qtf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot)
+SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
+FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+
+    "q114_vocab_drift" -> """
+WITH d AS (SELECT doc_id, text FROM documents),
+o AS (SELECT text FROM d WHERE md5('old:' || CAST(doc_id AS STRING)) < 'e'),
+n AS (SELECT CASE WHEN md5('edit:' || CAST(doc_id AS STRING)) < '2'
+        THEN text || ' v2' ELSE text END AS text
+      FROM d WHERE md5('new:' || CAST(doc_id AS STRING)) < 'e'),
+ot AS (SELECT t AS tok, COUNT(*) c FROM (SELECT explode(split(lower(text), ' ')) t FROM o)
+       WHERE t <> '' GROUP BY t),
+nt AS (SELECT t AS tok, COUNT(*) c FROM (SELECT explode(split(lower(text), ' ')) t FROM n)
+       WHERE t <> '' GROUP BY t),
+tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ot) ocnt,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM nt) ncnt),
+j AS (SELECT COALESCE(ot.tok, nt.tok) tok,
+        CAST(COALESCE(ot.c, 0) AS BIGINT) * 1000000 DIV ocnt AS old_ppm,
+        CAST(COALESCE(nt.c, 0) AS BIGINT) * 1000000 DIV ncnt AS new_ppm
+      FROM ot FULL OUTER JOIN nt ON ot.tok = nt.tok CROSS JOIN tot),
+tv AS (SELECT CAST(SUM(ABS(new_ppm - old_ppm)) AS BIGINT) tv_ppm, COUNT(*) n_toks FROM j)
+SELECT j.tok, j.old_ppm, j.new_ppm, j.new_ppm - j.old_ppm AS delta_ppm,
+       tv.tv_ppm, tv.n_toks
+FROM j CROSS JOIN tv
+ORDER BY ABS(j.new_ppm - j.old_ppm) DESC, j.tok LIMIT 10""",
+
+    "q115_gopher_rules" -> """
+WITH t AS (SELECT doc_id, source, tok FROM documents
+           LATERAL VIEW explode(filter(split(lower(text), ' '), x -> x <> '')) e AS tok),
+tf AS (SELECT doc_id, source, tok, COUNT(*) c FROM t GROUP BY ALL),
+pd AS (SELECT doc_id, source, SUM(c) nw, SUM(c * length(tok)) sumlen,
+       SUM(CASE WHEN tok IN ('the','a') THEN c ELSE 0 END) nstop, MAX(c) maxtf
+       FROM tf GROUP BY ALL),
+fl AS (SELECT source,
+       CASE WHEN nw BETWEEN 30 AND 80 THEN 1 ELSE 0 END r_len,
+       CASE WHEN sumlen * 10 BETWEEN 44 * nw AND 48 * nw THEN 1 ELSE 0 END r_mwl,
+       CASE WHEN nstop >= 3 THEN 1 ELSE 0 END r_stop,
+       CASE WHEN maxtf * 10 <= nw THEN 1 ELSE 0 END r_rep
+       FROM pd)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(r_len) AS BIGINT) AS pass_len, CAST(SUM(r_mwl) AS BIGINT) AS pass_mwl,
+  CAST(SUM(r_stop) AS BIGINT) AS pass_stop, CAST(SUM(r_rep) AS BIGINT) AS pass_rep,
+  CAST(SUM(r_len * r_mwl * r_stop * r_rep) AS BIGINT) AS pass_all
+FROM fl GROUP BY source ORDER BY source""",
+
+    "q122_perplexity" -> """
+WITH d AS (SELECT doc_id, source, filter(split(lower(text), ' '), x -> x <> '') l FROM documents),
+v AS (SELECT COUNT(DISTINCT tok) nv FROM (SELECT explode(l) tok FROM d)),
+bg0 AS (SELECT doc_id, source, i, l FROM (SELECT * FROM d WHERE size(l) >= 2)
+        LATERAL VIEW explode(sequence(1, size(l) - 1)) t AS i),
+bgall AS (SELECT doc_id, source, element_at(l, i) tok, element_at(l, i + 1) nxt FROM bg0),
+c AS (SELECT tok, nxt, COUNT(*) c FROM bgall GROUP BY tok, nxt),
+nf AS (SELECT tok, SUM(c) nf FROM c GROUP BY tok),
+cost AS (SELECT c.tok, c.nxt,
+  CAST(ROUND(ln(CAST(nf.nf + v.nv AS DOUBLE) / (c.c + 1)), 9) AS DECIMAL(18,9)) w
+  FROM c JOIN nf ON nf.tok = c.tok CROSS JOIN v),
+pd AS (SELECT b.doc_id, b.source,
+         CAST(ROUND(CAST(SUM(cost.w) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) nll
+  FROM bgall b JOIN cost ON cost.tok = b.tok AND cost.nxt = b.nxt
+  GROUP BY b.doc_id, b.source)
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll,
+  CAST(MIN(nll) AS DOUBLE) AS min_nll,
+  CAST(MAX(nll) AS DOUBLE) AS max_nll
+FROM pd GROUP BY source ORDER BY source""",
+
+    "q123_split_leakage" -> """
+WITH s AS (SELECT doc_id, text,
+    CASE WHEN md5(CAST(doc_id AS STRING)) < 'c' THEN 'train'
+         WHEN md5(CAST(doc_id AS STRING)) < 'e' THEN 'val'
+         ELSE 'test' END AS split FROM documents),
+d AS (SELECT doc_id, split, split(lower(text), ' ') l FROM s),
+g AS (SELECT doc_id, split, i, l FROM (SELECT * FROM d WHERE size(l) >= 5)
+      LATERAL VIEW explode(sequence(1, size(l) - 4)) t AS i),
+sh AS (SELECT DISTINCT doc_id, split,
+        concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2),
+                  element_at(l, i + 3), element_at(l, i + 4)) sh
+       FROM g),
+tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+leak AS (SELECT DISTINCT doc_id FROM (SELECT * FROM sh WHERE split <> 'train') x
+         LEFT SEMI JOIN tr ON tr.sh = x.sh)
+SELECT s.split, COUNT(*) AS n_docs,
+  CAST(COUNT(leak.doc_id) AS BIGINT) AS n_leaked,
+  CAST(COUNT(leak.doc_id) * 1000000 DIV COUNT(*) AS BIGINT) AS leaked_ppm
+FROM s LEFT JOIN leak ON leak.doc_id = s.doc_id
+WHERE s.split <> 'train'
+GROUP BY s.split ORDER BY s.split""",
+
+    "q126_boilerplate_quality" -> """
+WITH t AS (SELECT doc_id, tok FROM documents
+           LATERAL VIEW explode(split(lower(text), ' ')) e AS tok
+           WHERE tok <> ''),
+per_doc AS (
+  SELECT doc_id, COUNT(*) ntok, COUNT(DISTINCT tok) nuniq,
+         SUM(CASE WHEN tok IN ('the','a') THEN 1 ELSE 0 END) nstop,
+         SUM(length(tok)) sumlen
+  FROM t GROUP BY doc_id),
+scored AS (
+  SELECT doc_id,
+    (6 * ((nuniq * 1000000) DIV ntok)
+   + 3 * (1000000 - ((nstop * 1000000) DIV ntok))
+   + 1 * (least((sumlen * 100) DIV ntok, 800) * 1250)) DIV 10 AS score
+  FROM per_doc),
+deg AS (SELECT doc_id, n_chars,
+        COUNT(*) OVER (PARTITION BY
+          md5(array_join(slice(split(lower(text), ' '), 1, 5), ' '))) AS degree
+        FROM documents),
+b AS (SELECT CASE WHEN degree = 1 THEN '1' WHEN degree = 2 THEN '2' ELSE '3+' END AS prefix_degree,
+             score, n_chars
+      FROM deg JOIN scored USING (doc_id))
+SELECT prefix_degree, COUNT(*) AS n_docs,
+  CAST(ROUND(AVG(CAST(score AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_score,
+  CAST(ROUND(AVG(CAST(n_chars AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_chars
+FROM b GROUP BY prefix_degree ORDER BY prefix_degree"""
   ).map { case (k, v) => k -> v.trim }
 }
