@@ -2179,6 +2179,132 @@ b AS (SELECT CASE WHEN degree = 1 THEN '1' WHEN degree = 2 THEN '2' ELSE '3+' EN
 SELECT prefix_degree, COUNT(*) AS n_docs,
   CAST(ROUND(AVG(CAST(score AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_score,
   CAST(ROUND(AVG(CAST(n_chars AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_chars
-FROM b GROUP BY prefix_degree ORDER BY prefix_degree"""
+FROM b GROUP BY prefix_degree ORDER BY prefix_degree""",
+
+    "q127_ann_recall" -> """
+WITH e AS (SELECT vec_id, embedding,
+  concat(CASE WHEN element_at(embedding, 1) >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN element_at(embedding, 2) >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN element_at(embedding, 3) >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN element_at(embedding, 4) >= 0 THEN '1' ELSE '0' END) bucket
+  FROM embeddings),
+q AS (SELECT vec_id qid, embedding qv, bucket qbucket FROM e WHERE vec_id < 20),
+scored AS (SELECT q.qid, q.qbucket, e.vec_id, e.bucket,
+  ROUND(
+    aggregate(zip_with(e.embedding, q.qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)
+    / (SQRT(aggregate(e.embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+     * SQRT(aggregate(q.qv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) cos
+  FROM e JOIN q ON e.vec_id <> q.qid),
+topk AS (SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn FROM scored)
+  WHERE rn <= 10),
+cands AS (SELECT qid, COUNT(*) n_candidates FROM scored WHERE bucket = qbucket GROUP BY qid),
+h AS (SELECT qid, SUM(CASE WHEN bucket = qbucket THEN 1 ELSE 0 END) n_hits FROM topk GROUP BY qid)
+SELECT h.qid, CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+  CAST(h.n_hits AS BIGINT) AS n_hits,
+  CAST(h.n_hits * 1000000 DIV 10 AS BIGINT) AS recall_ppm
+FROM h LEFT JOIN cands c ON h.qid = c.qid
+ORDER BY h.qid""",
+
+    "q128_minhash_fidelity" -> """
+WITH d AS (SELECT doc_id, split(lower(text), ' ') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) x AS i),
+t AS (SELECT DISTINCT doc_id,
+        concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh FROM s),
+sig AS (SELECT doc_id,
+  MIN(substr(md5(sh), 1, 4)) h1, MIN(substr(md5(sh), 5, 4)) h2,
+  MIN(substr(md5(sh), 9, 4)) h3, MIN(substr(md5(sh), 13, 4)) h4,
+  MIN(substr(md5(sh), 17, 4)) h5, MIN(substr(md5(sh), 21, 4)) h6,
+  MIN(substr(md5(sh), 25, 4)) h7, MIN(substr(md5(sh), 29, 4)) h8
+  FROM t GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id i, b.doc_id j FROM sig a JOIN sig b
+    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id
+  UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+    ON a.h5 = b.h5 AND a.h6 = b.h6 AND a.h7 = b.h7 AND a.h8 = b.h8 AND a.doc_id < b.doc_id),
+card AS (SELECT doc_id, COUNT(*) nt FROM t GROUP BY doc_id),
+inter AS (SELECT c.i, c.j, COUNT(*) ci FROM cand c
+          JOIN t ta ON ta.doc_id = c.i JOIN t tb ON tb.doc_id = c.j AND ta.sh = tb.sh
+          GROUP BY c.i, c.j),
+m AS (SELECT c.i, c.j,
+  (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END
+ + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END
+ + CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END + CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END
+ + CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END + CASE WHEN a.h8 = b.h8 THEN 1 ELSE 0 END) matches
+  FROM cand c JOIN sig a ON a.doc_id = c.i JOIN sig b ON b.doc_id = c.j),
+p AS (SELECT m.matches, m.matches * 125000 est_ppm,
+        COALESCE(x.ci, 0) * 1000000 DIV (ca.nt + cb.nt - COALESCE(x.ci, 0)) exact_ppm
+      FROM m LEFT JOIN inter x ON x.i = m.i AND x.j = m.j
+      JOIN card ca ON ca.doc_id = m.i JOIN card cb ON cb.doc_id = m.j)
+SELECT CAST(matches AS BIGINT) AS matches, CAST(est_ppm AS BIGINT) AS est_ppm,
+  COUNT(*) AS n_pairs,
+  CAST(ROUND(AVG(CAST(exact_ppm AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_exact_ppm,
+  CAST(ROUND(AVG(CAST(ABS(est_ppm - exact_ppm) AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_abs_err_ppm
+FROM p GROUP BY matches, est_ppm ORDER BY matches""",
+
+    "q131_training_manifest" -> """
+WITH tr AS (
+  SELECT doc_id, source,
+    CAST(size(filter(split(lower(text), ' '), x -> x <> '')) AS BIGINT) ntok
+  FROM documents
+  WHERE md5(CAST(doc_id AS STRING)) < 'c'),
+loc AS (SELECT doc_id, source, ntok,
+  ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS STRING)), doc_id) rk,
+  COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_toks
+  FROM tr),
+tot AS (SELECT source, COUNT(*) nd, SUM(ntok) td FROM tr GROUP BY source),
+offs AS (SELECT source,
+  COALESCE(SUM(nd) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) doc_off,
+  COALESCE(SUM(td) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tok_off
+  FROM tot)
+SELECT CAST(offs.doc_off + loc.rk AS BIGINT) AS global_step, loc.source, loc.doc_id,
+  loc.ntok AS ntok, CAST(offs.tok_off + loc.cum_toks AS BIGINT) AS tok_offset
+FROM loc JOIN offs ON loc.source = offs.source
+WHERE (offs.doc_off + loc.rk) % 97 = 1
+ORDER BY global_step""",
+
+    "q136_dedup_curve" -> """
+WITH d AS (SELECT doc_id, split(lower(text), ' ') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) x AS i),
+sh AS (SELECT DISTINCT doc_id,
+         concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh FROM s),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) nt FROM shk GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+jac AS (SELECT x.j, ROUND(CAST(x.ci AS DOUBLE) / (ca.nt + cb.nt - x.ci), 6) jc
+        FROM inter x
+        JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j),
+mj AS (SELECT j, MAX(jc) mj FROM jac GROUP BY j),
+t AS (SELECT explode(array(50, 60, 70, 80, 90)) tp),
+drops AS (SELECT t.tp, SUM(CASE WHEN mj.mj >= t.tp / 100.0 THEN 1 ELSE 0 END) nd
+          FROM t LEFT JOIN mj ON mj.mj >= t.tp / 100.0 GROUP BY t.tp),
+n AS (SELECT COUNT(*) n_docs FROM documents)
+SELECT CAST(drops.tp AS BIGINT) AS threshold_pct, CAST(n.n_docs AS BIGINT) AS n_docs,
+  CAST(drops.nd AS BIGINT) AS n_dropped,
+  CAST(n.n_docs - drops.nd AS BIGINT) AS n_survivors,
+  CAST(drops.nd * 1000000 DIV n.n_docs AS BIGINT) AS drop_ppm
+FROM drops CROSS JOIN n ORDER BY threshold_pct""",
+
+    "q137_scd2" -> """
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+f AS (SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+                      OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) grp FROM f),
+v AS (SELECT user_id, grp, MIN(event_type) state, MIN(ts) valid_from, COUNT(*) n_events
+      FROM g GROUP BY user_id, grp),
+i AS (SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp) valid_to FROM v)
+SELECT state, COUNT(*) n_versions, CAST(SUM(n_events) AS BIGINT) n_events,
+  CAST(SUM(CASE WHEN valid_to IS NOT NULL
+                THEN unix_micros(valid_to) - unix_micros(valid_from) END) AS BIGINT) dwell_us,
+  CAST(MAX(CASE WHEN valid_to IS NOT NULL
+                THEN unix_micros(valid_to) - unix_micros(valid_from) END) AS BIGINT) max_dwell_us
+FROM i GROUP BY state ORDER BY state"""
   ).map { case (k, v) => k -> v.trim }
 }
