@@ -2305,6 +2305,155 @@ SELECT state, COUNT(*) n_versions, CAST(SUM(n_events) AS BIGINT) n_events,
                 THEN unix_micros(valid_to) - unix_micros(valid_from) END) AS BIGINT) dwell_us,
   CAST(MAX(CASE WHEN valid_to IS NOT NULL
                 THEN unix_micros(valid_to) - unix_micros(valid_from) END) AS BIGINT) max_dwell_us
-FROM i GROUP BY state ORDER BY state"""
+FROM i GROUP BY state ORDER BY state""",
+
+    "q138_rrf_hybrid" -> """
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id, tok FROM documents
+    LATERAL VIEW explode(filter(split(lower(text), ' '), x -> x <> '')) e AS tok
+  ) GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE tok IN ('spark','hash','window')),
+df AS (SELECT tok, COUNT(*) AS df FROM qtf GROUP BY tok),
+c AS (SELECT qtf.doc_id,
+  CAST(ROUND(ROUND(ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+       * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(nd AS DOUBLE)))))), 6)
+    AS DECIMAL(18,6)) AS contrib
+  FROM qtf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+bm AS (SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
+       FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+qv AS (SELECT embedding v FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT e.vec_id,
+  ROUND(aggregate(zip_with(e.embedding, qv.v, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)
+  / (SQRT(aggregate(e.embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+   * SQRT(aggregate(qv.v, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) cs
+  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+vt AS (SELECT vec_id, cs FROM cs ORDER BY cs DESC, vec_id LIMIT 50),
+vr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS r FROM vt)
+SELECT COALESCE(bmr.doc_id, vr.vec_id) AS doc_id,
+  CAST(COALESCE(CAST(ROUND(1.0 / (60.0 + bmr.r), 6) AS DECIMAL(18,6)), 0)
+     + COALESCE(CAST(ROUND(1.0 / (60.0 + vr.r), 6) AS DECIMAL(18,6)), 0) AS DOUBLE) AS rrf_score,
+  CAST(bmr.r AS BIGINT) AS bm25_rank, CAST(vr.r AS BIGINT) AS cos_rank
+FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.vec_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+
+    "q139_dsir_weights" -> """
+WITH d AS (SELECT doc_id, lang, source, split(lower(text), ' ') l FROM documents),
+bg AS (SELECT doc_id, lang, source,
+         concat_ws(' ', element_at(l, i), element_at(l, i + 1)) AS bgr
+       FROM (SELECT doc_id, lang, source, i, l
+             FROM (SELECT * FROM d WHERE size(l) >= 2)
+             LATERAL VIEW explode(sequence(1, size(l) - 1)) t AS i)),
+hb AS (SELECT doc_id, lang, source,
+         (instr('0123456789abcdef', substr(md5(bgr), 1, 1)) - 1) * 16
+         + instr('0123456789abcdef', substr(md5(bgr), 2, 1)) - 1 AS b
+       FROM bg),
+tc AS (SELECT b, COUNT(*) ct FROM hb WHERE lang = 'en' GROUP BY b),
+rc AS (SELECT b, COUNT(*) cr FROM hb GROUP BY b),
+tot AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tc) tt,
+               (SELECT CAST(SUM(cr) AS BIGINT) FROM rc) rt),
+llr AS (SELECT rc.b,
+          CAST(ROUND(ln((CAST(COALESCE(tc.ct, 0) AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 256.0))
+                   - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(rt AS DOUBLE) + 256.0)), 6) AS DECIMAL(18,6)) w
+        FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tot),
+dw AS (SELECT hb.doc_id, hb.source, SUM(w) sw FROM hb JOIN llr ON llr.b = hb.b
+       GROUP BY hb.doc_id, hb.source)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(sw) AS DOUBLE) AS sum_w,
+       CAST(MAX(sw) AS DOUBLE) AS max_w
+FROM dw GROUP BY source ORDER BY source""",
+
+    "q148_ks_drift" -> """
+WITH vc AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY ALL),
+vals AS (SELECT DISTINCT v FROM vc),
+srcs AS (SELECT source, SUM(c) AS n_s FROM vc GROUP BY source),
+grid AS (SELECT s.source, s.n_s, va.v, COALESCE(vc.c, 0) AS c
+         FROM srcs s CROSS JOIN vals va
+         LEFT JOIN vc ON vc.source = s.source AND vc.v = va.v),
+cum AS (SELECT source, n_s, v,
+          SUM(c) OVER (PARTITION BY source ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        FROM grid),
+ac AS (SELECT v, SUM(c) AS c FROM vc GROUP BY v),
+acc AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ca FROM ac),
+tot AS (SELECT SUM(c) AS n_all FROM vc),
+ks AS (SELECT c.source, c.n_s, c.v,
+         ABS(c.cs * n_all - a.ca * c.n_s) * 1000000 DIV (c.n_s * n_all) AS d_ppm
+       FROM cum c JOIN acc a ON a.v = c.v CROSS JOIN tot),
+mk AS (SELECT source, n_s, v, d_ppm,
+         MAX(d_ppm) OVER (PARTITION BY source) AS md FROM ks)
+SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_docs,
+  CAST(MAX(d_ppm) AS BIGINT) AS ks_ppm,
+  MIN(CASE WHEN d_ppm = md THEN v END) AS at_value
+FROM mk GROUP BY source ORDER BY source""",
+
+    "q150_weighted_sample" -> """
+WITH d AS (SELECT doc_id, source, n_chars,
+    md5('ws:' || CAST(doc_id AS STRING)) || ':' || CAST(doc_id AS STRING) AS hk
+  FROM documents WHERE n_chars > 0),
+c AS (SELECT *, SUM(n_chars) OVER (ORDER BY hk
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM d),
+tw AS (SELECT SUM(n_chars) AS w_all FROM d),
+m AS (SELECT c.source, c.n_chars,
+        (CASE WHEN cw <= 0 THEN 0
+              ELSE LEAST(100, ((200 * cw - 1) DIV w_all + 1) DIV 2) END)
+      - (CASE WHEN cw - n_chars <= 0 THEN 0
+              ELSE LEAST(100, ((200 * (cw - n_chars) - 1) DIV w_all + 1) DIV 2) END) AS m
+      FROM c CROSS JOIN tw),
+per AS (SELECT d.source, COUNT(*) AS n_docs, SUM(d.n_chars) AS w_src FROM d GROUP BY d.source),
+ps AS (SELECT source, SUM(m) AS n_sel, SUM(m * n_chars) AS w_sel FROM m GROUP BY source)
+SELECT p.source, p.n_docs, CAST(COALESCE(ps.n_sel, 0) AS BIGINT) AS n_selected,
+  CAST(p.w_src * 1000000 DIV w_all AS BIGINT) AS weight_share_ppm,
+  CAST(COALESCE(ps.n_sel, 0) * 1000000 DIV 100 AS BIGINT) AS sel_share_ppm,
+  CAST(COALESCE(ps.w_sel, 0) AS BIGINT) AS w_selected
+FROM per p LEFT JOIN ps ON ps.source = p.source CROSS JOIN tw
+ORDER BY p.source""",
+
+    "q151_token_budget_curve" -> """
+WITH d AS (SELECT n_chars, filter(split(lower(text), ' '), x -> x <> '') toks FROM documents),
+t AS (SELECT n_chars,
+        CAST(size(array_distinct(toks)) AS BIGINT) * 1000000 DIV size(toks) AS ttr
+      FROM d WHERE size(toks) > 0),
+s AS (SELECT ttr, COUNT(*) n_docs, SUM(n_chars) chars FROM t GROUP BY ttr),
+p AS (SELECT ttr,
+        SUM(n_docs) OVER (ORDER BY ttr DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_docs,
+        SUM(chars) OVER (ORDER BY ttr DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_chars
+      FROM s),
+tot AS (SELECT COUNT(*) n_total, SUM(n_chars) chars_total FROM t),
+k AS (SELECT CAST(i AS BIGINT) decile FROM (SELECT explode(sequence(1, 10)) i))
+SELECT k.decile,
+  CAST(MIN_BY(p.ttr, p.cum_docs) AS BIGINT) AS ttr_ppm_at_knot,
+  CAST(MIN(p.cum_docs) AS BIGINT) AS cum_docs,
+  CAST(MIN_BY(p.cum_chars, p.cum_docs) * 1000000 DIV MAX(tot.chars_total) AS BIGINT) AS cum_chars_ppm
+FROM p CROSS JOIN tot JOIN k ON p.cum_docs * 10 >= k.decile * tot.n_total
+GROUP BY k.decile ORDER BY k.decile""",
+
+    "q154_hist_selectivity" -> """
+WITH vc AS (SELECT CAST(l_quantity AS BIGINT) v, COUNT(*) c FROM lineitem GROUP BY 1),
+pref AS (SELECT v, c,
+           COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_ex
+         FROM vc),
+tot AS (SELECT SUM(c) total FROM vc),
+b AS (SELECT CAST(cum_ex * 8 DIV total AS BIGINT) AS bucket,
+        MIN(v) lo, MAX(v) hi, SUM(c) n_rows
+      FROM pref CROSS JOIN tot GROUP BY 1),
+bc AS (SELECT bucket, lo, hi, n_rows,
+         COALESCE(SUM(n_rows) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cumb,
+         (lo + hi) DIV 2 AS probe
+       FROM b),
+act AS (SELECT bc.bucket, SUM(vc.c) actual_le
+        FROM vc JOIN bc ON vc.v <= bc.probe GROUP BY bc.bucket)
+SELECT bc.bucket, bc.lo, bc.hi, bc.probe,
+  CAST(bc.n_rows AS BIGINT) n_rows,
+  CAST(bc.cumb + bc.n_rows * (bc.probe - bc.lo + 1) DIV (bc.hi - bc.lo + 1) AS BIGINT) est_le,
+  CAST(act.actual_le AS BIGINT) actual_le,
+  CAST(ABS(bc.cumb + bc.n_rows * (bc.probe - bc.lo + 1) DIV (bc.hi - bc.lo + 1) - act.actual_le) * 1000000
+       DIV GREATEST(act.actual_le, 1) AS BIGINT) err_ppm
+FROM bc JOIN act ON act.bucket = bc.bucket ORDER BY bc.bucket"""
   ).map { case (k, v) => k -> v.trim }
 }
