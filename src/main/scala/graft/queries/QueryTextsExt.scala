@@ -2454,6 +2454,152 @@ SELECT bc.bucket, bc.lo, bc.hi, bc.probe,
   CAST(act.actual_le AS BIGINT) actual_le,
   CAST(ABS(bc.cumb + bc.n_rows * (bc.probe - bc.lo + 1) DIV (bc.hi - bc.lo + 1) - act.actual_le) * 1000000
        DIV GREATEST(act.actual_le, 1) AS BIGINT) err_ppm
-FROM bc JOIN act ON act.bucket = bc.bucket ORDER BY bc.bucket"""
+FROM bc JOIN act ON act.bucket = bc.bucket ORDER BY bc.bucket""",
+
+    "q158_topk_token_share" -> """
+WITH w AS (SELECT tok FROM documents
+           LATERAL VIEW explode(filter(split(lower(text), ' '), x -> x <> '')) e AS tok),
+tc AS (SELECT tok, COUNT(*) c FROM w GROUP BY tok),
+byc AS (SELECT c, COUNT(*) m, c * COUNT(*) occ FROM tc GROUP BY c),
+p AS (SELECT c,
+        SUM(m) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_m,
+        SUM(occ) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_occ
+      FROM byc),
+tot AS (SELECT SUM(m) ndv, SUM(occ) total_occ FROM byc),
+ks AS (SELECT CAST(k AS BIGINT) k FROM (SELECT explode(array(1, 10, 100, 1000)) k))
+SELECT ks.k,
+  CAST(LEAST(ks.k, MAX(tot.ndv)) AS BIGINT) k_used,
+  CAST((MIN_BY(p.cum_occ, p.cum_m) - (MIN(p.cum_m) - LEAST(ks.k, MAX(tot.ndv))) * MIN_BY(p.c, p.cum_m))
+       * 1000000 DIV MAX(tot.total_occ) AS BIGINT) share_ppm
+FROM p CROSS JOIN tot JOIN ks ON p.cum_m >= LEAST(ks.k, tot.ndv)
+GROUP BY ks.k ORDER BY ks.k""",
+
+    "q159_price_drift" -> """
+WITH li AS (SELECT l_partkey part, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) cents,
+              l_shipdate, l_orderkey, l_linenumber FROM lineitem),
+o AS (SELECT part, cents,
+        ROW_NUMBER() OVER (PARTITION BY part ORDER BY l_shipdate, l_orderkey, l_linenumber) rna,
+        ROW_NUMBER() OVER (PARTITION BY part ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) rnd
+      FROM li),
+f AS (SELECT part, COUNT(*) n_sales,
+        MIN(CASE WHEN rna = 1 THEN cents END) first_cents,
+        MIN(CASE WHEN rnd = 1 THEN cents END) last_cents
+      FROM o GROUP BY part)
+SELECT part, n_sales, first_cents, last_cents,
+  CAST(CASE WHEN last_cents > first_cents THEN 1
+            WHEN last_cents < first_cents THEN -1 ELSE 0 END AS BIGINT) direction,
+  CAST(ABS(last_cents - first_cents) * 1000000 DIV first_cents AS BIGINT) abs_drift_ppm
+FROM f ORDER BY abs_drift_ppm DESC, part LIMIT 20""",
+
+    "q164_temporal_split_drift" -> """
+WITH mid AS (SELECT unix_micros(MIN(ts)) mn, unix_micros(MAX(ts)) mx FROM events),
+tagged AS (SELECT event_type, event_id, value,
+    CASE WHEN unix_micros(ts) < (mn + mx) DIV 2 THEN 'before' ELSE 'after' END half
+  FROM events CROSS JOIN mid),
+ranked AS (SELECT event_type, half, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type, half ORDER BY value, event_id) rn,
+    COUNT(*) OVER (PARTITION BY event_type, half) n
+  FROM tagged),
+med AS (SELECT event_type, half, value FROM ranked WHERE rn = (n + 1) DIV 2),
+counts AS (SELECT event_type, half, COUNT(*) n FROM tagged GROUP BY event_type, half)
+SELECT cb.event_type, cb.n AS n_before, ca.n AS n_after,
+  CAST(ca.n * 1000000 DIV cb.n AS BIGINT) rate_ratio_ppm,
+  mb.value AS median_before, ma.value AS median_after,
+  CAST(CASE WHEN ma.value > mb.value THEN 1
+            WHEN ma.value < mb.value THEN -1 ELSE 0 END AS BIGINT) value_shift
+FROM counts cb
+JOIN counts ca ON ca.event_type = cb.event_type AND cb.half = 'before' AND ca.half = 'after'
+JOIN med mb ON mb.event_type = cb.event_type AND mb.half = 'before'
+JOIN med ma ON ma.event_type = cb.event_type AND ma.half = 'after'
+ORDER BY cb.event_type""",
+
+    "q166_cohort_ltv" -> """
+WITH o AS (SELECT o_custkey, date_format(date_trunc('month', o_orderdate), 'yyyy-MM') m,
+             CAST(o_totalprice AS DECIMAL(14,2)) price_d FROM orders),
+first AS (SELECT o_custkey, MIN(m) cohort FROM o GROUP BY o_custkey),
+cohorts AS (SELECT cohort, COUNT(*) n_customers FROM first GROUP BY cohort),
+phases AS (SELECT f.cohort,
+    CAST(SUM(CASE WHEN o.m = f.cohort THEN 1 ELSE 0 END) AS BIGINT) orders_first,
+    CAST(SUM(CASE WHEN o.m <> f.cohort THEN 1 ELSE 0 END) AS BIGINT) orders_later,
+    SUM(CASE WHEN o.m = f.cohort THEN o.price_d END) rev_first_d,
+    SUM(CASE WHEN o.m <> f.cohort THEN o.price_d END) rev_later_d
+  FROM o JOIN first f ON f.o_custkey = o.o_custkey GROUP BY f.cohort)
+SELECT c.cohort, c.n_customers, p.orders_first, p.orders_later,
+  CAST(COALESCE(p.rev_first_d, 0) AS DOUBLE) rev_first,
+  CAST(COALESCE(p.rev_later_d, 0) AS DOUBLE) rev_later,
+  CAST(CAST(COALESCE(p.rev_later_d, 0) * 100 AS BIGINT) * 1000000
+    DIV GREATEST(CAST(COALESCE(p.rev_first_d, 0) * 100 AS BIGINT), 1) AS BIGINT) ltv_ratio_ppm
+FROM cohorts c JOIN phases p ON p.cohort = c.cohort
+ORDER BY c.cohort""",
+
+    "q171_brand_share_shift" -> """
+WITH li AS (SELECT l_partkey, year(l_shipdate) y,
+    CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) net_d
+  FROM lineitem),
+yy AS (SELECT MIN(y) y1, MAX(y) y2 FROM li),
+by_brand AS (SELECT p_brand,
+    CAST(COALESCE(SUM(CASE WHEN li.y = yy.y1 THEN li.net_d END), 0) * 10000 AS BIGINT) r1,
+    CAST(COALESCE(SUM(CASE WHEN li.y = yy.y2 THEN li.net_d END), 0) * 10000 AS BIGINT) r2
+  FROM li CROSS JOIN yy JOIN part ON p_partkey = l_partkey
+  WHERE li.y = yy.y1 OR li.y = yy.y2 GROUP BY p_brand),
+ranked AS (SELECT p_brand, r1, r2,
+    CAST(SUM(r1) OVER () AS BIGINT) t1, CAST(SUM(r2) OVER () AS BIGINT) t2,
+    ROW_NUMBER() OVER (ORDER BY r1 DESC, p_brand) rank_first,
+    ROW_NUMBER() OVER (ORDER BY r2 DESC, p_brand) rank_last
+  FROM by_brand)
+SELECT p_brand,
+  CAST(r1 AS DOUBLE) / 10000 rev_first,
+  CAST(r2 AS DOUBLE) / 10000 rev_last,
+  CAST(r1 * 1000000 DIV GREATEST(t1, 1) AS BIGINT) share_first_ppm,
+  CAST(r2 * 1000000 DIV GREATEST(t2, 1) AS BIGINT) share_last_ppm,
+  CAST(r2 * 1000000 DIV GREATEST(t2, 1) - r1 * 1000000 DIV GREATEST(t1, 1) AS BIGINT) share_delta_ppm,
+  CAST(rank_first AS BIGINT) rank_first,
+  CAST(rank_last AS BIGINT) rank_last,
+  CAST(rank_first - rank_last AS BIGINT) rank_gain
+FROM ranked ORDER BY p_brand""",
+
+    "q173_ship_lag_profile" -> """
+WITH lag AS (SELECT o_orderpriority pri,
+    CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT) lag
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+counts AS (SELECT pri, lag, COUNT(*) c FROM lag GROUP BY pri, lag),
+cum AS (SELECT pri, lag, SUM(c) OVER (PARTITION BY pri ORDER BY lag
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM counts),
+tot AS (SELECT pri, COUNT(*) n,
+    SUM(CASE WHEN lag > 365 THEN 1 ELSE 0 END) n_ov FROM lag GROUP BY pri)
+SELECT t.pri o_orderpriority, CAST(t.n AS BIGINT) n_items,
+  MIN(CASE WHEN cum.cum >= (t.n + 1) DIV 2 THEN cum.lag END) median_lag_days,
+  MIN(CASE WHEN cum.cum >= (9 * t.n + 9) DIV 10 THEN cum.lag END) p90_lag_days,
+  CAST(CAST(t.n_ov AS BIGINT) * 1000000 DIV t.n AS BIGINT) overdue_ppm
+FROM cum JOIN tot t ON t.pri = cum.pri
+GROUP BY t.pri, t.n, t.n_ov ORDER BY o_orderpriority""",
+
+    "q175_segment_migration" -> """
+WITH mid AS (SELECT (unix_micros(CAST(MIN(o_orderdate) AS TIMESTAMP))
+                   + unix_micros(CAST(MAX(o_orderdate) AS TIMESTAMP))) DIV 2 mid FROM orders),
+spend AS (SELECT o_custkey,
+    CASE WHEN unix_micros(CAST(o_orderdate AS TIMESTAMP)) < mid THEN 1 ELSE 2 END half,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) spend
+  FROM orders CROSS JOIN mid GROUP BY o_custkey, half),
+both_c AS (SELECT o_custkey FROM spend GROUP BY o_custkey HAVING COUNT(*) = 2),
+sp AS (SELECT spend.* FROM spend JOIN both_c USING (o_custkey)),
+n1 AS (SELECT COUNT(*) n FROM sp WHERE half = 1),
+n2 AS (SELECT COUNT(*) n FROM sp WHERE half = 2),
+v1 AS (SELECT spend, COUNT(*) c FROM sp WHERE half = 1 GROUP BY spend),
+v2 AS (SELECT spend, COUNT(*) c FROM sp WHERE half = 2 GROUP BY spend),
+q1m AS (SELECT spend, CAST(COALESCE(SUM(c) OVER (ORDER BY spend
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 4 DIV n1.n + 1 AS BIGINT) q1
+  FROM v1 CROSS JOIN n1),
+q2m AS (SELECT spend, CAST(COALESCE(SUM(c) OVER (ORDER BY spend
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 4 DIV n2.n + 1 AS BIGINT) q2
+  FROM v2 CROSS JOIN n2),
+h1 AS (SELECT o_custkey, q1 FROM sp JOIN q1m USING (spend) WHERE half = 1),
+h2 AS (SELECT o_custkey, q2 FROM sp JOIN q2m USING (spend) WHERE half = 2),
+matrix AS (SELECT q1, q2, COUNT(*) n_customers FROM h1 JOIN h2 USING (o_custkey) GROUP BY q1, q2),
+row_tot AS (SELECT q1, CAST(SUM(n_customers) AS BIGINT) row_n FROM matrix GROUP BY q1)
+SELECT m.q1 q_first, m.q2 q_last, m.n_customers,
+  CAST(m.n_customers * 1000000 DIV rt.row_n AS BIGINT) origin_share_ppm
+FROM matrix m JOIN row_tot rt ON rt.q1 = m.q1
+ORDER BY q_first, q_last"""
   ).map { case (k, v) => k -> v.trim }
 }
