@@ -2600,6 +2600,161 @@ row_tot AS (SELECT q1, CAST(SUM(n_customers) AS BIGINT) row_n FROM matrix GROUP 
 SELECT m.q1 q_first, m.q2 q_last, m.n_customers,
   CAST(m.n_customers * 1000000 DIV rt.row_n AS BIGINT) origin_share_ppm
 FROM matrix m JOIN row_tot rt ON rt.q1 = m.q1
-ORDER BY q_first, q_last"""
+ORDER BY q_first, q_last""",
+
+    "q182_top_customer_stability" -> """
+WITH yy AS (SELECT MIN(year(o_orderdate)) y1, MAX(year(o_orderdate)) y2 FROM orders),
+spend AS (SELECT CASE WHEN year(o_orderdate) = yy.y1 THEN 1 ELSE 2 END ep, o_custkey,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) spend
+  FROM orders CROSS JOIN yy
+  WHERE year(o_orderdate) = yy.y1 OR year(o_orderdate) = yy.y2
+  GROUP BY ep, o_custkey),
+thr AS (SELECT ep, MAX(spend) FILTER (WHERE cum >= k) thr FROM (
+    SELECT ep, spend,
+      CAST(SUM(c) OVER (PARTITION BY ep ORDER BY spend DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum,
+      LEAST(100, SUM(c) OVER (PARTITION BY ep)) k
+    FROM (SELECT ep, spend, COUNT(*) c FROM spend GROUP BY ep, spend))
+  GROUP BY ep),
+t1 AS (SELECT s.o_custkey, t.thr FROM spend s JOIN thr t ON t.ep = 1 AND s.ep = 1 AND s.spend >= t.thr),
+t2 AS (SELECT s.o_custkey, t.thr FROM spend s JOIN thr t ON t.ep = 2 AND s.ep = 2 AND s.spend >= t.thr),
+n1 AS (SELECT COUNT(*) n_top_first, CAST(MIN(thr) AS BIGINT) thr_first_cents FROM t1),
+n2 AS (SELECT COUNT(*) n_top_last, CAST(MIN(thr) AS BIGINT) thr_last_cents FROM t2),
+com AS (SELECT COUNT(*) n_common FROM t1 JOIN t2 USING (o_custkey))
+SELECT CAST(yy.y1 AS BIGINT) year_first, CAST(yy.y2 AS BIGINT) year_last,
+  n1.n_top_first, n2.n_top_last, com.n_common,
+  CAST(com.n_common * 1000000 DIV (n1.n_top_first + n2.n_top_last - com.n_common) AS BIGINT) jaccard_ppm,
+  n1.thr_first_cents, n2.thr_last_cents
+FROM yy CROSS JOIN n1 CROSS JOIN n2 CROSS JOIN com""",
+
+    "q183_shingle_df_spectrum" -> """
+WITH d AS (SELECT doc_id, filter(split(lower(text), ' '), x -> x <> '') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) x AS i),
+t AS (SELECT DISTINCT doc_id,
+        concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh FROM s),
+df AS (SELECT sh, COUNT(*) dfreq FROM t GROUP BY sh),
+spec AS (SELECT CASE WHEN dfreq < 2 THEN 0 WHEN dfreq < 4 THEN 1 WHEN dfreq < 8 THEN 2
+      WHEN dfreq < 16 THEN 3 WHEN dfreq < 32 THEN 4 WHEN dfreq < 64 THEN 5
+      WHEN dfreq < 128 THEN 6 WHEN dfreq < 256 THEN 7 WHEN dfreq < 512 THEN 8
+      WHEN dfreq < 1024 THEN 9 WHEN dfreq < 2048 THEN 10 ELSE 11 END df_band,
+    COUNT(*) n_shingles, CAST(SUM(dfreq) AS BIGINT) n_occurrences
+  FROM df GROUP BY df_band),
+tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) tot FROM spec)
+SELECT CAST(df_band AS BIGINT) df_band, n_shingles, n_occurrences,
+  CAST(n_occurrences * 1000000 DIV tot.tot AS BIGINT) occurrence_share_ppm
+FROM spec CROSS JOIN tot ORDER BY df_band""",
+
+    "q185_acctbal_revenue_grid" -> """
+WITH cust AS (SELECT c_custkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) bal FROM customer),
+rev AS (SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) rev
+  FROM orders GROUP BY o_custkey),
+cr AS (SELECT c_custkey, bal, COALESCE(rev, 0) rev
+  FROM cust LEFT JOIN rev ON o_custkey = c_custkey),
+n AS (SELECT COUNT(*) n FROM cr),
+qb AS (SELECT bal, CAST(COALESCE(SUM(cn) OVER (ORDER BY bal
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 4 DIV n.n + 1 AS BIGINT) q_bal
+  FROM (SELECT bal, COUNT(*) cn FROM cr GROUP BY bal) CROSS JOIN n),
+qr AS (SELECT rev, CAST(COALESCE(SUM(cn) OVER (ORDER BY rev
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 4 DIV n.n + 1 AS BIGINT) q_rev
+  FROM (SELECT rev, COUNT(*) cn FROM cr GROUP BY rev) CROSS JOIN n),
+grid AS (SELECT q_bal, q_rev, COUNT(*) n_customers
+  FROM cr JOIN qb USING (bal) JOIN qr USING (rev) GROUP BY q_bal, q_rev),
+row_tot AS (SELECT q_bal, CAST(SUM(n_customers) AS BIGINT) row_n FROM grid GROUP BY q_bal)
+SELECT g.q_bal, g.q_rev, g.n_customers,
+  CAST(g.n_customers * 1000000 DIV rt.row_n AS BIGINT) balance_share_ppm
+FROM grid g JOIN row_tot rt ON rt.q_bal = g.q_bal
+ORDER BY g.q_bal, g.q_rev""",
+
+    "q186_weekend_value_shift" -> """
+WITH ev AS (SELECT event_type, value,
+    CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END we,
+    date_trunc('day', ts) d
+  FROM events),
+days AS (SELECT we, COUNT(*) n_days FROM (SELECT DISTINCT we, d FROM ev) GROUP BY we),
+counts AS (SELECT event_type, we, COUNT(*) n FROM ev GROUP BY event_type, we),
+vals AS (SELECT event_type, we, value, COUNT(*) c FROM ev GROUP BY event_type, we, value),
+cum AS (SELECT event_type, we, value, SUM(c) OVER (PARTITION BY event_type, we
+    ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM vals),
+med AS (SELECT cum.event_type, cum.we,
+    MIN(CASE WHEN cum.cum >= (c.n + 1) DIV 2 THEN cum.value END) median_value
+  FROM cum JOIN counts c ON c.event_type = cum.event_type AND c.we = cum.we
+  GROUP BY cum.event_type, cum.we)
+SELECT cwd.event_type,
+  CAST(cwd.n AS BIGINT) n_wd, CAST(cwe.n AS BIGINT) n_we,
+  mwd.median_value median_wd, mwe.median_value median_we,
+  CAST((cwe.n * dwd.n_days) * 1000000 DIV (cwd.n * dwe.n_days) AS BIGINT) rate_ratio_ppm
+FROM counts cwd
+JOIN counts cwe ON cwe.event_type = cwd.event_type AND cwd.we = 0 AND cwe.we = 1
+JOIN med mwd ON mwd.event_type = cwd.event_type AND mwd.we = 0
+JOIN med mwe ON mwe.event_type = cwd.event_type AND mwe.we = 1
+JOIN days dwd ON dwd.we = 0 JOIN days dwe ON dwe.we = 1
+ORDER BY cwd.event_type""",
+
+    "q204_value_ladder" -> """
+WITH e AS (SELECT user_id, event_type, value, unix_micros(ts) us, event_id FROM events),
+r AS (SELECT user_id, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) ra,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY us DESC, event_id DESC) rd
+  FROM e),
+fl AS (SELECT user_id, event_type, COUNT(*) n,
+    MAX(CASE WHEN ra = 1 THEN value END) first_v,
+    MAX(CASE WHEN rd = 1 THEN value END) last_v
+  FROM r GROUP BY user_id, event_type),
+per AS (SELECT event_type, COUNT(*) n_users,
+    CAST(SUM(CASE WHEN last_v > first_v THEN 1 ELSE 0 END) AS BIGINT) n_up,
+    CAST(SUM(CASE WHEN last_v < first_v THEN 1 ELSE 0 END) AS BIGINT) n_down
+  FROM fl WHERE n >= 2 GROUP BY event_type)
+SELECT event_type, n_users, n_up, n_down,
+  CAST(n_up * 1000000 DIV n_users AS BIGINT) up_ppm,
+  CAST(n_down * 1000000 DIV n_users AS BIGINT) down_ppm
+FROM per ORDER BY event_type""",
+
+    "q206_weighted_median_qty" -> """
+WITH bq AS (SELECT p_brand, CAST(l_quantity AS BIGINT) qty,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) w,
+    COUNT(*) n
+  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY p_brand, qty),
+cum AS (SELECT p_brand, qty,
+    CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY qty) AS BIGINT) cum
+  FROM bq),
+tot AS (SELECT p_brand, CAST(SUM(w) AS BIGINT) tw, CAST(SUM(n) AS BIGINT) n_lines
+  FROM bq GROUP BY p_brand),
+wm AS (SELECT c.p_brand, MIN(qty) wmedian_qty
+  FROM cum c JOIN tot t ON t.p_brand = c.p_brand
+  WHERE c.cum * 2 >= t.tw GROUP BY c.p_brand)
+SELECT c.p_brand, t.n_lines, w.wmedian_qty,
+  CAST(c.cum * 1000000 DIV t.tw AS BIGINT) cum_share_ppm
+FROM cum c JOIN wm w ON w.p_brand = c.p_brand AND c.qty = w.wmedian_qty
+JOIN tot t ON t.p_brand = c.p_brand
+ORDER BY c.p_brand""",
+
+    "q207_value_mad" -> """
+WITH vc AS (SELECT event_type, value v, COUNT(*) c FROM events GROUP BY event_type, value),
+tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) n FROM vc GROUP BY event_type),
+cum AS (SELECT event_type, v,
+    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) cum
+  FROM vc),
+med AS (SELECT c.event_type, MIN(v) med
+  FROM cum c JOIN tot t ON t.event_type = c.event_type
+  WHERE c.cum >= (t.n + 1) DIV 2 GROUP BY c.event_type),
+dev AS (SELECT v.event_type, m.med, abs(v.v - m.med) dev, CAST(SUM(c) AS BIGINT) c
+  FROM vc v JOIN med m ON m.event_type = v.event_type
+  GROUP BY v.event_type, m.med, abs(v.v - m.med)),
+cum2 AS (SELECT event_type, dev,
+    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS BIGINT) cum
+  FROM dev),
+mad AS (SELECT c.event_type, MIN(dev) mad
+  FROM cum2 c JOIN tot t ON t.event_type = c.event_type
+  WHERE c.cum >= (t.n + 1) DIV 2 GROUP BY c.event_type),
+win AS (SELECT d.event_type, CAST(SUM(d.c) AS BIGINT) n_within
+  FROM dev d JOIN mad a ON a.event_type = d.event_type
+  WHERE d.dev <= a.mad GROUP BY d.event_type)
+SELECT t.event_type, t.n, m.med, a.mad,
+  CAST(w.n_within * 1000000 DIV t.n AS BIGINT) within_mad_ppm
+FROM tot t JOIN med m ON m.event_type = t.event_type
+JOIN mad a ON a.event_type = t.event_type
+JOIN win w ON w.event_type = t.event_type
+ORDER BY t.event_type"""
   ).map { case (k, v) => k -> v.trim }
 }
