@@ -2755,6 +2755,116 @@ SELECT t.event_type, t.n, m.med, a.mad,
 FROM tot t JOIN med m ON m.event_type = t.event_type
 JOIN mad a ON a.event_type = t.event_type
 JOIN win w ON w.event_type = t.event_type
-ORDER BY t.event_type"""
+ORDER BY t.event_type""",
+
+    "q208_session_cooccur" -> """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN unix_millis(ts) - unix_millis(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+st AS (SELECT DISTINCT user_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+  FROM g),
+nt AS (SELECT event_type, COUNT(*) n_t FROM st GROUP BY event_type),
+pairs AS (SELECT l.event_type t1, r.event_type t2, COUNT(*) n_both
+  FROM st l JOIN st r ON r.user_id = l.user_id AND r.session_id = l.session_id
+    AND l.event_type < r.event_type
+  GROUP BY l.event_type, r.event_type)
+SELECT p.t1, p.t2, p.n_both, n1.n_t n_1, n2.n_t n_2,
+  CAST(p.n_both * 1000000 DIV (n1.n_t + n2.n_t - p.n_both) AS BIGINT) jaccard_ppm
+FROM pairs p JOIN nt n1 ON n1.event_type = p.t1
+JOIN nt n2 ON n2.event_type = p.t2
+ORDER BY p.t1, p.t2""",
+
+    "q213_kendall_discount_qty" -> """
+WITH cells AS (SELECT p_brand, CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) d,
+    CAST(l_quantity AS BIGINT) q, COUNT(*) c
+  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY p_brand, d, q),
+tot AS (SELECT p_brand, CAST(SUM(c) AS BIGINT) n FROM cells GROUP BY p_brand),
+pairs AS (SELECT a.p_brand,
+    CAST(SUM(CASE WHEN a.d < b.d AND a.q < b.q THEN a.c * b.c ELSE 0 END) AS BIGINT) n_conc,
+    CAST(SUM(CASE WHEN a.d < b.d AND a.q > b.q THEN a.c * b.c ELSE 0 END) AS BIGINT) n_disc
+  FROM cells a JOIN cells b ON b.p_brand = a.p_brand
+    AND (a.d < b.d OR (a.d = b.d AND a.q < b.q))
+  GROUP BY a.p_brand)
+SELECT p.p_brand, t.n, p.n_conc, p.n_disc,
+  CAST(p.n_conc * 2000000 DIV (t.n * (t.n - 1)) AS BIGINT) conc_ppm,
+  CAST(p.n_disc * 2000000 DIV (t.n * (t.n - 1)) AS BIGINT) disc_ppm
+FROM pairs p JOIN tot t ON t.p_brand = p.p_brand ORDER BY p.p_brand""",
+
+    "q217_dim_quantiles" -> """
+WITH xc AS (SELECT r.pos, element_at(embedding, r.pos) x, COUNT(*) c
+  FROM embeddings CROSS JOIN (SELECT explode(sequence(1, 64)) pos) r GROUP BY r.pos, x),
+tot AS (SELECT pos, CAST(SUM(c) AS BIGINT) n FROM xc GROUP BY pos),
+cum AS (SELECT pos, x, c,
+    CAST(SUM(c) OVER (PARTITION BY pos ORDER BY x) AS BIGINT) cum
+  FROM xc),
+p01 AS (SELECT c.pos, MIN(x) p01 FROM cum c JOIN tot t ON t.pos = c.pos
+  WHERE c.cum >= (t.n + 99) DIV 100 GROUP BY c.pos),
+p99 AS (SELECT c.pos, MIN(x) p99 FROM cum c JOIN tot t ON t.pos = c.pos
+  WHERE c.cum >= (t.n * 99 + 99) DIV 100 GROUP BY c.pos)
+SELECT x.pos, t.n, CAST(a.p01 AS DOUBLE) p01, CAST(b.p99 AS DOUBLE) p99,
+  CAST(SUM(CASE WHEN x.x < a.p01 OR x.x > b.p99 THEN x.c ELSE 0 END) * 1000000
+    DIV t.n AS BIGINT) clipped_ppm
+FROM xc x JOIN p01 a ON a.pos = x.pos JOIN p99 b ON b.pos = x.pos
+JOIN tot t ON t.pos = x.pos
+GROUP BY x.pos, t.n, a.p01, b.p99 ORDER BY x.pos""",
+
+    "q221_outlier_fences" -> """
+WITH vc AS (SELECT event_type, value v, COUNT(*) c FROM events GROUP BY event_type, value),
+tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) n FROM vc GROUP BY event_type),
+cum AS (SELECT event_type, v,
+    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) cum
+  FROM vc),
+q1 AS (SELECT c.event_type, MIN(v) q1 FROM cum c JOIN tot t ON t.event_type = c.event_type
+  WHERE c.cum >= (t.n + 3) DIV 4 GROUP BY c.event_type),
+q3 AS (SELECT c.event_type, MIN(v) q3 FROM cum c JOIN tot t ON t.event_type = c.event_type
+  WHERE c.cum >= (3 * t.n + 3) DIV 4 GROUP BY c.event_type)
+SELECT v.event_type, t.n, a.q1, b.q3,
+  CAST(SUM(CASE WHEN v.v < a.q1 - 1.5 * (b.q3 - a.q1) THEN v.c ELSE 0 END) * 1000000 DIV t.n AS BIGINT) lo_ppm,
+  CAST(SUM(CASE WHEN v.v > b.q3 + 1.5 * (b.q3 - a.q1) THEN v.c ELSE 0 END) * 1000000 DIV t.n AS BIGINT) hi_ppm
+FROM vc v JOIN q1 a ON a.event_type = v.event_type
+JOIN q3 b ON b.event_type = v.event_type
+JOIN tot t ON t.event_type = v.event_type
+GROUP BY v.event_type, t.n, a.q1, b.q3 ORDER BY v.event_type""",
+
+    "q223_trade_locality" -> """
+WITH rev4 AS (SELECT n.n_name c_nation,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) rev4,
+    CAST(SUM(CASE WHEN c.c_nationkey = s.s_nationkey
+      THEN CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+      ELSE 0 END) AS BIGINT) local4
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer c ON c.c_custkey = o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN supplier s ON s.s_suppkey = l_suppkey
+  GROUP BY n.n_name),
+rev AS (SELECT c_nation, CAST(rev4 DIV 100 AS BIGINT) rev,
+    CAST(local4 DIV 100 AS BIGINT) local_rev FROM rev4),
+tot AS (SELECT CAST(SUM(rev) AS BIGINT) g_rev, CAST(SUM(local_rev) AS BIGINT) g_local FROM rev)
+SELECT c_nation, rev rev_cents, local_rev local_cents,
+  CAST(local_rev * 1000000 DIV rev AS BIGINT) local_ppm,
+  CAST(local_rev * 1000000 DIV rev - g_local * 1000000 DIV g_rev AS BIGINT) delta_ppm
+FROM rev CROSS JOIN tot ORDER BY c_nation""",
+
+    "q225_benford_price" -> """
+WITH d AS (SELECT p_brand,
+    CAST(substring(CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT) AS STRING), 1, 1) AS BIGINT) digit,
+    COUNT(*) n_bd
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand, digit),
+bt AS (SELECT p_brand, CAST(SUM(n_bd) AS BIGINT) n_b FROM d GROUP BY p_brand),
+shares AS (SELECT digit, CAST(d.n_bd * 1000000 DIV bt.n_b AS BIGINT) ppm
+  FROM d JOIN bt ON bt.p_brand = d.p_brand),
+corpus AS (SELECT digit, CAST(SUM(n_bd) AS BIGINT) n_d FROM d GROUP BY digit),
+g AS (SELECT CAST(SUM(n_bd) AS BIGINT) n FROM d)
+SELECT s.digit, c.n_d n, CAST(c.n_d * 1000000 DIV g.n AS BIGINT) corpus_ppm,
+  CAST(MIN(s.ppm) AS BIGINT) min_brand_ppm, CAST(MAX(s.ppm) AS BIGINT) max_brand_ppm
+FROM shares s JOIN corpus c ON c.digit = s.digit CROSS JOIN g
+GROUP BY s.digit, c.n_d, g.n ORDER BY s.digit"""
   ).map { case (k, v) => k -> v.trim }
 }
