@@ -2865,6 +2865,170 @@ g AS (SELECT CAST(SUM(n_bd) AS BIGINT) n FROM d)
 SELECT s.digit, c.n_d n, CAST(c.n_d * 1000000 DIV g.n AS BIGINT) corpus_ppm,
   CAST(MIN(s.ppm) AS BIGINT) min_brand_ppm, CAST(MAX(s.ppm) AS BIGINT) max_brand_ppm
 FROM shares s JOIN corpus c ON c.digit = s.digit CROSS JOIN g
-GROUP BY s.digit, c.n_d, g.n ORDER BY s.digit"""
+GROUP BY s.digit, c.n_d, g.n ORDER BY s.digit""",
+
+    "q231_revenue_halfdate" -> """
+WITH bd AS (SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) w
+  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY p_brand, day),
+tot AS (SELECT p_brand, CAST(SUM(w) AS BIGINT) tw, MIN(day) first_day, MAX(day) last_day
+  FROM bd GROUP BY p_brand),
+cum AS (SELECT p_brand, day, CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY day) AS BIGINT) cum
+  FROM bd),
+half AS (SELECT c.p_brand, MIN(day) half_day
+  FROM cum c JOIN tot t ON t.p_brand = c.p_brand
+  WHERE c.cum * 2 >= t.tw GROUP BY c.p_brand)
+SELECT t.p_brand, t.first_day, h.half_day, t.last_day,
+  CAST(datediff(h.half_day, t.first_day) * 1000000
+    DIV greatest(datediff(t.last_day, t.first_day), 1) AS BIGINT) half_pos_ppm
+FROM tot t JOIN half h ON h.p_brand = t.p_brand ORDER BY t.p_brand""",
+
+    "q234_survivorship_policies" -> """
+WITH toks AS (SELECT doc_id, source, n_chars, tok FROM documents
+              LATERAL VIEW explode(split(LOWER(text), ' ')) e AS tok),
+sig AS (SELECT doc_id, source, n_chars,
+    MIN(MD5(tok)) h1, MIN(MD5('a' || tok)) h2, MIN(MD5('b' || tok)) h3
+  FROM toks WHERE tok <> '' GROUP BY doc_id, source, n_chars),
+grp AS (SELECT h1, h2, h3, COUNT(*) ng, MIN(doc_id) p1,
+    MAX(n_chars) mx, MIN(source) ms
+  FROM sig GROUP BY h1, h2, h3 HAVING COUNT(*) > 1),
+p2 AS (SELECT s.h1, s.h2, s.h3, MIN(s.doc_id) p2
+  FROM sig s JOIN grp g ON g.h1 = s.h1 AND g.h2 = s.h2 AND g.h3 = s.h3
+  WHERE s.n_chars = g.mx GROUP BY s.h1, s.h2, s.h3),
+p3 AS (SELECT s.h1, s.h2, s.h3, MIN(s.doc_id) p3
+  FROM sig s JOIN grp g ON g.h1 = s.h1 AND g.h2 = s.h2 AND g.h3 = s.h3
+  WHERE s.source = g.ms GROUP BY s.h1, s.h2, s.h3),
+j AS (SELECT g.p1, p2.p2, p3.p3 FROM grp g
+  JOIN p2 ON p2.h1 = g.h1 AND p2.h2 = g.h2 AND p2.h3 = g.h3
+  JOIN p3 ON p3.h1 = g.h1 AND p3.h2 = g.h2 AND p3.h3 = g.h3)
+SELECT COUNT(*) n_groups,
+  CAST(SUM(CASE WHEN p1 = p2 AND p2 = p3 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) all_agree_ppm,
+  CAST(SUM(CASE WHEN p1 = p2 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) id_len_ppm,
+  CAST(SUM(CASE WHEN p1 = p3 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) id_src_ppm,
+  CAST(SUM(CASE WHEN p2 = p3 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) len_src_ppm
+FROM j""",
+
+    "q247_priority_premium" -> """
+WITH oc AS (SELECT o_orderpriority prio,
+    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) c2 FROM orders),
+pc AS (SELECT prio, c2, COUNT(*) c FROM oc GROUP BY prio, c2),
+pt AS (SELECT prio, CAST(SUM(c) AS BIGINT) n FROM pc GROUP BY prio),
+cum AS (SELECT prio, c2, CAST(SUM(c) OVER (PARTITION BY prio ORDER BY c2) AS BIGINT) cum FROM pc),
+med AS (SELECT c.prio, MIN(c2) median_cents
+  FROM cum c JOIN pt t ON t.prio = c.prio WHERE c.cum >= (t.n + 1) DIV 2 GROUP BY c.prio),
+gc AS (SELECT c2, COUNT(*) c FROM oc GROUP BY c2),
+gt AS (SELECT CAST(SUM(c) AS BIGINT) n FROM gc),
+gcum AS (SELECT c2, CAST(SUM(c) OVER (ORDER BY c2) AS BIGINT) cum FROM gc),
+gmed AS (SELECT MIN(c2) g_median FROM gcum CROSS JOIN gt WHERE cum >= (n + 1) DIV 2)
+SELECT m.prio, t.n, m.median_cents, g.g_median,
+  CAST(m.median_cents * 1000000 DIV g.g_median AS BIGINT) rel_ppm
+FROM med m JOIN pt t ON t.prio = m.prio CROSS JOIN gmed g
+ORDER BY m.prio""",
+
+    "q252_first_value_ltv_grid" -> """
+WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) c2 FROM orders),
+fd AS (SELECT o_custkey, MIN(o_orderdate) fd FROM o GROUP BY o_custkey),
+fk AS (SELECT o.o_custkey, MIN(o_orderkey) fk FROM o JOIN fd ON fd.o_custkey = o.o_custkey
+  WHERE o.o_orderdate = fd.fd GROUP BY o.o_custkey),
+cust AS (SELECT l.o_custkey, f.c2 fv, l.lv FROM
+  (SELECT o_custkey, CAST(SUM(c2) AS BIGINT) lv FROM o GROUP BY o_custkey) l
+  JOIN fk ON fk.o_custkey = l.o_custkey
+  JOIN o f ON f.o_orderkey = fk.fk),
+fq AS (SELECT MIN(CASE WHEN cum >= (n + 3) DIV 4 THEN fv END) f1,
+    MIN(CASE WHEN cum >= (n + 1) DIV 2 THEN fv END) f2,
+    MIN(CASE WHEN cum >= (3 * n + 3) DIV 4 THEN fv END) f3
+  FROM (SELECT fv, SUM(c) OVER (ORDER BY fv) cum, n FROM
+    (SELECT fv, COUNT(*) c FROM cust GROUP BY fv)
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) n FROM cust))),
+lq AS (SELECT MIN(CASE WHEN cum >= (n + 3) DIV 4 THEN lv END) l1,
+    MIN(CASE WHEN cum >= (n + 1) DIV 2 THEN lv END) l2,
+    MIN(CASE WHEN cum >= (3 * n + 3) DIV 4 THEN lv END) l3
+  FROM (SELECT lv, SUM(c) OVER (ORDER BY lv) cum, n FROM
+    (SELECT lv, COUNT(*) c FROM cust GROUP BY lv)
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) n FROM cust)))
+SELECT CASE WHEN fv < f1 THEN 1 WHEN fv < f2 THEN 2 WHEN fv < f3 THEN 3 ELSE 4 END first_q,
+  CASE WHEN lv < l1 THEN 1 WHEN lv < l2 THEN 2 WHEN lv < l3 THEN 3 ELSE 4 END ltv_q,
+  COUNT(*) n_customers
+FROM cust CROSS JOIN fq CROSS JOIN lq
+GROUP BY first_q, ltv_q ORDER BY first_q, ltv_q""",
+
+    "q253_boundary_tokens" -> """
+WITH fl AS (SELECT lang, filter(split(lower(text), ' '), x -> x <> '') l
+  FROM documents),
+ends AS (SELECT lang, element_at(l, 1) ft, element_at(l, size(l)) lt FROM fl WHERE size(l) >= 1),
+fc AS (SELECT lang, ft tok, COUNT(*) n FROM ends GROUP BY lang, ft),
+fm AS (SELECT lang, MAX(n) mn FROM fc GROUP BY lang),
+ftop AS (SELECT fc.lang, fm.mn, MIN(tok) top_first FROM fc JOIN fm ON fm.lang = fc.lang
+  WHERE fc.n = fm.mn GROUP BY fc.lang, fm.mn),
+lc AS (SELECT lang, lt tok, COUNT(*) n FROM ends GROUP BY lang, lt),
+lm AS (SELECT lang, MAX(n) mn FROM lc GROUP BY lang),
+ltop AS (SELECT lc.lang, lm.mn, MIN(tok) top_last FROM lc JOIN lm ON lm.lang = lc.lang
+  WHERE lc.n = lm.mn GROUP BY lc.lang, lm.mn),
+tot AS (SELECT lang, COUNT(*) n_docs FROM ends GROUP BY lang)
+SELECT t.lang, t.n_docs, f.top_first,
+  CAST(f.mn * 1000000 DIV t.n_docs AS BIGINT) first_ppm,
+  l.top_last, CAST(l.mn * 1000000 DIV t.n_docs AS BIGINT) last_ppm
+FROM tot t JOIN ftop f ON f.lang = t.lang JOIN ltop l ON l.lang = t.lang
+ORDER BY t.lang""",
+
+    "q256_gap_quantiles" -> """
+WITH g AS (SELECT event_type, sec FROM (
+    SELECT event_type,
+      (unix_micros(ts) - LAG(unix_micros(ts)) OVER (PARTITION BY user_id, event_type
+        ORDER BY unix_micros(ts), event_id)) DIV 1000000 sec
+    FROM events) WHERE sec IS NOT NULL),
+gc AS (SELECT event_type, CAST(sec AS BIGINT) sec, COUNT(*) c FROM g GROUP BY event_type, sec),
+tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) n FROM gc GROUP BY event_type),
+cum AS (SELECT event_type, sec, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY sec) AS BIGINT) cum
+  FROM gc),
+p50 AS (SELECT c.event_type, MIN(sec) p50_s FROM cum c JOIN tot t ON t.event_type = c.event_type
+  WHERE c.cum >= (t.n + 1) DIV 2 GROUP BY c.event_type),
+p90 AS (SELECT c.event_type, MIN(sec) p90_s FROM cum c JOIN tot t ON t.event_type = c.event_type
+  WHERE c.cum >= (9 * t.n + 9) DIV 10 GROUP BY c.event_type),
+p99 AS (SELECT c.event_type, MIN(sec) p99_s FROM cum c JOIN tot t ON t.event_type = c.event_type
+  WHERE c.cum >= (99 * t.n + 99) DIV 100 GROUP BY c.event_type)
+SELECT t.event_type, t.n n_gaps, a.p50_s, b.p90_s, c.p99_s
+FROM tot t JOIN p50 a ON a.event_type = t.event_type
+JOIN p90 b ON b.event_type = t.event_type
+JOIN p99 c ON c.event_type = t.event_type
+ORDER BY t.event_type""",
+
+    "q260_top3_concentration" -> """
+WITH cn AS (SELECT c_custkey, n_name FROM customer JOIN nation ON n_nationkey = c_nationkey),
+rev AS (SELECT n_name, o_custkey,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) rev
+  FROM orders JOIN cn ON c_custkey = o_custkey GROUP BY n_name, o_custkey),
+rc AS (SELECT n_name, rev, COUNT(*) c FROM rev GROUP BY n_name, rev),
+rt AS (SELECT n_name, CAST(SUM(c) AS BIGINT) n FROM rc GROUP BY n_name),
+cum AS (SELECT n_name, rev, CAST(SUM(c) OVER (PARTITION BY n_name ORDER BY rev) AS BIGINT) cum FROM rc),
+thr AS (SELECT c.n_name, MIN(rev) thr FROM cum c JOIN rt t ON t.n_name = c.n_name
+  WHERE c.cum >= t.n - 2 GROUP BY c.n_name)
+SELECT r.n_name, t.n n_customers,
+  CAST(SUM(CASE WHEN r.rev >= h.thr THEN 1 ELSE 0 END) AS BIGINT) n_top,
+  CAST(SUM(CASE WHEN r.rev >= h.thr THEN r.rev ELSE 0 END) * 1000000
+    DIV SUM(r.rev) AS BIGINT) top_share_ppm
+FROM rev r JOIN thr h ON h.n_name = r.n_name JOIN rt t ON t.n_name = r.n_name
+GROUP BY r.n_name, t.n ORDER BY r.n_name""",
+
+    "q265_first_brand_loyalty" -> """
+WITH lines AS (SELECT o_custkey, o_orderdate, o_orderkey, l_linenumber, p_brand
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey),
+first AS (SELECT o_custkey, p_brand AS first_brand FROM (
+    SELECT o_custkey, p_brand, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      ORDER BY o_orderdate, o_orderkey, l_linenumber, p_brand) AS rn FROM lines)
+  WHERE rn = 1),
+bc AS (SELECT o_custkey, p_brand, COUNT(*) AS c FROM lines GROUP BY o_custkey, p_brand),
+mx AS (SELECT o_custkey, MAX(c) AS mc FROM bc GROUP BY o_custkey),
+modal AS (SELECT bc.o_custkey, MIN(p_brand) AS modal_brand
+  FROM bc JOIN mx ON mx.o_custkey = bc.o_custkey WHERE bc.c = mx.mc
+  GROUP BY bc.o_custkey)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+  CAST(SUM(CASE WHEN first_brand = modal_brand THEN 1 ELSE 0 END) AS BIGINT) AS n_loyal,
+  CAST(SUM(CASE WHEN first_brand = modal_brand THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) AS loyal_ppm
+FROM first JOIN modal ON modal.o_custkey = first.o_custkey
+JOIN customer ON c_custkey = first.o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   ).map { case (k, v) => k -> v.trim }
 }
