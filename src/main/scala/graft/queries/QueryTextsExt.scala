@@ -3029,6 +3029,237 @@ SELECT c_mktsegment, COUNT(*) AS n_customers,
   CAST(SUM(CASE WHEN first_brand = modal_brand THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) AS loyal_ppm
 FROM first JOIN modal ON modal.o_custkey = first.o_custkey
 JOIN customer ON c_custkey = first.o_custkey
-GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q50_dedup_lsh_bands" -> """
+WITH d AS (SELECT doc_id, split(lower(text), ' ') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) x AS i),
+t AS (SELECT DISTINCT doc_id,
+        concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh FROM s),
+sig AS (SELECT doc_id,
+  MIN(substr(md5(sh), 1, 4)) h1, MIN(substr(md5(sh), 5, 4)) h2,
+  MIN(substr(md5(sh), 9, 4)) h3, MIN(substr(md5(sh), 13, 4)) h4,
+  MIN(substr(md5(sh), 17, 4)) h5, MIN(substr(md5(sh), 21, 4)) h6,
+  MIN(substr(md5(sh), 25, 4)) h7, MIN(substr(md5(sh), 29, 4)) h8
+  FROM t GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id i, b.doc_id j FROM sig a JOIN sig b
+    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id
+  UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+    ON a.h5 = b.h5 AND a.h6 = b.h6 AND a.h7 = b.h7 AND a.h8 = b.h8 AND a.doc_id < b.doc_id),
+card AS (SELECT doc_id, COUNT(*) nt FROM t GROUP BY doc_id),
+inter AS (SELECT c.i, c.j, COUNT(*) ci FROM cand c
+          JOIN t ta ON ta.doc_id = c.i JOIN t tb ON tb.doc_id = c.j AND ta.sh = tb.sh
+          GROUP BY c.i, c.j),
+jac AS (SELECT c.i, c.j, CAST(COALESCE(x.ci, 0) AS DOUBLE) / (ca.nt + cb.nt - COALESCE(x.ci, 0)) jc
+        FROM cand c LEFT JOIN inter x ON x.i = c.i AND x.j = c.j
+        JOIN card ca ON ca.doc_id = c.i JOIN card cb ON cb.doc_id = c.j)
+SELECT COUNT(*) n_candidates,
+       CAST(SUM(CASE WHEN jc >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) n_verified,
+       CAST(ROUND(AVG(CAST(jc AS DECIMAL(18,9))), 6) AS DOUBLE) avg_jaccard
+FROM jac""",
+
+    "q56_ann_ivf" -> """
+WITH cm AS (
+  SELECT label, r.pos, CAST(ROUND(AVG(CAST(element_at(embedding, r.pos) AS DECIMAL(18,9))), 6) AS DOUBLE) c
+  FROM embeddings CROSS JOIN (SELECT explode(sequence(1, 64)) pos) r GROUP BY label, r.pos),
+cent AS (SELECT label AS clabel,
+           transform(array_sort(collect_list(struct(pos, c))), s -> s.c) cent
+         FROM cm GROUP BY label),
+assign AS (
+  SELECT e.vec_id, e.label, e.embedding, c.clabel,
+    aggregate(zip_with(e.embedding, c.cent,
+      (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, x) -> acc + x) d2
+  FROM embeddings e CROSS JOIN cent c),
+bucketed AS (
+  SELECT vec_id, label, embedding, clabel AS bucket,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn
+  FROM assign),
+b AS (SELECT vec_id, label, embedding, bucket FROM bucketed WHERE rn = 1),
+qv AS (SELECT embedding v, bucket FROM b WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+  ROUND(aggregate(zip_with(e.embedding, qv.v, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)
+  / (SQRT(aggregate(e.embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+   * SQRT(aggregate(qv.v, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) cos_sim
+FROM b e JOIN qv ON e.bucket = qv.bucket
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
+
+    "q161_lsh_band_curve" -> """
+WITH d AS (SELECT doc_id, filter(split(lower(text), ' '), x -> x <> '') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) x AS i),
+t AS (SELECT DISTINCT doc_id,
+        concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh FROM s),
+sig AS (SELECT doc_id,
+  MIN(substr(md5(sh), 1, 4)) h1, MIN(substr(md5(sh), 5, 4)) h2,
+  MIN(substr(md5(sh), 9, 4)) h3, MIN(substr(md5(sh), 13, 4)) h4,
+  MIN(substr(md5(sh), 17, 4)) h5, MIN(substr(md5(sh), 21, 4)) h6,
+  MIN(substr(md5(sh), 25, 4)) h7, MIN(substr(md5(sh), 29, 4)) h8
+  FROM t GROUP BY doc_id),
+bands AS (
+  SELECT '2x4' cfg, doc_id, 1 bi, h1||h2||h3||h4 bv FROM sig
+  UNION ALL SELECT '2x4', doc_id, 2, h5||h6||h7||h8 FROM sig
+  UNION ALL SELECT '4x2', doc_id, 1, h1||h2 FROM sig
+  UNION ALL SELECT '4x2', doc_id, 2, h3||h4 FROM sig
+  UNION ALL SELECT '4x2', doc_id, 3, h5||h6 FROM sig
+  UNION ALL SELECT '4x2', doc_id, 4, h7||h8 FROM sig
+  UNION ALL SELECT '8x1', doc_id, 1, h1 FROM sig
+  UNION ALL SELECT '8x1', doc_id, 2, h2 FROM sig
+  UNION ALL SELECT '8x1', doc_id, 3, h3 FROM sig
+  UNION ALL SELECT '8x1', doc_id, 4, h4 FROM sig
+  UNION ALL SELECT '8x1', doc_id, 5, h5 FROM sig
+  UNION ALL SELECT '8x1', doc_id, 6, h6 FROM sig
+  UNION ALL SELECT '8x1', doc_id, 7, h7 FROM sig
+  UNION ALL SELECT '8x1', doc_id, 8, h8 FROM sig),
+cand AS (SELECT DISTINCT a.cfg, a.doc_id i, b.doc_id j
+         FROM bands a JOIN bands b
+           ON a.cfg = b.cfg AND a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+tk AS (SELECT t.doc_id, t.sh FROM t
+       JOIN (SELECT sh FROM t GROUP BY sh HAVING COUNT(*) <= 1000) k ON k.sh = t.sh),
+card AS (SELECT doc_id, COUNT(*) nt FROM tk GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM tk a JOIN tk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+truth AS (SELECT x.i, x.j FROM inter x
+          JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
+          WHERE 10 * x.ci >= 7 * (ca.nt + cb.nt - x.ci)),
+nt AS (SELECT COUNT(*) n_true_total FROM truth),
+nc AS (SELECT cfg, COUNT(*) n_candidates FROM cand GROUP BY cfg),
+nv AS (SELECT c.cfg, COUNT(*) n_true_candidates
+       FROM cand c JOIN truth tr ON tr.i = c.i AND tr.j = c.j GROUP BY c.cfg)
+SELECT nc.cfg, nc.n_candidates,
+  CAST(COALESCE(nv.n_true_candidates, 0) AS BIGINT) n_true_candidates,
+  CAST(nt.n_true_total AS BIGINT) n_true_total,
+  CAST(COALESCE(nv.n_true_candidates, 0) * 1000000 DIV GREATEST(nt.n_true_total, 1) AS BIGINT) recall_ppm,
+  CAST(COALESCE(nv.n_true_candidates, 0) * 1000000 DIV GREATEST(nc.n_candidates, 1) AS BIGINT) precision_ppm
+FROM nc LEFT JOIN nv ON nv.cfg = nc.cfg CROSS JOIN nt
+ORDER BY nc.cfg""",
+
+    // q57/q93/q97: connected components via min-label propagation
+    // UNROLLED to 6 steps instead of WITH RECURSIVE — Spark 4.1's
+    // recursive CTE accepts only UNION ALL, under which a cyclic
+    // reachability recursion never terminates. 6 propagation steps
+    // converge for any component diameter <= 6; the near-dup clusters
+    // on this corpus are pairs/triples (diameter <= 2, see q93's
+    // cluster-size spectrum), so the bound has 3x margin.
+    "q57_dedup_components" -> """
+WITH
+d AS (SELECT doc_id, split(lower(text), ' ') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) x AS i),
+t AS (SELECT DISTINCT doc_id,
+        concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh FROM s),
+sig AS (SELECT doc_id,
+  MIN(substr(md5(sh), 1, 4)) h1, MIN(substr(md5(sh), 5, 4)) h2,
+  MIN(substr(md5(sh), 9, 4)) h3, MIN(substr(md5(sh), 13, 4)) h4,
+  MIN(substr(md5(sh), 17, 4)) h5, MIN(substr(md5(sh), 21, 4)) h6,
+  MIN(substr(md5(sh), 25, 4)) h7, MIN(substr(md5(sh), 29, 4)) h8
+  FROM t GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id i, b.doc_id j FROM sig a JOIN sig b
+    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.h4 = b.h4 AND a.doc_id < b.doc_id
+  UNION SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+    ON a.h5 = b.h5 AND a.h6 = b.h6 AND a.h7 = b.h7 AND a.h8 = b.h8 AND a.doc_id < b.doc_id),
+card AS (SELECT doc_id, COUNT(*) nt FROM t GROUP BY doc_id),
+inter AS (SELECT c.i, c.j, COUNT(*) ci FROM cand c
+          JOIN t ta ON ta.doc_id = c.i JOIN t tb ON tb.doc_id = c.j AND ta.sh = tb.sh
+          GROUP BY c.i, c.j),
+pairs AS (SELECT x.i, x.j FROM inter x
+          JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
+          WHERE CAST(x.ci AS DOUBLE) / (ca.nt + cb.nt - x.ci) >= 0.7),
+edges AS (SELECT i a, j b FROM pairs UNION SELECT j, i FROM pairs),
+l0 AS (SELECT a doc, a lab FROM (SELECT DISTINCT a FROM edges)),
+l1 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l0 l
+       JOIN edges e ON e.a = l.doc JOIN l0 n ON n.doc = e.b GROUP BY l.doc),
+l2 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l1 l
+       JOIN edges e ON e.a = l.doc JOIN l1 n ON n.doc = e.b GROUP BY l.doc),
+l3 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l2 l
+       JOIN edges e ON e.a = l.doc JOIN l2 n ON n.doc = e.b GROUP BY l.doc),
+l4 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l3 l
+       JOIN edges e ON e.a = l.doc JOIN l3 n ON n.doc = e.b GROUP BY l.doc),
+l5 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l4 l
+       JOIN edges e ON e.a = l.doc JOIN l4 n ON n.doc = e.b GROUP BY l.doc),
+l6 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l5 l
+       JOIN edges e ON e.a = l.doc JOIN l5 n ON n.doc = e.b GROUP BY l.doc),
+roots AS (SELECT doc, lab root FROM l6),
+comp AS (SELECT root, COUNT(*) sz FROM roots GROUP BY root)
+SELECT COUNT(*) n_components, CAST(SUM(sz) AS BIGINT) n_docs_in_dupes, MAX(sz) max_component
+FROM comp""",
+
+    "q93_dup_clusters" -> """
+WITH
+d AS (SELECT doc_id, split(lower(text), ' ') l FROM documents),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) x AS i),
+sh AS (SELECT DISTINCT doc_id,
+        concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh FROM s),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) nt FROM shk GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+edge AS (SELECT i, j FROM inter x
+         JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
+         WHERE CAST(x.ci AS DOUBLE) / (ca.nt + cb.nt - x.ci) >= 0.2),
+dedge AS (SELECT i, j FROM edge UNION SELECT j, i FROM edge),
+l0 AS (SELECT i doc, i lab FROM (SELECT DISTINCT i FROM dedge)),
+l1 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l0 l
+       JOIN dedge e ON e.i = l.doc JOIN l0 n ON n.doc = e.j GROUP BY l.doc),
+l2 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l1 l
+       JOIN dedge e ON e.i = l.doc JOIN l1 n ON n.doc = e.j GROUP BY l.doc),
+l3 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l2 l
+       JOIN dedge e ON e.i = l.doc JOIN l2 n ON n.doc = e.j GROUP BY l.doc),
+l4 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l3 l
+       JOIN dedge e ON e.i = l.doc JOIN l3 n ON n.doc = e.j GROUP BY l.doc),
+l5 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l4 l
+       JOIN dedge e ON e.i = l.doc JOIN l4 n ON n.doc = e.j GROUP BY l.doc),
+l6 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l5 l
+       JOIN dedge e ON e.i = l.doc JOIN l5 n ON n.doc = e.j GROUP BY l.doc),
+comp AS (SELECT doc, lab root FROM l6),
+sz AS (SELECT root, COUNT(*) n FROM comp GROUP BY root)
+SELECT n AS cluster_size, COUNT(*) AS n_clusters
+FROM sz GROUP BY n ORDER BY cluster_size""",
+
+    "q97_keep_best" -> """
+WITH
+d AS (SELECT doc_id, split(lower(text), ' ') l FROM documents),
+toks AS (SELECT doc_id, size(filter(l, x -> x <> '')) q FROM d),
+s AS (SELECT doc_id, i, l FROM (SELECT * FROM d WHERE size(l) >= 3)
+      LATERAL VIEW explode(sequence(1, size(l) - 2)) x AS i),
+sh AS (SELECT DISTINCT doc_id,
+        concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)) sh FROM s),
+shk AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000)),
+card AS (SELECT doc_id, COUNT(*) nt FROM shk GROUP BY doc_id),
+inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) ci
+          FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+edge AS (SELECT i, j FROM inter x
+         JOIN card ca ON ca.doc_id = x.i JOIN card cb ON cb.doc_id = x.j
+         WHERE CAST(x.ci AS DOUBLE) / (ca.nt + cb.nt - x.ci) >= 0.2),
+dedge AS (SELECT i, j FROM edge UNION SELECT j, i FROM edge),
+l0 AS (SELECT i doc, i lab FROM (SELECT DISTINCT i FROM dedge)),
+l1 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l0 l
+       JOIN dedge e ON e.i = l.doc JOIN l0 n ON n.doc = e.j GROUP BY l.doc),
+l2 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l1 l
+       JOIN dedge e ON e.i = l.doc JOIN l1 n ON n.doc = e.j GROUP BY l.doc),
+l3 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l2 l
+       JOIN dedge e ON e.i = l.doc JOIN l2 n ON n.doc = e.j GROUP BY l.doc),
+l4 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l3 l
+       JOIN dedge e ON e.i = l.doc JOIN l3 n ON n.doc = e.j GROUP BY l.doc),
+l5 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l4 l
+       JOIN dedge e ON e.i = l.doc JOIN l4 n ON n.doc = e.j GROUP BY l.doc),
+l6 AS (SELECT l.doc, LEAST(MIN(l.lab), MIN(n.lab)) lab FROM l5 l
+       JOIN dedge e ON e.i = l.doc JOIN l5 n ON n.doc = e.j GROUP BY l.doc),
+comp AS (SELECT doc, lab root FROM l6),
+per AS (SELECT c.root, COUNT(*) n, SUM(t.q) tq,
+          MIN(named_struct('nq', -t.q, 'doc', c.doc)) m
+        FROM comp c JOIN toks t ON t.doc_id = c.doc GROUP BY c.root)
+SELECT COUNT(*) AS n_clusters,
+  CAST(SUM(n - 1) AS BIGINT) AS n_removed,
+  CAST(SUM(-(m.nq)) AS BIGINT) AS kept_toks,
+  CAST(SUM(tq + (m.nq)) AS BIGINT) AS removed_toks
+FROM per"""
   ).map { case (k, v) => k -> v.trim }
 }
