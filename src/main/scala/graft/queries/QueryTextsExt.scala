@@ -19,6 +19,38 @@ package graft.queries
   */
 object QueryTextsExt {
 
+  /** Shared unrolled-k-means prefix (2 Lloyd iterations, k=4, md5-seeded)
+    * used by the q85/q108/q124/q125(no)/q129/q132/q135 ANN family — the
+    * same prefix the waves' DuckDB oracles unroll; ends at the final
+    * centroid set `c2`. Per-query tails append from `a3` onward.
+    */
+  private val kmPrefix = """
+WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+seeds AS (SELECT v, clabel FROM (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS BIGINT) clabel FROM e)
+  WHERE clabel <= 4),
+c0 AS (SELECT clabel, v AS cent FROM seeds),
+a1 AS (SELECT e.vec_id, e.v, c.clabel,
+         aggregate(zip_with(e.v, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+       FROM e CROSS JOIN c0 c),
+b1 AS (SELECT vec_id, v, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a1) WHERE rn = 1),
+m1 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(element_at(v, r.pos) AS DECIMAL(18,9))), 6) AS DOUBLE) c
+       FROM b1 CROSS JOIN (SELECT explode(sequence(1, 64)) pos) r GROUP BY clabel, r.pos),
+c1l AS (SELECT clabel, transform(array_sort(collect_list(struct(pos, c))), s -> s.c) cent
+        FROM m1 GROUP BY clabel),
+c1 AS (SELECT c0.clabel, COALESCE(c1l.cent, c0.cent) cent FROM c0 LEFT JOIN c1l USING (clabel)),
+a2 AS (SELECT e.vec_id, e.v, c.clabel,
+         aggregate(zip_with(e.v, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+       FROM e CROSS JOIN c1 c),
+b2 AS (SELECT vec_id, v, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a2) WHERE rn = 1),
+m2 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(element_at(v, r.pos) AS DECIMAL(18,9))), 6) AS DOUBLE) c
+       FROM b2 CROSS JOIN (SELECT explode(sequence(1, 64)) pos) r GROUP BY clabel, r.pos),
+c2l AS (SELECT clabel, transform(array_sort(collect_list(struct(pos, c))), s -> s.c) cent
+        FROM m2 GROUP BY clabel),
+c2 AS (SELECT c1.clabel, COALESCE(c2l.cent, c1.cent) cent FROM c1 LEFT JOIN c2l USING (clabel))""".trim
+
   val spark: Map[String, String] = Map(
 
     "q58_agg_of_agg" -> """
@@ -3260,6 +3292,134 @@ SELECT COUNT(*) AS n_clusters,
   CAST(SUM(n - 1) AS BIGINT) AS n_removed,
   CAST(SUM(-(m.nq)) AS BIGINT) AS kept_toks,
   CAST(SUM(tq + (m.nq)) AS BIGINT) AS removed_toks
-FROM per"""
+FROM per""",
+
+    "q85_kmeans_train" -> (kmPrefix + """
+SELECT clabel, CAST(r.pos AS BIGINT) AS pos, element_at(cent, r.pos) AS c
+FROM c2 CROSS JOIN (SELECT explode(sequence(1, 64)) pos) r
+ORDER BY clabel, pos"""),
+
+    "q108_quant_error" -> (kmPrefix + """,
+a3 AS (SELECT e.vec_id, c.clabel,
+         aggregate(zip_with(e.v, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+       FROM e CROSS JOIN c2 c),
+b3 AS (SELECT vec_id, clabel, d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a3) WHERE rn = 1)
+SELECT clabel AS bucket, COUNT(*) AS n_vecs,
+  CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mse
+FROM b3 GROUP BY clabel ORDER BY bucket"""),
+
+    "q124_diversity_sample" -> (kmPrefix + """,
+a3 AS (SELECT e.vec_id, c.clabel,
+         aggregate(zip_with(e.v, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+       FROM e CROSS JOIN c2 c),
+b3 AS (SELECT vec_id, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a3) WHERE rn = 1),
+sizes AS (SELECT clabel, COUNT(*) n_before FROM b3 GROUP BY clabel),
+tgt AS (SELECT MIN(n_before) m FROM sizes),
+bounds AS (SELECT clabel, n_before,
+   lpad(lower(hex(CAST(
+     CAST(tgt.m AS BIGINT) * 4294967296 DIV n_before - 1 AS BIGINT))), 8, '0') bound
+  FROM sizes CROSS JOIN tgt),
+j AS (SELECT b3.clabel, bounds.n_before,
+        CASE WHEN substring(md5(CAST(b3.vec_id AS STRING)), 1, 8) <= bounds.bound
+             THEN 1 ELSE 0 END k
+      FROM b3 JOIN bounds ON b3.clabel = bounds.clabel)
+SELECT clabel, n_before, CAST(SUM(k) AS BIGINT) AS n_kept,
+  CAST(SUM(k) * 1000000 DIV n_before AS BIGINT) AS kept_ppm
+FROM j GROUP BY clabel, n_before ORDER BY clabel"""),
+
+    "q125_embedding_decontam" -> """
+WITH e AS (SELECT vec_id, label, embedding,
+  CASE WHEN md5(CAST(vec_id AS STRING)) < 'e' THEN 'train' ELSE 'eval' END AS split,
+  concat(CASE WHEN element_at(embedding, 1) >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN element_at(embedding, 2) >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN element_at(embedding, 3) >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN element_at(embedding, 4) >= 0 THEN '1' ELSE '0' END) bucket
+  FROM embeddings),
+tr AS (SELECT * FROM e WHERE split = 'train'),
+ev AS (SELECT * FROM e WHERE split = 'eval'),
+hits AS (SELECT DISTINCT tr.vec_id, tr.label
+  FROM tr JOIN ev ON tr.bucket = ev.bucket
+  WHERE ROUND(
+    aggregate(zip_with(tr.embedding, ev.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)
+    / (SQRT(aggregate(tr.embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+     * SQRT(aggregate(ev.embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) >= 0.3),
+base AS (SELECT label, COUNT(*) n_train FROM tr GROUP BY label),
+fl AS (SELECT label, COUNT(*) n_flagged FROM hits GROUP BY label)
+SELECT base.label, base.n_train,
+  CAST(COALESCE(fl.n_flagged, 0) AS BIGINT) AS n_flagged,
+  CAST(COALESCE(fl.n_flagged, 0) * 1000000 DIV base.n_train AS BIGINT) AS flagged_ppm
+FROM base LEFT JOIN fl ON base.label = fl.label
+ORDER BY base.label""",
+
+    "q129_cluster_purity" -> (kmPrefix + """,
+a3 AS (SELECT e.vec_id, c.clabel,
+         aggregate(zip_with(e.v, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+       FROM e CROSS JOIN c2 c),
+b3 AS (SELECT vec_id, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a3) WHERE rn = 1),
+lbl AS (SELECT b3.clabel, emb.label FROM b3 JOIN embeddings emb USING (vec_id)),
+cl AS (SELECT clabel, label, COUNT(*) n FROM lbl GROUP BY clabel, label),
+top AS (SELECT clabel, label top_label, n top_n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY clabel ORDER BY n DESC, label) rn FROM cl)
+  WHERE rn = 1),
+sz AS (SELECT clabel, CAST(SUM(n) AS BIGINT) n_vecs FROM cl GROUP BY clabel)
+SELECT sz.clabel, sz.n_vecs, top.top_label, CAST(top.top_n AS BIGINT) AS top_n,
+  CAST(top.top_n * 1000000 DIV sz.n_vecs AS BIGINT) AS purity_ppm
+FROM sz JOIN top USING (clabel) ORDER BY sz.clabel"""),
+
+    "q132_ivf_nprobe_recall" -> (kmPrefix + """,
+a3 AS (SELECT e.vec_id, e.v, c.clabel,
+         aggregate(zip_with(e.v, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+       FROM e CROSS JOIN c2 c),
+b3 AS (SELECT vec_id, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a3) WHERE rn = 1),
+qr AS (SELECT vec_id qid, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rnk
+       FROM a3 WHERE vec_id < 20),
+sc AS (SELECT q.vec_id qid, x.vec_id,
+  ROUND(aggregate(zip_with(x.v, q.v, (a, b) -> a * b), 0D, (acc, y) -> acc + y)
+    / (SQRT(aggregate(x.v, 0D, (acc, y) -> acc + y * y))
+     * SQRT(aggregate(q.v, 0D, (acc, y) -> acc + y * y))), 6) cos
+  FROM e x JOIN e q ON x.vec_id <> q.vec_id AND q.vec_id < 20),
+ex10 AS (SELECT qid, vec_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn FROM sc)
+  WHERE rn <= 10),
+cand AS (SELECT sc.qid, sc.vec_id, sc.cos, np.np
+         FROM sc JOIN b3 ON b3.vec_id = sc.vec_id
+                 JOIN qr ON qr.qid = sc.qid AND qr.clabel = b3.clabel
+                 CROSS JOIN (SELECT explode(sequence(1, 4)) np) np
+         WHERE qr.rnk <= np.np),
+sizes AS (SELECT np, COUNT(*) DIV 20 avg_cands FROM cand GROUP BY np),
+t10 AS (SELECT qid, vec_id, np FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, np ORDER BY cos DESC, vec_id) rn FROM cand)
+  WHERE rn <= 10),
+h AS (SELECT np, SUM(CASE WHEN ex10.vec_id IS NOT NULL THEN 1 ELSE 0 END) n_hits
+      FROM t10 LEFT JOIN ex10 ON t10.qid = ex10.qid AND t10.vec_id = ex10.vec_id
+      GROUP BY np)
+SELECT CAST(h.np AS BIGINT) AS nprobe, CAST(sizes.avg_cands AS BIGINT) AS avg_cands,
+  CAST(h.n_hits AS BIGINT) AS n_hits,
+  CAST(h.n_hits * 1000000 DIV 200 AS BIGINT) AS recall_ppm
+FROM h JOIN sizes ON h.np = sizes.np ORDER BY nprobe"""),
+
+    "q135_semdedup" -> (kmPrefix + """,
+a3 AS (SELECT e.vec_id, c.clabel,
+         aggregate(zip_with(e.v, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+       FROM e CROSS JOIN c2 c),
+b3 AS (SELECT vec_id, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a3) WHERE rn = 1),
+asg AS (SELECT b3.vec_id, b3.clabel, e.v FROM b3 JOIN e USING (vec_id)),
+p AS (SELECT a.clabel, b.vec_id j,
+        ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+          / (SQRT(aggregate(a.v, 0D, (acc, x) -> acc + x * x))
+           * SQRT(aggregate(b.v, 0D, (acc, x) -> acc + x * x))), 6) cos
+      FROM asg a JOIN asg b ON a.clabel = b.clabel AND a.vec_id < b.vec_id),
+d AS (SELECT clabel, COUNT(DISTINCT j) n_dropped FROM p WHERE cos >= 0.3 GROUP BY clabel),
+n AS (SELECT clabel, COUNT(*) n_vecs FROM asg GROUP BY clabel)
+SELECT n.clabel, CAST(n.n_vecs AS BIGINT) AS n_vecs,
+  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+  CAST(n.n_vecs - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM n LEFT JOIN d USING (clabel) ORDER BY n.clabel""")
   ).map { case (k, v) => k -> v.trim }
 }
