@@ -3420,6 +3420,158 @@ n AS (SELECT clabel, COUNT(*) n_vecs FROM asg GROUP BY clabel)
 SELECT n.clabel, CAST(n.n_vecs AS BIGINT) AS n_vecs,
   CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
   CAST(n.n_vecs - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
-FROM n LEFT JOIN d USING (clabel) ORDER BY n.clabel""")
+FROM n LEFT JOIN d USING (clabel) ORDER BY n.clabel"""),
+
+    "q143_join_card_est" -> """
+WITH s AS (
+  SELECT 'j1_lineitem_orders' AS join_name,
+    (SELECT COUNT(*) FROM lineitem) n_left, (SELECT COUNT(*) FROM orders) n_right,
+    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) ndv_left,
+    (SELECT COUNT(DISTINCT o_orderkey) FROM orders) ndv_right,
+    (SELECT CAST(SUM(a.c * b.c) AS BIGINT) FROM
+       (SELECT l_orderkey k, COUNT(*) c FROM lineitem GROUP BY 1) a
+       JOIN (SELECT o_orderkey k, COUNT(*) c FROM orders GROUP BY 1) b ON a.k = b.k) actual
+  UNION ALL
+  SELECT 'j2_lineitem_self_suppkey',
+    (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM lineitem),
+    (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+    (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+    (SELECT CAST(SUM(a.c * a.c) AS BIGINT) FROM
+       (SELECT l_suppkey k, COUNT(*) c FROM lineitem GROUP BY 1) a)
+  UNION ALL
+  SELECT 'j3_orders_F_customer',
+    (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F'),
+    (SELECT COUNT(*) FROM customer),
+    (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+    (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+    (SELECT CAST(SUM(a.c * b.c) AS BIGINT) FROM
+       (SELECT o_custkey k, COUNT(*) c FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) a
+       JOIN (SELECT c_custkey k, COUNT(*) c FROM customer GROUP BY 1) b ON a.k = b.k))
+SELECT join_name, n_left, n_right, ndv_left, ndv_right, actual,
+  n_left * n_right DIV GREATEST(ndv_left, ndv_right) AS est_uniform,
+  ABS(n_left * n_right DIV GREATEST(ndv_left, ndv_right) - actual) * 1000000 DIV actual AS err_ppm
+FROM s ORDER BY join_name""",
+
+    "q144_bfs_reach" -> """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT 'p' || CAST(p AS STRING) AS src, 's' || CAST(s AS STRING) AS dst FROM pe
+          UNION ALL
+          SELECT 's' || CAST(s AS STRING), 'p' || CAST(p AS STRING) FROM pe),
+f0 AS (SELECT DISTINCT 's' || CAST(s AS STRING) AS id FROM pe WHERE s % 7 = 0),
+v0 AS (SELECT id FROM f0),
+f1 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN f0 ON f0.id = e.src
+       WHERE e.dst NOT IN (SELECT id FROM v0)),
+v1 AS (SELECT id FROM v0 UNION ALL SELECT id FROM f1),
+f2 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN f1 ON f1.id = e.src
+       WHERE e.dst NOT IN (SELECT id FROM v1)),
+v2 AS (SELECT id FROM v1 UNION ALL SELECT id FROM f2),
+f3 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN f2 ON f2.id = e.src
+       WHERE e.dst NOT IN (SELECT id FROM v2)),
+lv AS (SELECT CAST(0 AS BIGINT) AS level, id FROM f0
+       UNION ALL SELECT 1, id FROM f1
+       UNION ALL SELECT 2, id FROM f2
+       UNION ALL SELECT 3, id FROM f3)
+SELECT level, COUNT(*) AS n_reached,
+  CAST(SUM(CASE WHEN id LIKE 'p%' THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+  CAST(SUM(CASE WHEN id LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT) AS n_sups,
+  MIN(id) AS first_node
+FROM lv GROUP BY level ORDER BY level""",
+
+    "q145_zone_prune" -> """
+WITH lay AS (
+  SELECT 'natural' AS layout, doc_id DIV 50 AS blk, n_chars FROM documents
+  UNION ALL
+  SELECT 'clustered', n_chars DIV 64, n_chars FROM documents),
+zs AS (SELECT layout, blk, MIN(n_chars) AS zmin, MAX(n_chars) AS zmax,
+              COUNT(*) AS n_rows FROM lay GROUP BY ALL),
+pr AS (SELECT * FROM (VALUES ('p1_ge_450', 450, 9223372036854775807),
+                             ('p2_le_150', 0, 150),
+                             ('p3_mid_250_350', 250, 350)) AS t(pred, lo, hi)),
+e AS (SELECT p.pred, z.layout, z.blk, z.n_rows,
+        CASE WHEN z.zmax < p.lo OR z.zmin > p.hi THEN 1 ELSE 0 END AS pruned
+      FROM zs z CROSS JOIN pr p),
+m AS (SELECT l.layout, p.pred, COUNT(*) AS n_match
+      FROM lay l CROSS JOIN pr p WHERE l.n_chars BETWEEN p.lo AND p.hi
+      GROUP BY ALL)
+SELECT e.layout, e.pred, COUNT(*) AS blocks_total,
+  CAST(SUM(e.pruned) AS BIGINT) AS blocks_pruned,
+  CAST(SUM(CASE WHEN e.pruned = 0 THEN e.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+  CAST(COALESCE(MIN(m.n_match), 0) AS BIGINT) AS rows_matched,
+  CAST(SUM(e.pruned) AS BIGINT) * 1000000 DIV COUNT(*) AS prune_ppm
+FROM e LEFT JOIN m ON m.layout = e.layout AND m.pred = e.pred
+GROUP BY e.layout, e.pred ORDER BY e.layout, e.pred""",
+
+    "q146_bloom_join" -> """
+WITH bkeys AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+mm AS (SELECT COUNT(*) * 8 AS m FROM bkeys),
+pos AS (SELECT DISTINCT CAST(conv(substr(md5('b' || CAST(h.i AS STRING) || ':' || CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT) % m AS p
+        FROM bkeys CROSS JOIN (SELECT explode(array(1, 2, 3)) i) h CROSS JOIN mm),
+probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+pp AS (SELECT probe.k, CAST(conv(substr(md5('b' || CAST(h.i AS STRING) || ':' || CAST(probe.k AS STRING)), 1, 8), 16, 10) AS BIGINT) % m AS p
+       FROM probe CROSS JOIN (SELECT explode(array(1, 2, 3)) i) h CROSS JOIN mm),
+hits AS (SELECT pp.k, COUNT(*) AS nh FROM pp JOIN pos ON pos.p = pp.p GROUP BY pp.k),
+pass AS (SELECT k FROM hits WHERE nh = 3),
+tru  AS (SELECT DISTINCT probe.k FROM probe JOIN bkeys ON bkeys.k = probe.k),
+s AS (SELECT (SELECT COUNT(*) FROM bkeys) AS n_build,
+             (SELECT m FROM mm) AS m_bits,
+             (SELECT COUNT(*) FROM pos) AS n_bits_set,
+             (SELECT COUNT(*) FROM probe) AS n_probe,
+             (SELECT COUNT(*) FROM pass) AS n_pass,
+             (SELECT COUNT(*) FROM tru) AS n_true)
+SELECT n_build, m_bits, n_bits_set, n_probe, n_pass, n_true,
+  n_pass - n_true AS n_false_pos,
+  CASE WHEN n_probe - n_true = 0 THEN 0
+       ELSE (n_pass - n_true) * 1000000 DIV (n_probe - n_true) END AS fp_ppm
+FROM s""",
+
+    "q149_join_order" -> """
+WITH lo AS (SELECT 'A_lineitem_x_filtered_orders' AS join_order,
+    (SELECT COUNT(*) FROM lineitem) * (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')
+      DIV GREATEST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+                   (SELECT COUNT(DISTINCT o_orderkey) FROM orders)) AS est_rows,
+    (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) FROM
+      (SELECT l_orderkey k, COUNT(*) c FROM lineitem GROUP BY 1) a JOIN
+      (SELECT o_orderkey k, COUNT(*) c FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) b ON a.k = b.k) AS actual_rows
+  UNION ALL
+  SELECT 'B_filtered_orders_x_customer',
+    (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') * (SELECT COUNT(*) FROM customer)
+      DIV GREATEST((SELECT COUNT(DISTINCT o_custkey) FROM orders),
+                   (SELECT COUNT(DISTINCT c_custkey) FROM customer)),
+    (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) FROM
+      (SELECT o_custkey k, COUNT(*) c FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) a JOIN
+      (SELECT c_custkey k, COUNT(*) c FROM customer GROUP BY 1) b ON a.k = b.k)),
+r AS (SELECT join_order, est_rows, actual_rows,
+        ABS(est_rows - actual_rows) * 1000000 DIV actual_rows AS err_ppm,
+        RANK() OVER (ORDER BY est_rows) AS est_rank,
+        RANK() OVER (ORDER BY actual_rows) AS actual_rank
+      FROM lo)
+SELECT join_order, est_rows, actual_rows, err_ppm,
+  CAST(est_rank AS BIGINT) AS est_rank, CAST(actual_rank AS BIGINT) AS actual_rank,
+  CASE WHEN est_rank = actual_rank THEN CAST(1 AS BIGINT) ELSE 0 END AS est_agrees
+FROM r ORDER BY join_order""",
+
+    "q224_centroid_margin" -> """
+WITH x AS (SELECT label own, vec_id, r.pos,
+    CAST(element_at(embedding, r.pos) AS DECIMAL(18,9)) xd
+  FROM embeddings CROSS JOIN (SELECT explode(sequence(1, 64)) pos) r),
+cent AS (SELECT own lc, pos, CAST(SUM(xd) AS DECIMAL(14,9)) v FROM x GROUP BY own, pos),
+cnorm AS (SELECT lc, SUM(v * v) nc FROM cent GROUP BY lc),
+vnorm AS (SELECT vec_id, SUM(xd * xd) nv FROM x GROUP BY vec_id),
+cos AS (SELECT x.own, x.vec_id, c.lc,
+    CAST(SUM(x.xd * c.v) AS DOUBLE) / SQRT(CAST(n1.nv AS DOUBLE) * CAST(n2.nc AS DOUBLE)) cos
+  FROM x JOIN cent c ON c.pos = x.pos
+  JOIN vnorm n1 ON n1.vec_id = x.vec_id
+  JOIN cnorm n2 ON n2.lc = c.lc
+  GROUP BY x.own, x.vec_id, c.lc, n1.nv, n2.nc),
+m AS (SELECT own AS label, vec_id,
+    MAX(CASE WHEN lc = own THEN cos END) -
+    MAX(CASE WHEN lc <> own THEN cos END) margin
+  FROM cos GROUP BY own, vec_id)
+SELECT label, COUNT(*) n_vecs,
+  CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) n_separable,
+  CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) separable_ppm,
+  CAST(ROUND(MIN(margin), 6) AS DOUBLE) min_margin,
+  CAST(ROUND(MAX(margin), 6) AS DOUBLE) max_margin
+FROM m GROUP BY label ORDER BY label"""
   ).map { case (k, v) => k -> v.trim }
 }
