@@ -3572,6 +3572,101 @@ SELECT label, COUNT(*) n_vecs,
   CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT) separable_ppm,
   CAST(ROUND(MIN(margin), 6) AS DOUBLE) min_margin,
   CAST(ROUND(MAX(margin), 6) AS DOUBLE) max_margin
-FROM m GROUP BY label ORDER BY label"""
+FROM m GROUP BY label ORDER BY label""",
+
+    "q112_table_stats" -> """
+SELECT * FROM (
+  SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(o_custkey) AS n_nulls,
+    COUNT(DISTINCT o_custkey) AS ndv, CAST(MIN(o_custkey) AS STRING) AS min_s, CAST(MAX(o_custkey) AS STRING) AS max_s FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate), CAST(MIN(o_orderdate) AS STRING), CAST(MAX(o_orderdate) AS STRING) FROM orders
+  UNION ALL
+  SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey), COUNT(DISTINCT o_orderkey), CAST(MIN(o_orderkey) AS STRING), CAST(MAX(o_orderkey) AS STRING) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority), CAST(MIN(o_orderpriority) AS STRING), CAST(MAX(o_orderpriority) AS STRING) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus), CAST(MIN(o_orderstatus) AS STRING), CAST(MAX(o_orderstatus) AS STRING) FROM orders
+) ORDER BY col_name""",
+
+    "q133_time_travel" -> """
+WITH survivors AS (SELECT doc_id, text, lang, source,
+        CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      FROM documents WHERE lang <> 'de'),
+src AS (SELECT doc_id, text, lang, source, n_chars * 2 AS n_chars
+        FROM documents WHERE doc_id % 7 = 3),
+final AS (SELECT * FROM src UNION ALL SELECT * FROM survivors WHERE doc_id % 7 <> 3),
+d AS (SELECT COALESCE(o.doc_id, f.doc_id) AS doc_id,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN f.doc_id IS NULL THEN 'removed'
+             WHEN o.text <> f.text OR o.lang <> f.lang OR o.source <> f.source
+                  OR o.n_chars <> f.n_chars THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM documents o FULL JOIN final f ON o.doc_id = f.doc_id)
+SELECT doc_id, status FROM d WHERE status <> 'unchanged' ORDER BY doc_id""",
+
+    "q140_constraints" -> """
+SELECT 'c1_orders_pk_unique' AS constraint_name, COUNT(*) AS n_checked,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+UNION ALL
+SELECT 'c2_lineitem_pk_unique', COUNT(*),
+       COUNT(*) - COUNT(DISTINCT l_orderkey, l_linenumber) FROM lineitem
+UNION ALL
+SELECT 'c3_lineitem_fk_orders', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'c4_lineitem_fk_part', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'c5_orders_fk_customer', (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'c6_customer_fk_nation', (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'c7_events_value_nonneg', COUNT(*),
+       CAST(SUM(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL
+SELECT 'c8_events_type_enum', COUNT(*),
+       CAST(SUM(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view')
+                     OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL
+SELECT 'c9_documents_text_nonempty', COUNT(*),
+       CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+ORDER BY constraint_name""",
+
+    "q142_graph_pagerank" -> """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+nodes AS (SELECT 'p' || CAST(p AS STRING) AS id FROM (SELECT DISTINCT p FROM pe)
+          UNION ALL
+          SELECT 's' || CAST(s AS STRING) FROM (SELECT DISTINCT s FROM pe)),
+edges AS (SELECT 'p' || CAST(p AS STRING) AS src, 's' || CAST(s AS STRING) AS dst FROM pe
+          UNION ALL
+          SELECT 's' || CAST(s AS STRING), 'p' || CAST(p AS STRING) FROM pe),
+n AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST(1000000000 AS BIGINT) DIV n AS r FROM nodes CROSS JOIN n),
+i1 AS (SELECT r0.id, (15 * 10000000 DIV n) + 85 * COALESCE(inc.m, 0) DIV 100 AS r
+       FROM r0 CROSS JOIN n LEFT JOIN (
+         SELECT e.dst AS id, CAST(SUM(r0.r DIV deg.od) AS BIGINT) AS m
+         FROM edges e JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+         GROUP BY e.dst) inc ON inc.id = r0.id),
+i2 AS (SELECT i1.id, (15 * 10000000 DIV n) + 85 * COALESCE(inc.m, 0) DIV 100 AS r
+       FROM i1 CROSS JOIN n LEFT JOIN (
+         SELECT e.dst AS id, CAST(SUM(i1.r DIV deg.od) AS BIGINT) AS m
+         FROM edges e JOIN i1 ON i1.id = e.src JOIN deg ON deg.src = e.src
+         GROUP BY e.dst) inc ON inc.id = i1.id),
+i3 AS (SELECT i2.id, (15 * 10000000 DIV n) + 85 * COALESCE(inc.m, 0) DIV 100 AS r
+       FROM i2 CROSS JOIN n LEFT JOIN (
+         SELECT e.dst AS id, CAST(SUM(i2.r DIV deg.od) AS BIGINT) AS m
+         FROM edges e JOIN i2 ON i2.id = e.src JOIN deg ON deg.src = e.src
+         GROUP BY e.dst) inc ON inc.id = i2.id)
+SELECT i3.id AS node, CAST(i3.r AS BIGINT) AS rank_ppb,
+       CAST(COALESCE(deg.od, 0) AS BIGINT) AS degree
+FROM i3 LEFT JOIN deg ON deg.src = i3.id
+ORDER BY rank_ppb DESC, node LIMIT 20"""
   ).map { case (k, v) => k -> v.trim }
 }
