@@ -51,6 +51,58 @@ c2l AS (SELECT clabel, transform(array_sort(collect_list(struct(pos, c))), s -> 
         FROM m2 GROUP BY clabel),
 c2 AS (SELECT c1.clabel, COALESCE(c2l.cent, c1.cent) cent FROM c1 LEFT JOIN c2l USING (clabel))""".trim
 
+  /** IVF-PQ extension of [[kmPrefix]] shared by q101/q134: residual
+    * vectors against the final coarse centroids, two 32-dim subspaces,
+    * one unrolled k-means iteration per subspace codebook, and the
+    * per-vector PQ codes (e0/e1).
+    */
+  private val pqPrefix = kmPrefix + """,
+a3 AS (SELECT e.vec_id, e.v, c.clabel,
+         aggregate(zip_with(e.v, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+       FROM e CROSS JOIN c2 c),
+asg AS (SELECT vec_id, v, clabel AS bucket FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM a3) WHERE rn = 1),
+res AS (SELECT a.vec_id, a.bucket,
+         zip_with(a.v, c.cent, (x, y) -> CAST(CAST(x - y AS FLOAT) AS DOUBLE)) rv
+        FROM asg a JOIN c2 c ON c.clabel = a.bucket),
+pseed AS (SELECT vec_id, clabel FROM (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS BIGINT) clabel FROM res)
+  WHERE clabel <= 4),
+r0 AS (SELECT vec_id, slice(rv, 1, 32) sv FROM res),
+r1 AS (SELECT vec_id, slice(rv, 33, 32) sv FROM res),
+p0c0 AS (SELECT ps.clabel, r0.sv AS cent FROM pseed ps JOIN r0 ON r0.vec_id = ps.vec_id),
+p0a1 AS (SELECT r0.vec_id, r0.sv, c.clabel,
+          aggregate(zip_with(r0.sv, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+         FROM r0 CROSS JOIN p0c0 c),
+p0b1 AS (SELECT vec_id, sv, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM p0a1) WHERE rn = 1),
+p0m1 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(element_at(sv, r.pos) AS DECIMAL(18,9))), 6) AS DOUBLE) c
+         FROM p0b1 CROSS JOIN (SELECT explode(sequence(1, 32)) pos) r GROUP BY clabel, r.pos),
+p0c1l AS (SELECT clabel, transform(array_sort(collect_list(struct(pos, c))), s -> s.c) cent
+          FROM p0m1 GROUP BY clabel),
+p0cb AS (SELECT c.clabel, COALESCE(l.cent, c.cent) cent FROM p0c0 c LEFT JOIN p0c1l l USING (clabel)),
+p1c0 AS (SELECT ps.clabel, r1.sv AS cent FROM pseed ps JOIN r1 ON r1.vec_id = ps.vec_id),
+p1a1 AS (SELECT r1.vec_id, r1.sv, c.clabel,
+          aggregate(zip_with(r1.sv, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+         FROM r1 CROSS JOIN p1c0 c),
+p1b1 AS (SELECT vec_id, sv, clabel FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM p1a1) WHERE rn = 1),
+p1m1 AS (SELECT clabel, r.pos, CAST(ROUND(AVG(CAST(element_at(sv, r.pos) AS DECIMAL(18,9))), 6) AS DOUBLE) c
+         FROM p1b1 CROSS JOIN (SELECT explode(sequence(1, 32)) pos) r GROUP BY clabel, r.pos),
+p1c1l AS (SELECT clabel, transform(array_sort(collect_list(struct(pos, c))), s -> s.c) cent
+          FROM p1m1 GROUP BY clabel),
+p1cb AS (SELECT c.clabel, COALESCE(l.cent, c.cent) cent FROM p1c0 c LEFT JOIN p1c1l l USING (clabel)),
+e0a AS (SELECT r0.vec_id, c.clabel,
+          aggregate(zip_with(r0.sv, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+        FROM r0 CROSS JOIN p0cb c),
+e0 AS (SELECT vec_id, clabel AS code FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM e0a) WHERE rn = 1),
+e1a AS (SELECT r1.vec_id, c.clabel,
+          aggregate(zip_with(r1.sv, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) d2
+        FROM r1 CROSS JOIN p1cb c),
+e1 AS (SELECT vec_id, clabel AS code FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rn FROM e1a) WHERE rn = 1)"""
+
   val spark: Map[String, String] = Map(
 
     "q58_agg_of_agg" -> """
@@ -3667,6 +3719,60 @@ i3 AS (SELECT i2.id, (15 * 10000000 DIV n) + 85 * COALESCE(inc.m, 0) DIV 100 AS 
 SELECT i3.id AS node, CAST(i3.r AS BIGINT) AS rank_ppb,
        CAST(COALESCE(deg.od, 0) AS BIGINT) AS degree
 FROM i3 LEFT JOIN deg ON deg.src = i3.id
-ORDER BY rank_ppb DESC, node LIMIT 20"""
+ORDER BY rank_ppb DESC, node LIMIT 20""",
+
+    "q101_ivfpq" -> (pqPrefix + """,
+q0 AS (SELECT slice(rv, 1, 32) s0, slice(rv, 33, 32) s1, bucket FROM res WHERE vec_id = 0),
+t0 AS (SELECT c.clabel AS code,
+         CAST(ROUND(aggregate(zip_with(q.s0, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6) AS DECIMAL(18,6)) d
+       FROM p0cb c CROSS JOIN q0 q),
+t1 AS (SELECT c.clabel AS code,
+         CAST(ROUND(aggregate(zip_with(q.s1, c.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6) AS DECIMAL(18,6)) d
+       FROM p1cb c CROSS JOIN q0 q),
+cand AS (SELECT vec_id FROM res WHERE bucket = (SELECT bucket FROM q0))
+SELECT c.vec_id, CAST(t0.d + t1.d AS DOUBLE) AS adc_dist
+FROM cand c
+JOIN e0 ON e0.vec_id = c.vec_id JOIN t0 ON t0.code = e0.code
+JOIN e1 ON e1.vec_id = c.vec_id JOIN t1 ON t1.code = e1.code
+ORDER BY adc_dist, c.vec_id LIMIT 10"""),
+
+    "q134_ivfpq_nprobe" -> (pqPrefix + """,
+qr AS (SELECT vec_id qid, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) rnk
+       FROM a3 WHERE vec_id < 20),
+qres AS (SELECT q.vec_id qid, c.clabel,
+           zip_with(q.v, c.cent, (x, y) -> CAST(CAST(x - y AS FLOAT) AS DOUBLE)) qv
+         FROM e q CROSS JOIN c2 c WHERE q.vec_id < 20),
+dt0 AS (SELECT qres.qid, qres.clabel, b.clabel AS code,
+          CAST(ROUND(aggregate(zip_with(slice(qres.qv, 1, 32), b.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6) AS DECIMAL(18,6)) d
+        FROM qres CROSS JOIN p0cb b),
+dt1 AS (SELECT qres.qid, qres.clabel, b.clabel AS code,
+          CAST(ROUND(aggregate(zip_with(slice(qres.qv, 33, 32), b.cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6) AS DECIMAL(18,6)) d
+        FROM qres CROSS JOIN p1cb b),
+cand AS (SELECT qr.qid, qr.rnk, qr.clabel, r.vec_id
+         FROM res r JOIN qr ON qr.clabel = r.bucket AND r.vec_id <> qr.qid),
+adc AS (SELECT c.qid, c.rnk, c.vec_id, CAST(t0.d + t1.d AS DOUBLE) adc
+        FROM cand c
+        JOIN e0 ON e0.vec_id = c.vec_id
+        JOIN dt0 t0 ON t0.qid = c.qid AND t0.clabel = c.clabel AND t0.code = e0.code
+        JOIN e1 ON e1.vec_id = c.vec_id
+        JOIN dt1 t1 ON t1.qid = c.qid AND t1.clabel = c.clabel AND t1.code = e1.code),
+anp AS (SELECT qid, vec_id, adc, np.np FROM adc CROSS JOIN (SELECT explode(sequence(1, 4)) np) np
+        WHERE rnk <= np.np),
+sizes AS (SELECT np, COUNT(*) DIV 20 avg_cands FROM anp GROUP BY np),
+exd AS (SELECT q.vec_id qid, x.vec_id,
+          ROUND(aggregate(zip_with(x.v, q.v, (a, b) -> (a - b) * (a - b)), 0D, (acc, y) -> acc + y), 6) l2
+        FROM e x JOIN e q ON q.vec_id < 20 AND x.vec_id <> q.vec_id),
+ex10 AS (SELECT qid, vec_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2, vec_id) rn FROM exd) WHERE rn <= 10),
+t10 AS (SELECT qid, vec_id, np FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, np ORDER BY adc, vec_id) rn FROM anp) WHERE rn <= 10),
+h AS (SELECT np, SUM(CASE WHEN ex10.vec_id IS NOT NULL THEN 1 ELSE 0 END) n_hits
+      FROM t10 LEFT JOIN ex10 ON t10.qid = ex10.qid AND t10.vec_id = ex10.vec_id
+      GROUP BY np)
+SELECT CAST(h.np AS BIGINT) AS nprobe, CAST(sizes.avg_cands AS BIGINT) AS avg_cands,
+  CAST(h.n_hits AS BIGINT) AS n_hits,
+  CAST(h.n_hits * 1000000 DIV 200 AS BIGINT) AS recall_ppm
+FROM h JOIN sizes ON h.np = sizes.np ORDER BY nprobe""")
   ).map { case (k, v) => k -> v.trim }
 }
