@@ -195,6 +195,13 @@ object Constraints {
     val pk = spec.primaryKey
     var b = batch.withColumn("_v_rules", rowRuleViolations(spec))
     if (pk.nonEmpty) {
+      // a NULL key value violates the PK outright (SQL: PRIMARY KEY
+      // implies NOT NULL) — without this flag a single null-key row
+      // would slip through BOTH probes below: the window groups nulls
+      // together so only PAIRS trip pk_duplicate, and the left join is
+      // null-rejecting so pk_exists never fires on a null
+      b = b.withColumn("_v_pknull",
+        when(pk.map(col(_).isNull).reduce(_ || _), lit("pk_null")))
       // in-batch duplicate groups: every member violates (no winner)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(pk.map(col): _*)
       b = b.withColumn("_v_dup",
@@ -208,13 +215,14 @@ object Constraints {
         .withColumn("_v_pk",
           when(col("_v_hit") === true, lit("pk_exists")))
         .drop("_v_hit")
-    } else b = b.withColumn("_v_dup", lit(null)).withColumn("_v_pk", lit(null))
+    } else b = b.withColumn("_v_pknull", lit(null))
+      .withColumn("_v_dup", lit(null)).withColumn("_v_pk", lit(null))
     // re-select in the BATCH's column order: the using-columns join
     // above moved the key columns to the front, and the clean frame
     // must land in the table's declared order
     val all = b.withColumn("_violation",
       concat_ws(",", when(col("_v_rules") =!= "", col("_v_rules")),
-        col("_v_dup"), col("_v_pk")))
+        col("_v_pknull"), col("_v_dup"), col("_v_pk")))
       .select(batch.columns.map(col) :+ col("_violation"): _*)
     (all.filter(col("_violation") === "").drop("_violation"),
       all.filter(col("_violation") =!= ""))

@@ -571,6 +571,13 @@ object ManagedTable {
     val src = keySource.select(keys.map(col): _*).distinct().localCheckpoint()
     val nKeys = src.count()
     if (nKeys == 0) return snap
+    // loud on NULL key values (same contract as changes()): the
+    // left_anti below is null-rejecting, so a null key would silently
+    // delete NOTHING — worse than failing
+    val nNullKeys = src.filter(keys.map(col(_).isNull).reduce(_ || _)).count()
+    require(nNullKeys == 0,
+      s"deleteKeys: $nNullKeys key row(s) with NULL in (${keys.mkString(", ")}) — " +
+        "null keys never match (null-rejecting join); filter or fix them first")
     val keyWidth = keys.map(k => snap.schema(k).dataType.defaultSize.toLong).sum + 16L
     def kf = mergeKeyFrame(src, keys, nKeys, keyWidth)
     val affected = filesMatchingKeys(read(spark, root), root, kf, keys)
@@ -614,12 +621,20 @@ object ManagedTable {
     val keyStats = src.select(keys.map(col): _*)
       .groupBy(keys.map(col): _*).count()
       .agg(count(lit(1)).as("n_keys"),
-        count(when(col("count") > 1, 1)).as("n_dup")).head()
+        count(when(col("count") > 1, 1)).as("n_dup"),
+        count(when(keys.map(col(_).isNull).reduce(_ || _), 1)).as("n_nullkey"))
+      .head()
     val nKeys = keyStats.getLong(0)
     val dupKeys = keyStats.getLong(1)
     require(dupKeys == 0,
       s"merge: source has $dupKeys duplicate key group(s) on (${keys.mkString(", ")}) " +
         "— the merge result would be order-dependent; dedup the source first")
+    // loud on NULL key values (same contract as changes()/deleteKeys):
+    // every merge join is null-rejecting, so a null-key row would never
+    // match and re-INSERT on every replay — silent duplicate growth
+    require(keyStats.getLong(2) == 0,
+      s"merge: source has ${keyStats.getLong(2)} key group(s) with NULL in " +
+        s"(${keys.mkString(", ")}) — null keys never match; filter or fix them first")
     // estimated broadcast row width: fixed-size types from the schema
     // (variable-size defaults are Spark's own per-type estimates) plus
     // per-row object overhead

@@ -81,7 +81,10 @@ object ChangeFeed {
            downstreamRoot: String): SyncResult = {
     val snap = ManagedTable.history(spark, upstreamRoot).last
     ManagedTable.create(spark, downstreamRoot, snap.schema)
-    val rows = ManagedTable.read(spark, upstreamRoot)
+    // pinned to snap.version: a commit landing between history() and an
+    // unpinned read() would copy rows newer than the cursor we record
+    // (self-healing on the next sync only because replay is idempotent)
+    val rows = ManagedTable.read(spark, upstreamRoot, Some(snap.version))
     if (!rows.isEmpty) ManagedTable.insert(spark, downstreamRoot, rows): Unit
     writeCursor(spark, downstreamRoot, upstreamRoot, snap.version)
     SyncResult(snap.version, snap.version, 0L, 0L)
@@ -135,10 +138,12 @@ object ChangeFeed {
     * are discarded and its checkpoint state is irrelevant — ALL
     * progress lives in the downstream's durable feed cursor, so the
     * checkpoint dir can be wiped freely and a restarted follower
-    * resumes exactly where the cursor says. Don't run concurrent
-    * followers (or a follower plus manual syncs) on one downstream:
-    * both would CommitConflict on the same version slot — harmless
-    * but noisy; one of them wins, the cursor stays correct.
+    * resumes exactly where the cursor says. A concurrent writer on the
+    * same downstream (another follower, a manual sync) loses the
+    * version slot with a [[ManagedTable.CommitConflict]]; the tick
+    * swallows it — the winner advanced the table, the cursor stays
+    * correct, and the next tick re-reads from it — so a racing sync
+    * never kills the follower.
     */
   def follow(spark: SparkSession, upstreamRoot: String, downstreamRoot: String,
              keys: Seq[String], intervalMs: Long,
@@ -149,7 +154,10 @@ object ChangeFeed {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
-        sync(spark, upstreamRoot, downstreamRoot, keys): Unit
+        // a lost race is a skipped tick, not a dead follower: the winner
+        // applied the span and the durable cursor already reflects it
+        try sync(spark, upstreamRoot, downstreamRoot, keys): Unit
+        catch { case _: ManagedTable.CommitConflict => () }
       }
       .start()
 }

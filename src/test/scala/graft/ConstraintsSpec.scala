@@ -65,6 +65,39 @@ class ConstraintsSpec extends AnyFunSuite {
     // CHECK follows SQL: UNKNOWN (null score) passes
     router.execute("INSERT INTO tr VALUES (5, 'e', NULL)")
     assert(router.execute("SELECT COUNT(*) FROM tr").collect().head.getLong(0) == 3)
+
+    // a SINGLE null PK row must be refused too — it would slip past
+    // both the dup window (pairs only) and the null-rejecting pk_exists
+    // join without the explicit pk_null rule
+    val e3 = intercept[Exception] {
+      router.execute("INSERT INTO tr VALUES (NULL, 'n', 1)")
+    }
+    assert(e3.getMessage.contains("pk_null=1"), e3.getMessage)
+    assert(router.execute("SELECT COUNT(*) FROM tr").collect().head.getLong(0) == 3)
+  }
+
+  test("NULL merge/delete keys are refused loudly (silent no-match otherwise)") {
+    import spark.implicits._
+    val base = fresh()
+    val root = s"$base/nk"
+    ManagedTable.create(spark, root,
+      Seq((1L, "a")).toDF("id", "v").schema)
+    ManagedTable.insert(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // upsert: a null-key row never matches (null-rejecting join) and
+    // would re-insert on every replay — must fail, not grow
+    val e = intercept[IllegalArgumentException] {
+      ManagedTable.upsert(spark, root,
+        Seq((Option.empty[Long], "x"), (Some(2L), "b2")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    assert(ManagedTable.read(spark, root).count() == 2)
+    // deleteKeys: a null key deletes nothing — must fail, not no-op
+    val e2 = intercept[IllegalArgumentException] {
+      ManagedTable.deleteKeys(spark, root,
+        Seq(Option.empty[Long]).toDF("id"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+    assert(ManagedTable.read(spark, root).count() == 2)
   }
 
   test("QUARANTINE: clean rows land, violating rows divert with rule names") {
