@@ -11,6 +11,10 @@ import graft.queries.{Queries, QueryTexts, QueryTextsExt}
   */
 class DifferentialSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  // CI runs at sf0.001 (fast); GRAFT_DIFF_SF points the same triangle
+  // at a bigger scale for one-off deep gates (e.g. sf0.01 — the
+  // driver's own gate scale) without a second spec
+  private val sfDir = sys.env.getOrElse("GRAFT_DIFF_SF", TestSpark.sf0001)
 
   test("q150's positionsBelow closure matches direct position enumeration") {
     // the systematic sampler's count-of-midpoints-below-x closes to
@@ -41,8 +45,8 @@ class DifferentialSpec extends AnyFunSuite {
 
   QueryTexts.spark.keys.toSeq.sorted.foreach { key =>
     test(s"$key: native == SQL text") {
-      val nativeDf = Queries.all(key)(spark, TestSpark.sf0001)
-      val sqlDf = Queries.sql(key)(spark, TestSpark.sf0001)
+      val nativeDf = Queries.all(key)(spark, sfDir)
+      val sqlDf = Queries.sql(key)(spark, sfDir)
       // schema too: Row.toString alone would mask type/name drift
       // (LONG vs INT, DECIMAL vs DOUBLE) that the oracle gate catches late
       assert(nativeDf.schema.map(f => (f.name, f.dataType)) ==
@@ -57,9 +61,9 @@ class DifferentialSpec extends AnyFunSuite {
   // adapted from the waves' validated DuckDB oracle formulations
   QueryTextsExt.spark.keys.toSeq.sorted.foreach { key =>
     test(s"$key: native == SQL text (ext)") {
-      val nativeDf = Queries.all(key)(spark, TestSpark.sf0001)
+      val nativeDf = Queries.all(key)(spark, sfDir)
       val sqlDf = {
-        graft.sources.Tables.registerAll(spark, TestSpark.sf0001)
+        graft.sources.Tables.registerAll(spark, sfDir)
         spark.sql(QueryTextsExt.spark(key))
       }
       // schema too: Row.toString alone would mask type/name drift
