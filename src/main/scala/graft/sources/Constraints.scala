@@ -253,7 +253,19 @@ object Constraints {
       val fs = new Path(qr).getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new Path(qr, "_graft_log")))
         ManagedTable.create(spark, qr, bad.schema): Unit
-      ManagedTable.insert(spark, qr, bad): Unit
+      else {
+        // the host may have evolved (addColumn) since the quarantine
+        // table was created — without the same evolution here, the
+        // wider batch would fail insert's exact-schema check and turn
+        // a QUARANTINE divert into a crashed statement
+        val qSchema = ManagedTable.history(spark, qr).last.schema
+        bad.schema.fields.filterNot(f => qSchema.fieldNames.contains(f.name))
+          .foreach(f => ManagedTable.addColumn(spark, qr, f.name, f.dataType): Unit)
+      }
+      // land in the quarantine table's own column order: its evolution
+      // appends new columns AFTER _violation, the batch carries them before
+      val order = ManagedTable.history(spark, qr).last.schema.fieldNames
+      ManagedTable.insert(spark, qr, bad.select(order.map(col): _*)): Unit
     }
     n
   }

@@ -133,6 +133,19 @@ class ConstraintsSpec extends AnyFunSuite {
     val q2 = router.execute("SHOW QUARANTINE tq")
       .filter(col("_violation") === "pk_exists").collect()
     assert(q2.map(_.getAs[Long]("id")).toSeq == Seq(10L), q2.mkString)
+
+    // host evolves AFTER the quarantine table exists: the next divert
+    // carries the new column — the quarantine table must evolve with
+    // it (null-filled backward) instead of crashing the statement
+    router.execute("ALTER TABLE tq ADD COLUMN note STRING")
+    router.execute("INSERT INTO tq VALUES (12, NULL, 1, 'wide')")
+    val q3 = router.execute("SHOW QUARANTINE tq")
+      .filter(col("id") === 12).collect()
+    assert(q3.length == 1 && q3.head.getAs[String]("note") == "wide", q3.mkString)
+    // the pre-evolution quarantined rows read the new column as null
+    val old = router.execute("SHOW QUARANTINE tq")
+      .filter(col("id") === 2).collect()
+    assert(old.length == 1 && old.head.getAs[String]("note") == null, old.mkString)
   }
 
   test("UPSERT honors the declared PRIMARY KEY and row rules") {
