@@ -500,10 +500,20 @@ object ManagedTable {
     val hit = coalesce(where, lit(false))
     // an UPDATE must not rewrite a row INTO violation: the in-plan
     // guard raises at materialization (reject-only — no incoming row
-    // to quarantine), so a violating SET aborts before any commit
+    // to quarantine), so a violating SET aborts before any commit.
+    // PRIMARY KEY columns are immutable under UPDATE — a SET on one
+    // could mint a NULL or duplicate key that no per-row guard can
+    // catch (uniqueness is a cross-row property); moving a row to a
+    // new key is what DELETE+INSERT / UPSERT are for
     val guard: DataFrame => DataFrame = Constraints.load(spark, root) match {
-      case Some(spec) if spec.notNull.nonEmpty || spec.checks.nonEmpty =>
-        Constraints.updateGuard(spec)
+      case Some(spec) =>
+        val pkTouched = spec.primaryKey.filter(set.keySet.contains)
+        if (pkTouched.nonEmpty) throw new ConstraintViolation(
+          s"UPDATE may not modify PRIMARY KEY column(s) ${pkTouched.mkString(", ")} " +
+            "— use DELETE + INSERT (or UPSERT) to move rows to new keys")
+        if (spec.notNull.nonEmpty || spec.checks.nonEmpty)
+          Constraints.updateGuard(spec)
+        else identity
       case _ => identity
     }
     rewrite(spark, root, snap, affectedFiles(cur, root, where), aff =>

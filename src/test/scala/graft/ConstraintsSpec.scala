@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.server.SqlRouter
-import graft.sources.{Constraints, ManagedTable}
+import graft.sources.{Constraints, ConstraintViolation, ManagedTable}
 
 /** Write-time constraint enforcement: q140's audit arithmetic moved to
   * the mutation choke points — violating writes are refused (REJECT)
@@ -146,6 +146,30 @@ class ConstraintsSpec extends AnyFunSuite {
     val old = router.execute("SHOW QUARANTINE tq")
       .filter(col("id") === 2).collect()
     assert(old.length == 1 && old.head.getAs[String]("note") == null, old.mkString)
+  }
+
+  test("UPDATE may not modify PRIMARY KEY columns; non-PK updates still guard") {
+    val base = fresh()
+    router.execute(s"CREATE MANAGED TABLE tu (id BIGINT, name STRING, score BIGINT, " +
+      s"PRIMARY KEY (id), NOT NULL (name)) LOCATION '$base/tu'")
+    router.execute("INSERT INTO tu VALUES (1, 'a', 5), (2, 'b', 6)")
+    // SET on the PK is refused outright: a per-row guard cannot see a
+    // minted duplicate (cross-row) and SET id = NULL would null the key
+    val e = intercept[ConstraintViolation] {
+      ManagedTable.update(spark, s"$base/tu", col("id") === 2, Map("id" -> lit(1L)))
+    }
+    assert(e.getMessage.contains("PRIMARY KEY"), e.getMessage)
+    // nothing committed
+    assert(router.execute("SELECT id FROM tu ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // non-PK update still lands (and its row-local guard still fires)
+    router.execute("UPDATE tu SET score = 7 WHERE id = 2")
+    assert(router.execute("SELECT score FROM tu WHERE id = 2")
+      .collect().head.getLong(0) == 7)
+    val e2 = intercept[Exception] {
+      router.execute("UPDATE tu SET name = NULL WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("not_null"), e2.getMessage)
   }
 
   test("UPSERT honors the declared PRIMARY KEY and row rules") {
