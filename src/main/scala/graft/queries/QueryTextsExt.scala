@@ -443,7 +443,7 @@ WITH tk AS (SELECT source, tok FROM documents
             LATERAL VIEW explode(filter(split(lower(text), ' '), x -> x != '')) t AS tok),
 tf AS (SELECT source, tok, COUNT(*) c FROM tk GROUP BY source, tok)
 SELECT source, CAST(SUM(c) AS BIGINT) AS toks, COUNT(*) AS vocab,
-  CAST(COUNT(*) * 1000000 DIV SUM(c) AS BIGINT) AS ttr_ppm,
+  CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * 1000000 DIV SUM(c) AS BIGINT) AS ttr_ppm,
   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
 FROM tf GROUP BY source ORDER BY source""",
 
@@ -589,7 +589,7 @@ WITH t AS (SELECT source,
              COUNT(*) AS n_docs
            FROM documents GROUP BY source)
 SELECT source, n_docs, toks,
-  CAST(toks * 1000000 DIV (SELECT SUM(toks) FROM t) AS BIGINT) AS weight_ppm
+  CAST(CAST(toks AS DECIMAL(38,0)) * 1000000 DIV (SELECT SUM(toks) FROM t) AS BIGINT) AS weight_ppm
 FROM t ORDER BY source""",
 
     "q76_gap_histogram" -> """
@@ -675,7 +675,7 @@ b AS (SELECT n, CAST(GREATEST(16, shiftleft(1, length(bin(n - 1)))) AS BIGINT) b
   FROM d WHERE n > 0)
 SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS toks,
   CAST(SUM(bucket - n) AS BIGINT) AS pad,
-  CAST(SUM(bucket - n) * 1000000 DIV (SUM(n) + SUM(bucket - n)) AS BIGINT) AS pad_ppm
+  CAST(CAST(SUM(bucket - n) AS DECIMAL(38,0)) * 1000000 DIV (SUM(n) + SUM(bucket - n)) AS BIGINT) AS pad_ppm
 FROM b GROUP BY bucket ORDER BY bucket""",
 
     "q92_apply_mixing" -> """
@@ -803,7 +803,7 @@ tot AS (SELECT SUM(rev_d) total_d FROM rev),
 top AS (SELECT * FROM rev ORDER BY rev_d DESC, supplier LIMIT 10)
 SELECT t.supplier, t.n_items,
   CAST(t.rev_d AS DOUBLE) net_revenue,
-  CAST(CAST(t.rev_d * 10000 AS BIGINT) * 1000000 DIV CAST(tot.total_d * 10000 AS BIGINT) AS BIGINT) revenue_share_ppm
+  CAST(CAST(t.rev_d * 10000 AS DECIMAL(19,0)) * 1000000 DIV CAST(tot.total_d * 10000 AS DECIMAL(19,0)) AS BIGINT) revenue_share_ppm
 FROM top t CROSS JOIN tot
 ORDER BY net_revenue DESC, t.supplier""",
 
@@ -916,7 +916,7 @@ w AS (SELECT * FROM (VALUES ('src0',300000),('src1',250000),('src2',200000),
                             ('src3',150000),('src4',100000)) AS w(source, w_ppm))
 SELECT t.source, toks,
   CAST(CAST(1000000000 AS BIGINT) * w_ppm DIV 1000000 AS BIGINT) AS target_toks,
-  CAST(CAST(1000000000 AS BIGINT) * w_ppm DIV 1000000 * 1000000 DIV toks AS BIGINT) AS epochs_ppm
+  CAST(CAST(CAST(1000000000 AS BIGINT) * w_ppm DIV 1000000 AS DECIMAL(38,0)) * 1000000 DIV toks AS BIGINT) AS epochs_ppm
 FROM t JOIN w USING (source) ORDER BY source""",
 
     "q153_event_burst_echo" -> """
@@ -951,7 +951,7 @@ WITH per_part AS (SELECT l_partkey,
 tot AS (SELECT SUM(rev_d) tot_d FROM per_part)
 SELECT n_suppliers, COUNT(*) n_parts,
   CAST(SUM(rev_d) AS DOUBLE) net_revenue,
-  CAST(CAST(SUM(rev_d) * 10000 AS BIGINT) * 1000000 DIV CAST(tot.tot_d * 10000 AS BIGINT) AS BIGINT) revenue_share_ppm
+  CAST(CAST(SUM(rev_d) * 10000 AS DECIMAL(19,0)) * 1000000 DIV CAST(tot.tot_d * 10000 AS DECIMAL(19,0)) AS BIGINT) revenue_share_ppm
 FROM per_part CROSS JOIN tot
 GROUP BY n_suppliers, tot.tot_d ORDER BY n_suppliers""",
 
@@ -1118,7 +1118,7 @@ tot AS (SELECT COUNT(*) n_orders_tot, SUM(rev_d) tot_d FROM per_o)
 SELECT n_lines, COUNT(*) n_orders,
   CAST(SUM(rev_d) AS DOUBLE) net_revenue,
   CAST(COUNT(*) * 1000000 DIV tot.n_orders_tot AS BIGINT) order_share_ppm,
-  CAST(CAST(SUM(rev_d) * 10000 AS BIGINT) * 1000000 DIV CAST(tot.tot_d * 10000 AS BIGINT) AS BIGINT) revenue_share_ppm
+  CAST(CAST(SUM(rev_d) * 10000 AS DECIMAL(19,0)) * 1000000 DIV CAST(tot.tot_d * 10000 AS DECIMAL(19,0)) AS BIGINT) revenue_share_ppm
 FROM per_o CROSS JOIN tot
 GROUP BY n_lines, tot.n_orders_tot, tot.tot_d ORDER BY n_lines""",
 
@@ -1284,7 +1284,7 @@ WITH li AS (SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) disc_pct,
 SELECT disc_pct, tax_pct, COUNT(*) n_items,
   CAST(SUM(net_d) AS DOUBLE) net_revenue,
   CAST(SUM(tax_d) AS DOUBLE) tax_collected,
-  CAST(CAST(SUM(tax_d) * 1000000 AS BIGINT) * 1000000 DIV CAST(SUM(net_d) * 1000000 AS BIGINT) AS BIGINT) effective_tax_ppm
+  CAST(CAST(SUM(tax_d) * 1000000 AS DECIMAL(25,0)) * 1000000 DIV CAST(SUM(net_d) * 1000000 AS DECIMAL(25,0)) AS BIGINT) effective_tax_ppm
 FROM li GROUP BY disc_pct, tax_pct ORDER BY disc_pct, tax_pct""",
 
     "q194_trend_persistence" -> """
@@ -1432,7 +1432,7 @@ tot AS (SELECT tok, CAST(SUM(c) AS BIGINT) t FROM cnt GROUP BY tok),
 top AS (SELECT tok, nxt, c, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY c DESC, nxt) rn FROM cnt)
 SELECT tot.tok AS tok, tot.t AS n_follow, top.nxt AS top_next,
   CAST(top.c AS BIGINT) AS top_c,
-  CAST(top.c * 1000000 DIV tot.t AS BIGINT) AS p_ppm
+  CAST(CAST(top.c AS DECIMAL(38,0)) * 1000000 DIV tot.t AS BIGINT) AS p_ppm
 FROM tot JOIN top ON top.tok = tot.tok AND top.rn = 1
 ORDER BY n_follow DESC, tok LIMIT 20""",
 
@@ -1615,8 +1615,8 @@ r AS (SELECT source, toks,
       FROM t),
 tot AS (SELECT SUM(toks) tt, SUM(micro) tm FROM r),
 p AS (SELECT source, toks,
-        CAST(toks * 1000000 DIV tot.tt AS BIGINT) natural_ppm,
-        CAST(micro * 1000000 DIV tot.tm AS BIGINT) tempered_ppm
+        CAST(CAST(toks AS DECIMAL(38,0)) * 1000000 DIV tot.tt AS BIGINT) natural_ppm,
+        CAST(CAST(micro AS DECIMAL(38,0)) * 1000000 DIV tot.tm AS BIGINT) tempered_ppm
       FROM r CROSS JOIN tot)
 SELECT source, toks, natural_ppm, tempered_ppm,
   CAST(tempered_ppm * 100 DIV NULLIF(natural_ppm, 0) AS BIGINT) AS boost_pct
@@ -1948,7 +1948,7 @@ pair AS (SELECT a.tok ta, b.tok tb, COUNT(*) cab
          GROUP BY a.tok, b.tok),
 nd AS (SELECT COUNT(*) n FROM documents)
 SELECT p.ta, p.tb, p.cab,
-  CAST(p.cab * nd.n * 1000000 DIV (va.c * vb.c) AS BIGINT) AS lift_ppm
+  CAST(CAST(p.cab AS DECIMAL(38,0)) * nd.n * 1000000 DIV (CAST(va.c AS DECIMAL(38,0)) * vb.c) AS BIGINT) AS lift_ppm
 FROM pair p CROSS JOIN nd
 JOIN vocab va ON va.tok = p.ta JOIN vocab vb ON vb.tok = p.tb
 WHERE p.cab >= 5
@@ -1984,7 +1984,7 @@ tot AS (SELECT SUM(rev_d) total_d FROM pairs),
 top AS (SELECT * FROM pairs ORDER BY rev_d DESC, supp_nation, cust_nation LIMIT 15)
 SELECT t.supp_nation, t.cust_nation, t.n_items,
   CAST(t.rev_d AS DOUBLE) net_revenue,
-  CAST(CAST(t.rev_d * 10000 AS BIGINT) * 1000000 DIV CAST(tot.total_d * 10000 AS BIGINT) AS BIGINT) trade_share_ppm
+  CAST(CAST(t.rev_d * 10000 AS DECIMAL(19,0)) * 1000000 DIV CAST(tot.total_d * 10000 AS DECIMAL(19,0)) AS BIGINT) trade_share_ppm
 FROM top t CROSS JOIN tot
 ORDER BY net_revenue DESC, t.supp_nation, t.cust_nation""",
 
