@@ -16,6 +16,10 @@ final class Graft(val spark: SparkSession, val dataDir: String,
   // only ever holds managed-table roots, so contract queries over
   // plain parquet are untouched)
   graft.plans.StatsJoinPlanner.install(spark)
+  // manifest-level data skipping for managed-table scans — a no-op
+  // until a managed read registers its stats sidecar (plain parquet
+  // contract tables never populate the registry)
+  graft.plans.FileSkipScan.install(spark)
 
   /** SQL entry point over the registered tables (+ graft_* functions). */
   def sql(text: String): DataFrame = spark.sql(text)

@@ -370,6 +370,69 @@ object ScaleBench {
             spark.table(s"g_eod_x$f"), 3).count()
         }
       }
+      // SPARK_GRAFT_SCALE_SKIP=1 — manifest-level data skipping A/B
+      // (plans.FileSkipScan): a factor-k documents table clustered on
+      // doc_id into 64 files takes a fixed batch of 50 point SELECTs.
+      //   g_skip_off — FileSkip registry cleared: every query plans
+      //     all 64 files (parquet footer pruning still applies at
+      //     execution, which is exactly the cost being measured:
+      //     listing + opening O(files) footers per query).
+      //   g_skip_on  — sidecar registered: the optimizer rule prunes
+      //     each point predicate to the ONE covering file before the
+      //     scan is planned.
+      // The claim: per-query cost is O(1) vs O(files) in planning
+      // I/O, so the gap WIDENS with factor (more rows -> bigger
+      // files) while g_skip_on stays flat-ish. g_skip_files reports
+      // total files planned across the batch in each mode.
+      if (sys.env.get("SPARK_GRAFT_SCALE_SKIP").contains("1")) locally {
+        import graft.sources.{FileSkip, ManagedTable}
+        import graft.plans.FileSkipScan
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        FileSkipScan.install(spark)
+        val docs = graft.sources.Tables.load(spark, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_scale_skip").toString + "/t"
+        ManagedTable.create(spark, root, docs.schema)
+        ManagedTable.insert(spark, root, docs)
+        ManagedTable.compactTable(spark, root, 64, Seq("doc_id"))
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val probes = (1 to 50).map(i => i.toLong * maxId / 51)
+        def cell(label: String)(body: => Long): Unit = {
+          val load = osBean.getSystemLoadAverage
+          val t0 = System.nanoTime()
+          val rows = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          summary.getOrElseUpdate(label, scala.collection.mutable.LinkedHashMap.empty)
+            .put(f, sec)
+          val line = f"""{"factor":$f,"query":"$label","sec":$sec%.3f,"rows":$rows,"load":$load%.2f}"""
+          println(line)
+          out.append(line).append('\n'): Unit
+        }
+        def plannedFiles(q: Long): Int =
+          ManagedTable.read(spark, root).filter(col("doc_id") === q)
+            .queryExecution.optimizedPlan.collect {
+              case l: LogicalRelation => l.relation match {
+                case h: HadoopFsRelation => h.location.rootPaths.size
+                case _ => 0
+              }
+            }.sum
+        def batch(): Long = probes.map { q =>
+          ManagedTable.read(spark, root).filter(col("doc_id") === q).count()
+        }.sum
+        FileSkip.clear()
+        // registry empty: reads below re-register, so clear() inside
+        // the off-cell body keeps it disabled for the whole batch
+        cell("g_skip_off") { probes.map { q =>
+          FileSkip.clear()
+          ManagedTable.read(spark, root).filter(col("doc_id") === q).count()
+        }.sum }
+        FileSkip.clear(); ManagedTable.read(spark, root): Unit
+        cell("g_skip_files_off") { FileSkip.clear(); plannedFiles(probes.head).toLong }
+        ManagedTable.read(spark, root): Unit // re-register the sidecar
+        cell("g_skip_on")(batch())
+        cell("g_skip_files_on")(plannedFiles(probes.head).toLong)
+      }
     }
     val sum = summary.map { case (k, m) =>
       s"\"$k\":{${m.map { case (f, s) => f""""x$f":$s%.3f""" }.mkString(",")}}"

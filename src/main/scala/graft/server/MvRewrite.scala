@@ -1,0 +1,260 @@
+package graft.server
+
+import scala.annotation.tailrec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias, View}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.operators.Mvm
+
+/** Materialized-view QUERY REWRITE: serve an aggregate over a base
+  * table from its incrementally-maintained materialized view instead
+  * of re-scanning the base — the read-side half of the MV feature
+  * (the write side, delta maintenance, is `Mvm`/`MvSink`; until now a
+  * user had to NAME the view to benefit from it).
+  *
+  * Two recognized shapes, both over a bare base-table scan (no WHERE,
+  * no join — exact-shape matching; anything else stays untouched):
+  *
+  *   - EXACT: `GROUP BY` exactly the view's keys, selecting keys and
+  *     aggregates the view maintains — becomes a plain PROJECTION of
+  *     the view (the aggregation already happened, incrementally, at
+  *     write time).
+  *   - ROLLUP: `GROUP BY` a SUBSET of the keys (including none — the
+  *     global aggregate) — becomes a small re-aggregation OVER the
+  *     view: COUNT(*) rolls up as SUM(count), SUM as SUM, MIN/MAX as
+  *     MIN/MAX, AVG from its maintained backing sum/count pair
+  *     (`Mvm.avgBackingSum`/`Cnt` — the reason those are stored
+  *     columns). |view| is bounded by the key-combination count, so
+  *     this replaces a full base scan with group-count work.
+  *
+  * Matched aggregates: COUNT(*) / COUNT(literal), and SUM / MIN /
+  * MAX / AVG over exactly the bare column the view was declared on
+  * (never DISTINCT, never FILTER'd). The substitution preserves the
+  * original output attribute ids, names, and types (casting the
+  * rolled-up value back when re-aggregation widens, e.g. decimal
+  * sums), so HAVING / ORDER BY / LIMIT and enclosing plans above the
+  * rewritten Aggregate keep resolving unchanged.
+  *
+  * Consistency contract: the router maintains every MV synchronously
+  * inside the same statement that mutates its base, and the base's
+  * SELECT-visible temp view is re-pinned at the same moments — so for
+  * every query the router serves, view and base agree by
+  * construction. (Out-of-band ManagedTable mutations make the base
+  * view itself stale in exactly the same way; the rewrite introduces
+  * no new staleness class.) Floating-point SUM/AVG may differ from a
+  * cold recompute in last-ulp addition order — inherent to
+  * incremental maintenance, same class as AQE re-partitioning.
+  *
+  * Disabled with `GRAFT_MV_REWRITE=0`.
+  */
+object MvRewrite {
+
+  /** Rewrite `df` if some Aggregate in it matches a view; returns the
+    * new frame plus (viewName, "exact"|"rollup") for the router's log
+    * line. Never throws — an unmatched or unexpected shape returns
+    * None and the original plan runs. */
+  def maybe(spark: SparkSession, df: DataFrame, views: Seq[SqlRouter.MvSpec],
+            rootOf: String => Option[String]): Option[(DataFrame, String, String)] =
+    try {
+      if (views.isEmpty) return None
+      var hit: Option[(String, String)] = None
+      val plan = df.queryExecution.analyzed
+      val out = plan.transformUp {
+        case agg: Aggregate if hit.isEmpty =>
+          rewriteAgg(spark, agg, views, rootOf) match {
+            case Some((p, name, mode)) => hit = Some((name, mode)); p
+            case None => agg
+          }
+      }
+      hit.map { case (name, mode) =>
+        (ColumnBridge.ofRows(spark, out), name, mode)
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[mv-rewrite] skipped: ${e.getMessage}")
+      None
+    }
+
+  /** The base-table name a plan subtree scans, if it is EXACTLY a
+    * (possibly aliased) table reference: peel SubqueryAlias/View down
+    * to a file relation, keeping the INNERMOST alias — `FROM t` yields
+    * t, `FROM other AS t` yields other. */
+  @tailrec
+  private def baseScan(p: LogicalPlan, name: Option[String])
+      : Option[(String, LogicalRelation)] = p match {
+    case SubqueryAlias(id, child) => baseScan(child, Some(id.name))
+    case v: View => baseScan(v.child, name)
+    case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+      name.map((_, l))
+    case _ => None
+  }
+
+  /** All scan files live under `root` — the name matched; this pins
+    * the RELATION to the registered table (a temp view shadowed by
+    * something else must not rewrite). */
+  private def underRoot(spark: SparkSession, l: LogicalRelation,
+                        root: String): Boolean = {
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = fs.makeQualified(rp).toString + "/"
+    l.relation.asInstanceOf[HadoopFsRelation]
+      .location.rootPaths.forall(_.toString.startsWith(prefix))
+  }
+
+  private def rewriteAgg(spark: SparkSession, agg: Aggregate,
+                         views: Seq[SqlRouter.MvSpec],
+                         rootOf: String => Option[String])
+      : Option[(LogicalPlan, String, String)] = {
+    val scan = baseScan(agg.child, None)
+    if (scan.isEmpty) return None
+    val (tbl, rel) = scan.get
+    // grouping must be bare columns
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name.toLowerCase
+      case _ => return None
+    }.toSet
+    if (groupNames.size != agg.groupingExpressions.size) return None
+
+    views.iterator
+      .filter(v => v.over.equalsIgnoreCase(tbl) &&
+        rootOf(v.over).exists(underRoot(spark, rel, _)))
+      .flatMap(v => tryView(spark, agg, groupNames, v))
+      .nextOption()
+  }
+
+  /** A registered aggregate expression that is a BARE column name —
+    * the only form we can equate to the query's attribute. */
+  private def bare(e: String): Option[String] = {
+    val t = e.trim
+    if (t.matches("[A-Za-z_][A-Za-z0-9_]*")) Some(t.toLowerCase)
+    else if (t.matches("`[^`]+`")) Some(t.substring(1, t.length - 1).toLowerCase)
+    else None
+  }
+
+  private def tryView(spark: SparkSession, agg: Aggregate,
+                      groupNames: Set[String], v: SqlRouter.MvSpec)
+      : Option[(LogicalPlan, String, String)] = {
+    val keySet = v.keys.map(_.toLowerCase).toSet
+    val exact = groupNames == keySet
+    if (!exact && !groupNames.subsetOf(keySet)) return None
+
+    val mvDf = spark.table(v.name)
+    val mvCols = mvDf.columns.map(_.toLowerCase).toSet
+    def find(xs: Seq[(String, String)], colName: String): Option[String] =
+      xs.collectFirst { case (n, e) if bare(e).contains(colName) => n }
+
+    // map every output expression to a Column over the view; None on
+    // the first unmatchable one. Output i is carried under a
+    // collision-proof name __mv_o_i until the final attribute graft.
+    val built = agg.aggregateExpressions.map { ne =>
+      mapOutput(ne, groupNames, v, exact, mvCols, find)
+    }
+    if (built.exists(_.isEmpty)) return None
+    val cols = built.map(_.get)
+    def tag(i: Int) = s"__mv_o_$i"
+
+    val replacement: DataFrame =
+      if (exact)
+        mvDf.select(cols.zipWithIndex.map { case (c, i) => c.expr.as(tag(i)) }: _*)
+      else {
+        val aggOut = cols.zipWithIndex.filter(!_._1.isKey)
+        if (aggOut.isEmpty)
+          // pure key projection at coarser grain: the distinct subset
+          mvDf.select(cols.zipWithIndex.map { case (c, i) => c.expr.as(tag(i)) }: _*)
+            .distinct()
+        else {
+          val keyCols = groupNames.toSeq.sorted.map(col)
+          val aggCols = aggOut.map { case (c, i) => c.expr.as(tag(i)) }
+          val g = mvDf.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          // restore the query's output order (groupBy puts keys first)
+          g.select(cols.zipWithIndex.map { case (c, i) =>
+            if (c.isKey) c.expr.as(tag(i)) else col(tag(i))
+          }: _*)
+        }
+      }
+
+    // graft the replacement under the original attribute ids/types so
+    // everything above the Aggregate keeps resolving
+    val rplan = replacement.queryExecution.analyzed
+    val aliases: Seq[NamedExpression] = agg.output.zip(rplan.output).map {
+      case (orig, repl) =>
+        val e: Expression =
+          if (repl.dataType == orig.dataType) repl
+          else Cast(repl, orig.dataType)
+        Alias(e, orig.name)(exprId = orig.exprId)
+    }
+    Some((Project(aliases, rplan), v.name, if (exact) "exact" else "rollup"))
+  }
+
+  /** A mapped output: the Column over the view, and whether it is a
+    * grouping key (keys pass through the rollup's groupBy; everything
+    * else re-aggregates). */
+  private final case class Mapped(expr: Column, isKey: Boolean)
+
+  /** One query output expression -> its view-side form, or None when
+    * the view cannot serve it. */
+  private def mapOutput(ne: NamedExpression, groupNames: Set[String],
+                        v: SqlRouter.MvSpec, exact: Boolean,
+                        mvCols: Set[String],
+                        find: (Seq[(String, String)], String) => Option[String])
+      : Option[Mapped] = {
+    def agg(ae: AggregateExpression): Option[Mapped] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case c: Count if c.children.sizeIs == 1 &&
+            c.children.head.isInstanceOf[Literal] &&
+            c.children.head.asInstanceOf[Literal].value != null =>
+          val n = v.countCol
+          Some(Mapped(if (exact) col(n)
+                      else coalesce(sum(col(n)), lit(0L)), isKey = false))
+        case s: Sum => s.child match {
+          case a: AttributeReference => find(v.sums, a.name.toLowerCase).map { n =>
+            Mapped(if (exact) col(n) else sum(col(n)), isKey = false)
+          }
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference => find(v.mins, a.name.toLowerCase).map { n =>
+            Mapped(if (exact) col(n) else min(col(n)), isKey = false)
+          }
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference => find(v.maxs, a.name.toLowerCase).map { n =>
+            Mapped(if (exact) col(n) else max(col(n)), isKey = false)
+          }
+          case _ => None
+        }
+        case a: Average => a.child match {
+          case ar: AttributeReference => find(v.avgs, ar.name.toLowerCase).flatMap { n =>
+            if (exact) Some(Mapped(col(n), isKey = false))
+            else {
+              // re-derive from the maintained backing pair; both must
+              // still be stored view columns
+              val (bs, bc) = (Mvm.avgBackingSum(n), Mvm.avgBackingCnt(n))
+              if (mvCols.contains(bs.toLowerCase) && mvCols.contains(bc.toLowerCase))
+                Some(Mapped(when(sum(col(bc)) > 0,
+                  sum(col(bs)).cast("double") / sum(col(bc))), isKey = false))
+              else None
+            }
+          }
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    ne match {
+      case a: AttributeReference if groupNames.contains(a.name.toLowerCase) =>
+        Some(Mapped(col(a.name), isKey = true))
+      case Alias(a: AttributeReference, _)
+          if groupNames.contains(a.name.toLowerCase) =>
+        Some(Mapped(col(a.name), isKey = true))
+      case Alias(ae: AggregateExpression, _) => agg(ae)
+      case _ => None
+    }
+  }
+}

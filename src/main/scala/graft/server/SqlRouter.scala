@@ -89,6 +89,10 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
   // the rule reorders inner-join chains and injects broadcast hints
   // from them (no-op until something is ANALYZEd — see StatsJoinPlanner)
   graft.plans.StatsJoinPlanner.install(spark)
+  // manifest-level data skipping: SELECTs over the registered managed
+  // tables prune their file lists against the FileStats sidecars
+  // (populated by every managed read) before the scan is planned
+  graft.plans.FileSkipScan.install(spark)
 
   private val tables = TrieMap.empty[String, String] // name -> root path
   // materialized views by name; each is ALSO a managed table in
@@ -876,7 +880,22 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         "discard) — an open interactive transaction would pin filesystem " +
         "state to one connection across requests")
 
-    case other => spark.sql(rewriteTimeTravel(other))
+    case other =>
+      val df = spark.sql(rewriteTimeTravel(other))
+      // MV query rewrite: an aggregate in the view's exact (or
+      // coarser rollup) shape is served from the incrementally-
+      // maintained view instead of re-scanning the base. Sound here
+      // because this router maintains every view synchronously inside
+      // the statement that mutates its base. GRAFT_MV_REWRITE=0 opts
+      // out; non-matching plans pass through untouched.
+      if (mviews.isEmpty || sys.env.get("GRAFT_MV_REWRITE").contains("0")) df
+      else MvRewrite.maybe(spark, df, mviews.values.toSeq, tables.get) match {
+        case Some((df2, mvName, mode)) =>
+          System.err.println(s"[mv-rewrite] served from materialized view " +
+            s"'$mvName' ($mode)")
+          df2
+        case None => df
+      }
   }
 
   /** The root whose `_graft_log/_txn/` holds the batch's publish

@@ -391,8 +391,13 @@ object ManagedTable {
                         files: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else
+    else {
+      // feed the data-skipping registry (memoized per version): any
+      // session with plans.FileSkipScan installed can then prune THIS
+      // scan's files against the stats sidecar at optimization time
+      FileSkip.register(spark, root, snap)
       spark.read.schema(snap.schema).parquet(files.map(f => s"$root/$f"): _*)
+    }
 
   /** Range read with manifest-level data skipping: scan only the data
     * files whose [[FileStats]] range can intersect `lo <= col <= hi`,

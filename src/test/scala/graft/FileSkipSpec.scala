@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.server.SqlRouter
+
+/** Manifest-level data skipping in PLAIN SQL (plans.FileSkipScan +
+  * sources.FileSkip): a `SELECT ... WHERE` over a managed table must
+  * scan only the files whose stats-sidecar range can hold a match —
+  * and must return exactly the rows the unpruned scan would. The
+  * readRange API's pruning discipline (FileStatsSpec) already pins the
+  * sidecar arithmetic; these tests pin the OPTIMIZER-RULE path: bound
+  * extraction from predicates, relation rebuild, and the
+  * never-wrong-only-faster contract.
+  */
+class FileSkipSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fresh() = Files.createTempDirectory("graft_fs").toString
+
+  /** Files each parquet scan leaf of the OPTIMIZED plan would read —
+    * after FileSkipScan ran, so this is the pruned count. */
+  private def scannedFiles(df: DataFrame): Seq[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.size
+        case _ => -1
+      }
+    }
+
+  /** One clustered 8-file table: id 0..3999 strictly increasing, so
+    * OPTIMIZE BY (id) gives disjoint ~500-wide id ranges per file. */
+  private def clustered(): (SqlRouter, String) = {
+    val r = new SqlRouter(spark) // installs FileSkipScan on the session
+    val t = s"t${System.nanoTime()}"
+    r.execute(s"CREATE MANAGED TABLE $t (id BIGINT, name STRING, score DOUBLE) " +
+      s"LOCATION '${fresh()}/$t'")
+    r.execute(s"INSERT INTO $t SELECT id, concat('n', id % 7) AS name, " +
+      s"id * 0.5 AS score FROM range(4000)")
+    r.execute(s"OPTIMIZE $t INTO 8 FILES BY (id)")
+    (r, t)
+  }
+
+  test("point SELECT prunes to one file and returns the exact row") {
+    val (r, t) = clustered()
+    val df = r.execute(s"SELECT id, name FROM $t WHERE id = 1234")
+    assert(scannedFiles(df) == Seq(1), df.queryExecution.optimizedPlan)
+    assert(df.collect().map(_.toSeq).toSeq == Seq(Seq(1234L, "n2")))
+  }
+
+  test("range BETWEEN prunes to the covering files, rows exact") {
+    val (r, t) = clustered()
+    val df = r.execute(s"SELECT id FROM $t WHERE id BETWEEN 1000 AND 1999")
+    val files = scannedFiles(df).head
+    assert(files >= 1 && files <= 3, s"expected ~2 of 8 files, got $files")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (1000L to 1999L))
+  }
+
+  test("impossible predicate proves emptiness with zero files planned") {
+    val (r, t) = clustered()
+    val df = r.execute(s"SELECT * FROM $t WHERE id = -5")
+    assert(scannedFiles(df) == Seq(0))
+    assert(df.count() == 0)
+  }
+
+  test("IN list prunes by min/max of the set") {
+    val (r, t) = clustered()
+    val df = r.execute(s"SELECT id FROM $t WHERE id IN (10, 20, 30)")
+    assert(scannedFiles(df) == Seq(1))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("strict one-sided bound keeps the boundary file and all rows") {
+    val (r, t) = clustered()
+    val df = r.execute(s"SELECT id FROM $t WHERE id > 3600")
+    val files = scannedFiles(df).head
+    assert(files < 8 && files >= 1, s"got $files")
+    assert(df.count() == 399)
+  }
+
+  test("string predicates never prune; mixed conjuncts prune on the numeric one") {
+    val (r, t) = clustered()
+    val s1 = r.execute(s"SELECT id FROM $t WHERE name = 'n3'")
+    assert(scannedFiles(s1) == Seq(8)) // strings are out of sidecar scope
+    val s2 = r.execute(s"SELECT id FROM $t WHERE name = 'n3' AND id < 500")
+    assert(scannedFiles(s2).head <= 2)
+    assert(s2.collect().map(_.getLong(0)).sorted.toSeq ==
+      (3L until 500L by 7L).toSeq)
+  }
+
+  test("double-column range prunes and agrees with the unpruned answer") {
+    val (r, t) = clustered()
+    val df = r.execute(s"SELECT id FROM $t WHERE score >= 1900.0 AND score < 1905.0")
+    assert(scannedFiles(df).head <= 2)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (3800L until 3810L))
+  }
+
+  test("contradictory conjuncts intersect to an empty scan") {
+    val (r, t) = clustered()
+    val df = r.execute(s"SELECT * FROM $t WHERE id > 3000 AND id < 100")
+    assert(scannedFiles(df) == Seq(0))
+    assert(df.count() == 0)
+  }
+
+  test("pruning stays correct across copy-on-write mutations") {
+    val (r, t) = clustered()
+    r.execute(s"UPDATE $t SET name = 'moved' WHERE id = 700")
+    r.execute(s"DELETE FROM $t WHERE id BETWEEN 1500 AND 1599")
+    r.execute(s"INSERT INTO $t VALUES (9001, 'late', 0.0)")
+    // rewritten + appended files register on the post-mutation read;
+    // every probe below must be exact whatever got pruned
+    assert(r.execute(s"SELECT name FROM $t WHERE id = 700")
+      .collect().map(_.getString(0)).toSeq == Seq("moved"))
+    assert(r.execute(s"SELECT count(*) AS n FROM $t WHERE id BETWEEN 1400 AND 1699")
+      .collect().head.getLong(0) == 200L)
+    assert(r.execute(s"SELECT name FROM $t WHERE id > 8000")
+      .collect().map(_.getString(0)).toSeq == Seq("late"))
+  }
+
+  test("non-managed parquet scans are untouched") {
+    val dir = s"${fresh()}/plain"
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(dir)
+    new SqlRouter(spark) // ensure the rule is installed on the session
+    val df = spark.read.parquet(dir).filter("id = 5")
+    // one rootPath (the directory) and no registry entry: plan unchanged
+    assert(scannedFiles(df) == Seq(1))
+    assert(df.count() == 1)
+  }
+
+  test("mayMatch keeps unregistered files and unconstrained columns") {
+    import graft.sources.FileSkip
+    assert(FileSkip.mayMatch("file:/nowhere/x.parquet",
+      Map("id" -> (Some(BigDecimal(1)), Some(BigDecimal(2))))))
+  }
+}
