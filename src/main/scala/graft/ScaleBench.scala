@@ -420,18 +420,66 @@ object ScaleBench {
         def batch(): Long = probes.map { q =>
           ManagedTable.read(spark, root).filter(col("doc_id") === q).count()
         }.sum
-        FileSkip.clear()
-        // registry empty: reads below re-register, so clear() inside
-        // the off-cell body keeps it disabled for the whole batch
-        cell("g_skip_off") { probes.map { q =>
-          FileSkip.clear()
-          ManagedTable.read(spark, root).filter(col("doc_id") === q).count()
-        }.sum }
-        FileSkip.clear(); ManagedTable.read(spark, root): Unit
-        cell("g_skip_files_off") { FileSkip.clear(); plannedFiles(probes.head).toLong }
-        ManagedTable.read(spark, root): Unit // re-register the sidecar
+        // the kill switch, not clear(): every read under test
+        // re-registers its sidecar, so an empty registry cannot model
+        // "skipping off" for even one query
+        FileSkip.disabled = true
+        cell("g_skip_off")(batch())
+        cell("g_skip_files_off")(plannedFiles(probes.head).toLong)
+        FileSkip.disabled = false
         cell("g_skip_on")(batch())
         cell("g_skip_files_on")(plannedFiles(probes.head).toLong)
+      }
+      // SPARK_GRAFT_SCALE_MVR=1 — materialized-view rewrite A/B
+      // (server.MvRewrite): a fact table derived from the factor-k
+      // documents corpus (the table that actually scales with factor)
+      // carries an MV grouped to ~3000 keys; the SAME router SELECT
+      // (exact MV shape) runs with the rewrite disabled (g_mvr_direct
+      // — full base aggregation) and enabled (g_mvr_rewrite — a
+      // projection of the view). g_mvr_maintain prices what the
+      // rewrite costs at write time: one fixed 10k-row INSERT's
+      // incremental view maintenance. The claim: direct grows with
+      // the data, rewrite is |view|-bound (flat), maintenance is
+      // delta-sized.
+      if (sys.env.get("SPARK_GRAFT_SCALE_MVR").contains("1")) locally {
+        import graft.server.{MvRewrite, SqlRouter}
+        val r = new SqlRouter(spark)
+        val t = s"g_fact_x$f"
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_scale_mvr").toString
+        r.execute(s"CREATE MANAGED TABLE $t (k1 BIGINT, k2 STRING, " +
+          s"amt DOUBLE) LOCATION '$base/$t'")
+        val li = graft.sources.Tables.load(spark, dir, "documents")
+          .selectExpr("doc_id % 1000 AS k1", "lang AS k2",
+            "CAST(n_chars AS DOUBLE) AS amt")
+        li.createOrReplaceTempView(s"__mvr_src_$f")
+        r.execute(s"INSERT INTO $t SELECT * FROM __mvr_src_$f")
+        r.execute(s"CREATE MATERIALIZED VIEW ${t}_v OVER $t KEY (k1, k2) " +
+          s"COUNT n SUM (amt AS s_amt) LOCATION '$base/${t}_v'")
+        val q = s"SELECT k1, k2, count(*) AS n, sum(amt) AS s FROM $t " +
+          s"GROUP BY k1, k2"
+        def cell(label: String)(body: => Long): Unit = {
+          val load = osBean.getSystemLoadAverage
+          val t0 = System.nanoTime()
+          val rows = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          summary.getOrElseUpdate(label, scala.collection.mutable.LinkedHashMap.empty)
+            .put(f, sec)
+          val line = f"""{"factor":$f,"query":"$label","sec":$sec%.3f,"rows":$rows,"load":$load%.2f}"""
+          println(line)
+          out.append(line).append('\n'): Unit
+        }
+        MvRewrite.disabled = true
+        cell("g_mvr_direct")(r.execute(q).count())
+        MvRewrite.disabled = false
+        cell("g_mvr_rewrite")(r.execute(q).count())
+        spark.range(10000)
+          .selectExpr("id % 1000 AS k1", "'N' AS k2", "1.0 AS amt")
+          .createOrReplaceTempView(s"__mvr_delta_$f")
+        cell("g_mvr_maintain") {
+          r.execute(s"INSERT INTO $t SELECT * FROM __mvr_delta_$f")
+            .collect().head.getAs[Int]("version").toLong
+        }
       }
     }
     val sum = summary.map { case (k, m) =>

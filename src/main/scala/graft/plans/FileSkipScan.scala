@@ -42,7 +42,7 @@ import graft.sources.FileSkip
 class FileSkipScan extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (FileSkip.isEmpty) return plan
+    if (FileSkip.isEmpty || FileSkip.disabled) return plan
     try applyUnsafe(plan)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[file-skip] disabled for this plan: ${e.getMessage}")

@@ -54,6 +54,11 @@ import graft.operators.Mvm
   */
 object MvRewrite {
 
+  /** Measurement-only kill switch (ScaleBench A/B cells; the
+    * GRAFT_MV_REWRITE env opt-out is fixed at JVM start, an in-process
+    * A/B needs a runtime toggle). */
+  @volatile private[graft] var disabled: Boolean = false
+
   /** Rewrite `df` if some Aggregate in it matches a view; returns the
     * new frame plus (viewName, "exact"|"rollup") for the router's log
     * line. Never throws — an unmatched or unexpected shape returns

@@ -888,7 +888,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       // because this router maintains every view synchronously inside
       // the statement that mutates its base. GRAFT_MV_REWRITE=0 opts
       // out; non-matching plans pass through untouched.
-      if (mviews.isEmpty || sys.env.get("GRAFT_MV_REWRITE").contains("0")) df
+      if (mviews.isEmpty || MvRewrite.disabled ||
+          sys.env.get("GRAFT_MV_REWRITE").contains("0")) df
       else MvRewrite.maybe(spark, df, mviews.values.toSeq, tables.get) match {
         case Some((df2, mvName, mode)) =>
           System.err.println(s"[mv-rewrite] served from materialized view " +

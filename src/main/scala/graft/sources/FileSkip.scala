@@ -42,6 +42,11 @@ object FileSkip {
   private[graft] def size: Int = byFile.size
   private[graft] def clear(): Unit = { byFile.clear(); loaded.clear() }
 
+  /** Measurement-only kill switch (ScaleBench A/B cells): clearing the
+    * registry alone cannot model "skipping off", because the very read
+    * under test re-registers its sidecar before the plan optimizes. */
+  @volatile private[graft] var disabled: Boolean = false
+
   /** Fold one snapshot's stats sidecar into the registry (memoized per
     * (root, version); files already present — carried across versions
     * — are not re-parsed). Never throws: a defective sidecar must not

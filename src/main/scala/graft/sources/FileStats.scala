@@ -40,13 +40,18 @@ object FileStats {
   type Stats = Map[String, Map[String, (String, String)]]
 
   /** Types whose parquet footer stats are totally ordered numerics we
-    * can compare as BigDecimal. Strings/decimals/timestamps come back
-    * as Binary/logical types with ordering caveats — out of scope, so
-    * columns of those types simply never prune (safe).
+    * can compare as BigDecimal. Timestamps and dates qualify: Spark
+    * writes them as INT64 micros / INT32 days, their footer stats
+    * come back as plain longs/ints in those units, and Catalyst
+    * literals carry the SAME units — so the whole pruning pipeline is
+    * ordinary integer comparison (the lakehouse bread-and-butter:
+    * time-range predicates over time-clustered files). Strings and
+    * decimals come back as Binary with ordering caveats — out of
+    * scope, so columns of those types simply never prune (safe).
     */
   private[graft] def isRangeType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType => true
+         DoubleType | DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 

@@ -282,7 +282,22 @@ object ManagedTable {
     */
   private def writeData(df: DataFrame, root: String): Seq[String] = {
     val sub = s"data/${java.util.UUID.randomUUID}"
-    df.write.mode("errorifexists").parquet(s"$root/$sub")
+    // INT64 micros, not Spark's default INT96: INT96 is deprecated AND
+    // parquet refuses to expose its footer min/max (the stats are
+    // marked invalid), so an INT96 timestamp column could never feed
+    // the FileStats sidecar — time-range file skipping, the most
+    // common pruning pattern, would silently not exist. Scoped
+    // save/set/restore, NOT a sticky session set: external consumers
+    // type INT96 and adjusted-INT64 parquet differently, so leaking
+    // the conf would silently change every LATER plain parquet write
+    // in the session. (Readers handle INT96 and INT64 files side by
+    // side in one managed table transparently.)
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = conf.get(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try df.write.mode("errorifexists").parquet(s"$root/$sub")
+    finally conf.set(key, prev)
     val f = fs(df.sparkSession, root)
     f.listStatus(new Path(root, sub)).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.toSeq.map(n => s"$sub/$n")

@@ -129,6 +129,35 @@ class FileSkipSpec extends AnyFunSuite {
     assert(df.count() == 1)
   }
 
+  test("timestamp and date predicates prune time-clustered files") {
+    val r = new SqlRouter(spark)
+    val t = s"ts${System.nanoTime()}"
+    r.execute(s"CREATE MANAGED TABLE $t (ts TIMESTAMP, d DATE, v BIGINT) " +
+      s"LOCATION '${fresh()}/$t'")
+    // hourly rows over ~166 days, so OPTIMIZE BY (ts) also clusters d
+    r.execute(s"INSERT INTO $t SELECT " +
+      s"timestamp_micros(1700000000000000 + id * 3600000000) AS ts, " +
+      s"to_date(timestamp_micros(1700000000000000 + id * 3600000000)) AS d, " +
+      s"id AS v FROM range(4000)")
+    r.execute(s"OPTIMIZE $t INTO 8 FILES BY (ts)")
+
+    val point = r.execute(s"SELECT v FROM $t WHERE " +
+      s"ts = timestamp_micros(1700000000000000 + 1234 * 3600000000)")
+    assert(scannedFiles(point) == Seq(1), point.queryExecution.optimizedPlan)
+    assert(point.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+
+    val range = r.execute(s"SELECT count(*) AS n FROM $t WHERE " +
+      s"ts >= timestamp_micros(1700000000000000 + 1000 * 3600000000) AND " +
+      s"ts <  timestamp_micros(1700000000000000 + 1100 * 3600000000)")
+    assert(scannedFiles(range).head <= 2)
+    assert(range.collect().head.getLong(0) == 100L)
+
+    // one calendar day = 24 hourly rows, inside at most 2 ts-clustered files
+    val day = r.execute(s"SELECT count(*) AS n FROM $t WHERE d = DATE '2023-12-01'")
+    assert(scannedFiles(day).head <= 2, scannedFiles(day))
+    assert(day.collect().head.getLong(0) == 24L) // a fully-covered day
+  }
+
   test("mayMatch keeps unregistered files and unconstrained columns") {
     import graft.sources.FileSkip
     assert(FileSkip.mayMatch("file:/nowhere/x.parquet",
