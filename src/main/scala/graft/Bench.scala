@@ -147,6 +147,10 @@ object Bench {
     val statsOn = sys.env.get("SPARK_GRAFT_STATS").contains("1")
     if (statsOn) {
       graft.plans.StatsJoinPlanner.install(spark)
+      // the Graft session shape also includes the manifest-skipping
+      // rule (a no-op here: the battery's plain parquet tables never
+      // populate the FileSkip registry) — installed for faithfulness
+      graft.plans.FileSkipScan.install(spark)
       graft.sources.Tables.names.foreach { n =>
         graft.sources.TableStatistics.analyzeParquet(
           spark, s"$sfDir/$n.parquet",

@@ -332,6 +332,10 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*CREATE\s+MANAGED\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+(.+)""".r
   private val Open =
     """(?is)\s*OPEN\s+MANAGED\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s*""".r
+  // EXPLAIN of a QUERY statement (never a mutation shape — those fall
+  // through to Spark's own EXPLAIN, which cannot execute them either)
+  private val ExplainQuery =
+    """(?is)\s*EXPLAIN(\s+(?:EXTENDED|FORMATTED|CODEGEN|COST))?\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.+)""".r
   private val Insert = """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(.+)""".r
   private val Update = """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+)""".r
   private val Delete = """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.+))?""".r
@@ -880,23 +884,45 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         "discard) — an open interactive transaction would pin filesystem " +
         "state to one connection across requests")
 
-    case other =>
-      val df = spark.sql(rewriteTimeTravel(other))
-      // MV query rewrite: an aggregate in the view's exact (or
-      // coarser rollup) shape is served from the incrementally-
-      // maintained view instead of re-scanning the base. Sound here
-      // because this router maintains every view synchronously inside
-      // the statement that mutates its base. GRAFT_MV_REWRITE=0 opts
-      // out; non-matching plans pass through untouched.
-      if (mviews.isEmpty || MvRewrite.disabled ||
-          sys.env.get("GRAFT_MV_REWRITE").contains("0")) df
-      else MvRewrite.maybe(spark, df, mviews.values.toSeq, tables.get) match {
-        case Some((df2, mvName, mode)) =>
-          System.err.println(s"[mv-rewrite] served from materialized view " +
-            s"'$mvName' ($mode)")
-          df2
-        case None => df
+    case ExplainQuery(modeRaw, inner) =>
+      // EXPLAIN through the engine, not around it: Spark's EXPLAIN
+      // command plans the raw text, which would show the PRE-rewrite
+      // plan — a SELECT the MV rewrite reshapes (or manifest skipping
+      // prunes, visible once the plan optimizes) must explain as what
+      // this router would actually run.
+      val df = selectWithRewrite(inner)
+      import org.apache.spark.sql.execution.{CodegenMode, CostMode, ExplainMode, ExtendedMode, FormattedMode, SimpleMode}
+      val m: ExplainMode = Option(modeRaw).map(_.trim.toUpperCase).getOrElse("") match {
+        case "EXTENDED" => ExtendedMode
+        case "FORMATTED" => FormattedMode
+        case "CODEGEN" => CodegenMode
+        case "COST" => CostMode
+        case _ => SimpleMode
       }
+      import spark.implicits._
+      Seq(Tuple1(df.queryExecution.explainString(m))).toDF("plan")
+
+    case other => selectWithRewrite(other)
+  }
+
+  /** The fall-through read path: Spark SQL plus the MV query rewrite.
+    * An aggregate in a view's exact (or coarser rollup) shape is
+    * served from the incrementally-maintained view instead of
+    * re-scanning the base — sound here because this router maintains
+    * every view synchronously inside the statement that mutates its
+    * base. GRAFT_MV_REWRITE=0 opts out; non-matching plans pass
+    * through untouched. */
+  private def selectWithRewrite(text: String): DataFrame = {
+    val df = spark.sql(rewriteTimeTravel(text))
+    if (mviews.isEmpty || MvRewrite.disabled ||
+        sys.env.get("GRAFT_MV_REWRITE").contains("0")) df
+    else MvRewrite.maybe(spark, df, mviews.values.toSeq, tables.get) match {
+      case Some((df2, mvName, mode)) =>
+        System.err.println(s"[mv-rewrite] served from materialized view " +
+          s"'$mvName' ($mode)")
+        df2
+      case None => df
+    }
   }
 
   /** The root whose `_graft_log/_txn/` holds the batch's publish

@@ -158,6 +158,38 @@ class FileSkipSpec extends AnyFunSuite {
     assert(day.collect().head.getLong(0) == 24L) // a fully-covered day
   }
 
+  test("fuzz: random predicates over random mutations — pruned == unpruned") {
+    val rnd = new scala.util.Random(42)
+    val (r, t) = clustered()
+    // a few copy-on-write mutations so files carry mixed-version stats
+    r.execute(s"UPDATE $t SET score = score + 10000 WHERE id % 97 = 0")
+    r.execute(s"DELETE FROM $t WHERE id BETWEEN 2200 AND 2350")
+    r.execute(s"INSERT INTO $t SELECT id + 5000 AS id, " +
+      s"concat('x', id % 3) AS name, CAST(id * 1.5 AS DOUBLE) AS score " +
+      s"FROM range(300)")
+    val preds = Seq.fill(40) {
+      val c = if (rnd.nextBoolean()) "id" else "score"
+      val a = rnd.nextInt(12000) - 1000
+      val b = a + rnd.nextInt(3000)
+      rnd.nextInt(6) match {
+        case 0 => s"$c = $a"
+        case 1 => s"$c < $a"
+        case 2 => s"$c >= $a"
+        case 3 => s"$c BETWEEN $a AND $b"
+        case 4 => s"$c IN ($a, $b, ${a + 7})"
+        case _ => s"$c > $a AND $c <= $b"
+      }
+    }
+    preds.foreach { p =>
+      val q = s"SELECT id, name, score FROM $t WHERE $p"
+      graft.sources.FileSkip.disabled = true
+      val expect = try r.execute(q).collect().map(_.toSeq.toSeq).sortBy(_.toString)
+      finally graft.sources.FileSkip.disabled = false
+      val got = r.execute(q).collect().map(_.toSeq.toSeq).sortBy(_.toString)
+      assert(got.toSeq == expect.toSeq, s"pruned != unpruned for: $q")
+    }
+  }
+
   test("mayMatch keeps unregistered files and unconstrained columns") {
     import graft.sources.FileSkip
     assert(FileSkip.mayMatch("file:/nowhere/x.parquet",

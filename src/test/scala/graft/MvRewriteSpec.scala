@@ -156,6 +156,18 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(got(df) == Seq(Seq(0L, null)))
   }
 
+  test("EXPLAIN shows the plan the router would actually run (post-rewrite)") {
+    val (r, t, mv) = fixture()
+    val plan = r.execute(s"EXPLAIN SELECT k, region, count(*) AS n " +
+      s"FROM $t GROUP BY k, region").collect().head.getString(0)
+    assert(plan.contains(mv), plan) // the view's files, not the base's
+    assert(!plan.contains(s"base_"), plan)
+    // a non-rewritable shape explains as the base scan
+    val plain = r.execute(s"EXPLAIN SELECT k, count(*) AS n FROM $t " +
+      s"WHERE amount > 3 GROUP BY k, region").collect().head.getString(0)
+    assert(plain.contains("base_"), plain)
+  }
+
   test("key-only subset query becomes a distinct over the view") {
     val (r, t, mv) = fixture()
     val q = s"SELECT k FROM $t GROUP BY k"
