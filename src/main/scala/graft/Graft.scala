@@ -21,8 +21,19 @@ final class Graft(val spark: SparkSession, val dataDir: String,
   // contract tables never populate the registry)
   graft.plans.FileSkipScan.install(spark)
 
-  /** SQL entry point over the registered tables (+ graft_* functions). */
-  def sql(text: String): DataFrame = spark.sql(text)
+  /** The embedded statement router — the facade's SQL surface IS the
+    * engine's: managed-table DDL/DML, materialized views (with query
+    * rewrite), constraints, transactions, CDC, time travel, EXPLAIN.
+    * In-memory catalog; embed a durable one via `server.SqlRouter`
+    * directly when restarts must reattach tables. */
+  lazy val router: graft.server.SqlRouter = new graft.server.SqlRouter(spark)
+
+  /** SQL entry point over the registered tables (+ graft_* functions).
+    * Full engine SQL, not just Spark SQL: statements the router
+    * recognizes (CREATE MANAGED TABLE, UPSERT, CREATE MATERIALIZED
+    * VIEW, BEGIN...COMMIT, ...) run the engine's implementations;
+    * everything else goes to `spark.sql` unchanged. */
+  def sql(text: String): DataFrame = router.execute(text)
 
   /** A catalog table as a DataFrame. */
   def table(name: String): DataFrame = Tables.load(spark, dataDir, name)

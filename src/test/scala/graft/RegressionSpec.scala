@@ -41,6 +41,23 @@ class RegressionSpec extends AnyFunSuite {
     assert(!spark.sparkContext.isStopped, "close() must not stop the shared context")
   }
 
+  test("Graft.sql is the full engine surface: DML, MV rewrite, EXPLAIN") {
+    val g = new Graft(spark, TestSpark.sf0001, stopOnClose = false)
+    val base = java.nio.file.Files.createTempDirectory("graft_facade").toString
+    val t = s"f${System.nanoTime()}"
+    g.sql(s"CREATE MANAGED TABLE $t (k BIGINT, x BIGINT) LOCATION '$base/$t'")
+    g.sql(s"INSERT INTO $t VALUES (1, 10), (1, 20), (2, 5)")
+    g.sql(s"CREATE MATERIALIZED VIEW v_$t OVER $t KEY (k) COUNT n " +
+      s"SUM (x AS sx) LOCATION '$base/v_$t'")
+    g.sql(s"UPSERT INTO $t BY (k) SELECT 2 AS k, 9 AS x")
+    val rows = g.sql(s"SELECT k, count(*) AS n, sum(x) AS s FROM $t GROUP BY k")
+      .collect().map(_.toSeq.toSeq).sortBy(_.toString)
+    assert(rows.toSeq == Seq(Seq(1L, 2L, 30L), Seq(2L, 1L, 9L)))
+    val plan = g.sql(s"EXPLAIN SELECT k, count(*) AS n, sum(x) AS s " +
+      s"FROM $t GROUP BY k").collect().head.getString(0)
+    assert(plan.contains(s"v_$t"), plan) // served from the MV
+  }
+
   test("QueryServer tolerates a malformed limit parameter") {
     val srv = new graft.server.QueryServer(new Graft(spark, TestSpark.sf0001, stopOnClose = false), 0)
     srv.start()
