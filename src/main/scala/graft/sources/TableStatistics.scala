@@ -129,6 +129,19 @@ object TableStatistics {
       .head()
   }
 
+  /** ANALYZE's min/max/histogram columns: plain numerics only. NOT
+    * [[FileStats.isRangeType]] — that registry widened to timestamps/
+    * dates (INT64/INT32 footer stats) for file skipping, but this
+    * path casts to double for histograms, which TIMESTAMP_NTZ refuses
+    * (reusing the widened predicate here crashed ANALYZE on orders). */
+  private def isNumeric(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+
   private def b64(bytes: Array[Byte]): String =
     java.util.Base64.getEncoder.encodeToString(bytes)
 
@@ -141,7 +154,7 @@ object TableStatistics {
                            bytes: Long, version: Int): TableStats = {
     val fields = df.schema.fields.toSeq
     val numeric = fields.collect {
-      case f if FileStats.isRangeType(f.dataType) => f.name
+      case f if isNumeric(f.dataType) => f.name
     }
     val row = scanOnce(df, numeric)
     def opt(name: String): Option[Double] =
@@ -253,7 +266,7 @@ object TableStatistics {
         } else {
           val fields = cur.schema.fields.toSeq
           val numeric = fields.collect {
-            case f if FileStats.isRangeType(f.dataType) => f.name
+            case f if isNumeric(f.dataType) => f.name
           }
           val delta = spark.read.schema(cur.schema)
             .parquet(added.map(f => s"$root/$f"): _*)
