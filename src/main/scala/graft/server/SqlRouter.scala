@@ -361,6 +361,10 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
   private val ShowMv =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*""".r
+  private val ShowTablesStmt =
+    """(?is)\s*SHOW\s+MANAGED\s+TABLES\s*""".r
+  private val ShowFiles =
+    """(?is)\s*SHOW\s+FILES\s+(?:FOR\s+)?(\w+)\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+TABLE\s+(\w+)(\s+INCREMENTAL)?\s*""".r
   private val ShowStats =
@@ -818,6 +822,31 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
             math.max(0, cs.hist.size - 1), ts.rows) }
           .toDF("col_name", "ndv", "min", "max", "n_hist_buckets", "table_rows")
       }
+
+    case ShowTablesStmt() =>
+      // the managed catalog as rows: what Spark's own SHOW TABLES (a
+      // flat temp-view list) cannot say — which names are engine
+      // tables, where they live, and how far their logs have moved
+      import spark.implicits._
+      tables.toSeq.sortBy(_._1).map { case (n, r) =>
+        val snap = ManagedTable.history(spark, r).last
+        (n, r, if (mviews.contains(n)) "materialized_view" else "table",
+          snap.version, snap.files.size.toLong)
+      }.toDF("name", "location", "kind", "version", "n_files")
+
+    case ShowFiles(name) if tables.contains(name) =>
+      // the data-skipping introspection: each live file with its
+      // stats-sidecar ranges — what a point SELECT's pruning sees.
+      // One manifest + one sidecar read, never a data scan.
+      import spark.implicits._
+      val r = root(name)
+      val snap = ManagedTable.history(spark, r).last
+      val stats = graft.sources.FileStats.read(spark, r, snap.version)
+      snap.files.sorted.flatMap { f =>
+        val cols = stats.getOrElse(f, Map.empty)
+        if (cols.isEmpty) Seq((f, null: String, null: String, null: String))
+        else cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => (f, c, mn, mx) }
+      }.toDF("file", "col_name", "min", "max")
 
     case ShowMv() =>
       import spark.implicits._

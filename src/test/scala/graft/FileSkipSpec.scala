@@ -190,6 +190,23 @@ class FileSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW FILES / SHOW MANAGED TABLES expose the skipping metadata") {
+    val (r, t) = clustered()
+    val files = r.execute(s"SHOW FILES FOR $t").collect()
+    assert(files.map(_.getString(0)).distinct.length == 8) // the 8 clustered files
+    val idRows = files.filter(_.getString(1) == "id")
+    assert(idRows.length == 8)
+    // clustered layout: disjoint id ranges covering 0..3999
+    val ranges = idRows.map(x => (BigDecimal(x.getString(2)), BigDecimal(x.getString(3))))
+      .sortBy(_._1)
+    assert(ranges.head._1 == BigDecimal(0) && ranges.last._2 == BigDecimal(3999))
+    assert(ranges.sliding(2).forall { case Array(a, b) => a._2 < b._1 })
+
+    val cat = r.execute("SHOW MANAGED TABLES").collect()
+      .map(x => (x.getString(0), x.getString(2), x.getLong(4)))
+    assert(cat.exists { case (n, kind, nf) => n == t && kind == "table" && nf == 8 })
+  }
+
   test("mayMatch keeps unregistered files and unconstrained columns") {
     import graft.sources.FileSkip
     assert(FileSkip.mayMatch("file:/nowhere/x.parquet",
