@@ -42,12 +42,79 @@ object Bench {
   private[graft] def envFlagged(preLoad: Double): Boolean =
     preLoad > preLoadQuietMax
 
+  // ---- per-query contamination self-defense ------------------------
+  //
+  // Two graded artifacts in a row (r07 load 3.88, r08 load 11.48 —
+  // q103 measured 45x its quiet cost) shipped env-flagged, and one
+  // night showed host contention invisible to loadavg while per-query
+  // cpu-ratio collapsed 2.19→1.62. The whole-run load flags can say
+  // "suspect", but not WHICH wall times are environment. This layer
+  // can: each query's cpu-ratio is compared against its own QUIET
+  // reference (the committed bench_ref.json), and a collapse triggers
+  // ONE same-session retry whose timing adjudicates. Both numbers ship
+  // honestly — `queries` (cold) stays the primary graded number,
+  // `query_retry` records the re-measurement, `cpu_flagged` lists the
+  // queries whose cold time is demonstrably not reproducible.
+  //
+  // Thresholds calibrated on the three committed artifacts (see
+  // BASELINE.md "per-query self-defense"): replaying one quiet run
+  // against the other quiet run's reference triggers 10 retries, ALL
+  // of which adjudicate unconfirmed (their warm timings reproduce
+  // cold within 0.6x); replaying the r08 contaminated run triggers 15,
+  // including the entire q103 window.
+
+  /** A query participates in cpu-collapse detection only when its
+    * quiet reference ratio is comfortably above serial — below this
+    * the query is inherently barrier/IO-bound (quiet ratios down to
+    * 0.87 exist) and a collapse cannot be told from noise. */
+  private[graft] val cpuRefFloor = 1.3
+
+  /** Trigger: measured cpu-ratio under half its quiet reference. */
+  private[graft] val cpuTriggerCollapse = 0.5
+
+  /** Confirm: the same-session retry ran in under 0.6x the cold wall
+    * time — the cold number is not reproducible on this host right
+    * now, so it is environment (external steal or an eviction-cold
+    * page cache), not plan cost. Quiet-run warm/cold ratios for the
+    * trigger-prone queries all sit at 0.6-1.03, so a quiet false
+    * trigger adjudicates unconfirmed. */
+  private[graft] val retryConfirmMax = 0.6
+
+  private[graft] def cpuTriggered(r: QRun, ref: Map[String, Double]): Boolean =
+    r.cpuRatio >= 0 && ref.get(r.name).exists(q =>
+      q >= cpuRefFloor && r.cpuRatio < cpuTriggerCollapse * q)
+
+  private[graft] def cpuConfirmed(coldSec: Double, retrySec: Double): Boolean =
+    retrySec < retryConfirmMax * coldSec
+
+  /** The committed quiet per-query cpu-ratio reference
+    * (`bench_ref.json`, shape {"cpus":32,"query_cpu":{"qNN...":r,...}}).
+    * Ratios are only comparable at the SAME parallelism they were
+    * measured under (a local[8] run legitimately achieves a fraction
+    * of the local[32] ratios), so a `cpus` mismatch — like a missing
+    * or corrupt file — yields the empty map: no triggers, self-defense
+    * off, every cpu-ratio still recorded. The file is READ-ONLY to
+    * Bench — the one artifact the driver's working-tree writes can
+    * never shadow. */
+  private[graft] def loadCpuRef(path: String, cpus: Int): Map[String, Double] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val refCpus = "\"cpus\":\\s*([0-9]+)".r.findFirstMatchIn(text)
+        .map(_.group(1).toInt)
+      if (!text.contains("\"query_cpu\"") || !refCpus.contains(cpus)) Map.empty
+      else "\"(q[A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   /** The one full bench record, built in ONE place so the ship-gate
     * below and BenchSpec exercise exactly what main emits. */
   private[graft] def record(results: Seq[QRun],
                             failed: Seq[String], sfDir: String,
                             load: Double, warmupSec: Double,
-                            cpus: Int, statsOn: Boolean = false): String = {
+                            cpus: Int, statsOn: Boolean = false,
+                            retries: Map[String, Double] = Map.empty,
+                            cpuFlagged: Seq[String] = Nil): String = {
     val qs = results.map { r => s"\"" + r.name + "\":" + r.sec }
       .mkString("{", ",", "}")
     val qload = results.map { r => s"\"" + r.name + "\":" + r.load }
@@ -57,8 +124,13 @@ object Bench {
     val flagged = loadFlagged(results, cpus)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // retried queries (cpu-collapse trigger): cold stays the primary
+    // number in `queries`; this records the adjudicating re-run
+    val qretry = retries.toSeq.sortBy(_._1)
+      .map { case (n, s) => s"\"" + n + "\":" + s }.mkString("{", ",", "}")
+    val cflag = cpuFlagged.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_.sec).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.escape(sfDir)},"load":$load,"warmup_sec":$warmupSec,"query_load":$qload,"query_cpu":$qcpu,"load_flagged":$flagged,"env_flagged":${envFlagged(load)},"stats_on":$statsOn}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.escape(sfDir)},"load":$load,"warmup_sec":$warmupSec,"query_load":$qload,"query_cpu":$qcpu,"load_flagged":$flagged,"env_flagged":${envFlagged(load)},"stats_on":$statsOn,"query_retry":$qretry,"cpu_flagged":$cflag}"""
   }
 
   /** Why this artifact must NOT ship (empty = good): it fails to parse
@@ -81,7 +153,7 @@ object Bench {
       ps += s"unknown queries in record: ${extra.toSeq.sorted.mkString(",")}"
     Seq("\"metric\"", "\"value\"", "\"queries\"", "\"errors\"", "\"sf\"",
       "\"load\"", "\"query_load\"", "\"query_cpu\"", "\"load_flagged\"",
-      "\"env_flagged\"")
+      "\"env_flagged\"", "\"query_retry\"", "\"cpu_flagged\"")
       .foreach(f => if (!json.contains(f + ":")) ps += s"missing field $f")
     ps.result()
   }
@@ -189,11 +261,37 @@ object Bench {
         else (cpu1 - cpu0) / 1e9 / elapsed
       QRun(name, elapsed, qLoad, math.rint(ratio * 1000) / 1000)
     }
+    // per-query contamination self-defense: quiet cpu-ratio reference
+    // (committed bench_ref.json; SPARK_GRAFT_CPU_REF overrides, any
+    // missing file just disables triggers)
+    val cpuRef = loadCpuRef(
+      sys.env.getOrElse("SPARK_GRAFT_CPU_REF", "bench_ref.json"), cpus.toInt)
+    var retries = Map.empty[String, Double]
+    var cpuFlaggedList = List.empty[String]
     val results = selected.map { case (name, fn) =>
-      timeOne(name, fn, { e =>
+      val cold = timeOne(name, fn, { e =>
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       })
+      if (!failed.contains(name) && cpuTriggered(cold, cpuRef)) {
+        // collapse vs the quiet reference: re-measure ONCE in-session;
+        // the retry adjudicates (cold stays the primary number either
+        // way — both timings ship in the artifact)
+        val retry = timeOne(name, fn, { e =>
+          System.err.println(s"[bench] retry $name FAILED: ${e.getMessage}")
+        })
+        retries += name -> retry.sec
+        if (cpuConfirmed(cold.sec, retry.sec)) {
+          cpuFlaggedList ::= name
+          System.err.println(f"[bench] $name cpu_flagged: cold ${cold.sec}%.2fs " +
+            f"(cpu ${cold.cpuRatio}%.2f vs quiet ${cpuRef(name)}%.2f) not " +
+            f"reproduced by retry ${retry.sec}%.2fs — cold time is environment")
+        } else {
+          System.err.println(f"[bench] $name cpu trigger unconfirmed: retry " +
+            f"${retry.sec}%.2fs reproduces cold ${cold.sec}%.2fs")
+        }
+      }
+      cold
     }
     val qs = results.map { r => s"\"" + r.name + "\":" + r.sec }
       .mkString("{", ",", "}")
@@ -201,7 +299,8 @@ object Bench {
     // a failed query must be visible in the output, not a fast "success"
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jstr(s: String) = graft.util.Json.escape(s)
-    val full = record(results, failed, sfDir, load, warmupSec, cpus.toInt, statsOn)
+    val full = record(results, failed, sfDir, load, warmupSec, cpus.toInt,
+      statsOn, retries, cpuFlaggedList)
     // Ship-gate: a record that doesn't parse or doesn't cover exactly
     // the graded battery must fail THIS run loudly, not surface as a
     // truncated-but-plausible graded artifact later. An unfiltered run

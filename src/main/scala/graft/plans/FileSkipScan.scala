@@ -88,54 +88,90 @@ class FileSkipScan extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** Per-column (lo, hi) proven by the conjuncts. Strict bounds relax
-    * to inclusive (keeps the boundary file — safe); multiple
+  /** A string literal's value for a DEFAULT-collation string
+    * attribute. Non-default collations (UTF8_LCASE etc.) order
+    * differently from the sidecar's UTF-8 byte order, so their
+    * predicates must never prune — the type equality check with the
+    * plain `StringType` singleton excludes them. */
+  private def str(a: AttributeReference, v: Any): Option[String] =
+    if (a.dataType != org.apache.spark.sql.types.StringType) None
+    else v match {
+      case null => None
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+
+  /** Per-column (lo, hi) proven by the conjuncts — numeric bounds for
+    * numeric/date/timestamp attributes, string bounds (UTF-8 byte
+    * order) for default-collation string attributes. Strict bounds
+    * relax to inclusive (keeps the boundary file — safe); multiple
     * conjuncts on one column intersect. Columns only ever TIGHTEN, so
     * an unrecognized conjunct simply contributes nothing. */
   private def extractBounds(conjuncts: Seq[Expression])
-      : Map[String, (Option[BigDecimal], Option[BigDecimal])] = {
-    val acc = scala.collection.mutable.Map
+      : Map[String, FileSkip.Bound] = {
+    val nacc = scala.collection.mutable.Map
       .empty[String, (Option[BigDecimal], Option[BigDecimal])]
+    val sacc = scala.collection.mutable.Map
+      .empty[String, (Option[String], Option[String])]
     def tighten(name: String, lo: Option[BigDecimal], hi: Option[BigDecimal]): Unit = {
-      val (l0, h0) = acc.getOrElse(name, (None, None))
-      acc(name) = (
+      val (l0, h0) = nacc.getOrElse(name, (None, None))
+      nacc(name) = (
         (l0 ++ lo).reduceOption(_ max _),
         (h0 ++ hi).reduceOption(_ min _))
     }
+    def smax(a: String, b: String) =
+      if (graft.sources.FileStats.utf8Compare(a, b) >= 0) a else b
+    def smin(a: String, b: String) =
+      if (graft.sources.FileStats.utf8Compare(a, b) <= 0) a else b
+    def tightenStr(name: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = sacc.getOrElse(name, (None, None))
+      sacc(name) = ((l0 ++ lo).reduceOption(smax), (h0 ++ hi).reduceOption(smin))
+    }
+    // one point/low/high dispatcher per side so numeric and string
+    // attributes share the comparison-shape cases below
+    def point(a: AttributeReference, v: Any): Unit = {
+      big(v).foreach(b => tighten(a.name, Some(b), Some(b)))
+      str(a, v).foreach(s => tightenStr(a.name, Some(s), Some(s)))
+    }
+    def low(a: AttributeReference, v: Any): Unit = {
+      big(v).foreach(b => tighten(a.name, Some(b), None))
+      str(a, v).foreach(s => tightenStr(a.name, Some(s), None))
+    }
+    def high(a: AttributeReference, v: Any): Unit = {
+      big(v).foreach(b => tighten(a.name, None, Some(b)))
+      str(a, v).foreach(s => tightenStr(a.name, None, Some(s)))
+    }
     conjuncts.foreach {
-      case EqualTo(a: AttributeReference, Literal(v, _)) =>
-        big(v).foreach(b => tighten(a.name, Some(b), Some(b)))
-      case EqualTo(Literal(v, _), a: AttributeReference) =>
-        big(v).foreach(b => tighten(a.name, Some(b), Some(b)))
+      case EqualTo(a: AttributeReference, Literal(v, _)) => point(a, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => point(a, v)
       case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
-        big(v).foreach(b => tighten(a.name, Some(b), Some(b)))
+        point(a, v)
       case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
-        big(v).foreach(b => tighten(a.name, Some(b), Some(b)))
-      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
-        big(v).foreach(b => tighten(a.name, Some(b), None))
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-        big(v).foreach(b => tighten(a.name, Some(b), None))
-      case LessThan(a: AttributeReference, Literal(v, _)) =>
-        big(v).foreach(b => tighten(a.name, None, Some(b)))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-        big(v).foreach(b => tighten(a.name, None, Some(b)))
-      case GreaterThan(Literal(v, _), a: AttributeReference) =>
-        big(v).foreach(b => tighten(a.name, None, Some(b)))
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        big(v).foreach(b => tighten(a.name, None, Some(b)))
-      case LessThan(Literal(v, _), a: AttributeReference) =>
-        big(v).foreach(b => tighten(a.name, Some(b), None))
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        big(v).foreach(b => tighten(a.name, Some(b), None))
+        point(a, v)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => low(a, v)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => low(a, v)
+      case LessThan(a: AttributeReference, Literal(v, _)) => high(a, v)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => high(a, v)
+      case GreaterThan(Literal(v, _), a: AttributeReference) => high(a, v)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => high(a, v)
+      case LessThan(Literal(v, _), a: AttributeReference) => low(a, v)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => low(a, v)
       case In(a: AttributeReference, list)
           if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
-        val vs = list.flatMap(e => big(e.asInstanceOf[Literal].value))
-        // every IN member must parse: a non-numeric member means the
-        // min/max of the parsed subset is NOT a bound on the whole set
-        if (vs.size == list.size) tighten(a.name, Some(vs.min), Some(vs.max))
+        val raw = list.map(_.asInstanceOf[Literal].value)
+        val nvs = raw.flatMap(big)
+        val svs = raw.flatMap(str(a, _))
+        // every IN member must convert: a partial subset's min/max is
+        // NOT a bound on the whole set
+        if (nvs.size == list.size) tighten(a.name, Some(nvs.min), Some(nvs.max))
+        else if (svs.size == list.size)
+          tightenStr(a.name, Some(svs.reduce(smin)), Some(svs.reduce(smax)))
       case _ => // contributes nothing
     }
-    acc.toMap
+    nacc.map { case (c, (lo, hi)) => c -> (FileSkip.NumBound(lo, hi): FileSkip.Bound) }
+      .toMap ++
+      sacc.map { case (c, (lo, hi)) => c -> (FileSkip.StrBound(lo, hi): FileSkip.Bound) }
   }
 }
 

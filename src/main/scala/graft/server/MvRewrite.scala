@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -17,8 +17,8 @@ import graft.operators.Mvm
   * (the write side, delta maintenance, is `Mvm`/`MvSink`; until now a
   * user had to NAME the view to benefit from it).
   *
-  * Two recognized shapes, both over a bare base-table scan (no WHERE,
-  * no join — exact-shape matching; anything else stays untouched):
+  * Two recognized shapes, both over a base-table scan (no join —
+  * exact-shape matching; anything else stays untouched):
   *
   *   - EXACT: `GROUP BY` exactly the view's keys, selecting keys and
   *     aggregates the view maintains — becomes a plain PROJECTION of
@@ -31,6 +31,14 @@ import graft.operators.Mvm
   *     (`Mvm.avgBackingSum`/`Cnt` — the reason those are stored
   *     columns). |view| is bounded by the key-combination count, so
   *     this replaces a full base scan with group-count work.
+  *
+  * A `WHERE` whose every predicate references only VIEW KEY columns
+  * (the common dashboard shape: `WHERE key = 'x' GROUP BY key`) is
+  * accepted in both shapes and becomes the same filter over the view
+  * — algebraically exact, because the view holds one row per key
+  * combination, so a key-only predicate selects whole groups; it can
+  * never split one. Any predicate touching a non-key column refuses
+  * the rewrite (the base must be scanned to re-aggregate).
   *
   * Matched aggregates: COUNT(*) / COUNT(literal), and SUM / MIN /
   * MAX / AVG over exactly the bare column the view was declared on
@@ -81,6 +89,7 @@ object MvRewrite {
       }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[mv-rewrite] skipped: ${e.getMessage}")
+      if (sys.env.get("GRAFT_MV_DEBUG").contains("1")) e.printStackTrace()
       None
     }
 
@@ -114,7 +123,14 @@ object MvRewrite {
                          views: Seq[SqlRouter.MvSpec],
                          rootOf: String => Option[String])
       : Option[(LogicalPlan, String, String)] = {
-    val scan = baseScan(agg.child, None)
+    // an optional WHERE between the Aggregate and the scan: kept and
+    // re-applied over the view IF it only touches view keys (checked
+    // per-view in tryView, where the key set is known)
+    val (where, scanChild): (Option[Expression], LogicalPlan) = agg.child match {
+      case Filter(cond, c) => (Some(cond), c)
+      case c => (None, c)
+    }
+    val scan = baseScan(scanChild, None)
     if (scan.isEmpty) return None
     val (tbl, rel) = scan.get
     // grouping must be bare columns
@@ -127,8 +143,57 @@ object MvRewrite {
     views.iterator
       .filter(v => v.over.equalsIgnoreCase(tbl) &&
         rootOf(v.over).exists(underRoot(spark, rel, _)))
-      .flatMap(v => tryView(spark, agg, groupNames, v))
+      .flatMap(v => tryView(spark, agg, groupNames, where, v))
       .nextOption()
+  }
+
+  /** Is `cond` servable from the view: deterministic, no subqueries,
+    * and every referenced attribute is one of the view's key columns
+    * (by lowercased name)? Key-only predicates select whole view rows
+    * (= whole base groups), so re-applying them over the view is
+    * exact at any grain — a non-key reference means the predicate
+    * filters WITHIN groups and the rewrite must refuse. */
+  private def keyOnlyPredicate(cond: Expression, keySet: Set[String]): Boolean =
+    cond.deterministic &&
+      cond.find(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]).isEmpty &&
+      cond.references.forall(a => keySet.contains(a.name.toLowerCase))
+
+  /** `cond` re-targeted at the view's columns, via the resolved
+    * tree's own SQL form — the view frame re-parses and re-resolves
+    * it against its identically-named key columns. Round-tripping
+    * through SQL (rather than grafting UnresolvedAttributes into the
+    * analyzed tree) sidesteps Spark 4's `With`/CommonExpressionDef
+    * nodes (BETWEEN et al.), whose children cannot be swapped for
+    * unresolved ones; a predicate whose SQL form fails to re-resolve
+    * aborts the rewrite through maybe()'s catch — base scan, never a
+    * wrong answer. */
+  private def overView(mvDf: DataFrame, cond: Expression): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef, RuntimeReplaceable, With}
+    // Normalize the analyzed tree to plain expressions first:
+    // RuntimeReplaceable (BETWEEN et al.) keeps its ORIGINAL args
+    // outside `children`, and `With`'s CommonExpressionDef refuses
+    // unresolved child swaps — both would defeat the attribute graft
+    // below. Replacing them by their runtime form and inlining the
+    // common-expression defs yields an equivalent tree of ordinary
+    // nodes (the def may then evaluate twice — irrelevant for a
+    // key-count-sized filter).
+    def normalize(e: Expression): Expression = {
+      val once = e.transformUp {
+        case rr: RuntimeReplaceable => rr.replacement
+        case w: With =>
+          val defs = w.defs.map(d => d.id -> d.child).toMap
+          w.child.transformUp { case r: CommonExpressionRef => defs(r.id) }
+      }
+      if (once.exists(x => x.isInstanceOf[RuntimeReplaceable] || x.isInstanceOf[With]))
+        normalize(once)
+      else once
+    }
+    val rebound = normalize(cond).transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+    }
+    mvDf.filter(ColumnBridge.column(rebound))
   }
 
   /** A registered aggregate expression that is a BARE column name —
@@ -141,13 +206,15 @@ object MvRewrite {
   }
 
   private def tryView(spark: SparkSession, agg: Aggregate,
-                      groupNames: Set[String], v: SqlRouter.MvSpec)
+                      groupNames: Set[String], where: Option[Expression],
+                      v: SqlRouter.MvSpec)
       : Option[(LogicalPlan, String, String)] = {
     val keySet = v.keys.map(_.toLowerCase).toSet
     val exact = groupNames == keySet
     if (!exact && !groupNames.subsetOf(keySet)) return None
+    if (where.exists(!keyOnlyPredicate(_, keySet))) return None
 
-    val mvDf = spark.table(v.name)
+    val mvDf = where.foldLeft(spark.table(v.name))(overView)
     val mvCols = mvDf.columns.map(_.toLowerCase).toSet
     def find(xs: Seq[(String, String)], colName: String): Option[String] =
       xs.collectFirst { case (n, e) if bare(e).contains(colName) => n }
@@ -192,7 +259,8 @@ object MvRewrite {
           else Cast(repl, orig.dataType)
         Alias(e, orig.name)(exprId = orig.exprId)
     }
-    Some((Project(aliases, rplan), v.name, if (exact) "exact" else "rollup"))
+    Some((Project(aliases, rplan), v.name,
+      (if (exact) "exact" else "rollup") + where.map(_ => "+where").getOrElse("")))
   }
 
   /** A mapped output: the Column over the view, and whether it is a
@@ -239,12 +307,21 @@ object MvRewrite {
             if (exact) Some(Mapped(col(n), isKey = false))
             else {
               // re-derive from the maintained backing pair; both must
-              // still be stored view columns
+              // still be stored view columns. DECIMAL averages divide
+              // in decimal arithmetic (Spark's own Average for
+              // decimal is exact to the result scale — routing
+              // through double would perturb low-order digits); the
+              // final Cast to the query's exact output type happens
+              // in the attribute graft.
               val (bs, bc) = (Mvm.avgBackingSum(n), Mvm.avgBackingCnt(n))
-              if (mvCols.contains(bs.toLowerCase) && mvCols.contains(bc.toLowerCase))
-                Some(Mapped(when(sum(col(bc)) > 0,
-                  sum(col(bs)).cast("double") / sum(col(bc))), isKey = false))
-              else None
+              if (mvCols.contains(bs.toLowerCase) && mvCols.contains(bc.toLowerCase)) {
+                val ratio = ne.dataType match {
+                  case _: org.apache.spark.sql.types.DecimalType =>
+                    sum(col(bs)) / sum(col(bc))
+                  case _ => sum(col(bs)).cast("double") / sum(col(bc))
+                }
+                Some(Mapped(when(sum(col(bc)) > 0, ratio), isKey = false))
+              } else None
             }
           }
           case _ => None

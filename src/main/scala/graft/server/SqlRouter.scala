@@ -343,6 +343,10 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*UPSERT\s+INTO\s+(\w+)\s+BY\s*\(([^)]+)\)\s+(.+)""".r
   private val AddCol =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
+  private val RenameCol =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val DropColStmt =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
   private val Drop =
     """(?is)\s*DROP\s+MANAGED\s+TABLE\s+(\w+)(\s+PURGE)?\s*""".r
   private val VacuumStmt =
@@ -432,6 +436,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     case SyncStmt(_, _, _, _) => true
     case Create(_, _, _) | CreateAs(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
+         RenameCol(_, _, _) | DropColStmt(_, _) |
          AddConstraintStmt(_, _, _) | DropConstraintsStmt(_) |
          Optimize(_, _, _, _) | Drop(_, _) | VacuumStmt(_, _) |
          Restore(_, _) | CreateMv(_, _, _, _, _, _) | DropMv(_, _) |
@@ -562,6 +567,25 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val snap = ManagedTable.addColumn(spark, r, colName, dt)
       refreshView(name)
       summary("add_column", name, snap.version)
+
+    // metadata-only schema evolution: RENAME remaps the logical name
+    // over the column's fixed physical name, DROP removes the
+    // projection — neither touches a data file. Refused when a
+    // registered materialized view reads the column (the maintenance
+    // expressions are stored by name and would silently break).
+    case RenameCol(name, from, to) if tables.contains(name) =>
+      val r = mutableRoot(name)
+      requireNoMvReference(name, from, "rename")
+      val snap = ManagedTable.renameColumn(spark, r, from, to)
+      refreshView(name)
+      summary("rename_column", name, snap.version)
+
+    case DropColStmt(name, colName) if tables.contains(name) =>
+      val r = mutableRoot(name)
+      requireNoMvReference(name, colName, "drop")
+      val snap = ManagedTable.dropColumn(spark, r, colName)
+      refreshView(name)
+      summary("drop_column", name, snap.version)
 
     case Optimize(name, nFiles, zorder, byCols) if tables.contains(name) =>
       val r = root(name)
@@ -931,8 +955,65 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       import spark.implicits._
       Seq(Tuple1(df.queryExecution.explainString(m))).toDF("plan")
 
+    // Engine-specific statements naming an UNREGISTERED table fall
+    // through every guarded case above; without these they would reach
+    // spark.sql and surface as a bewildering parse error on e.g.
+    // 'SHOW FILES'. Report the canonical "no managed table" message
+    // instead (mirroring root()'s wording).
+    case ShowFiles(name) => unknownTable(name)
+    case ShowQuarantine(name) => unknownTable(name)
+    case HistoryStmt(name) => unknownTable(name)
+    case ShowStats(name) => unknownTable(name)
+    case ShowChanges(name, _, _, _) => unknownTable(name)
+    case ShowConstraints(name) => unknownTable(name)
+    case Upsert(name, _, _) => unknownTable(name)
+    case Optimize(name, _, _, _) => unknownTable(name)
+    case VacuumStmt(name, _) => unknownTable(name)
+    case Restore(name, _) => unknownTable(name)
+    case AddCol(name, _, _) => unknownTable(name)
+    case RenameCol(name, _, _) => unknownTable(name)
+    case DropColStmt(name, _) => unknownTable(name)
+    case AddConstraintStmt(name, _, _) => unknownTable(name)
+    case DropConstraintsStmt(name) => unknownTable(name)
+    case Drop(name, _) => unknownTable(name)
+    case DropMv(name, _) => throw new IllegalArgumentException(
+      s"no materialized view '$name' " +
+        s"(have: ${mviews.keys.toSeq.sorted.mkString(", ")})")
+    case RefreshMv(name) => throw new IllegalArgumentException(
+      s"no materialized view '$name' " +
+        s"(have: ${mviews.keys.toSeq.sorted.mkString(", ")})")
+    case SyncStmt(_, srcName, _, _) => unknownTable(srcName)
+
     case other => selectWithRewrite(other)
   }
+
+  /** Refuse schema evolution of a column any registered materialized
+    * view over `tbl` reads — keys and aggregate source expressions
+    * are stored by name; a rename/drop underneath them would silently
+    * break incremental maintenance. DROP the view (or evolve, then
+    * re-CREATE) instead. */
+  private def requireNoMvReference(tbl: String, colName: String,
+                                   op: String): Unit = {
+    val lc = colName.toLowerCase
+    val dependents = mviews.values.filter(_.over.equalsIgnoreCase(tbl)).filter { mv =>
+      mv.keys.exists(_.equalsIgnoreCase(colName)) ||
+        (mv.sums ++ mv.mins ++ mv.maxs ++ mv.avgs).exists { case (_, e) =>
+          try spark.sessionState.sqlParser.parseExpression(e).collect {
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              ua.name.toLowerCase
+          }.contains(lc)
+          catch { case scala.util.control.NonFatal(_) => true } // unparseable: be safe
+        }
+    }.map(_.name).toSeq.sorted
+    require(dependents.isEmpty,
+      s"$op column '$colName': read by materialized view(s) " +
+        s"${dependents.mkString(", ")} — DROP MATERIALIZED VIEW first")
+  }
+
+  private def unknownTable(name: String): Nothing =
+    throw new IllegalArgumentException(
+      s"no managed table '$name' — CREATE or OPEN it first " +
+        s"(have: ${tables.keys.toSeq.sorted.mkString(", ")})")
 
   /** The fall-through read path: Spark SQL plus the MV query rewrite.
     * An aggregate in a view's exact (or coarser rollup) shape is
@@ -968,6 +1049,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       case Upsert(n, _, _) if tables.contains(n) => root(n)
       case Restore(n, _) if tables.contains(n) => root(n)
       case AddCol(n, _, _) if tables.contains(n) => root(n)
+      case RenameCol(n, _, _) if tables.contains(n) => root(n)
+      case DropColStmt(n, _) if tables.contains(n) => root(n)
     }.getOrElse(throw new IllegalArgumentException(
       "transaction batch has no statement that creates or mutates a managed " +
         "table — nothing to make atomic"))

@@ -263,9 +263,16 @@ object Constraints {
           .foreach(f => ManagedTable.addColumn(spark, qr, f.name, f.dataType): Unit)
       }
       // land in the quarantine table's own column order: its evolution
-      // appends new columns AFTER _violation, the batch carries them before
-      val order = ManagedTable.history(spark, qr).last.schema.fieldNames
-      ManagedTable.insert(spark, qr, bad.select(order.map(col): _*)): Unit
+      // appends new columns AFTER _violation, the batch carries them
+      // before. A quarantine column the batch no longer carries (the
+      // host RENAMED or DROPPED it since) null-fills — the audit table
+      // keeps its history under the old name rather than crashing the
+      // divert.
+      val qSchema2 = ManagedTable.history(spark, qr).last.schema
+      ManagedTable.insert(spark, qr, bad.select(qSchema2.fields.map { f =>
+        if (bad.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)): Unit
     }
     n
   }

@@ -33,8 +33,27 @@ object FileSkip {
     * the same order as Spark's own FileStatusCache default). */
   val MaxFiles = 1000000
 
-  // qualified file path -> column -> (min, max)
-  private val byFile = TrieMap.empty[String, Map[String, (BigDecimal, BigDecimal)]]
+  /** One column's recorded range: the sidecar's verbatim min/max
+    * strings (string columns compare these directly under
+    * [[FileStats.utf8Compare]]) plus the pre-parsed numeric form when
+    * both ends parse (numeric/date/timestamp columns). Probes pick
+    * the representation matching the PREDICATE's type — the plan's
+    * attribute type always agrees with the type the stats were
+    * harvested under (same table, same schema), so there is no
+    * cross-type ambiguity. */
+  private[graft] final case class ColRange(raw: (String, String),
+                                           num: Option[(BigDecimal, BigDecimal)])
+
+  /** A per-column pruning probe: numeric or string, mirroring the two
+    * value families the sidecar records. */
+  sealed trait Bound
+  final case class NumBound(lo: Option[BigDecimal],
+                            hi: Option[BigDecimal]) extends Bound
+  final case class StrBound(lo: Option[String],
+                            hi: Option[String]) extends Bound
+
+  // qualified file path -> column -> recorded range
+  private val byFile = TrieMap.empty[String, Map[String, ColRange]]
   // (root, version) sidecars already folded in
   private val loaded = TrieMap.empty[(String, Int), Unit]
 
@@ -63,9 +82,10 @@ object FileSkip {
             if (cols.nonEmpty && byFile.size < MaxFiles) {
               val q = fs.makeQualified(new Path(rootPath, rel)).toString
               if (!byFile.contains(q))
-                byFile.put(q, cols.flatMap { case (c, (mn, mx)) =>
-                  try Some(c -> (BigDecimal(mn), BigDecimal(mx)))
-                  catch { case _: NumberFormatException => None }
+                byFile.put(q, cols.map { case (c, (mn, mx)) =>
+                  c -> ColRange((mn, mx),
+                    try Some((BigDecimal(mn), BigDecimal(mx)))
+                    catch { case _: NumberFormatException => None })
                 })
             }
           }
@@ -82,15 +102,23 @@ object FileSkip {
     * Bounds are inclusive both ends ([[graft.plans.FileSkipScan]]
     * relaxes strict comparisons to inclusive before calling — keeping
     * a boundary file is safe; dropping one is not). */
-  def mayMatch(file: String,
-               bounds: Map[String, (Option[BigDecimal], Option[BigDecimal])]): Boolean =
+  def mayMatch(file: String, bounds: Map[String, Bound]): Boolean =
     byFile.get(file) match {
       case None => true
-      case Some(cols) => bounds.forall { case (c, (lo, hi)) =>
+      case Some(cols) => bounds.forall { case (c, bound) =>
         cols.get(c) match {
           case None => true
-          case Some((mn, mx)) =>
-            lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+          case Some(cr) => bound match {
+            case NumBound(lo, hi) => cr.num match {
+              case None => true // string-valued entry probed numerically: keep
+              case Some((mn, mx)) =>
+                lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+            }
+            case StrBound(lo, hi) =>
+              val (mn, mx) = cr.raw
+              lo.forall(l => FileStats.utf8Compare(mx, l) >= 0) &&
+                hi.forall(h => FileStats.utf8Compare(mn, h) <= 0)
+          }
         }
       }
     }

@@ -39,58 +39,142 @@ object FileStats {
   /** file (root-relative) → column → (min, max) as plain decimal strings. */
   type Stats = Map[String, Map[String, (String, String)]]
 
-  /** Types whose parquet footer stats are totally ordered numerics we
-    * can compare as BigDecimal. Timestamps and dates qualify: Spark
-    * writes them as INT64 micros / INT32 days, their footer stats
-    * come back as plain longs/ints in those units, and Catalyst
-    * literals carry the SAME units — so the whole pruning pipeline is
-    * ordinary integer comparison (the lakehouse bread-and-butter:
-    * time-range predicates over time-clustered files). Strings and
-    * decimals come back as Binary with ordering caveats — out of
-    * scope, so columns of those types simply never prune (safe).
+  /** Types whose parquet footer stats are totally ordered values we
+    * can compare. Timestamps and dates qualify: Spark writes them as
+    * INT64 micros / INT32 days, their footer stats come back as plain
+    * longs/ints in those units, and Catalyst literals carry the SAME
+    * units — so pruning is ordinary integer comparison (the lakehouse
+    * bread-and-butter: time-range predicates over time-clustered
+    * files). STRINGS qualify too: parquet's BINARY min/max for UTF8
+    * columns uses unsigned lexicographic byte order, which is exactly
+    * UTF-8 code-point order — the same total order Spark's
+    * UTF8String comparison (default UTF8_BINARY collation) uses, so a
+    * `lang = 'de'` point predicate prunes string-clustered files
+    * correctly ([[utf8Compare]] is that shared order). Decimals come
+    * back as unscaled Binary — out of scope, never pruned (safe).
     */
   private[graft] def isRangeType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
          DoubleType | DateType | TimestampType | TimestampNTZType => true
+    case StringType => true
     case _ => false
+  }
+
+  /** The shared total order for string pruning: unsigned lexicographic
+    * over UTF-8 bytes — identical to parquet's UNSIGNED Binary
+    * comparator (what the footer min/max was computed under) AND to
+    * Spark's UTF8String ordering, and therefore to code-point order.
+    * Java's `String.compareTo` is NOT this order (UTF-16 code units
+    * sort surrogate pairs below U+E000..U+FFFF), so using it would
+    * mis-prune supplementary-plane boundaries. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Does this parquet column's PHYSICAL representation carry footer
+    * stats whose values are directly comparable to Catalyst literals
+    * of `dt` — same primitive, same logical-type UNIT? The unit check
+    * is the safety gate: a legacy file written under
+    * `outputTimestampType=TIMESTAMP_MILLIS` stores millis stats, and
+    * comparing those against Catalyst's micros literals would wrongly
+    * prune files (silently dropping rows). Any mismatch — wrong
+    * primitive (INT96 timestamps), wrong unit, missing annotation —
+    * drops the column from the sidecar, so those files are simply
+    * always kept. */
+  private[graft] def footerComparable(
+      dt: DataType, pt: org.apache.parquet.schema.PrimitiveType): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val tn = pt.getPrimitiveTypeName
+    val la = pt.getLogicalTypeAnnotation
+    dt match {
+      case ByteType | ShortType | IntegerType =>
+        tn == INT32 &&
+          (la == null || la.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+      case LongType =>
+        tn == INT64 &&
+          (la == null || la.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+      case FloatType => tn == FLOAT
+      case DoubleType => tn == DOUBLE
+      case DateType =>
+        tn == INT32 && la.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+      case TimestampType | TimestampNTZType =>
+        tn == INT64 && (la match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+          case _ => false
+        })
+      case StringType =>
+        tn == BINARY && la.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case _ => false
+    }
   }
 
   private[graft] def statsPath(root: String, v: Int) =
     new Path(root, f"_graft_log/v$v%08d.stats.json")
 
   /** Harvest (min, max) per requested column from ONE file's footer —
-    * row-group stats merged per column. Returns only columns with a
-    * usable range; anything doubtful is absent (→ the file is kept).
+    * row-group stats merged per column. `cols` maps each wanted column
+    * to its TABLE type, so every chunk's physical+logical parquet type
+    * is validated against it ([[footerComparable]]) before its stats
+    * are trusted — a millis-unit timestamp file or an INT96 legacy
+    * file contributes nothing and stays always-kept. Returns only
+    * columns with a usable range; anything doubtful is absent (→ the
+    * file is kept). String values are recorded verbatim (UTF-8
+    * decoded); numerics as plain decimal strings.
     */
   private[graft] def harvest(spark: SparkSession, root: String, rel: String,
-                               cols: Set[String]): Map[String, (String, String)] = {
+                               cols: Map[String, DataType]): Map[String, (String, String)] = {
     val in = HadoopInputFile.fromPath(new Path(root, rel),
       spark.sparkContext.hadoopConfiguration)
     val r = ParquetFileReader.open(in)
     try {
-      val acc = scala.collection.mutable.Map[String, (BigDecimal, BigDecimal)]()
+      val num = scala.collection.mutable.Map[String, (BigDecimal, BigDecimal)]()
+      val str = scala.collection.mutable.Map[String, (String, String)]()
       val bad = scala.collection.mutable.Set[String]()
       for (b <- r.getFooter.getBlocks.asScala; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
-        if (cols(name) && !bad(name)) {
+        val dt = cols.get(name)
+        if (dt.isDefined && !bad(name)) {
           val st = c.getStatistics
           if (st == null || st.isEmpty) bad += name // no stats: cannot prune
+          else if (!footerComparable(dt.get, c.getPrimitiveType)) bad += name
           else if (st.hasNonNullValue) {
-            try {
-              val mn = BigDecimal(st.genericGetMin.toString)
-              val mx = BigDecimal(st.genericGetMax.toString)
-              val merged = acc.get(name).fold((mn, mx))(p => (p._1.min(mn), p._2.max(mx)))
-              acc(name) = merged
-            } catch { case _: NumberFormatException => bad += name } // NaN etc.
+            if (dt.get == StringType) {
+              val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              str(name) = str.get(name).fold((mn, mx)) { case (a, b) =>
+                (if (utf8Compare(mn, a) < 0) mn else a,
+                 if (utf8Compare(mx, b) > 0) mx else b)
+              }
+            } else {
+              try {
+                val mn = BigDecimal(st.genericGetMin.toString)
+                val mx = BigDecimal(st.genericGetMax.toString)
+                val merged = num.get(name).fold((mn, mx))(p => (p._1.min(mn), p._2.max(mx)))
+                num(name) = merged
+              } catch { case _: NumberFormatException => bad += name } // NaN etc.
+            }
           }
           // all-null row group: contributes no range — a range predicate
           // never matches NULL, so ignoring it is correct
         }
       }
-      bad.foreach(acc.remove)
-      acc.map { case (k, (mn, mx)) =>
+      bad.foreach { n => num.remove(n); str.remove(n) }
+      num.map { case (k, (mn, mx)) =>
         k -> (mn.bigDecimal.toPlainString, mx.bigDecimal.toPlainString)
-      }.toMap
+      }.toMap ++ str.toMap
     } finally r.close()
   }
 
@@ -195,8 +279,10 @@ object FileStats {
   private[graft] def write(spark: SparkSession, root: String,
                              snap: ManagedTable.Snapshot,
                              prev: Stats): Unit = {
+    // keyed by PHYSICAL names — what the footers (and any pushed-down
+    // predicate over the scan relation) actually carry
     val rangeCols = snap.schema.fields.filter(f => isRangeType(f.dataType))
-      .map(_.name).toSet
+      .map(f => snap.physicalName(f.name) -> f.dataType).toMap
     val merged: Stats = snap.files.map { f =>
       f -> prev.getOrElse(f,
         if (rangeCols.isEmpty) Map.empty[String, (String, String)]
@@ -215,7 +301,23 @@ object FileStats {
                            lo: BigDecimal, hi: BigDecimal): Seq[String] =
     files.filter { f =>
       stats.get(f).flatMap(_.get(colName)) match {
-        case Some((mn, mx)) => !(BigDecimal(mx) < lo || BigDecimal(mn) > hi)
+        case Some((mn, mx)) =>
+          // a string-valued or otherwise unparseable entry keeps the
+          // file — pruning is a proof, never a guess
+          try !(BigDecimal(mx) < lo || BigDecimal(mn) > hi)
+          catch { case _: NumberFormatException => true }
+        case None => true
+      }
+    }
+
+  /** String-column variant of [[prune]]: same drop-only-on-proof
+    * contract, under the [[utf8Compare]] total order. */
+  private[graft] def pruneStr(stats: Stats, files: Seq[String], colName: String,
+                              lo: String, hi: String): Seq[String] =
+    files.filter { f =>
+      stats.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) =>
+          !(utf8Compare(mx, lo) < 0 || utf8Compare(mn, hi) > 0)
         case None => true
       }
     }

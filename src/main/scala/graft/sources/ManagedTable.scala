@@ -53,10 +53,27 @@ object ManagedTable {
   /** One committed snapshot: `files` are root-relative data paths.
     * `txn` (None for ordinary commits) is a staged transaction's
     * marker path — the manifest is INVISIBLE to readers until that
-    * marker exists ([[graft.sources.Txn]]'s publish point). */
+    * marker exists ([[graft.sources.Txn]]'s publish point).
+    *
+    * `physical` maps logical column name -> the name stored in the
+    * parquet files (identity entries omitted, so pre-evolution
+    * manifests parse to an empty map). A column's PHYSICAL name is
+    * fixed at birth and never changes — RENAME is a remap of the
+    * logical name (metadata-only), DROP removes the logical entry
+    * (old files keep the bytes; readers stop projecting them), and a
+    * re-ADD of a previously-used name mints a FRESH physical name so
+    * dropped data can never resurrect. This is the column-mapping
+    * design every production lakehouse format converged on: renames
+    * and drops at ANY table size cost one manifest write. */
   final case class Snapshot(version: Int, op: String, schemaDdl: String,
-                            files: Seq[String], txn: Option[String] = None) {
+                            files: Seq[String], txn: Option[String] = None,
+                            physical: Map[String, String] = Map.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
+    /** The parquet-side name of logical column `name`. */
+    def physicalName(name: String): String = physical.getOrElse(name, name)
+    /** The schema as stored in data files (fields under physical names). */
+    def physicalSchema: StructType = StructType(schema.fields.map(f =>
+      f.copy(name = physicalName(f.name))))
   }
 
   private def fs(spark: SparkSession, root: String): FileSystem =
@@ -70,8 +87,15 @@ object ManagedTable {
   private def render(s: Snapshot): String = {
     val files = s.files.map(graft.util.Json.escape).mkString("[", ",", "]")
     val txn = s.txn.map(m => s""","txn":${graft.util.Json.escape(m)}""").getOrElse("")
+    // physical map rendered as a flat string array [log1,phys1,...] —
+    // reuses the existing string-array parser; omitted when identity
+    val phys =
+      if (s.physical.isEmpty) ""
+      else s""","physical":${s.physical.toSeq.sorted
+        .flatMap { case (l, p) => Seq(l, p) }
+        .map(graft.util.Json.escape).mkString("[", ",", "]")}"""
     s"""{"version":${s.version},"op":${graft.util.Json.escape(s.op)},""" +
-      s""""schema":${graft.util.Json.escape(s.schemaDdl)},"files":$files$txn}"""
+      s""""schema":${graft.util.Json.escape(s.schemaDdl)},"files":$files$phys$txn}"""
   }
 
   private def parse(text: String, v: Int): Snapshot = {
@@ -105,21 +129,31 @@ object ManagedTable {
       }
       (sb.toString, i + 1)
     }
+    def parseStrArray(from: Int): Seq[String] = {
+      var i = from
+      require(text.charAt(i) == '[', s"manifest v$v: expected array")
+      i += 1
+      val out = Seq.newBuilder[String]
+      while (text.charAt(i) != ']') {
+        if (text.charAt(i) == ',') i += 1
+        else { val (s, next) = parseStr(i); out += s; i = next }
+      }
+      out.result()
+    }
     val op = parseStr(field("op"))._1
     val schemaDdl = parseStr(field("schema"))._1
-    var i = field("files")
-    require(text.charAt(i) == '[', s"manifest v$v: files must be an array")
-    i += 1
-    val files = Seq.newBuilder[String]
-    while (text.charAt(i) != ']') {
-      if (text.charAt(i) == ',') i += 1
-      else { val (s, next) = parseStr(i); files += s; i = next }
-    }
+    val files = parseStrArray(field("files"))
     // optional: staged-transaction marker (absent on ordinary commits
     // and on every pre-txn manifest — the format stays readable both ways)
     val txn =
       if (text.indexOf("\"txn\":") >= 0) Some(parseStr(field("txn"))._1) else None
-    Snapshot(v, op, schemaDdl, files.result(), txn)
+    // optional: logical->physical column map as a flat [l1,p1,l2,p2,...]
+    // array (absent = identity, which every pre-evolution manifest is)
+    val physical =
+      if (text.indexOf("\"physical\":") < 0) Map.empty[String, String]
+      else parseStrArray(field("physical")).grouped(2)
+        .map { case Seq(l, p) => l -> p }.toMap
+    Snapshot(v, op, schemaDdl, files, txn, physical)
   }
 
   /** All committed versions, ascending. Empty if not a managed table.
@@ -276,28 +310,36 @@ object ManagedTable {
     commit(spark, root, Snapshot(0, "create", schema.toDDL, Nil))
   }
 
-  /** Write `df`'s rows as new immutable data files, returning their
-    * root-relative paths. One commit-scoped subdirectory per call so
-    * concurrent writers never collide on file names.
+  /** Write `df`'s rows (logical column names) as new immutable data
+    * files under their PHYSICAL names, returning root-relative paths.
+    * One commit-scoped subdirectory per call so concurrent writers
+    * never collide on file names.
     */
-  private def writeData(df: DataFrame, root: String): Seq[String] = {
+  private def writeData(df0: DataFrame, root: String,
+                        physical: Map[String, String]): Seq[String] = {
+    val df =
+      if (physical.isEmpty) df0
+      else df0.select(df0.columns.map(c =>
+        col(c).as(physical.getOrElse(c, c))).toSeq: _*)
     val sub = s"data/${java.util.UUID.randomUUID}"
     // INT64 micros, not Spark's default INT96: INT96 is deprecated AND
     // parquet refuses to expose its footer min/max (the stats are
     // marked invalid), so an INT96 timestamp column could never feed
     // the FileStats sidecar — time-range file skipping, the most
-    // common pruning pattern, would silently not exist. Scoped
-    // save/set/restore, NOT a sticky session set: external consumers
-    // type INT96 and adjusted-INT64 parquet differently, so leaking
-    // the conf would silently change every LATER plain parquet write
-    // in the session. (Readers handle INT96 and INT64 files side by
-    // side in one managed table transparently.)
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = conf.get(key)
-    conf.set(key, "TIMESTAMP_MICROS")
-    try df.write.mode("errorifexists").parquet(s"$root/$sub")
-    finally conf.set(key, prev)
+    // common pruning pattern, would silently not exist. The conf is
+    // pinned on a CLONED session (shared context/catalog, independent
+    // SQLConf), not save/set/restored on the caller's session: the
+    // restore window raced concurrent writes on other threads of the
+    // same session — a plain parquet write landing inside it silently
+    // picked up TIMESTAMP_MICROS, and the restore could clobber a
+    // concurrent user conf.set. (Readers handle INT96 and INT64 files
+    // side by side in one managed table transparently.)
+    val wspark = org.apache.spark.sql.graftbridge.ColumnBridge
+      .cloneSession(df.sparkSession)
+    wspark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(wspark, df.queryExecution.analyzed)
+      .write.mode("errorifexists").parquet(s"$root/$sub")
     val f = fs(df.sparkSession, root)
     f.listStatus(new Path(root, sub)).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.toSeq.map(n => s"$sub/$n")
@@ -325,9 +367,9 @@ object ManagedTable {
       case _ => rows
     }
     if ((admitted ne rows) && admitted.isEmpty) return snap // all quarantined
-    val added = writeData(admitted, root)
+    val added = writeData(admitted, root, snap.physical)
     commit(spark, root, Snapshot(snap.version + 1, "insert", snap.schemaDdl,
-      snap.files ++ added))
+      snap.files ++ added, physical = snap.physical))
   }
 
   /** Read a snapshot (latest, or time-travel to `asOf`). The scan is a
@@ -365,11 +407,23 @@ object ManagedTable {
     val n = read(spark, root, toVersion)
     val missing = keys.filterNot(n.schema.fieldNames.contains)
     require(missing.isEmpty, s"changes: no such key column(s): ${missing.mkString(", ")}")
-    // align old -> new schema (evolution only ever adds columns)
-    val o = n.schema.fields.foldLeft(o0) { (df, f) =>
-      if (df.schema.fieldNames.contains(f.name)) df
-      else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(n.columns.map(col): _*)
+    // Align old -> new schema by PHYSICAL column identity: a renamed
+    // column is the same column (same physical name), so its rows
+    // must diff as unchanged — by-name alignment would null the old
+    // side and report every row "changed" after a rename. Columns
+    // added since `fromVersion` null-fill backward (same semantics as
+    // reads of pre-evolution files); columns dropped since simply
+    // stop being compared.
+    val oldSnap = resolve(spark, root, Some(fromVersion))
+    val newSnap = resolve(spark, root, toVersion)
+    val oldByPhys = oldSnap.schema.fieldNames
+      .map(c => oldSnap.physicalName(c) -> c).toMap
+    val o = o0.select(newSnap.schema.fields.map { f =>
+      oldByPhys.get(newSnap.physicalName(f.name)) match {
+        case Some(oldName) => col(oldName).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toSeq: _*)
     val contentCols = n.columns.filterNot(keys.contains).toSeq
     require(contentCols.nonEmpty,
       s"changes: keys (${keys.mkString(", ")}) cover every column — a CDC read " +
@@ -411,7 +465,18 @@ object ManagedTable {
       // session with plans.FileSkipScan installed can then prune THIS
       // scan's files against the stats sidecar at optimization time
       FileSkip.register(spark, root, snap)
-      spark.read.schema(snap.schema).parquet(files.map(f => s"$root/$f"): _*)
+      if (snap.physical.isEmpty)
+        spark.read.schema(snap.schema).parquet(files.map(f => s"$root/$f"): _*)
+      else {
+        // read under PHYSICAL names, project to logical: one aliasing
+        // Project, which Catalyst collapses into the scan (pushed
+        // filters then reference physical attributes — exactly what
+        // the FileSkip registry and parquet footers are keyed by)
+        val raw = spark.read.schema(snap.physicalSchema)
+          .parquet(files.map(f => s"$root/$f"): _*)
+        raw.select(snap.schema.fields.map(f =>
+          col(snap.physicalName(f.name)).as(f.name)): _*)
+      }
     }
 
   /** Range read with manifest-level data skipping: scan only the data
@@ -426,17 +491,32 @@ object ManagedTable {
     * versions, all-null columns) are scanned — never wrong, just
     * unpruned.
     *
-    * `lo`/`hi` accept the JVM numeric primitives (the table column
-    * must be numeric too — loud check); bounds are inclusive.
+    * `lo`/`hi` accept the JVM numeric primitives for numeric columns
+    * and plain Strings for string columns (loud on any mismatch);
+    * bounds are inclusive.
     */
   def readRange(spark: SparkSession, root: String, colName: String,
                 lo: Any, hi: Any, asOf: Option[Int] = None): DataFrame = {
     val snap = resolve(spark, root, asOf)
     require(snap.schema.fieldNames.contains(colName),
       s"readRange: no such column '$colName' (${snap.schema.toDDL})")
-    require(FileStats.isRangeType(snap.schema(colName).dataType),
-      s"readRange: column '$colName' is ${snap.schema(colName).dataType.simpleString} — " +
-        "range reads support numeric columns")
+    val colType = snap.schema(colName).dataType
+    require(FileStats.isRangeType(colType),
+      s"readRange: column '$colName' is ${colType.simpleString} — " +
+        "range reads support numeric, date/timestamp, and string columns")
+    if (colType == org.apache.spark.sql.types.StringType) {
+      val (sLo, sHi) = (lo, hi) match {
+        case (a: String, b: String) => (a, b)
+        case _ => throw new IllegalArgumentException(
+          s"readRange: column '$colName' is string — pass String bounds, " +
+            s"got ${lo.getClass.getSimpleName}/${hi.getClass.getSimpleName}")
+      }
+      val stats = FileStats.read(spark, root, snap.version)
+      val keep = FileStats.pruneStr(stats, snap.files,
+        snap.physicalName(colName), sLo, sHi)
+      return scanFiles(spark, snap, root, keep)
+        .filter(col(colName) >= lit(sLo) && col(colName) <= lit(sHi))
+    }
     def big(v: Any): BigDecimal = v match {
       case n: Byte => BigDecimal(n.toInt)
       case n: Short => BigDecimal(n.toInt)
@@ -455,7 +535,8 @@ object ManagedTable {
     }
     val (bLo, bHi) = (big(lo), big(hi))
     val stats = FileStats.read(spark, root, snap.version)
-    val keep = FileStats.prune(stats, snap.files, colName, bLo, bHi)
+    val keep = FileStats.prune(stats, snap.files,
+      snap.physicalName(colName), bLo, bHi)
     scanFiles(spark, snap, root, keep)
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
@@ -485,14 +566,13 @@ object ManagedTable {
                       affected: Seq[String], transform: DataFrame => DataFrame,
                       op: String): Snapshot = {
     if (affected.isEmpty) return snap // nothing matched: current snapshot stands
-    val affectedDf = spark.read.schema(snap.schema)
-      .parquet(affected.map(f => s"$root/$f"): _*)
+    val affectedDf = scanFiles(spark, snap, root, affected)
     val replacement = transform(affectedDf)
     requireSchema(replacement, snap, op)
-    val rewritten = writeData(replacement, root)
+    val rewritten = writeData(replacement, root, snap.physical)
     val kept = snap.files.filterNot(affected.contains)
     commit(spark, root, Snapshot(snap.version + 1, op, snap.schemaDdl,
-      kept ++ rewritten))
+      kept ++ rewritten, physical = snap.physical))
   }
 
   /** DELETE WHERE: copy-on-write — rewrite only the files that contain
@@ -687,19 +767,19 @@ object ManagedTable {
     val afterRewrite: Snapshot =
       if (matchedFiles.isEmpty) snap
       else {
-        val affectedDf = spark.read.schema(snap.schema)
-          .parquet(matchedFiles.map(f => s"$root/$f"): _*)
+        val affectedDf = scanFiles(spark, snap, root, matchedFiles)
         val survivors = affectedDf.join(
           mergeKeyFrame(src, keys, nKeys, keyWidth), keys, "left_anti")
           .select(snap.schema.fieldNames.map(col): _*)
-        val rewritten = writeData(survivors, root)
+        val rewritten = writeData(survivors, root, snap.physical)
         Snapshot(snap.version, "merge", snap.schemaDdl,
           snap.files.filterNot(matchedFiles.contains) ++ rewritten)
       }
     // all source rows land (updates + inserts) as new files
-    val added = writeData(src.select(snap.schema.fieldNames.map(col): _*), root)
+    val added = writeData(src.select(snap.schema.fieldNames.map(col): _*), root,
+      snap.physical)
     commit(spark, root, Snapshot(snap.version + 1, "merge", snap.schemaDdl,
-      afterRewrite.files ++ added))
+      afterRewrite.files ++ added, physical = snap.physical))
   }
 
   /** RESTORE: commit a NEW version whose file list and schema are
@@ -723,7 +803,7 @@ object ManagedTable {
       s"cannot restore v$toVersion: ${missing.size} data file(s) vacuumed away " +
         s"(first: ${missing.headOption.getOrElse("")}) — the version is outside the retention window")
     commit(spark, root, Snapshot(h.last.version + 1, s"restore(v$toVersion)",
-      target.schemaDdl, target.files))
+      target.schemaDdl, target.files, physical = target.physical))
   }
 
   /** ALTER TABLE ADD COLUMN: schema evolution as a metadata-only
@@ -739,11 +819,84 @@ object ManagedTable {
     val snap = latest(spark, root)
     require(!snap.schema.fieldNames.contains(name),
       s"column '$name' already exists (${snap.schema.toDDL})")
+    // a name that ever appeared as a PHYSICAL column in any snapshot is
+    // burned: old data files may carry bytes under it, and a re-added
+    // column mapping to the same physical name would resurrect dropped
+    // data. Mint a version-suffixed fresh physical name instead.
+    val burned = history(spark, root).flatMap(s =>
+      s.schema.fieldNames.map(s.physicalName)).toSet
+    val phys = if (burned.contains(name)) s"${name}__v${snap.version + 1}" else name
     val widened = StructType(snap.schema.fields :+
       org.apache.spark.sql.types.StructField(name, dataType))
     commit(spark, root, Snapshot(snap.version + 1, "add_column",
-      widened.toDDL, snap.files))
+      widened.toDDL, snap.files,
+      physical = if (phys == name) snap.physical else snap.physical + (name -> phys)))
   }
+
+  /** ALTER TABLE RENAME COLUMN: a metadata-only commit remapping the
+    * logical name onto the column's unchanged physical name — no data
+    * file is touched at any table size. The new name must be free;
+    * columns referenced by declared write-time constraints refuse
+    * (the stored rule text would silently stop matching rows).
+    */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String): Snapshot = {
+    val snap = latest(spark, root)
+    require(snap.schema.fieldNames.contains(from),
+      s"rename: no such column '$from' (${snap.schema.toDDL})")
+    require(!snap.schema.fieldNames.contains(to),
+      s"rename: column '$to' already exists (${snap.schema.toDDL})")
+    requireUnconstrained(spark, root, from, "rename")
+    val renamed = StructType(snap.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val phys = snap.physicalName(from)
+    val mapped = (snap.physical - from) ++
+      (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+    commit(spark, root, Snapshot(snap.version + 1, "rename_column",
+      renamed.toDDL, snap.files, physical = mapped))
+  }
+
+  /** ALTER TABLE DROP COLUMN: a metadata-only commit removing the
+    * logical column — readers stop projecting it; the bytes stay in
+    * existing files (VACUUM-compaction eventually rewrites them out)
+    * and can never resurrect (see [[addColumn]]'s burned-name rule).
+    * Constraint-referenced columns refuse, and the last column cannot
+    * be dropped.
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Snapshot = {
+    val snap = latest(spark, root)
+    require(snap.schema.fieldNames.contains(name),
+      s"drop: no such column '$name' (${snap.schema.toDDL})")
+    require(snap.schema.fields.length > 1,
+      s"drop: '$name' is the table's only column")
+    requireUnconstrained(spark, root, name, "drop")
+    val narrowed = StructType(snap.schema.fields.filterNot(_.name == name))
+    commit(spark, root, Snapshot(snap.version + 1, "drop_column",
+      narrowed.toDDL, snap.files, physical = snap.physical - name))
+  }
+
+  /** Refuse schema evolution on a column any declared constraint
+    * references — the persisted rule text (PK list, NOT NULL list,
+    * CHECK SQL) is by-name and would silently stop matching. DROP
+    * CONSTRAINTS first, evolve, re-declare. */
+  private def requireUnconstrained(spark: SparkSession, root: String,
+                                   name: String, op: String): Unit =
+    Constraints.load(spark, root).foreach { spec =>
+      val inCheck = spec.checks.filter { ck =>
+        try spark.sessionState.sqlParser.parseExpression(ck.sql).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.name
+        }.exists(_.equalsIgnoreCase(name))
+        catch { case scala.util.control.NonFatal(_) => true } // unparseable: be safe
+      }.map(_.name)
+      val refs =
+        (if (spec.primaryKey.exists(_.equalsIgnoreCase(name))) Seq("PRIMARY KEY") else Nil) ++
+          (if (spec.notNull.exists(_.equalsIgnoreCase(name))) Seq("NOT NULL") else Nil) ++
+          inCheck.map(n => s"CHECK $n")
+      require(refs.isEmpty,
+        s"$op column '$name': referenced by declared constraint(s) " +
+          s"${refs.mkString(", ")} — ALTER TABLE ... DROP CONSTRAINTS first")
+    }
 
   /** OPTIMIZE: rewrite the current snapshot into `numFiles` files,
     * range-clustered and sorted on `clusterCols` when given (the
@@ -782,9 +935,9 @@ object ManagedTable {
         df.repartitionByRange(numFiles, clusterCols.map(col): _*)
           .sortWithinPartitions(clusterCols.map(col): _*)
       else df.repartition(numFiles)
-    val rewritten = writeData(arranged, root)
+    val rewritten = writeData(arranged, root, snap.physical)
     commit(spark, root, Snapshot(snap.version + 1, "compact",
-      snap.schemaDdl, rewritten))
+      snap.schemaDdl, rewritten, physical = snap.physical))
   }
 
   /** VACUUM: delete data files no snapshot references, and (optionally)

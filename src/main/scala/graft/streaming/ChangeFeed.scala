@@ -107,7 +107,34 @@ object ChangeFeed {
     val upSnap = ManagedTable.history(spark, upstreamRoot).last
     if (upSnap.version <= from) return SyncResult(from, from, 0L, 0L)
 
-    // evolve the downstream first so the upsert's schema check passes
+    // Evolve the downstream first so the upsert's schema check passes.
+    // Renames and drops mirror via the UPSTREAM's physical-identity
+    // between the cursor snapshot and head: the downstream's column
+    // named X corresponds to whatever upstream called X at the cursor,
+    // so upstream's own old->new mapping is exactly the rename list to
+    // replay. (A pure rename commits file-identical snapshots — the
+    // row diff is empty — so without this mirror the follower's new
+    // column would stay null forever.) A vacuumed-away cursor manifest
+    // degrades to the add-only behavior.
+    ManagedTable.history(spark, upstreamRoot).find(_.version == from)
+      .foreach { oldSnap =>
+        val newByPhys = upSnap.schema.fieldNames
+          .map(c => upSnap.physicalName(c) -> c).toMap
+        oldSnap.schema.fieldNames.foreach { oldName =>
+          def down = ManagedTable.history(spark, downstreamRoot).last.schema
+          newByPhys.get(oldSnap.physicalName(oldName)) match {
+            case Some(newName) if newName != oldName =>
+              if (down.fieldNames.contains(oldName) &&
+                  !down.fieldNames.contains(newName))
+                ManagedTable.renameColumn(spark, downstreamRoot, oldName, newName): Unit
+            case None => // dropped upstream since the cursor
+              if (down.fieldNames.contains(oldName) && !keys.contains(oldName) &&
+                  down.fields.length > 1)
+                ManagedTable.dropColumn(spark, downstreamRoot, oldName): Unit
+            case _ => // unchanged
+          }
+        }
+      }
     val downSchema = ManagedTable.history(spark, downstreamRoot).last.schema
     upSnap.schema.fields.filterNot(f => downSchema.fieldNames.contains(f.name))
       .foreach(f => ManagedTable.addColumn(spark, downstreamRoot, f.name, f.dataType): Unit)

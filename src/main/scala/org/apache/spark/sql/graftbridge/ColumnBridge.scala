@@ -24,4 +24,11 @@ object ColumnBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Fork a session sharing the context/catalog but with an
+    * independent SQLConf (`SparkSession.cloneSession`, private[sql]) —
+    * what a writer needs to pin a conf for ONE write without racing
+    * concurrent readers of the session-global conf. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

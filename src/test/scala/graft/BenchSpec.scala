@@ -64,6 +64,59 @@ class BenchSpec extends AnyFunSuite {
     assert(rec.contains("\"load_flagged\":[\"q01_a\",\"q02_b\"]"), rec.takeRight(250))
   }
 
+  test("cpu trigger fires on collapse vs the quiet reference, not on inherently-low queries") {
+    val ref = Map("q103_concat_packing" -> 3.273, // quiet reference ratios
+      "q16_having" -> 4.41,                        // (committed artifacts)
+      "q262_hapax_mass" -> 0.874, "q70_gap_fill" -> 0.902)
+    // the r08 contaminated window: q103 ran at cpu 1.056 (45x wall)
+    assert(Bench.cpuTriggered(Bench.QRun("q103_concat_packing", 75.9, 11.4, 1.056), ref))
+    // quiet run of the same query: 3.27 ≈ reference — no trigger
+    assert(!Bench.cpuTriggered(Bench.QRun("q103_concat_packing", 1.69, 1.0, 3.273), ref))
+    // inherently-low reference (below cpuRefFloor): never triggered,
+    // whatever the measured ratio
+    assert(!Bench.cpuTriggered(Bench.QRun("q262_hapax_mass", 0.5, 1.0, 0.3), ref))
+    assert(!Bench.cpuTriggered(Bench.QRun("q70_gap_fill", 0.5, 1.0, 0.1), ref))
+    // cpuRatio unavailable (-1) is never a trigger
+    assert(!Bench.cpuTriggered(Bench.QRun("q16_having", 0.28, 1.0, -1.0), ref))
+    // unknown query (no reference): never triggered
+    assert(!Bench.cpuTriggered(Bench.QRun("q999_new", 9.9, 1.0, 0.2), ref))
+  }
+
+  test("retry adjudication: contaminated cold confirmed, quiet false-trigger not") {
+    // r08's q103: cold 75.9s, a quiet retry would run ~1.7s → flagged
+    assert(Bench.cpuConfirmed(coldSec = 75.9, retrySec = 1.7))
+    // quiet false-trigger (q16_having: cold 0.28, warm 0.19 — ratio
+    // 0.67 ≥ 0.6): cold reproduced, NOT flagged. Same for every
+    // trigger-prone query in the two committed quiet artifacts
+    // (warm/cold 0.60-1.03 across all ten).
+    assert(!Bench.cpuConfirmed(coldSec = 0.28, retrySec = 0.19))
+    assert(!Bench.cpuConfirmed(coldSec = 0.50, retrySec = 0.30)) // exactly 0.6: not confirmed
+  }
+
+  test("record carries query_retry and cpu_flagged; artifact gate requires them") {
+    val rec = Bench.record(runs(Seq("q01_a", "q02_b")), Nil, "/sf", 0.5, 1.0, 4,
+      statsOn = false, retries = Map("q02_b" -> 0.4), cpuFlagged = Seq("q02_b"))
+    assert(Json.isValid(rec), rec)
+    assert(rec.contains("\"query_retry\":{\"q02_b\":0.4}"), rec.takeRight(200))
+    assert(rec.contains("\"cpu_flagged\":[\"q02_b\"]"), rec.takeRight(200))
+    // a record missing the self-defense fields must not ship
+    val legacy = rec.replace(",\"query_retry\":{\"q02_b\":0.4}", "")
+    assert(Bench.artifactProblems(legacy, Set("q01_a", "q02_b"))
+      .exists(_.contains("query_retry")), legacy)
+  }
+
+  test("the committed bench_ref.json loads and covers the contract") {
+    val ref = Bench.loadCpuRef("bench_ref.json", cpus = 32)
+    assert(ref.size == SparkEntry.queries.size, s"ref has ${ref.size} entries")
+    assert(SparkEntry.queries.keySet.subsetOf(ref.keySet))
+    assert(ref.values.forall(v => v > 0 && v < 32))
+    // ratios were measured at local[32] — any other parallelism
+    // disables the triggers rather than comparing incomparables
+    assert(Bench.loadCpuRef("bench_ref.json", cpus = 8).isEmpty)
+    // a missing or junk path degrades to no-trigger, never throws
+    assert(Bench.loadCpuRef("/nowhere/nothing.json", cpus = 32).isEmpty)
+  }
+
   test("record survives hostile sfDir paths (quotes, backslashes)") {
     val rec = Bench.record(runs(Seq("q01_x")), Seq("q01_x"),
       "/tmp/we\"ird\\dir", 1.5, 2.0, 4)

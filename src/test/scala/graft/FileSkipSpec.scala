@@ -80,14 +80,50 @@ class FileSkipSpec extends AnyFunSuite {
     assert(df.count() == 399)
   }
 
-  test("string predicates never prune; mixed conjuncts prune on the numeric one") {
+  test("string predicate over an id-clustered layout keeps all files; mixed conjuncts prune on id") {
     val (r, t) = clustered()
+    // name cycles id % 7, so every id-clustered file spans n0..n6 —
+    // the string sidecar entries exist but prove nothing here
     val s1 = r.execute(s"SELECT id FROM $t WHERE name = 'n3'")
-    assert(scannedFiles(s1) == Seq(8)) // strings are out of sidecar scope
+    assert(scannedFiles(s1) == Seq(8))
     val s2 = r.execute(s"SELECT id FROM $t WHERE name = 'n3' AND id < 500")
     assert(scannedFiles(s2).head <= 2)
     assert(s2.collect().map(_.getLong(0)).sorted.toSeq ==
       (3L until 500L by 7L).toSeq)
+  }
+
+  test("string point/IN/range predicates prune a string-clustered table") {
+    val r = new SqlRouter(spark)
+    val t = s"s${System.nanoTime()}"
+    r.execute(s"CREATE MANAGED TABLE $t (lang STRING, doc_id BIGINT) " +
+      s"LOCATION '${fresh()}/$t'")
+    // 8 languages x 500 docs, clustered BY (lang): one language per file
+    r.execute(s"INSERT INTO $t SELECT " +
+      s"element_at(array('ar','de','en','es','fr','it','ja','pt'), " +
+      s"CAST(id % 8 AS INT) + 1) AS lang, id AS doc_id FROM range(4000)")
+    r.execute(s"OPTIMIZE $t INTO 8 FILES BY (lang)")
+
+    val point = r.execute(s"SELECT count(*) AS n FROM $t WHERE lang = 'de'")
+    assert(scannedFiles(point) == Seq(1), point.queryExecution.optimizedPlan)
+    assert(point.collect().head.getLong(0) == 500L)
+
+    val in = r.execute(s"SELECT count(*) AS n FROM $t WHERE lang IN ('de', 'en')")
+    assert(scannedFiles(in).head <= 2)
+    assert(in.collect().head.getLong(0) == 1000L)
+
+    val range = r.execute(s"SELECT count(*) AS n FROM $t WHERE lang >= 'it'")
+    assert(scannedFiles(range).head <= 3)
+    assert(range.collect().head.getLong(0) == 1500L)
+
+    // contradiction: a language below the table's min proves emptiness
+    val none = r.execute(s"SELECT * FROM $t WHERE lang = 'aa'")
+    assert(scannedFiles(none) == Seq(0))
+    assert(none.count() == 0)
+
+    // contradictory string conjuncts intersect to an empty scan
+    val contra = r.execute(s"SELECT * FROM $t WHERE lang > 'it' AND lang < 'de'")
+    assert(scannedFiles(contra) == Seq(0))
+    assert(contra.count() == 0)
   }
 
   test("double-column range prunes and agrees with the unpruned answer") {
@@ -179,6 +215,24 @@ class FileSkipSpec extends AnyFunSuite {
         case 4 => s"$c IN ($a, $b, ${a + 7})"
         case _ => s"$c > $a AND $c <= $b"
       }
+    } ++ Seq.fill(20) {
+      // string predicates over name ('n0'..'n6', 'x0'..'x2', 'moved'
+      // — including values outside the table's domain)
+      def v() = rnd.nextInt(5) match {
+        case 0 => s"n${rnd.nextInt(9)}"
+        case 1 => s"x${rnd.nextInt(5)}"
+        case 2 => "moved"
+        case 3 => "a"
+        case _ => "zz"
+      }
+      val (a, b) = (v(), v())
+      rnd.nextInt(5) match {
+        case 0 => s"name = '${a}'"
+        case 1 => s"name < '${a}'"
+        case 2 => s"name >= '${a}'"
+        case 3 => s"name IN ('${a}', '${b}')"
+        case _ => s"name > '${a}' AND name <= '${b}'"
+      }
     }
     preds.foreach { p =>
       val q = s"SELECT id, name, score FROM $t WHERE $p"
@@ -210,6 +264,8 @@ class FileSkipSpec extends AnyFunSuite {
   test("mayMatch keeps unregistered files and unconstrained columns") {
     import graft.sources.FileSkip
     assert(FileSkip.mayMatch("file:/nowhere/x.parquet",
-      Map("id" -> (Some(BigDecimal(1)), Some(BigDecimal(2))))))
+      Map("id" -> FileSkip.NumBound(Some(BigDecimal(1)), Some(BigDecimal(2))))))
+    assert(FileSkip.mayMatch("file:/nowhere/x.parquet",
+      Map("lang" -> FileSkip.StrBound(Some("de"), Some("de")))))
   }
 }

@@ -175,4 +175,58 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(servedBy(df, mv), scanRoots(df))
     assert(got(df) == expect(q))
   }
+
+  test("WHERE on view keys is served from the view — equality, IN, range, both grains") {
+    val (r, t, mv) = fixture()
+    Seq(
+      // the dashboard shape: filter + exact grain
+      s"SELECT k, region, count(*) AS n, sum(amount) AS s, avg(price) AS ap " +
+        s"FROM $t WHERE region = 'east' GROUP BY k, region",
+      // IN on a key
+      s"SELECT k, region, count(*) AS n FROM $t WHERE k IN (1, 3) GROUP BY k, region",
+      // range on a key
+      s"SELECT k, region, max(amount) AS mx FROM $t WHERE k >= 2 GROUP BY k, region",
+      // filter on a NON-GROUPED key at rollup grain (selects whole
+      // groups, so still exact)
+      s"SELECT k, count(*) AS n, sum(amount) AS s FROM $t " +
+        s"WHERE region = 'west' GROUP BY k",
+      // compound key-only predicate + global rollup
+      s"SELECT count(*) AS n, min(amount) AS mn FROM $t " +
+        s"WHERE k BETWEEN 1 AND 3 AND region <> 'north'",
+      // filter matching nothing: zero groups (grouped) ...
+      s"SELECT k, count(*) AS n FROM $t WHERE k = 77 GROUP BY k",
+      // ... and the one-row global-aggregate-on-empty answer
+      s"SELECT count(*) AS n, sum(amount) AS s, avg(price) AS ap " +
+        s"FROM $t WHERE k = 77",
+    ).foreach { q =>
+      val df = r.execute(q)
+      assert(servedBy(df, mv), s"$q -> ${scanRoots(df)}")
+      assert(got(df) == expect(q), q)
+    }
+  }
+
+  test("WHERE touching any non-key column still refuses the rewrite") {
+    val (r, t, _) = fixture()
+    Seq(
+      s"SELECT k, count(*) AS n FROM $t WHERE amount > 10 GROUP BY k",
+      s"SELECT k, count(*) AS n FROM $t WHERE region = 'east' AND price > 0 GROUP BY k",
+      // non-deterministic key predicate must not be re-evaluated over the view
+      s"SELECT k, count(*) AS n FROM $t WHERE k = CAST(rand() * 0 AS BIGINT) GROUP BY k",
+    ).foreach { q =>
+      val df = r.execute(q)
+      assert(servedBy(df, s"base_"), s"$q -> ${scanRoots(df)}")
+    }
+  }
+
+  test("WHERE-on-keys rewrite stays exact across DML maintenance") {
+    val (r, t, mv) = fixture()
+    r.execute(s"INSERT INTO $t VALUES (2, 'east', 7, 1.5), (7, 'north', 3, 2.5)")
+    r.execute(s"DELETE FROM $t WHERE k = 2 AND amount < 100")
+    r.execute(s"UPDATE $t SET amount = amount + 10 WHERE region = 'west'")
+    val q = s"SELECT k, region, count(*) AS n, sum(amount) AS s " +
+      s"FROM $t WHERE region IN ('east', 'north') GROUP BY k, region"
+    val df = r.execute(q)
+    assert(servedBy(df, mv), scanRoots(df))
+    assert(got(df) == expect(q))
+  }
 }
