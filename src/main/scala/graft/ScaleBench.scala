@@ -152,6 +152,10 @@ object ScaleBench {
     * a filter matching nothing fails loudly. */
   private def selectedKernels: Seq[String] = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSeq)
+    // "none": run ONLY the env-gated A/B cells (skip/mvr/cdc/graph) —
+    // the x20/x50 read-side sweeps, where dragging the full kernel
+    // battery through a 50x corpus would cost an hour for no new data
+    if (only.contains(Seq("none"))) return Nil
     val sel = kernels.filter(k => only.forall(_.exists(k.startsWith)))
     require(sel.nonEmpty,
       s"SPARK_GRAFT_SCALE_ONLY=${only.getOrElse(Nil).mkString(",")} matches no kernel")
@@ -180,11 +184,20 @@ object ScaleBench {
     // curve, so factor-to-factor ratios measure data scaling, not JIT
     // state (the smoke run showed x1 absorbing ~2-3 s of warmup that
     // made x2 look sublinear).
+    // the trade (lineitem/orders) and events replicas feed the kernel
+    // battery and the cdc/graph cells only — a cells-only skip/mvr
+    // sweep (ONLY=none) needs just the documents corpus, and building
+    // a 50x lineitem for nothing would dominate the run
+    val needTradeEvents = selectedKernels.nonEmpty ||
+      sys.env.get("SPARK_GRAFT_SCALE_CDC").contains("1") ||
+      sys.env.get("SPARK_GRAFT_SCALE_GRAPH").contains("1")
     locally {
       val wdir = s"$work/x${factors.min}"
       buildScaled(spark, base, wdir, factors.min)
-      buildScaledTrade(spark, base, wdir, factors.min)
-      buildScaledEvents(spark, base, wdir, factors.min)
+      if (needTradeEvents) {
+        buildScaledTrade(spark, base, wdir, factors.min)
+        buildScaledEvents(spark, base, wdir, factors.min)
+      }
       selectedKernels.foreach(k => SparkEntry.queries(k)(spark, wdir).count(): Unit)
       System.err.println(s"[scale] warmup pass done on x${factors.min}")
     }
@@ -195,8 +208,10 @@ object ScaleBench {
       val dir = s"$work/x$f"
       val b0 = System.nanoTime()
       buildScaled(spark, base, dir, f)
-      buildScaledTrade(spark, base, dir, f)
-      buildScaledEvents(spark, base, dir, f)
+      if (needTradeEvents) {
+        buildScaledTrade(spark, base, dir, f)
+        buildScaledEvents(spark, base, dir, f)
+      }
       System.err.println(f"[scale] x$f corpus ready in ${(System.nanoTime() - b0) / 1e9}%.1f s")
       for (k <- selectedKernels) {
         val load = osBean.getSystemLoadAverage

@@ -160,9 +160,40 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
             }
         case _ => None
       }
-    case Join(left, right, _: InnerLike, cond, _) =>
-      for { le <- estimate(left); re <- estimate(right) }
-        yield joinEst(le, re, cond.map(splitConjunctivePredicates).getOrElse(Nil))
+    case Join(left, right, jt, cond, _) =>
+      import org.apache.spark.sql.catalyst.plans._
+      val conds = cond.map(splitConjunctivePredicates).getOrElse(Nil)
+      for { le <- estimate(left); re <- estimate(right); est <- (jt match {
+        case _: InnerLike => Some(joinEst(le, re, conds))
+        // Semi: the left rows with a match — bounded by the left side,
+        // approximated by the inner-join estimate (each left row
+        // matches at most its key group). Anti: the complement.
+        // These are what let a join ABOVE a q06/q07-shaped filter
+        // still get a cardinality (and so a broadcast hint).
+        case LeftSemi =>
+          val inner = joinEst(le, re, conds)
+          Some(Est(math.max(1.0, math.min(le.rows, inner.rows)),
+            le.rowBytes, le.attrs))
+        case LeftAnti =>
+          val inner = joinEst(le, re, conds)
+          Some(Est(math.max(1.0, le.rows - math.min(le.rows, inner.rows)),
+            le.rowBytes, le.attrs))
+        case _: ExistenceJoin =>
+          Some(Est(le.rows, le.rowBytes, le.attrs))
+        // Outer joins: matched rows (the inner estimate) plus the
+        // preserved side's unmatched rows — lower-bounded by the
+        // preserved side(s), which is the standard safe estimate.
+        case LeftOuter =>
+          val inner = joinEst(le, re, conds)
+          Some(inner.copy(rows = math.max(inner.rows, le.rows)))
+        case RightOuter =>
+          val inner = joinEst(le, re, conds)
+          Some(inner.copy(rows = math.max(inner.rows, re.rows)))
+        case FullOuter =>
+          val inner = joinEst(le, re, conds)
+          Some(inner.copy(rows = math.max(inner.rows, le.rows + re.rows)))
+        case _ => None
+      }) } yield est
     case _ => None
   }
 

@@ -838,13 +838,22 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
 
     case ShowStats(name) if tables.contains(name) =>
       import spark.implicits._
+      // hist_mode reports the histogram's provenance: "exact" (last
+      // full ANALYZE), "merged" (maintained across appends by the
+      // incremental CDF merge — an approximation), "none"
       graft.sources.TableStatistics.get(root(name)) match {
-        case None => Seq.empty[(String, Long, Option[Double], Option[Double], Int, Long)]
-          .toDF("col_name", "ndv", "min", "max", "n_hist_buckets", "table_rows")
+        case None =>
+          Seq.empty[(String, Long, Option[Double], Option[Double], Int, String, Long)]
+            .toDF("col_name", "ndv", "min", "max", "n_hist_buckets",
+              "hist_mode", "table_rows")
         case Some(ts) => ts.cols.toSeq.sortBy(_._1)
           .map { case (c, cs) => (c, cs.ndv, cs.min, cs.max,
-            math.max(0, cs.hist.size - 1), ts.rows) }
-          .toDF("col_name", "ndv", "min", "max", "n_hist_buckets", "table_rows")
+            math.max(0, cs.hist.size - 1),
+            if (cs.hist.isEmpty) "none"
+            else if (cs.histMerged) "merged" else "exact",
+            ts.rows) }
+          .toDF("col_name", "ndv", "min", "max", "n_hist_buckets",
+            "hist_mode", "table_rows")
       }
 
     case ShowTablesStmt() =>

@@ -48,7 +48,8 @@ object TableStatistics {
     * (Array[Byte] equality is by reference). */
   final case class ColStats(ndv: Long, min: Option[Double],
                             max: Option[Double], hist: Seq[Double],
-                            sketch: String = "")
+                            sketch: String = "",
+                            histMerged: Boolean = false)
 
   final case class TableStats(version: Int, rows: Long, bytes: Long,
                               cols: Map[String, ColStats]) {
@@ -214,6 +215,47 @@ object TableStatistics {
     ts
   }
 
+  /** Two equi-depth histograms (9 bucket boundaries each) merged into
+    * one, row-count weighted: each input is a piecewise-uniform
+    * distribution, the combined CDF is piecewise LINEAR between the
+    * union of their boundaries (both inputs are linear there), and the
+    * output re-extracts the 0/8..8/8 quantiles of that combined CDF by
+    * exact interpolation. Pure driver-side arithmetic on ≤18 knots —
+    * the mergeable-summary trick that keeps histogram maintenance
+    * append-sized at any table size. Accuracy is bounded by the
+    * inputs' own equi-depth resolution (tolerance-pinned in
+    * StatsPlannerSpec against a full rescan); a side with no
+    * histogram or no rows passes the other through. */
+  private[graft] def mergeHistograms(a: Seq[Double], aRows: Long,
+                                     b: Seq[Double], bRows: Long): Seq[Double] = {
+    if (a.size < 2 || aRows <= 0) return b
+    if (b.size < 2 || bRows <= 0) return a
+    def cdf(bounds: Seq[Double])(x: Double): Double =
+      if (x <= bounds.head) 0.0
+      else if (x >= bounds.last) 1.0
+      else {
+        val i = math.min(bounds.lastIndexWhere(_ <= x), bounds.size - 2)
+        val (lo, hi) = (bounds(i), bounds(i + 1))
+        val within = if (hi > lo) (x - lo) / (hi - lo) else 1.0
+        (i + within) / (bounds.size - 1)
+      }
+    val wa = aRows.toDouble / (aRows.toDouble + bRows.toDouble)
+    val (fa, fb) = (cdf(a) _, cdf(b) _)
+    val knots = (a ++ b).distinct.sorted
+    val fAt = knots.map(k => (k, wa * fa(k) + (1.0 - wa) * fb(k)))
+    (0 to 8).map { i =>
+      val p = i / 8.0
+      if (p <= fAt.head._2) knots.head
+      else if (p >= fAt.last._2) knots.last
+      else {
+        val j = fAt.lastIndexWhere(_._2 <= p)
+        val (x0, p0) = fAt(j)
+        val (x1, p1) = fAt(j + 1)
+        if (p1 > p0) x0 + (x1 - x0) * (p - p0) / (p1 - p0) else x1
+      }
+    }
+  }
+
   /** Statistics refresh that scans ONLY the files appended since the
     * last ANALYZE — the 100 TB maintenance path, where a full rescan
     * after every ingest batch is unaffordable.
@@ -224,10 +266,11 @@ object TableStatistics {
     *   - ndv: HLL sketch UNION (register-wise max — mathematically
     *     identical to having sketched the whole table in one pass, so
     *     the incremental ndv equals the full-scan ndv exactly);
-    *   - histograms: kept from the base (equi-depth boundaries drift
-    *     slowly under appends; a full ANALYZE refreshes them — the
-    *     planner treats them as advisory selectivity hints, never
-    *     correctness inputs).
+    *   - histograms: the delta's own equi-depth histogram (one
+    *     Greenwald–Khanna pass over the appended files only) merges
+    *     with the base's via [[mergeHistograms]] — marked
+    *     `histMerged` so SHOW STATS can report the approximation; a
+    *     full ANALYZE resets to exact.
     *
     * Falls back to a full [[analyze]] whenever the fast path is not
     * sound: no persisted sidecar, a legacy sidecar without sketches,
@@ -253,32 +296,63 @@ object TableStatistics {
         val removed = baseFiles -- cur.files.toSet
         val added = cur.files.filterNot(baseFiles)
         val hasSketches = base.cols.values.forall(_.sketch.nonEmpty)
+        // the base sidecar's col entries are keyed by the LOGICAL names
+        // of ITS snapshot — a rename since then moves the key; follow
+        // it through the fixed physical name (dropped columns simply
+        // find no entry and fall away)
+        val baseLogicalOf: String => String = {
+          val byPhys = bs.schema.fieldNames.map(n => bs.physicalName(n) -> n).toMap
+          cname => byPhys.getOrElse(cur.physicalName(cname), cname)
+        }
+        def remapped(cols: Map[String, ColStats]): Map[String, ColStats] =
+          cur.schema.fieldNames.flatMap(c =>
+            cols.get(baseLogicalOf(c)).map(c -> _)).toMap
         if (base.version == cur.version) {
           registry.put(norm(root), base); (base, 0)
         } else if (removed.nonEmpty || !hasSketches) {
           (analyze(spark, root), cur.files.size)
         } else if (added.isEmpty) {
-          // metadata-only commits since the base (addColumn, restore
-          // onto the same file set): stats carry over to the new
-          // version verbatim; evolved columns have no stats until the
-          // next data commit or full ANALYZE
-          (persist(spark, root, base.copy(version = cur.version)), 0)
+          // metadata-only commits since the base (addColumn, rename,
+          // drop, restore onto the same file set): stats carry over to
+          // the new version under the CURRENT logical names; evolved
+          // columns have no stats until the next data commit or full
+          // ANALYZE
+          (persist(spark, root,
+            base.copy(version = cur.version, cols = remapped(base.cols))), 0)
         } else {
           val fields = cur.schema.fields.toSeq
           val numeric = fields.collect {
             case f if isNumeric(f.dataType) => f.name
           }
-          val delta = spark.read.schema(cur.schema)
+          // NOTE: appended files carry PHYSICAL column names; read
+          // them as the current snapshot's physical schema and project
+          // back to logical, mirroring ManagedTable's scan
+          val delta0 = spark.read.schema(cur.physicalSchema)
             .parquet(added.map(f => s"$root/$f"): _*)
+          val delta =
+            if (cur.physical.isEmpty) delta0
+            else delta0.select(cur.schema.fields.map(f =>
+              org.apache.spark.sql.functions.col(cur.physicalName(f.name))
+                .as(f.name)): _*)
           val row = scanOnce(delta, numeric)
           def opt(name: String): Option[Double] =
             Option(row.getAs[Any](name)).map(_.toString.toDouble)
           val deltaBytes =
             added.map(f => fsys.getFileStatus(new Path(root, f)).getLen).sum
+          // the delta's own equi-depth histograms: one Greenwald–Khanna
+          // pass over the APPENDED files only, merged below with the
+          // base's (piecewise-linear CDF combination)
+          val deltaRows = row.getAs[Long]("_n")
+          val deltaHists: Map[String, Seq[Double]] =
+            if (deltaRows == 0 || numeric.isEmpty) Map.empty
+            else numeric.zip(delta.stat.approxQuantile(numeric.toArray,
+                (0 to 8).map(_ / 8.0).toArray, 0.001).toSeq)
+              .collect { case (c, bs2) if bs2.nonEmpty => c -> bs2.toSeq }
+              .toMap
           // sketch unions + estimates run as ONE local 1-row job
           val dec = java.util.Base64.getDecoder
           val toMerge = fields.flatMap { f =>
-            val b = base.cols.get(f.name).map(_.sketch).filter(_.nonEmpty)
+            val b = base.cols.get(baseLogicalOf(f.name)).map(_.sketch).filter(_.nonEmpty)
             val d = Option(row.getAs[Array[Byte]](s"_sk_${f.name}"))
             (b, d) match {
               case (Some(bsk), Some(dsk)) => Some((f.name, dec.decode(bsk), dsk))
@@ -313,23 +387,30 @@ object TableStatistics {
               case (x, y) => x.orElse(y)
             }
           val cols = fields.map { f =>
-            val b = base.cols.get(f.name)
+            val b = base.cols.get(baseLogicalOf(f.name))
             val dMin = if (numeric.contains(f.name)) opt(s"_min_${f.name}") else None
             val dMax = if (numeric.contains(f.name)) opt(s"_max_${f.name}") else None
             val dNdv = row.getAs[Long](s"_ndv_${f.name}")
             val dSk = Option(row.getAs[Array[Byte]](s"_sk_${f.name}"))
               .map(b64).getOrElse("")
             f.name -> (merged.get(f.name) match {
-              case Some((ndv, sk)) => ColStats(ndv,
-                mergeOpt(b.flatMap(_.min), dMin, math.min),
-                mergeOpt(b.flatMap(_.max), dMax, math.max),
-                b.map(_.hist).getOrElse(Nil), sk)
+              case Some((ndv, sk)) =>
+                val baseHist = b.map(_.hist).getOrElse(Nil)
+                val deltaHist = deltaHists.getOrElse(f.name, Nil)
+                ColStats(ndv,
+                  mergeOpt(b.flatMap(_.min), dMin, math.min),
+                  mergeOpt(b.flatMap(_.max), dMax, math.max),
+                  mergeHistograms(baseHist, base.rows, deltaHist, deltaRows),
+                  sk,
+                  histMerged = b.exists(_.histMerged) ||
+                    (baseHist.size >= 2 && deltaHist.size >= 2))
               case None => // new column, or no delta values: one side only
                 b.filter(_.sketch.nonEmpty)
-                  .getOrElse(ColStats(dNdv, dMin, dMax, Nil, dSk))
+                  .getOrElse(ColStats(dNdv, dMin, dMax,
+                    deltaHists.getOrElse(f.name, Nil), dSk))
             })
           }.toMap
-          val ts = TableStats(cur.version, base.rows + row.getAs[Long]("_n"),
+          val ts = TableStats(cur.version, base.rows + deltaRows,
             base.bytes + deltaBytes, cols)
           (persist(spark, root, ts), added.size)
         }
@@ -366,6 +447,7 @@ object TableStatistics {
           val parts = Seq(s"ndv=${cs.ndv}") ++
             cs.min.map(v => s"min=$v") ++ cs.max.map(v => s"max=$v") ++
             (if (cs.hist.nonEmpty) Seq(s"hist=${cs.hist.mkString("|")}") else Nil) ++
+            (if (cs.histMerged) Seq("hm=1") else Nil) ++
             // base64 (no ';'/'|'/'=' except trailing padding, and the
             // field parser splits on the FIRST '=' — safe verbatim)
             (if (cs.sketch.nonEmpty) Seq(s"sk=${cs.sketch}") else Nil)
@@ -428,7 +510,8 @@ object TableStatistics {
         min = fields.get("min").map(_.toDouble),
         max = fields.get("max").map(_.toDouble),
         hist = fields.get("hist").toSeq.flatMap(_.split('|')).map(_.toDouble),
-        sketch = fields.getOrElse("sk", ""))
+        sketch = fields.getOrElse("sk", ""),
+        histMerged = fields.get("hm").contains("1"))
     }
     TableStats(kv("_version").toInt, kv("_rows").toLong, kv("_bytes").toLong, cols)
   }

@@ -160,6 +160,38 @@ class StatsPlannerSpec extends AnyFunSuite {
       "ctl\u0001x" -> ColStats(3L, None, None, Nil)))
     assert(parse(render(exotic)) == exotic)
     assert(graft.util.Json.isValid(render(exotic)), render(exotic))
+    // the merged-histogram provenance flag rides the sidecar too
+    val merged = TableStats(4, 9L, 90L, Map(
+      "v" -> ColStats(9L, Some(0.0), Some(8.0), (0 to 8).map(_.toDouble),
+        histMerged = true)))
+    assert(parse(render(merged)) == merged)
+    assert(parse(render(merged)).cols("v").histMerged)
+  }
+
+  test("mergeHistograms: CDF-weighted combine, degenerate sides, disjoint ranges") {
+    import graft.sources.TableStatistics.mergeHistograms
+    val uniform = (0 to 8).map(i => i * 100.0) // 800 rows uniform on [0,800]
+    // merging with itself is a fixed point
+    assert(mergeHistograms(uniform, 800, uniform, 800) == uniform)
+    // empty/zero-row sides pass the other through
+    assert(mergeHistograms(Nil, 0, uniform, 800) == uniform)
+    assert(mergeHistograms(uniform, 800, Nil, 0) == uniform)
+    // disjoint equal-mass ranges: the merged median must sit at the
+    // junction, lower quartile inside A, upper inside B
+    val a = (0 to 8).map(i => i * 1.0)        // [0,8]
+    val b = (0 to 8).map(i => 100.0 + i)      // [100,108]
+    val m = mergeHistograms(a, 1000, b, 1000)
+    assert(m.head == 0.0 && m.last == 108.0)
+    // combined p=0.25 is halfway through A's own mass; p=0.75 halfway
+    // through B's
+    assert(m(2) == 4.0 && m(6) == 104.0, m)
+    assert(m(4) >= 8.0 && m(4) <= 100.0, m)   // median at the junction
+    // 3:1 mass skew pulls 6 of 8 boundaries into the heavy side
+    val skew = mergeHistograms(a, 3000, b, 1000)
+    assert(skew.count(_ <= 8.0) >= 6, skew)
+    // the merged result is monotone non-decreasing, always
+    Seq(m, skew).foreach(h =>
+      assert(h.sliding(2).forall { case Seq(x, y) => x <= y }, h))
   }
 
   test("registry keys carry scheme/authority; nested roots resolve longest-prefix") {
@@ -245,9 +277,13 @@ class StatsPlannerSpec extends AnyFunSuite {
     assert(incStats.rows == 8000)
     assert(incStats.cols("v").max.contains(9002999.0))
     assert(incStats.cols("v").min.contains(0.0))
-    // histogram carries over from the base (advisory; refreshed by a
-    // full ANALYZE)
-    assert(incStats.cols("v").hist == full0.cols("v").hist)
+    // histograms are MAINTAINED (delta-pass + CDF merge), flagged as
+    // merged, and must approximate a full rescan: every merged bucket
+    // boundary's CDF position under the full-rescan histogram must be
+    // within one bucket width of its nominal i/8 position
+    assert(incStats.cols("v").histMerged)
+    assert(incStats.cols("v").hist != full0.cols("v").hist,
+      "appending 3000 rows at v~9e6 must move the histogram")
 
     // sketch union == single-pass sketch: ndv must match a full
     // re-ANALYZE exactly (register-wise max is the same state)
@@ -256,6 +292,25 @@ class StatsPlannerSpec extends AnyFunSuite {
     assert(incStats.cols("k").ndv == full1.cols("k").ndv,
       s"inc=${incStats.cols("k").ndv} full=${full1.cols("k").ndv}")
     assert(incStats.cols("v").ndv == full1.cols("v").ndv)
+    // full re-ANALYZE resets the merged flag to exact
+    assert(!full1.cols("v").histMerged)
+    // merged ≈ full-rescan: compare CDF positions of the merged
+    // boundaries under the exact histogram (declared bound: 1.5
+    // bucket widths = 0.1875, generous for GK's own 0.001 tolerance
+    // plus the piecewise-uniform assumption)
+    def cdf(bounds: Seq[Double], x: Double): Double =
+      if (x <= bounds.head) 0.0
+      else if (x >= bounds.last) 1.0
+      else {
+        val i = math.min(bounds.lastIndexWhere(_ <= x), bounds.size - 2)
+        val (lo, hi) = (bounds(i), bounds(i + 1))
+        (i + (if (hi > lo) (x - lo) / (hi - lo) else 1.0)) / (bounds.size - 1)
+      }
+    incStats.cols("v").hist.zipWithIndex.foreach { case (b, i) =>
+      val pos = cdf(full1.cols("v").hist, b)
+      assert(math.abs(pos - i / 8.0) <= 0.1875,
+        s"merged boundary $i=$b sits at exact-CDF $pos (want ${i / 8.0})")
+    }
 
     // a re-run with nothing new is metadata-only
     val noop = r.execute("ANALYZE TABLE ti INCREMENTAL").collect().head
@@ -296,5 +351,53 @@ class StatsPlannerSpec extends AnyFunSuite {
     // full outer: neither side may ever be hinted
     val fo = hints("SELECT hs.v, hb.w FROM hs FULL JOIN hb ON hs.k = hb.k")
     assert(fo.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty), fo)
+  }
+
+  test("semi/anti/outer joins get cardinality estimates: joins above them broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti, LeftOuter}
+    val r = new SqlRouter(spark)
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE ef (k BIGINT, v BIGINT) LOCATION '$base/ef'")
+    r.execute(s"CREATE MANAGED TABLE es (k BIGINT) LOCATION '$base/es'")
+    r.execute(s"CREATE MANAGED TABLE ew (k BIGINT) LOCATION '$base/ew'")
+    r.execute(s"CREATE MANAGED TABLE eb (k BIGINT, w BIGINT) LOCATION '$base/eb'")
+    r.execute("INSERT INTO ef SELECT id % 100 AS k, id AS v FROM range(20000)")
+    r.execute("INSERT INTO es SELECT id AS k FROM range(5)")       // selective semi
+    r.execute("INSERT INTO ew SELECT id AS k FROM range(95)")      // wide anti filter
+    r.execute("INSERT INTO eb SELECT id % 100 AS k, id AS w FROM range(20000)")
+    Seq("ef", "es", "ew", "eb").foreach(t => r.execute(s"ANALYZE TABLE $t"))
+    def topHints(sql: String): Seq[(JoinHint, String)] =
+      r.execute(sql).queryExecution.optimizedPlan.collect {
+        case j: Join => (j.hint, j.joinType.toString)
+      }
+    // SEMI below: ef filtered to ~5/100 keys is estimated ~1000 rows —
+    // the join ABOVE it must hint that side for broadcast (the q06
+    // shape; before this, estimate() returned None for semi joins and
+    // the hint stage went blind)
+    val semi = topHints(
+      "SELECT f.v, eb.w FROM (SELECT * FROM ef WHERE k IN (SELECT k FROM es)) f " +
+        "JOIN eb ON f.k = eb.k")
+    assert(semi.exists { case (h, jt) =>
+      jt.contains("Inner") && h.leftHint.exists(_.strategy.nonEmpty) }, semi)
+    // ANTI below: NOT EXISTS against 95 of 100 keys leaves ~1000 rows
+    // — same broadcast decision through the anti estimate (q07 shape)
+    val anti = topHints(
+      "SELECT f.v, eb.w FROM (SELECT * FROM ef WHERE NOT EXISTS " +
+        "(SELECT 1 FROM ew WHERE ew.k = ef.k)) f JOIN eb ON f.k = eb.k")
+    assert(anti.exists { case (h, jt) =>
+      jt.contains("Inner") && h.leftHint.exists(_.strategy.nonEmpty) }, anti)
+    // LEFT OUTER below: es LEFT JOIN ef preserves the 5-row side, est
+    // = max(inner, preserved) — still comfortably broadcastable above
+    val lo = topHints(
+      "SELECT x.k, eb.w FROM (SELECT es.k FROM es LEFT JOIN ef ON es.k = ef.k) x " +
+        "JOIN eb ON x.k = eb.k")
+    assert(lo.exists { case (h, jt) =>
+      jt.contains("Inner") && h.leftHint.exists(_.strategy.nonEmpty) }, lo)
+    // results stay correct under the hints
+    val n = r.execute(
+      "SELECT count(*) AS n FROM (SELECT * FROM ef WHERE k IN (SELECT k FROM es)) f " +
+        "JOIN eb ON f.k = eb.k").head.getLong(0)
+    assert(n == 1000L * 200L, s"semi+join row count $n")
   }
 }
