@@ -870,13 +870,19 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     case ShowFiles(name) if tables.contains(name) =>
       // the data-skipping introspection: each live file with its
       // stats-sidecar ranges — what a point SELECT's pruning sees.
-      // One manifest + one sidecar read, never a data scan.
+      // One manifest + one sidecar read, never a data scan. Sidecar
+      // entries are keyed by PHYSICAL column names; report them under
+      // the user's LOGICAL names (an entry whose physical column was
+      // dropped since simply isn't shown).
       import spark.implicits._
       val r = root(name)
       val snap = ManagedTable.history(spark, r).last
+      val logicalOf = snap.schema.fieldNames
+        .map(c => snap.physicalName(c) -> c).toMap
       val stats = graft.sources.FileStats.read(spark, r, snap.version)
       snap.files.sorted.flatMap { f =>
         val cols = stats.getOrElse(f, Map.empty)
+          .flatMap { case (c, mm) => logicalOf.get(c).map(_ -> mm) }
         if (cols.isEmpty) Seq((f, null: String, null: String, null: String))
         else cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => (f, c, mn, mx) }
       }.toDF("file", "col_name", "min", "max")

@@ -180,6 +180,11 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .collect().head.getString(0) == "rename_column")
     assert(r.execute(s"SELECT count(*) AS n FROM $t WHERE zone = 'r1'")
       .head.getLong(0) == 15L)
+    // SHOW FILES reports sidecar ranges under the LOGICAL (renamed)
+    // name, never the physical one
+    val sf = r.execute(s"SHOW FILES FOR $t").collect()
+      .map(_.getString(1)).filter(_ != null).toSet
+    assert(sf.contains("zone") && !sf.contains("region"), sf)
     assert(r.execute(s"ALTER TABLE $t DROP COLUMN zone")
       .collect().head.getString(0) == "drop_column")
     assert(!r.execute(s"SELECT * FROM $t").columns.contains("zone"))
