@@ -114,6 +114,11 @@ class FileSkipScan extends Rule[LogicalPlan] with PredicateHelper {
       .empty[String, (Option[BigDecimal], Option[BigDecimal])]
     val sacc = scala.collection.mutable.Map
       .empty[String, (Option[String], Option[String])]
+    // exact admissible value sets from IN lists (intersected when a
+    // column carries several) — lets `id IN (10, 5000)` drop the
+    // mid-range files the [10,5000] envelope alone would keep
+    val npts = scala.collection.mutable.Map.empty[String, Set[BigDecimal]]
+    val spts = scala.collection.mutable.Map.empty[String, Set[String]]
     def tighten(name: String, lo: Option[BigDecimal], hi: Option[BigDecimal]): Unit = {
       val (l0, h0) = nacc.getOrElse(name, (None, None))
       nacc(name) = (
@@ -164,14 +169,21 @@ class FileSkipScan extends Rule[LogicalPlan] with PredicateHelper {
         val svs = raw.flatMap(str(a, _))
         // every IN member must convert: a partial subset's min/max is
         // NOT a bound on the whole set
-        if (nvs.size == list.size) tighten(a.name, Some(nvs.min), Some(nvs.max))
-        else if (svs.size == list.size)
+        if (nvs.size == list.size) {
+          tighten(a.name, Some(nvs.min), Some(nvs.max))
+          npts(a.name) = npts.get(a.name).fold(nvs.toSet)(_ intersect nvs.toSet)
+        } else if (svs.size == list.size) {
           tightenStr(a.name, Some(svs.reduce(smin)), Some(svs.reduce(smax)))
+          spts(a.name) = spts.get(a.name).fold(svs.toSet)(_ intersect svs.toSet)
+        }
       case _ => // contributes nothing
     }
-    nacc.map { case (c, (lo, hi)) => c -> (FileSkip.NumBound(lo, hi): FileSkip.Bound) }
-      .toMap ++
-      sacc.map { case (c, (lo, hi)) => c -> (FileSkip.StrBound(lo, hi): FileSkip.Bound) }
+    nacc.map { case (c, (lo, hi)) =>
+      c -> (FileSkip.NumBound(lo, hi, npts.get(c).map(_.toSeq)): FileSkip.Bound)
+    }.toMap ++
+      sacc.map { case (c, (lo, hi)) =>
+        c -> (FileSkip.StrBound(lo, hi, spts.get(c).map(_.toSeq)): FileSkip.Bound)
+      }
   }
 }
 

@@ -45,12 +45,16 @@ object FileSkip {
                                            num: Option[(BigDecimal, BigDecimal)])
 
   /** A per-column pruning probe: numeric or string, mirroring the two
-    * value families the sidecar records. */
+    * value families the sidecar records. `points`, when present, is
+    * the exact admissible value set (an IN list): a file whose range
+    * contains NONE of the points is dropped even when the points'
+    * [min,max] envelope overlaps it — `id IN (10, 5000)` skips every
+    * mid-range file a plain envelope would keep. */
   sealed trait Bound
-  final case class NumBound(lo: Option[BigDecimal],
-                            hi: Option[BigDecimal]) extends Bound
-  final case class StrBound(lo: Option[String],
-                            hi: Option[String]) extends Bound
+  final case class NumBound(lo: Option[BigDecimal], hi: Option[BigDecimal],
+                            points: Option[Seq[BigDecimal]] = None) extends Bound
+  final case class StrBound(lo: Option[String], hi: Option[String],
+                            points: Option[Seq[String]] = None) extends Bound
 
   // qualified file path -> column -> recorded range
   private val byFile = TrieMap.empty[String, Map[String, ColRange]]
@@ -109,15 +113,19 @@ object FileSkip {
         cols.get(c) match {
           case None => true
           case Some(cr) => bound match {
-            case NumBound(lo, hi) => cr.num match {
+            case NumBound(lo, hi, points) => cr.num match {
               case None => true // string-valued entry probed numerically: keep
               case Some((mn, mx)) =>
-                lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+                lo.forall(l => mx >= l) && hi.forall(h => mn <= h) &&
+                  points.forall(_.exists(p => p >= mn && p <= mx))
             }
-            case StrBound(lo, hi) =>
+            case StrBound(lo, hi, points) =>
               val (mn, mx) = cr.raw
               lo.forall(l => FileStats.utf8Compare(mx, l) >= 0) &&
-                hi.forall(h => FileStats.utf8Compare(mn, h) <= 0)
+                hi.forall(h => FileStats.utf8Compare(mn, h) <= 0) &&
+                points.forall(_.exists(p =>
+                  FileStats.utf8Compare(p, mn) >= 0 &&
+                    FileStats.utf8Compare(p, mx) <= 0))
           }
         }
       }

@@ -852,7 +852,7 @@ object ManagedTable {
     val phys = snap.physicalName(from)
     val mapped = (snap.physical - from) ++
       (if (phys == to) Map.empty[String, String] else Map(to -> phys))
-    commit(spark, root, Snapshot(snap.version + 1, "rename_column",
+    commit(spark, root, Snapshot(snap.version + 1, s"rename_column($from->$to)",
       renamed.toDDL, snap.files, physical = mapped))
   }
 
@@ -871,7 +871,7 @@ object ManagedTable {
       s"drop: '$name' is the table's only column")
     requireUnconstrained(spark, root, name, "drop")
     val narrowed = StructType(snap.schema.fields.filterNot(_.name == name))
-    commit(spark, root, Snapshot(snap.version + 1, "drop_column",
+    commit(spark, root, Snapshot(snap.version + 1, s"drop_column($name)",
       narrowed.toDDL, snap.files, physical = snap.physical - name))
   }
 

@@ -72,6 +72,18 @@ class FileSkipSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L, 30L))
   }
 
+  test("IN with distant members skips the gap files the envelope would keep") {
+    val (r, t) = clustered()
+    // ids 10 and 3900 live in the first and last of 8 disjoint files;
+    // the [10,3900] envelope alone would keep all 8
+    val df = r.execute(s"SELECT id FROM $t WHERE id IN (10, 3900)")
+    assert(scannedFiles(df) == Seq(2), df.queryExecution.optimizedPlan)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 3900L))
+    // intersected IN conjuncts prove emptiness
+    val none = r.execute(s"SELECT id FROM $t WHERE id IN (10, 3900) AND id IN (20, 3950)")
+    assert(none.count() == 0)
+  }
+
   test("strict one-sided bound keeps the boundary file and all rows") {
     val (r, t) = clustered()
     val df = r.execute(s"SELECT id FROM $t WHERE id > 3600")
@@ -110,6 +122,11 @@ class FileSkipSpec extends AnyFunSuite {
     val in = r.execute(s"SELECT count(*) AS n FROM $t WHERE lang IN ('de', 'en')")
     assert(scannedFiles(in).head <= 2)
     assert(in.collect().head.getLong(0) == 1000L)
+
+    // distant IN members skip the gap files between them
+    val gap = r.execute(s"SELECT count(*) AS n FROM $t WHERE lang IN ('ar', 'pt')")
+    assert(scannedFiles(gap) == Seq(2), gap.queryExecution.optimizedPlan)
+    assert(gap.collect().head.getLong(0) == 1000L)
 
     val range = r.execute(s"SELECT count(*) AS n FROM $t WHERE lang >= 'it'")
     assert(scannedFiles(range).head <= 3)
@@ -267,5 +284,8 @@ class FileSkipSpec extends AnyFunSuite {
       Map("id" -> FileSkip.NumBound(Some(BigDecimal(1)), Some(BigDecimal(2))))))
     assert(FileSkip.mayMatch("file:/nowhere/x.parquet",
       Map("lang" -> FileSkip.StrBound(Some("de"), Some("de")))))
+    assert(FileSkip.mayMatch("file:/nowhere/x.parquet",
+      Map("id" -> FileSkip.NumBound(Some(BigDecimal(1)), Some(BigDecimal(9)),
+        Some(Seq(BigDecimal(5)))))))
   }
 }

@@ -43,7 +43,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     ManagedTable.renameColumn(spark, root, "score", "quality")
     val after = ManagedTable.history(spark, root).last
     assert(after.files == before.files) // no data file touched
-    assert(after.op == "rename_column")
+    assert(after.op == "rename_column(score->quality)") // SHOW HISTORY detail
     val df = ManagedTable.read(spark, root)
     assert(df.columns.toSeq == Seq("id", "grp", "quality"))
     assert(df.agg(sum("quality")).head.getDouble(0) ==
