@@ -369,6 +369,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*SHOW\s+MANAGED\s+TABLES\s*""".r
   private val ShowFiles =
     """(?is)\s*SHOW\s+FILES\s+(?:FOR\s+)?(\w+)\s*""".r
+  private val ShowSchema =
+    """(?is)\s*SHOW\s+SCHEMA\s+(?:FOR\s+)?(\w+)\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+TABLE\s+(\w+)(\s+INCREMENTAL)?\s*""".r
   private val ShowStats =
@@ -887,6 +889,17 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         else cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => (f, c, mn, mx) }
       }.toDF("file", "col_name", "min", "max")
 
+    case ShowSchema(name) if tables.contains(name) =>
+      // the evolution-aware DESCRIBE: logical name, type, and the
+      // PHYSICAL column name the data files store (differs after a
+      // RENAME, or for a re-added name after a DROP) — one manifest
+      // read, never a data scan
+      import spark.implicits._
+      val snap = ManagedTable.history(spark, root(name)).last
+      snap.schema.fields.map(f =>
+        (f.name, f.dataType.simpleString, snap.physicalName(f.name)))
+        .toSeq.toDF("col_name", "data_type", "physical_name")
+
     case ShowMv() =>
       import spark.implicits._
       def show(xs: Seq[(String, String)]) =
@@ -976,6 +989,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // 'SHOW FILES'. Report the canonical "no managed table" message
     // instead (mirroring root()'s wording).
     case ShowFiles(name) => unknownTable(name)
+    case ShowSchema(name) => unknownTable(name)
     case ShowQuarantine(name) => unknownTable(name)
     case HistoryStmt(name) => unknownTable(name)
     case ShowStats(name) => unknownTable(name)

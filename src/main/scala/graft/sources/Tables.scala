@@ -219,8 +219,19 @@ object Tables {
         case DateType                         => unix_date(col(c)).cast("double")
         case TimestampType | TimestampNTZType => unix_micros(col(c).cast("timestamp")).cast("double")
         case _: NumericType                   => col(c).cast("double")
+        case StringType =>
+          // order-preserving numeric surrogate: the first 6 UTF-8
+          // bytes, ZERO-padded (space-pad would sort above control
+          // bytes) and truncated, read as a big-endian unsigned — 48
+          // bits, exact in a double. Monotone under the same unsigned
+          // byte order the FileStats sidecar records, so a z-layout on
+          // (lang, ts) clusters string point predicates too; values
+          // sharing a 6-byte prefix collapse into one rank bucket,
+          // which costs clustering resolution only — the sidecar's
+          // per-file min/max stays exact, so pruning is never wrong.
+          expr(s"CAST(conv(hex(rpad(encode(`$c`, 'UTF-8'), 6, X'00')), 16, 10) AS DOUBLE)")
         case other => throw new IllegalArgumentException(
-          s"zorder needs numeric/date/timestamp columns, got $c: ${other.simpleString} " +
+          s"zorder needs numeric/date/timestamp/string columns, got $c: ${other.simpleString} " +
             "— derive a numeric key for it first")
       }
     // one scan computes every column's sketch; the finest useful

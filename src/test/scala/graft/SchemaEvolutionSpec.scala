@@ -185,6 +185,10 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val sf = r.execute(s"SHOW FILES FOR $t").collect()
       .map(_.getString(1)).filter(_ != null).toSet
     assert(sf.contains("zone") && !sf.contains("region"), sf)
+    // SHOW SCHEMA exposes the logical -> physical mapping
+    val sch = r.execute(s"SHOW SCHEMA FOR $t").collect()
+      .map(x => x.getString(0) -> x.getString(2)).toMap
+    assert(sch("zone") == "region" && sch("k") == "k", sch)
     assert(r.execute(s"ALTER TABLE $t DROP COLUMN zone")
       .collect().head.getString(0) == "drop_column")
     assert(!r.execute(s"SELECT * FROM $t").columns.contains("zone"))
