@@ -204,11 +204,16 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Tables.zorder(df.withColumn("_zkey", lit(1)), dir, 2, Seq("x", "y"))
     }
-    // non-numeric column: loud, names the column and the remedy
+    // an unrankable type: loud, names the column and the remedy
+    // (strings are SUPPORTED since round 9 — the prefix surrogate)
     val e = intercept[IllegalArgumentException] {
-      Tables.zorder(df.withColumn("s", lit("a")), dir, 2, Seq("x", "s"))
+      Tables.zorder(df.withColumn("a", array(lit(1))), dir, 2, Seq("x", "a"))
     }
-    assert(e.getMessage.contains("s: string"), e.getMessage)
+    assert(e.getMessage.contains("a: array"), e.getMessage)
+    // and the string path lays out without error
+    Tables.zorder(df.withColumn("s", concat(lit("v"), col("x"))),
+      s"$dir-str", 2, Seq("x", "s"))
+    assert(spark.read.parquet(s"$dir-str").count() == 10L)
   }
 
   test("quantile bucket: upper-bound semantics, null first, NaN last, codegen agrees") {
