@@ -165,19 +165,24 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
       val conds = cond.map(splitConjunctivePredicates).getOrElse(Nil)
       for { le <- estimate(left); re <- estimate(right); est <- (jt match {
         case _: InnerLike => Some(joinEst(le, re, conds))
-        // Semi: the left rows with a match — bounded by the left side,
-        // approximated by the inner-join estimate (each left row
-        // matches at most its key group). Anti: the complement.
-        // These are what let a join ABOVE a q06/q07-shaped filter
-        // still get a cardinality (and so a broadcast hint).
+        // Semi: the left rows with a match; Anti: the complement.
+        // Matched-left-rows come from a CONTAINMENT estimate
+        // ([[matchedFrac]]: ndv_right/ndv_left capped at 1 per equi
+        // key), NOT the inner-join cardinality — with multiplying
+        // right keys `inner.rows >> matched rows`, so `le.rows -
+        // inner.rows` clamps to 1 and a join above could broadcast a
+        // side that is actually large. The inner estimate still caps
+        // the semi (a left row can't match more than its key group
+        // exists). These are what let a join ABOVE a q06/q07-shaped
+        // filter still get a cardinality (and so a broadcast hint).
         case LeftSemi =>
           val inner = joinEst(le, re, conds)
-          Some(Est(math.max(1.0, math.min(le.rows, inner.rows)),
+          val matched = le.rows * matchedFrac(le, re, conds)
+          Some(Est(math.max(1.0, math.min(matched, inner.rows)),
             le.rowBytes, le.attrs))
         case LeftAnti =>
-          val inner = joinEst(le, re, conds)
-          Some(Est(math.max(1.0, le.rows - math.min(le.rows, inner.rows)),
-            le.rowBytes, le.attrs))
+          val matched = le.rows * matchedFrac(le, re, conds)
+          Some(Est(math.max(1.0, le.rows - matched), le.rowBytes, le.attrs))
         case _: ExistenceJoin =>
           Some(Est(le.rows, le.rowBytes, le.attrs))
         // Outer joins: matched rows (the inner estimate) plus the
@@ -213,6 +218,25 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
     }
     Est(math.max(1.0, rows), l.rowBytes + r.rowBytes, l.attrs ++ r.attrs)
   }
+
+  /** Estimated fraction of LEFT rows with at least one right match on
+    * the equi conditions: per key, min(1, ndv_right/ndv_left) — the
+    * standard containment assumption (every right key value appears on
+    * the left, the FK direction). Conditions without ndv on both sides
+    * contribute 1 (no reduction — conservative for semi, and for anti
+    * the subtraction then bottoms at the 1-row floor). */
+  private def matchedFrac(l: Est, r: Est, conds: Seq[Expression]): Double =
+    conds.map {
+      case EqualTo(a: Attribute, b: Attribute) =>
+        def ndvOf(e: Est) =
+          e.attrs.get(a.exprId).orElse(e.attrs.get(b.exprId)).map(_.ndv)
+        (ndvOf(l), ndvOf(r)) match {
+          case (Some(x), Some(y)) if x > 0 =>
+            math.min(1.0, y.toDouble / x.toDouble)
+          case _ => 1.0
+        }
+      case _ => 1.0
+    }.product
 
   private def num(v: Any): Option[Double] = v match {
     case null => None

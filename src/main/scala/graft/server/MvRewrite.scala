@@ -159,15 +159,19 @@ object MvRewrite {
         org.apache.spark.sql.catalyst.expressions.SubqueryExpression]).isEmpty &&
       cond.references.forall(a => keySet.contains(a.name.toLowerCase))
 
-  /** `cond` re-targeted at the view's columns, via the resolved
-    * tree's own SQL form — the view frame re-parses and re-resolves
-    * it against its identically-named key columns. Round-tripping
-    * through SQL (rather than grafting UnresolvedAttributes into the
-    * analyzed tree) sidesteps Spark 4's `With`/CommonExpressionDef
-    * nodes (BETWEEN et al.), whose children cannot be swapped for
-    * unresolved ones; a predicate whose SQL form fails to re-resolve
-    * aborts the rewrite through maybe()'s catch — base scan, never a
-    * wrong answer. */
+  /** `cond` re-targeted at the view's columns: the analyzed tree is
+    * first NORMALIZED to plain expression nodes (RuntimeReplaceable →
+    * its replacement, `With` common-expression defs inlined — see the
+    * comment inside), then every resolved AttributeReference is
+    * swapped for an UnresolvedAttribute of the same name, and the
+    * view frame's own analyzer re-resolves those against its
+    * identically-named key columns. The normalization step is what
+    * makes the attribute graft legal on Spark 4 trees — `With`'s
+    * CommonExpressionDef refuses unresolved child swaps, and
+    * RuntimeReplaceable keeps its original args outside `children`.
+    * A predicate that fails to re-resolve over the view aborts the
+    * rewrite through maybe()'s catch — base scan, never a wrong
+    * answer. */
   private def overView(mvDf: DataFrame, cond: Expression): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef, RuntimeReplaceable, With}
     // Normalize the analyzed tree to plain expressions first:

@@ -983,11 +983,15 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       import spark.implicits._
       Seq(Tuple1(df.queryExecution.explainString(m))).toDF("plan")
 
-    // Engine-specific statements naming an UNREGISTERED table fall
-    // through every guarded case above; without these they would reach
+    // GRAFT-ONLY statements naming an UNREGISTERED table fall through
+    // every guarded case above; without these they would reach
     // spark.sql and surface as a bewildering parse error on e.g.
     // 'SHOW FILES'. Report the canonical "no managed table" message
-    // instead (mirroring root()'s wording).
+    // instead (mirroring root()'s wording). Deliberately NOT listed:
+    // the ALTER TABLE family (ADD/RENAME/DROP COLUMN, constraints) —
+    // those shapes are ALSO valid Spark SQL on ordinary catalog
+    // tables, so an unregistered name continues to spark.sql, whose
+    // resolution (or error) is authoritative.
     case ShowFiles(name) => unknownTable(name)
     case ShowSchema(name) => unknownTable(name)
     case ShowQuarantine(name) => unknownTable(name)
@@ -999,11 +1003,6 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     case Optimize(name, _, _, _) => unknownTable(name)
     case VacuumStmt(name, _) => unknownTable(name)
     case Restore(name, _) => unknownTable(name)
-    case AddCol(name, _, _) => unknownTable(name)
-    case RenameCol(name, _, _) => unknownTable(name)
-    case DropColStmt(name, _) => unknownTable(name)
-    case AddConstraintStmt(name, _, _) => unknownTable(name)
-    case DropConstraintsStmt(name) => unknownTable(name)
     case Drop(name, _) => unknownTable(name)
     case DropMv(name, _) => throw new IllegalArgumentException(
       s"no materialized view '$name' " +

@@ -116,24 +116,78 @@ object ChangeFeed {
     // row diff is empty — so without this mirror the follower's new
     // column would stay null forever.) A vacuumed-away cursor manifest
     // degrades to the add-only behavior.
+    //
+    // The mirror PRE-VALIDATES every op before mutating anything, then
+    // applies drops BEFORE renames:
+    //   - drops-first lets an upstream drop-B-then-rename-A->B window
+    //     replay cleanly (B's slot frees before the rename lands);
+    //   - a rename whose target is STILL occupied after the simulated
+    //     drops (a swap rename A<->B, or a name reused for an unrelated
+    //     downstream column) cannot be replayed — silently skipping it
+    //     would diverge the follower PERMANENTLY (a pure rename's row
+    //     diff is empty, so nothing downstream would ever correct it).
+    //     Fail loudly instead: re-bootstrap the follower.
+    //   - a mirrored column the FOLLOWER declared constraints on would
+    //     throw mid-way, leaving it partially evolved — surfaced here,
+    //     before any mutation, with the remedy.
     ManagedTable.history(spark, upstreamRoot).find(_.version == from)
       .foreach { oldSnap =>
         val newByPhys = upSnap.schema.fieldNames
           .map(c => upSnap.physicalName(c) -> c).toMap
+        val downSchema0 = ManagedTable.history(spark, downstreamRoot).last.schema
+        val renames = Seq.newBuilder[(String, String)]
+        val drops = Seq.newBuilder[String]
         oldSnap.schema.fieldNames.foreach { oldName =>
-          def down = ManagedTable.history(spark, downstreamRoot).last.schema
           newByPhys.get(oldSnap.physicalName(oldName)) match {
             case Some(newName) if newName != oldName =>
-              if (down.fieldNames.contains(oldName) &&
-                  !down.fieldNames.contains(newName))
-                ManagedTable.renameColumn(spark, downstreamRoot, oldName, newName): Unit
+              if (downSchema0.fieldNames.contains(oldName)) renames += oldName -> newName
             case None => // dropped upstream since the cursor
-              if (down.fieldNames.contains(oldName) && !keys.contains(oldName) &&
-                  down.fields.length > 1)
-                ManagedTable.dropColumn(spark, downstreamRoot, oldName): Unit
+              if (downSchema0.fieldNames.contains(oldName) && !keys.contains(oldName) &&
+                  downSchema0.fields.length > 1) drops += oldName
             case _ => // unchanged
           }
         }
+        val (dropList, renameList) = (drops.result(), renames.result())
+        // pre-validation 1: follower-declared constraints on any mirrored
+        // column (the downstream's OWN rules — upstream's were already
+        // honored by its evolution)
+        graft.sources.Constraints.load(spark, downstreamRoot).foreach { spec =>
+          val checkRefs = spec.checks.flatMap { ck =>
+            try spark.sessionState.sqlParser.parseExpression(ck.sql).collect {
+              case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                ua.name.toLowerCase
+            } catch { case scala.util.control.NonFatal(_) => Seq("*") }
+          }.toSet
+          val refs = (spec.primaryKey ++ spec.notNull).map(_.toLowerCase).toSet
+          val blocked = (dropList ++ renameList.map(_._1)).filter(c =>
+            refs.contains(c.toLowerCase) || checkRefs.contains(c.toLowerCase) ||
+              checkRefs.contains("*"))
+          if (blocked.nonEmpty) throw new IllegalStateException(
+            s"sync: follower $downstreamRoot declares constraints on mirrored " +
+              s"column(s) ${blocked.mkString(", ")} — the upstream evolution " +
+              "cannot replay; DROP CONSTRAINTS on the follower (or re-bootstrap " +
+              "it) before syncing")
+        }
+        // pre-validation 2: every rename target must be free AFTER the
+        // drops apply (simulated). An occupied target — whether a swap
+        // (A<->B), a chain (A->B while B->C), or a name reused for an
+        // unrelated downstream column — is unreplayable with
+        // single-column renames and no temp name.
+        val afterDrops = downSchema0.fieldNames.filterNot(dropList.contains).toSet
+        val occupied = renameList.filter { case (_, to) => afterDrops.contains(to) }
+        if (occupied.nonEmpty) {
+          val bad = occupied.map { case (f, t) => s"$f->$t" }
+          throw new IllegalStateException(
+            s"sync: upstream rename(s) ${bad.mkString(", ")} cannot replay on " +
+              s"$downstreamRoot — the target name is occupied downstream (a pure " +
+              "rename's row diff is empty, so skipping it would diverge the " +
+              "follower silently and permanently). Re-bootstrap the follower " +
+              "(drop it and ChangeFeed.init) to adopt the upstream schema")
+        }
+        dropList.foreach(c =>
+          ManagedTable.dropColumn(spark, downstreamRoot, c): Unit)
+        renameList.foreach { case (from0, to) =>
+          ManagedTable.renameColumn(spark, downstreamRoot, from0, to): Unit }
       }
     val downSchema = ManagedTable.history(spark, downstreamRoot).last.schema
     upSnap.schema.fields.filterNot(f => downSchema.fieldNames.contains(f.name))

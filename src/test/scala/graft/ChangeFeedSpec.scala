@@ -166,4 +166,53 @@ class ChangeFeedSpec extends AnyFunSuite {
         .contains(ManagedTable.history(spark, up).last.version))
     } finally q.stop()
   }
+
+  test("sync fails loudly on an unreplayable rename (occupied target), never silently") {
+    // upstream swaps a<->b through a temp name; from the follower's
+    // cursor view that is renames (a->b, b->a) — both targets occupied.
+    // A pure rename's row diff is EMPTY, so skipping the mirror would
+    // diverge the follower permanently with no signal; the sync must
+    // throw instead (remedy: re-bootstrap).
+    val base = Files.createTempDirectory("graft_feed_swap").toString
+    val (up, down) = (s"$base/up", s"$base/down")
+    import spark.implicits._
+    ManagedTable.create(spark, up,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, a BIGINT, b BIGINT"))
+    ManagedTable.insert(spark, up, Seq((1L, 10L, 20L)).toDF("id", "a", "b"))
+    ChangeFeed.init(spark, up, down)
+    ManagedTable.renameColumn(spark, up, "a", "tmp_swap")
+    ManagedTable.renameColumn(spark, up, "b", "a")
+    ManagedTable.renameColumn(spark, up, "tmp_swap", "b")
+    val e = intercept[IllegalStateException] {
+      ChangeFeed.sync(spark, up, down, Seq("id"))
+    }
+    assert(e.getMessage.contains("occupied") &&
+      e.getMessage.contains("Re-bootstrap"), e.getMessage)
+    // nothing mutated: the follower's schema is exactly the bootstrap's
+    assert(ManagedTable.history(spark, down).last.schema.fieldNames.toSeq ==
+      Seq("id", "a", "b"))
+  }
+
+  test("sync surfaces follower-declared constraints on mirrored columns before mutating") {
+    val base = Files.createTempDirectory("graft_feed_cons").toString
+    val (up, down) = (s"$base/up", s"$base/down")
+    import spark.implicits._
+    val schema =
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, c BIGINT, d BIGINT")
+    ManagedTable.create(spark, up, schema)
+    ManagedTable.insert(spark, up, Seq((1L, 2L, 3L)).toDF("id", "c", "d"))
+    ChangeFeed.init(spark, up, down)
+    // the FOLLOWER declares NOT NULL on c; upstream then renames c away
+    graft.sources.Constraints.save(spark, down,
+      graft.sources.Constraints.Spec(Nil, Seq("c"), Nil, "reject"), schema)
+    ManagedTable.renameColumn(spark, up, "c", "c2")
+    val e = intercept[IllegalStateException] {
+      ChangeFeed.sync(spark, up, down, Seq("id"))
+    }
+    assert(e.getMessage.contains("constraints") &&
+      e.getMessage.contains("c"), e.getMessage)
+    // surfaced BEFORE any mutation — the follower is not partially evolved
+    assert(ManagedTable.history(spark, down).last.schema.fieldNames.toSeq ==
+      Seq("id", "c", "d"))
+  }
 }

@@ -735,4 +735,27 @@ class SqlRouterSpec extends AnyFunSuite {
     router.execute("DROP MANAGED TABLE fdown PURGE")
     router.execute("DROP MANAGED TABLE fup PURGE")
   }
+
+  test("standard ALTER TABLE on an unregistered name continues to spark.sql") {
+    // ALTER TABLE ADD/RENAME/DROP COLUMN is also valid Spark SQL on
+    // ordinary catalog tables — the router must not intercept those
+    // shapes with a 'no managed table' error when the name is simply
+    // not a GRAFT table. (Graft-only syntax like SHOW FILES still gets
+    // the canonical message.)
+    val r = new SqlRouter(spark)
+    val loc = freshRoot()
+    spark.sql(s"CREATE TABLE alter_passthru (a INT) USING parquet LOCATION '$loc/ct'")
+    try {
+      r.execute("ALTER TABLE alter_passthru ADD COLUMN b INT")
+      assert(spark.table("alter_passthru").schema.fieldNames.toSeq == Seq("a", "b"))
+      // an unknown name errors through Spark's own resolution, not ours
+      val e = intercept[Exception](
+        r.execute("ALTER TABLE nosuch_graft_tbl ADD COLUMN b INT"))
+      assert(!e.getMessage.contains("no managed table"), e.getMessage)
+      // graft-only syntax keeps the canonical unknown-table message
+      val g = intercept[IllegalArgumentException](
+        r.execute("SHOW FILES FOR nosuch_graft_tbl"))
+      assert(g.getMessage.contains("no managed table"), g.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS alter_passthru")
+  }
 }

@@ -400,4 +400,36 @@ class StatsPlannerSpec extends AnyFunSuite {
         "JOIN eb ON f.k = eb.k").head.getLong(0)
     assert(n == 1000L * 200L, s"semi+join row count $n")
   }
+
+  test("anti estimate uses containment, not the inner-join product (multiplying keys)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    val r = new SqlRouter(spark)
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE af (k BIGINT, v BIGINT) LOCATION '$base/af'")
+    r.execute(s"CREATE MANAGED TABLE aw (k BIGINT) LOCATION '$base/aw'")
+    r.execute(s"CREATE MANAGED TABLE ab (k BIGINT, w BIGINT) LOCATION '$base/ab'")
+    r.execute("INSERT INTO af SELECT id % 100 AS k, id AS v FROM range(20000)")
+    // the anti filter covers only 5 of af's 100 keys but MULTIPLIES:
+    // 5000 dups per key, so inner ≈ 20000·25000/100 = 5M >> |af| — the
+    // old `le.rows - min(le.rows, inner.rows)` proxy clamped the anti
+    // output to 1 row and hinted broadcast on a ~19000-row side
+    r.execute("INSERT INTO aw SELECT id % 5 AS k FROM range(25000)")
+    r.execute("INSERT INTO ab SELECT id % 100 AS k, id AS w FROM range(20000)")
+    Seq("af", "aw", "ab").foreach(t => r.execute(s"ANALYZE TABLE $t"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // a threshold the TRUE anti output (19000 rows × avg width × 2
+    // slack) clearly exceeds, so only the bogus 1-row estimate hints
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+    try {
+      val hints = r.execute(
+        "SELECT f.v, ab.w FROM (SELECT * FROM af WHERE NOT EXISTS " +
+          "(SELECT 1 FROM aw WHERE aw.k = af.k)) f JOIN ab ON f.k = ab.k")
+        .queryExecution.optimizedPlan.collect {
+          case j: Join => (j.hint, j.joinType.toString)
+        }
+      assert(hints.forall { case (h, jt) =>
+        !(jt.contains("Inner") && h.leftHint.exists(_.strategy.nonEmpty)) },
+        s"anti side wrongly hinted for broadcast: $hints")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
