@@ -102,23 +102,31 @@ class FileSkipScan extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  /** Per-column (lo, hi) proven by the conjuncts — numeric bounds for
+  /** Per-column probes proven by the conjuncts — numeric bounds for
     * numeric/date/timestamp attributes, string bounds (UTF-8 byte
-    * order) for default-collation string attributes. Strict bounds
-    * relax to inclusive (keeps the boundary file — safe); multiple
-    * conjuncts on one column intersect. Columns only ever TIGHTEN, so
-    * an unrecognized conjunct simply contributes nothing. */
+    * order) for default-collation string attributes, plus a NULLNESS
+    * requirement from `IS [NOT] NULL` conjuncts (any range/point
+    * predicate implies NOT NULL — a comparison never matches a null
+    * row). Strict bounds relax to inclusive (keeps the boundary file —
+    * safe); multiple conjuncts on one column intersect. Columns only
+    * ever TIGHTEN, so an unrecognized conjunct simply contributes
+    * nothing. */
   private def extractBounds(conjuncts: Seq[Expression])
-      : Map[String, FileSkip.Bound] = {
+      : Map[String, FileSkip.Pred] = {
     val nacc = scala.collection.mutable.Map
       .empty[String, (Option[BigDecimal], Option[BigDecimal])]
     val sacc = scala.collection.mutable.Map
       .empty[String, (Option[String], Option[String])]
-    // exact admissible value sets from IN lists (intersected when a
-    // column carries several) — lets `id IN (10, 5000)` drop the
-    // mid-range files the [10,5000] envelope alone would keep
+    // exact admissible value sets from equality and IN lists
+    // (intersected when a column carries several) — lets
+    // `id IN (10, 5000)` drop the mid-range files the [10,5000]
+    // envelope alone would keep, and contradictory equalities prove
+    // emptiness outright
     val npts = scala.collection.mutable.Map.empty[String, Set[BigDecimal]]
     val spts = scala.collection.mutable.Map.empty[String, Set[String]]
+    // IS NULL (true) / IS NOT NULL (false); a conflicting pair is a
+    // provably-empty conjunction — either choice is sound, keep `true`
+    val nullAcc = scala.collection.mutable.Map.empty[String, Boolean]
     def tighten(name: String, lo: Option[BigDecimal], hi: Option[BigDecimal]): Unit = {
       val (l0, h0) = nacc.getOrElse(name, (None, None))
       nacc(name) = (
@@ -136,8 +144,14 @@ class FileSkipScan extends Rule[LogicalPlan] with PredicateHelper {
     // one point/low/high dispatcher per side so numeric and string
     // attributes share the comparison-shape cases below
     def point(a: AttributeReference, v: Any): Unit = {
-      big(v).foreach(b => tighten(a.name, Some(b), Some(b)))
-      str(a, v).foreach(s => tightenStr(a.name, Some(s), Some(s)))
+      big(v).foreach { b =>
+        tighten(a.name, Some(b), Some(b))
+        npts(a.name) = npts.get(a.name).fold(Set(b))(_ intersect Set(b))
+      }
+      str(a, v).foreach { s =>
+        tightenStr(a.name, Some(s), Some(s))
+        spts(a.name) = spts.get(a.name).fold(Set(s))(_ intersect Set(s))
+      }
     }
     def low(a: AttributeReference, v: Any): Unit = {
       big(v).foreach(b => tighten(a.name, Some(b), None))
@@ -176,14 +190,42 @@ class FileSkipScan extends Rule[LogicalPlan] with PredicateHelper {
           tightenStr(a.name, Some(svs.reduce(smin)), Some(svs.reduce(smax)))
           spts(a.name) = spts.get(a.name).fold(svs.toSet)(_ intersect svs.toSet)
         }
+      case IsNull(a: AttributeReference) =>
+        nullAcc(a.name) = true
+      case IsNotNull(a: AttributeReference) =>
+        if (!nullAcc.getOrElse(a.name, false)) nullAcc(a.name) = false
       case _ => // contributes nothing
     }
-    nacc.map { case (c, (lo, hi)) =>
-      c -> (FileSkip.NumBound(lo, hi, npts.get(c).map(_.toSeq)): FileSkip.Bound)
-    }.toMap ++
-      sacc.map { case (c, (lo, hi)) =>
-        c -> (FileSkip.StrBound(lo, hi, spts.get(c).map(_.toSeq)): FileSkip.Bound)
-      }
+    val ranges: Map[String, FileSkip.Bound] =
+      nacc.map { case (c, (lo, hi)) =>
+        c -> (FileSkip.NumBound(lo, hi, npts.get(c).map(_.toSeq)): FileSkip.Bound)
+      }.toMap ++
+        sacc.map { case (c, (lo, hi)) =>
+          c -> (FileSkip.StrBound(lo, hi, spts.get(c).map(_.toSeq)): FileSkip.Bound)
+        }
+    // bloom probe keys: the md5 base hashes of every admissible point,
+    // hashed ONCE here (m varies per file, so the mod happens at probe
+    // time). Canonical forms mirror FileBloom's write side exactly:
+    // whole-number decimal strings for integral columns (a fractional
+    // point on an integral column just skips the bloom — the range
+    // probe already proves what it can), verbatim strings otherwise.
+    val bloomKeys: Map[String, Seq[Array[Long]]] =
+      (npts.map { case (c, pts) =>
+        val whole = pts.toSeq.flatMap(_.toBigIntExact)
+        c -> (if (whole.size == pts.size)
+                Some(whole.map(b => graft.sources.FileBloom.baseHashes(b.toString)))
+              else None)
+      } ++ spts.map { case (c, pts) =>
+        c -> Some(pts.toSeq.map(graft.sources.FileBloom.baseHashes))
+      }).collect { case (c, Some(ks)) => c -> ks }.toMap
+    (ranges.keySet ++ nullAcc.keySet).map { c =>
+      // a range/point predicate only matches non-null rows, so a
+      // range-bounded column is implicitly NOT NULL unless an explicit
+      // IS NULL (making the conjunction provably empty) says otherwise
+      val nullness = nullAcc.get(c)
+        .orElse(if (ranges.contains(c)) Some(false) else None)
+      c -> FileSkip.Pred(ranges.get(c), nullness, bloomKeys.get(c))
+    }.toMap
   }
 }
 

@@ -19,19 +19,24 @@ import graft.sources.TableStatistics.{ColStats, TableStats}
   * Two decisions, in one pass over every SELECT:
   *
   *   1. JOIN ORDER — a flattened chain of hint-free inner equi-joins
-  *      is re-ordered greedily by estimated cardinality: start from
-  *      the smallest relation (after predicate selectivity), then
-  *      repeatedly join the connected relation minimizing the
-  *      estimated intermediate size, using the q149-validated uniform
-  *      estimate `|A ⋈ B| ≈ |A|·|B| / max(ndv(a), ndv(b))` per equi
-  *      condition. Range/equality predicate selectivity comes from
-  *      the 8-bucket equi-depth histograms and ndv (the statistics
-  *      that exist precisely for this). The rewrite preserves output
+  *      is re-ordered by estimated cardinality: chains of ≤ 8
+  *      relations get EXHAUSTIVE Selinger-style dynamic programming
+  *      over connected subsets (bushy trees included) minimizing the
+  *      total intermediate row count, rewriting only on a STRICT cost
+  *      improvement; longer chains fall back to the greedy pass
+  *      (start from the smallest relation, repeatedly join the
+  *      connected relation minimizing the estimated intermediate
+  *      size). Both use the q149-validated uniform estimate
+  *      `|A ⋈ B| ≈ |A|·|B| / max(ndv(a), ndv(b))` per equi condition,
+  *      times the sides' non-null key fractions. Range/equality
+  *      predicate selectivity comes from the 8-bucket equi-depth
+  *      histograms, ndv, and exact null counts (the statistics that
+  *      exist precisely for this). The rewrite preserves output
   *      attribute order via a capping Project and refuses to act when
   *      ANY leaf lacks statistics, any plan shape is unrecognized,
-  *      a condition is non-deterministic, or the order it would pick
-  *      is the one already planned — misestimate cost is bounded by
-  *      only reordering what is fully understood.
+  *      a condition is non-deterministic, or no strict improvement
+  *      exists — misestimate cost is bounded by only reordering what
+  *      is fully understood.
   *
   *   2. BUILD SIDE — any join side whose estimated output size
   *      (est rows × avg row width from ANALYZE bytes) fits under
@@ -54,10 +59,13 @@ import graft.sources.TableStatistics.{ColStats, TableStats}
   */
 class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Estimated relation: cardinality, average row width, and the
-    * column statistics still addressable by attribute id. */
+  /** Estimated relation: cardinality, average row width, the column
+    * statistics still addressable by attribute id, and each column's
+    * null FRACTION at the base relation (assumed invariant under the
+    * filters applied so far — the standard uniformity assumption). */
   private final case class Est(rows: Double, rowBytes: Double,
-                               attrs: Map[ExprId, ColStats])
+                               attrs: Map[ExprId, ColStats],
+                               nf: Map[ExprId, Double] = Map.empty)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (TableStatistics.isEmpty) return plan
@@ -156,7 +164,9 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
             .map { ts =>
               val attrs = l.output.flatMap(a =>
                 ts.cols.get(a.name).map(a.exprId -> _)).toMap
-              Est(math.max(1.0, ts.rows.toDouble), ts.avgRowBytes, attrs)
+              val nf = attrs.map { case (id, cs) => id -> cs.nullFrac(ts.rows) }
+                .filter(_._2 > 0.0)
+              Est(math.max(1.0, ts.rows.toDouble), ts.avgRowBytes, attrs, nf)
             }
         case _ => None
       }
@@ -214,9 +224,16 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
           case (None, Some(y)) => rows /= math.max(1L, y).toDouble
           case _ => // unmapped key: no reduction (conservative)
         }
+        // NULL keys never join: scale by each side's non-null fraction
+        // (ANALYZE's exact null counts; 0 when unknown/legacy)
+        Seq(a, b).foreach { x =>
+          val f = l.nf.getOrElse(x.exprId, r.nf.getOrElse(x.exprId, 0.0))
+          if (f > 0.0) rows *= (1.0 - f)
+        }
       case _ => // non-equi: no reduction
     }
-    Est(math.max(1.0, rows), l.rowBytes + r.rowBytes, l.attrs ++ r.attrs)
+    Est(math.max(1.0, rows), l.rowBytes + r.rowBytes,
+      l.attrs ++ r.attrs, l.nf ++ r.nf)
   }
 
   /** Estimated fraction of LEFT rows with at least one right match on
@@ -271,11 +288,15 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
         val f = cdf(cs, x)
         (if (below) f else 1.0 - f).max(1.0 / math.max(1.0, e.rows)).min(1.0)
       }.getOrElse(1.0)
+    // value predicates only match NON-NULL rows: their selectivity
+    // scales by the column's non-null fraction (exact from ANALYZE's
+    // null counts; 1.0 when never collected)
+    def notNullFrac(a: Attribute): Double = 1.0 - e.nf.getOrElse(a.exprId, 0.0)
     pred match {
-      case EqualTo(a: Attribute, Literal(_, _)) => eq(a, 1.0)
-      case EqualTo(Literal(_, _), a: Attribute) => eq(a, 1.0)
+      case EqualTo(a: Attribute, Literal(_, _)) => eq(a, 1.0) * notNullFrac(a)
+      case EqualTo(Literal(_, _), a: Attribute) => eq(a, 1.0) * notNullFrac(a)
       case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
-        math.min(1.0, eq(a, list.size.toDouble))
+        math.min(1.0, eq(a, list.size.toDouble)) * notNullFrac(a)
       case LessThan(a: Attribute, Literal(v, _)) =>
         num(v).map(range(a, _, below = true)).getOrElse(1.0)
       case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
@@ -292,18 +313,102 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
         num(v).map(range(a, _, below = false)).getOrElse(1.0)
       case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
         num(v).map(range(a, _, below = true)).getOrElse(1.0)
-      case _: IsNotNull => 1.0
+      case IsNotNull(a: Attribute) =>
+        math.max(notNullFrac(a), 1.0 / math.max(1.0, e.rows))
+      case IsNull(a: Attribute) =>
+        val f = e.nf.getOrElse(a.exprId, -1.0)
+        if (f < 0.0) 1.0 // unknown: never shrink on a guess
+        else math.max(f, 1.0 / math.max(1.0, e.rows))
       case _ => 1.0 // unknown shape: never shrink on a guess
     }
   }
 
-  // -- greedy chain ordering -----------------------------------------
+  // -- join ordering: Selinger DP for small chains, greedy above -----
 
-  private def reorder(original: LogicalPlan, plans: Seq[LogicalPlan],
-                      conditions: Seq[Expression]): Option[LogicalPlan] = {
-    val ests = plans.map(estimate)
-    if (ests.exists(_.isEmpty)) return None // only act on full knowledge
-    val est0 = plans.zip(ests.map(_.get))
+  /** Chains up to this many relations get EXHAUSTIVE (Selinger-style)
+    * enumeration: a DP over connected relation subsets minimizing the
+    * summed intermediate cardinality, using the same q149-validated
+    * estimates the greedy uses. 2^8 subsets × submask splits is
+    * trivially cheap driver work; beyond that the greedy's O(n²)
+    * pass takes over (the standard production cutoff shape —
+    * exhaustive search where it's free, never where it explodes). */
+  private val DpMaxRelations = 8
+
+  /** Best connected join tree over ALL of `plans` by total
+    * intermediate-rows cost, bushy shapes included. Returns the tree
+    * and the conditions it consumed; None when the join graph is
+    * disconnected (a cross join would be required — refuse, exactly
+    * like the greedy). */
+  private final case class Built(tree: LogicalPlan, est: Est,
+                                 applied: Set[Expression], cost: Double)
+
+  private def buildDp(plans: Seq[LogicalPlan], ests: Seq[Est],
+                      conditions: Seq[Expression]): Option[Built] = {
+    val n = plans.size
+    val outs: Array[AttributeSet] = plans.map(_.outputSet).toArray
+    def outputOf(mask: Int): AttributeSet =
+      (0 until n).filter(i => (mask & (1 << i)) != 0)
+        .map(outs).reduce(_ ++ _)
+    // conditions fully resolvable within a mask (includes single-leaf
+    // predicates, which the leaves do NOT contain — they stay residual)
+    val condRefs = conditions.map(_.references)
+    def condsWithin(mask: Int): Seq[Int] = {
+      val o = outputOf(mask)
+      condRefs.indices.filter(ci => condRefs(ci).subsetOf(o))
+    }
+    final case class Cand(plan: LogicalPlan, est: Est, cost: Double,
+                          applied: Set[Int])
+    val best = new Array[Cand](1 << n)
+    (0 until n).foreach(i => best(1 << i) = Cand(plans(i), ests(i), 0.0, Set.empty))
+    var mask = 1
+    while (mask < (1 << n)) {
+      if (java.lang.Integer.bitCount(mask) >= 2) {
+        val within = condsWithin(mask)
+        // canonical split enumeration: s1 always contains the mask's
+        // lowest set bit, so each {s1, s2} pair is visited once —
+        // deterministic tie-breaking by enumeration order
+        val low = mask & -mask
+        var s1 = (mask - 1) & mask
+        while (s1 > 0) {
+          if ((s1 & low) != 0) {
+            val s2 = mask ^ s1
+            val (c1, c2) = (best(s1), best(s2))
+            if (c1 != null && c2 != null) {
+              // conditions NEW at this join necessarily span both sides
+              val newCis = within.filterNot(ci =>
+                c1.applied(ci) || c2.applied(ci) ||
+                  condRefs(ci).subsetOf(c1.plan.outputSet) ||
+                  condRefs(ci).subsetOf(c2.plan.outputSet))
+              if (newCis.nonEmpty) { // connected — never a cross join
+                val newConds = newCis.map(conditions)
+                val est = joinEst(c1.est, c2.est, newConds)
+                val cost = c1.cost + c2.cost + est.rows
+                if (best(mask) == null || cost < best(mask).cost) {
+                  best(mask) = Cand(
+                    Join(c1.plan, c2.plan, Inner,
+                      newConds.reduceOption(And), JoinHint.NONE),
+                    est, cost,
+                    c1.applied ++ c2.applied ++ newCis)
+                }
+              }
+            }
+          }
+          s1 = (s1 - 1) & mask
+        }
+      }
+      mask += 1
+    }
+    Option(best((1 << n) - 1)).map(c =>
+      Built(c.plan, c.est, c.applied.map(conditions), c.cost))
+  }
+
+  /** The original greedy chain builder — the fallback for chains past
+    * [[DpMaxRelations]]: start from the smallest estimated relation,
+    * repeatedly join the connected relation minimizing the estimated
+    * intermediate size. */
+  private def buildGreedy(plans: Seq[LogicalPlan], ests: Seq[Est],
+                          conditions: Seq[Expression]): Option[Built] = {
+    val est0 = plans.zip(ests)
     // deterministic start: smallest estimated relation (original
     // position breaks ties)
     val startIdx = est0.zipWithIndex
@@ -312,6 +417,7 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
     var treeEst = est0(startIdx)._2
     var remaining = est0.zipWithIndex.filter(_._2 != startIdx).map(_._1)
     var unused = conditions
+    var applied = Set.empty[Expression]
     while (remaining.nonEmpty) {
       val candidates = remaining.flatMap { case (p, pe) =>
         val combined = tree.outputSet ++ p.outputSet
@@ -330,13 +436,75 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
       treeEst = joined
       remaining = remaining.filterNot(_._1 eq next)
       unused = unused.filterNot(conds.contains)
+      applied ++= conds
     }
+    Some(Built(tree, treeEst, applied, Double.NaN)) // greedy: cost unused
+  }
+
+  /** Cost of the CURRENT arrangement under exactly the accounting
+    * [[buildDp]] minimizes (sum of estimated intermediate rows, each
+    * condition charged at the first join covering its references).
+    * The strict-improvement gate `dpCost < currentCost` is what makes
+    * the DP rewrite a FIXED POINT: an equal-cost tie (symmetric
+    * self-joins) must NOT rewrite, or the extraOptimizations batch
+    * could oscillate between tied trees until its iteration cap. */
+  private def currentCost(p: LogicalPlan, plans: Seq[LogicalPlan],
+                          conditions: Seq[Expression])
+      : Option[(Est, Double, Set[Expression])] =
+    if (plans.exists(_ eq p)) estimate(p).map(e => (e, 0.0, Set.empty))
+    else p match {
+      case Join(l, r, Inner, _, JoinHint.NONE) =>
+        for {
+          (le, lc, la) <- currentCost(l, plans, conditions)
+          (re0, rc, ra) <- currentCost(r, plans, conditions)
+        } yield {
+          val combined = l.outputSet ++ r.outputSet
+          val newConds = conditions.filter(c =>
+            !la.contains(c) && !ra.contains(c) &&
+              c.references.subsetOf(combined) &&
+              !c.references.subsetOf(l.outputSet) &&
+              !c.references.subsetOf(r.outputSet))
+          val e = joinEst(le, re0, newConds)
+          (e, lc + rc + e.rows, la ++ ra ++ newConds)
+        }
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        currentCost(c, plans, conditions)
+      case Filter(_, c) => currentCost(c, plans, conditions)
+      case _ => None
+    }
+
+  private def reorder(original: LogicalPlan, plans: Seq[LogicalPlan],
+                      conditions: Seq[Expression]): Option[LogicalPlan] = {
+    val ests = plans.map(estimate)
+    if (ests.exists(_.isEmpty)) return None // only act on full knowledge
+    val useDp = plans.size <= DpMaxRelations
+    val built =
+      if (useDp) buildDp(plans, ests.map(_.get), conditions)
+      else buildGreedy(plans, ests.map(_.get), conditions)
+    if (built.isEmpty) return None
+    val Built(tree, _, applied, dpCost) = built.get
+    val curCost =
+      if (useDp) currentCost(original, plans, conditions).map(_._2) else None
+    if (useDp && curCost.isDefined) {
+      // rewrite only on STRICT cost improvement over the plan as it
+      // stands — ties keep the current order. This is the DP's
+      // termination argument under the fixed-point batch (equal-cost
+      // tied trees must not flip back and forth), and it REPLACES the
+      // positional no-change check below: a bushy DP tree can improve
+      // the plan while keeping the leaves' left-to-right order, which
+      // that check would wrongly refuse.
+      if (dpCost >= curCost.get * (1.0 - 1e-12)) return None
+    }
+    val unused = conditions.filterNot(applied.contains)
     val withResidual = unused.reduceOption(And).map(Filter(_, tree)).getOrElse(tree)
-    // picked the order already planned → report "no change" so the
-    // fixed-point batch terminates; otherwise preserve the original
-    // output attribute order with a capping Project. Leaf flattening
-    // stops at the extracted items themselves (an item may be a
-    // Filter-over-relation — it must compare as one unit).
+    if (useDp && curCost.isDefined)
+      return Some(Project(original.output, withResidual))
+    // greedy (or unpriceable current shape): picked the order already
+    // planned → report "no change" so the fixed-point batch terminates;
+    // otherwise preserve the original output attribute order with a
+    // capping Project. Leaf flattening stops at the extracted items
+    // themselves (an item may be a Filter-over-relation — it must
+    // compare as one unit).
     def leavesOf(p: LogicalPlan): Seq[LogicalPlan] =
       if (plans.exists(_ eq p)) Seq(p)
       else p match {

@@ -173,31 +173,63 @@ object MvRewrite {
     * rewrite through maybe()'s catch — base scan, never a wrong
     * answer. */
   private def overView(mvDf: DataFrame, cond: Expression): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef, RuntimeReplaceable, With}
-    // Normalize the analyzed tree to plain expressions first:
-    // RuntimeReplaceable (BETWEEN et al.) keeps its ORIGINAL args
-    // outside `children`, and `With`'s CommonExpressionDef refuses
-    // unresolved child swaps — both would defeat the attribute graft
-    // below. Replacing them by their runtime form and inlining the
-    // common-expression defs yields an equivalent tree of ordinary
-    // nodes (the def may then evaluate twice — irrelevant for a
-    // key-count-sized filter).
-    def normalize(e: Expression): Expression = {
-      val once = e.transformUp {
-        case rr: RuntimeReplaceable => rr.replacement
-        case w: With =>
-          val defs = w.defs.map(d => d.id -> d.child).toMap
-          w.child.transformUp { case r: CommonExpressionRef => defs(r.id) }
-      }
-      if (once.exists(x => x.isInstanceOf[RuntimeReplaceable] || x.isInstanceOf[With]))
-        normalize(once)
-      else once
-    }
     val rebound = normalize(cond).transform {
       case a: AttributeReference =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
     }
     mvDf.filter(ColumnBridge.column(rebound))
+  }
+
+  /** Normalize an analyzed tree to plain expression nodes:
+    * RuntimeReplaceable (BETWEEN et al.) keeps its ORIGINAL args
+    * outside `children`, and `With`'s CommonExpressionDef refuses
+    * unresolved child swaps — both would defeat the attribute grafts
+    * here. Replacing them by their runtime form and inlining the
+    * common-expression defs yields an equivalent tree of ordinary
+    * nodes (the def may then evaluate twice — irrelevant for a
+    * key-count-sized filter). */
+  private def normalize(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef, RuntimeReplaceable, With}
+    val once = e.transformUp {
+      case rr: RuntimeReplaceable => rr.replacement
+      case w: With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp { case r: CommonExpressionRef => defs(r.id) }
+    }
+    if (once.exists(x => x.isInstanceOf[RuntimeReplaceable] || x.isInstanceOf[With]))
+      normalize(once)
+    else once
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      conjuncts(a) ++ conjuncts(b)
+    case x => Seq(x)
+  }
+
+  /** Name-canonical form for predicate comparison: normalized tree
+    * with every resolved attribute replaced by its lowercased
+    * unresolved name. Two predicates resolved against the SAME base
+    * schema canonicalize equal iff they are the same expression over
+    * the same columns — exprIds and source aliases fall away. */
+  private def canon(e: Expression): Expression =
+    normalize(e).transformUp {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(a.name.toLowerCase))
+    }
+
+  /** The view's declared predicate, resolved against the registered
+    * base table and canonicalized per conjunct. */
+  private def viewPredCanon(spark: SparkSession,
+                            v: SqlRouter.MvSpec): Seq[Expression] = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(v.where.get)
+    val analyzed = spark.table(v.over).filter(ColumnBridge.column(parsed))
+      .queryExecution.analyzed
+    val cond = analyzed.collectFirst { case Filter(c, _) => c }
+      .getOrElse(throw new IllegalStateException(
+        s"view predicate '${v.where.get}' did not analyze to a Filter"))
+    conjuncts(cond).map(canon)
   }
 
   /** A registered aggregate expression that is a BARE column name —
@@ -216,9 +248,29 @@ object MvRewrite {
     val keySet = v.keys.map(_.toLowerCase).toSet
     val exact = groupNames == keySet
     if (!exact && !groupNames.subsetOf(keySet)) return None
-    if (where.exists(!keyOnlyPredicate(_, keySet))) return None
+    // a FILTERED view serves only queries whose WHERE contains every
+    // view-predicate conjunct (matched by canonical form); the
+    // leftovers — and the whole WHERE for an unfiltered view — must be
+    // key-only, and re-apply over the view. A query withOUT the view's
+    // predicate must refuse: the view holds a strict subset of groups.
+    val qconjs: Seq[Expression] = where.toSeq.flatMap(conjuncts)
+    val leftover: Seq[Expression] = v.where match {
+      case None => qconjs
+      case Some(_) =>
+        val vc = viewPredCanon(spark, v)
+        var remaining = qconjs.map(c => (c, canon(c)))
+        val allMatched = vc.forall { vcon =>
+          remaining.indexWhere(_._2 == vcon) match {
+            case -1 => false
+            case i => remaining = remaining.patch(i, Nil, 1); true
+          }
+        }
+        if (!allMatched) return None
+        remaining.map(_._1)
+    }
+    if (leftover.exists(!keyOnlyPredicate(_, keySet))) return None
 
-    val mvDf = where.foldLeft(spark.table(v.name))(overView)
+    val mvDf = leftover.foldLeft(spark.table(v.name))(overView)
     val mvCols = mvDf.columns.map(_.toLowerCase).toSet
     def find(xs: Seq[(String, String)], colName: String): Option[String] =
       xs.collectFirst { case (n, e) if bare(e).contains(colName) => n }

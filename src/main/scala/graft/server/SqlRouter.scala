@@ -200,15 +200,28 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val oldV = ManagedTable.read(spark, r, asOf = Some(preVersion))
       val newV = ManagedTable.read(spark, r, asOf = Some(newVersion))
       val shared = newV.columns.filter(oldV.columns.contains).toSeq
-      val bag = graft.operators.Mvm.delta(oldV, newV, shared).localCheckpoint()
+      // views share one bag; a FILTERED view diffs its own predicate's
+      // restriction of both versions — a row entering/leaving the
+      // predicate then shows up as an add/remove, which is exactly the
+      // delta its rollup needs
+      lazy val commonBag =
+        graft.operators.Mvm.delta(oldV, newV, shared).localCheckpoint()
       specs.foreach { mv =>
         def cols(xs: Seq[(String, String)]) =
           xs.map { case (n, e) => (n, parseCol(e)) }
         val (mins, maxs) = (cols(mv.mins), cols(mv.maxs))
+        val (bag, repairBase) = mv.where match {
+          case None => (commonBag, newV)
+          case Some(w) =>
+            val pred = parseCol(w)
+            (graft.operators.Mvm.delta(oldV.filter(pred), newV.filter(pred), shared)
+              .localCheckpoint(), newV.filter(pred))
+        }
         graft.streaming.MvSink.mergeBagIntoView(spark, mv.root, bag,
           mv.keys, mv.countCol, cols(mv.sums), mins, maxs,
           // extrema delete-repair reads the post-mutation base version
-          if (mins.isEmpty && maxs.isEmpty) None else Some(newV),
+          // (restricted to the view's predicate when it has one)
+          if (mins.isEmpty && maxs.isEmpty) None else Some(repairBase),
           cols(mv.avgs))
         graft.sources.TableStatistics.invalidate(mv.root)
         refreshView(mv.name)
@@ -345,6 +358,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
   private val RenameCol =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val AlterColType =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*""".r
   private val DropColStmt =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
   private val Drop =
@@ -358,7 +373,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+INTO\s+(\d+)\s+FILES(?:\s+(ZORDER\s+)?BY\s*\(([^)]+)\))?\s*""".r
   private val CreateMv =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+OVER\s+(\w+)\s+KEY\s*\(([^)]+)\)\s+COUNT\s+(\w+)(.*?)\s+LOCATION\s+'([^']+)'\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+OVER\s+(\w+)\s+KEY\s*\(([^)]+)\)\s+COUNT\s+(\w+)(.*?)(?:\s+WHERE\s+(.+?))?\s+LOCATION\s+'([^']+)'\s*""".r
   private val DropMv =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)(\s+PURGE)?\s*""".r
   private val RefreshMv =
@@ -371,6 +386,14 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*SHOW\s+FILES\s+(?:FOR\s+)?(\w+)\s*""".r
   private val ShowSchema =
     """(?is)\s*SHOW\s+SCHEMA\s+(?:FOR\s+)?(\w+)\s*""".r
+  // opt-in per-column bloom index: point/IN pruning on unclustered
+  // high-ndv columns (FileBloom sidecars consulted by FileSkipScan)
+  private val CreateBloomIdx =
+    """(?is)\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+(\w+)\s*\(([^)]+)\)\s*""".r
+  private val DropBloomIdx =
+    """(?is)\s*DROP\s+BLOOM\s+INDEX\s+ON\s+(\w+)\s*""".r
+  private val ShowBloomIdx =
+    """(?is)\s*SHOW\s+BLOOM\s+INDEX\s+(?:FOR\s+)?(\w+)\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+TABLE\s+(\w+)(\s+INCREMENTAL)?\s*""".r
   private val ShowStats =
@@ -434,14 +457,15 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // allowlist below already admits them); VACUUM deletes files — a
     // write.
     case HistoryStmt(_) | ShowMv() | ShowStats(_) |
-         ShowChanges(_, _, _, _) | ShowConstraints(_) => false
+         ShowChanges(_, _, _, _) | ShowConstraints(_) | ShowBloomIdx(_) => false
     case SyncStmt(_, _, _, _) => true
     case Create(_, _, _) | CreateAs(_, _, _) | Open(_, _) | Insert(_, _) | Update(_, _) |
          Delete(_, _) | Upsert(_, _, _) | AddCol(_, _, _) |
-         RenameCol(_, _, _) | DropColStmt(_, _) |
+         RenameCol(_, _, _) | DropColStmt(_, _) | AlterColType(_, _, _) |
          AddConstraintStmt(_, _, _) | DropConstraintsStmt(_) |
          Optimize(_, _, _, _) | Drop(_, _) | VacuumStmt(_, _) |
-         Restore(_, _) | CreateMv(_, _, _, _, _, _) | DropMv(_, _) |
+         CreateBloomIdx(_, _) | DropBloomIdx(_) |
+         Restore(_, _) | CreateMv(_, _, _, _, _, _, _) | DropMv(_, _) |
          RefreshMv(_) | Analyze(_, _) | TxnBatch(_, _) | BareTxnKw(_) => true
     case other =>
       val kw = other.trim.takeWhile(!_.isWhitespace).toUpperCase
@@ -588,6 +612,19 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val snap = ManagedTable.dropColumn(spark, r, colName)
       refreshView(name)
       summary("drop_column", name, snap.version)
+
+    // type WIDENING (int-family up, float->double): metadata-only —
+    // old files upcast on read through the declared schema, new files
+    // write the widened type natively. Refused when a materialized
+    // view reads the column (its maintained output types would shift
+    // under the stored expressions).
+    case AlterColType(name, colName, typeDdl) if tables.contains(name) =>
+      val r = mutableRoot(name) // widening invalidates ANALYZE stats (value strings change)
+      requireNoMvReference(name, colName, "alter type of")
+      val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+      val snap = ManagedTable.alterColumnType(spark, r, colName, dt)
+      refreshView(name)
+      summary("alter_column_type", name, snap.version)
 
     case Optimize(name, nFiles, zorder, byCols) if tables.contains(name) =>
       val r = root(name)
@@ -769,19 +806,25 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // SELECT-visible, versioned, durable, with its maintenance spec
     // in a _graft_mv.json sidecar so a restarted router resumes
     // maintaining it.
-    case CreateMv(name, over, keys, countCol, aggBlob, path) =>
+    case CreateMv(name, over, keys, countCol, aggBlob, whereOpt, path) =>
       require(!tables.contains(name), s"name '$name' is already registered")
       val r = root(over)
       val keyCols = splitTop(keys, ',').map(_.trim)
       val (sums, mins, maxs, avgs) = SqlRouter.parseAggClauses(aggBlob)
       def cols(xs: Seq[(String, String)]) =
         xs.map { case (n, e) => (n, parseCol(e)) }
-      val mv0 = graft.operators.Mvm.compute(ManagedTable.read(spark, r),
+      // optional WHERE: the view maintains a FILTERED rollup — the
+      // delta algebra is unchanged (deltas just pass the predicate
+      // first), and MvRewrite serves queries whose WHERE implies it
+      val where = Option(whereOpt).map(_.trim).filter(_.nonEmpty)
+      val base0 = ManagedTable.read(spark, r)
+      val base = where.map(w => base0.filter(parseCol(w))).getOrElse(base0)
+      val mv0 = graft.operators.Mvm.compute(base,
         keyCols, countCol, cols(sums), cols(mins), cols(maxs), cols(avgs))
       ManagedTable.create(spark, path, mv0.schema)
       val snap = ManagedTable.insert(spark, path, mv0)
       val spec = SqlRouter.MvSpec(name, over, path, keyCols, countCol,
-        sums, mins, maxs, avgs)
+        sums, mins, maxs, avgs, where)
       SqlRouter.writeMvSidecar(spark, spec)
       mviews.put(name, spec)
       register(name, path)
@@ -806,8 +849,11 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // to the base table, or a schema evolution the delta path refuses)
     case RefreshMv(name) if mviews.contains(name) =>
       val mv = mviews(name)
+      val refreshBase0 = ManagedTable.read(spark, root(mv.over))
+      val refreshBase = mv.where.map(w => refreshBase0.filter(parseCol(w)))
+        .getOrElse(refreshBase0)
       val fresh = graft.operators.Mvm.compute(
-        ManagedTable.read(spark, root(mv.over)), mv.keys, mv.countCol,
+        refreshBase, mv.keys, mv.countCol,
         mv.sums.map { case (n, e) => (n, parseCol(e)) },
         mv.mins.map { case (n, e) => (n, parseCol(e)) },
         mv.maxs.map { case (n, e) => (n, parseCol(e)) },
@@ -842,20 +888,24 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       import spark.implicits._
       // hist_mode reports the histogram's provenance: "exact" (last
       // full ANALYZE), "merged" (maintained across appends by the
-      // incremental CDF merge — an approximation), "none"
+      // incremental CDF merge — an approximation), "none". n_nulls is
+      // the exact per-column null count (null = never collected —
+      // pre-null-stats sidecars).
       graft.sources.TableStatistics.get(root(name)) match {
         case None =>
-          Seq.empty[(String, Long, Option[Double], Option[Double], Int, String, Long)]
+          Seq.empty[(String, Long, Option[Double], Option[Double], Int, String,
+            Option[Long], Long)]
             .toDF("col_name", "ndv", "min", "max", "n_hist_buckets",
-              "hist_mode", "table_rows")
+              "hist_mode", "n_nulls", "table_rows")
         case Some(ts) => ts.cols.toSeq.sortBy(_._1)
           .map { case (c, cs) => (c, cs.ndv, cs.min, cs.max,
             math.max(0, cs.hist.size - 1),
             if (cs.hist.isEmpty) "none"
             else if (cs.histMerged) "merged" else "exact",
+            if (cs.nullCount >= 0) Some(cs.nullCount) else None,
             ts.rows) }
           .toDF("col_name", "ndv", "min", "max", "n_hist_buckets",
-            "hist_mode", "table_rows")
+            "hist_mode", "n_nulls", "table_rows")
       }
 
     case ShowTablesStmt() =>
@@ -881,13 +931,27 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val snap = ManagedTable.history(spark, r).last
       val logicalOf = snap.schema.fieldNames
         .map(c => snap.physicalName(c) -> c).toMap
-      val stats = graft.sources.FileStats.read(spark, r, snap.version)
+      val (stats, extras) = graft.sources.FileStats.readAll(spark, r, snap.version)
       snap.files.sorted.flatMap { f =>
-        val cols = stats.getOrElse(f, Map.empty)
+        val extra = extras.get(f)
+        val rows = extra.map(_.rows)
+        val nullsOf = extra.map(_.nulls).getOrElse(Map.empty[String, Long])
+        val ranged = stats.getOrElse(f, Map.empty)
           .flatMap { case (c, mm) => logicalOf.get(c).map(_ -> mm) }
-        if (cols.isEmpty) Seq((f, null: String, null: String, null: String))
-        else cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => (f, c, mn, mx) }
-      }.toDF("file", "col_name", "min", "max")
+        // a column can carry a null count without a range (all-null,
+        // binary, legacy-typed) — still worth showing: it is exactly
+        // what IS [NOT] NULL pruning consults
+        val nullOnly = nullsOf.keySet.flatMap(logicalOf.get) -- ranged.keySet
+        val cols = ranged.map { case (c, (mn, mx)) => (c, Option(mn), Option(mx)) } ++
+          nullOnly.toSeq.sorted.map(c => (c, None, None))
+        if (cols.isEmpty)
+          Seq((f, Option.empty[String], Option.empty[String], Option.empty[String],
+            Option.empty[Long], rows))
+        else cols.toSeq.sortBy(_._1).map { case (c, mn, mx) =>
+          (f, Some(c), mn, mx,
+            nullsOf.get(snap.physicalName(c)), rows)
+        }
+      }.toDF("file", "col_name", "min", "max", "n_nulls", "n_rows")
 
     case ShowSchema(name) if tables.contains(name) =>
       // the evolution-aware DESCRIBE: logical name, type, and the
@@ -900,15 +964,70 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         (f.name, f.dataType.simpleString, snap.physicalName(f.name)))
         .toSeq.toDF("col_name", "data_type", "physical_name")
 
+    // CREATE BLOOM INDEX ON t (c1, c2): opt-in per-column bloom
+    // filters so point/IN predicates on UNCLUSTERED high-ndv columns
+    // prune files (min/max can't help an interleaved layout). Backfills
+    // the current snapshot's files in one distributed job; every later
+    // commit harvests only its new files. Re-CREATE adds columns
+    // (full re-backfill).
+    case CreateBloomIdx(name, colList) if tables.contains(name) =>
+      val r = root(name)
+      val snap = ManagedTable.history(spark, r).last
+      val cols = splitTop(colList, ',').map(_.trim).filter(_.nonEmpty)
+      val missing = cols.filterNot(snap.schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"bloom index: no such column(s) ${missing.mkString(", ")} " +
+          s"(${snap.schema.toDDL})")
+      val bad = cols.filterNot(c =>
+        graft.sources.FileBloom.isEligible(snap.schema(c).dataType))
+      require(bad.isEmpty,
+        s"bloom index: column(s) ${bad.mkString(", ")} are not integral/string " +
+          "— bloom point lookups need a canonical key form")
+      val merged = (graft.sources.FileBloom.config(spark, r) ++
+        cols.map(snap.physicalName)).distinct
+      graft.sources.FileBloom.saveConfig(spark, r, merged)
+      graft.sources.FileBloom.write(spark, r, snap) // backfill at current version
+      // cached registry entries predate the new sidecar — re-register
+      graft.sources.FileSkip.invalidate(spark, r)
+      refreshView(name)
+      summary("create_bloom_index", name, snap.version)
+
+    case DropBloomIdx(name) if tables.contains(name) =>
+      val r = root(name)
+      graft.sources.FileBloom.dropConfig(spark, r)
+      // remove the sidecars too: future registrations stop consulting
+      // them (results were never wrong — this is pure index removal)
+      val logDir = new org.apache.hadoop.fs.Path(r, "_graft_log")
+      val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(logDir))
+        fs.listStatus(logDir).map(_.getPath)
+          .filter(_.getName.matches("v\\d{8}\\.bloom\\.json"))
+          .foreach(p => fs.delete(p, false): Unit)
+      graft.sources.FileSkip.invalidate(spark, r)
+      summary("drop_bloom_index", name,
+        ManagedTable.history(spark, r).last.version)
+
+    case ShowBloomIdx(name) if tables.contains(name) =>
+      import spark.implicits._
+      val r = root(name)
+      val snap = ManagedTable.history(spark, r).last
+      val logicalOf = snap.schema.fieldNames
+        .map(c => snap.physicalName(c) -> c).toMap
+      graft.sources.FileBloom.config(spark, r).map { phys =>
+        (logicalOf.getOrElse(phys, null: String), phys,
+          graft.sources.FileBloom.BitsPerKey, graft.sources.FileBloom.K)
+      }.toDF("col_name", "physical_name", "bits_per_key", "k")
+
     case ShowMv() =>
       import spark.implicits._
       def show(xs: Seq[(String, String)]) =
         xs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
       mviews.values.toSeq.sortBy(_.name)
         .map(m => (m.name, m.over, m.root, m.keys.mkString(","), m.countCol,
-          show(m.sums), show(m.mins), show(m.maxs), show(m.avgs)))
+          show(m.sums), show(m.mins), show(m.maxs), show(m.avgs),
+          m.where.getOrElse("")))
         .toDF("name", "over_table", "location", "key_cols", "count_col",
-          "sum_cols", "min_cols", "max_cols", "avg_cols")
+          "sum_cols", "min_cols", "max_cols", "avg_cols", "where_pred")
 
     case TxnBatch(inner, term) =>
       import graft.sources.Txn
@@ -1004,6 +1123,9 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     case VacuumStmt(name, _) => unknownTable(name)
     case Restore(name, _) => unknownTable(name)
     case Drop(name, _) => unknownTable(name)
+    case CreateBloomIdx(name, _) => unknownTable(name)
+    case DropBloomIdx(name) => unknownTable(name)
+    case ShowBloomIdx(name) => unknownTable(name)
     case DropMv(name, _) => throw new IllegalArgumentException(
       s"no materialized view '$name' " +
         s"(have: ${mviews.keys.toSeq.sorted.mkString(", ")})")
@@ -1025,7 +1147,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     val lc = colName.toLowerCase
     val dependents = mviews.values.filter(_.over.equalsIgnoreCase(tbl)).filter { mv =>
       mv.keys.exists(_.equalsIgnoreCase(colName)) ||
-        (mv.sums ++ mv.mins ++ mv.maxs ++ mv.avgs).exists { case (_, e) =>
+        (mv.sums ++ mv.mins ++ mv.maxs ++ mv.avgs ++
+          mv.where.map(w => ("where", w)).toSeq).exists { case (_, e) =>
           try spark.sessionState.sqlParser.parseExpression(e).collect {
             case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
               ua.name.toLowerCase
@@ -1079,6 +1202,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       case AddCol(n, _, _) if tables.contains(n) => root(n)
       case RenameCol(n, _, _) if tables.contains(n) => root(n)
       case DropColStmt(n, _) if tables.contains(n) => root(n)
+      case AlterColType(n, _, _) if tables.contains(n) => root(n)
     }.getOrElse(throw new IllegalArgumentException(
       "transaction batch has no statement that creates or mutates a managed " +
         "table — nothing to make atomic"))
@@ -1103,7 +1227,8 @@ object SqlRouter {
                           sums: Seq[(String, String)],
                           mins: Seq[(String, String)] = Nil,
                           maxs: Seq[(String, String)] = Nil,
-                          avgs: Seq[(String, String)] = Nil)
+                          avgs: Seq[(String, String)] = Nil,
+                          where: Option[String] = None)
 
   /** Parse the CREATE MATERIALIZED VIEW aggregate-clause blob — zero
     * or more of `SUM (...)`, `MIN (...)`, `MAX (...)` in any order,
@@ -1209,7 +1334,8 @@ object SqlRouter {
       j("sums") + ":" + j(aggList(spec.sums)),
       j("mins") + ":" + j(aggList(spec.mins)),
       j("maxs") + ":" + j(aggList(spec.maxs)),
-      j("avgs") + ":" + j(aggList(spec.avgs))
+      j("avgs") + ":" + j(aggList(spec.avgs)),
+      j("where") + ":" + j(spec.where.getOrElse(""))
     ).mkString("{", ",", "}")
     val out = f.create(p, /*overwrite=*/ true)
     try out.write(s"""{"mv":$body}""".getBytes("UTF-8")) finally out.close()
@@ -1234,7 +1360,8 @@ object SqlRouter {
         m.get(k).filter(_.trim.nonEmpty).map(parseSumList).getOrElse(Nil)
       Some(MvSpec(need("name"), need("over"), root,
         need("keys").split(',').map(_.trim).toSeq, need("count"),
-        aggList("sums"), aggList("mins"), aggList("maxs"), aggList("avgs")))
+        aggList("sums"), aggList("mins"), aggList("maxs"), aggList("avgs"),
+        m.get("where").map(_.trim).filter(_.nonEmpty)))
     }
   }
 

@@ -1,0 +1,364 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-file BLOOM-FILTER sidecars: the storage feature that makes
+  * point/IN predicates on UNCLUSTERED high-ndv columns prune files.
+  *
+  * Min/max skipping ([[FileStats]]) only helps when the layout is
+  * clustered on the predicate column — `doc_id = K` over a naturally
+  * ordered (or zordered-on-other-columns) table has every file's
+  * [min, max] covering K, so nothing prunes and the scan reads ALL of
+  * 100 TB for one row. A per-file bloom over the column answers
+  * "could this file contain K?" for ANY layout: ~3% false-positive
+  * rate at 8 bits/key with k=3 hashes (the arithmetic the engine
+  * already validates in-engine against exact truth — q146,
+  * graft/queries/Introspection.scala), so a point lookup plans ~3% of
+  * the files instead of 100%.
+  *
+  * Design:
+  *   - OPT-IN per column (`CREATE BLOOM INDEX ON t (cols)`) — blooms
+  *     cost a data scan of every NEWLY WRITTEN file at commit time
+  *     (one distributed job per commit over just the new files, never
+  *     the table) plus sidecar bytes; that is a price to pay only for
+  *     genuine lookup keys, exactly like every production lakehouse
+  *     bloom index.
+  *   - The column list is stored under PHYSICAL names
+  *     (`_graft_bloom.json`), so RENAME COLUMN keeps the index and
+  *     DROP COLUMN simply orphans its entries.
+  *   - One sidecar per version (`_graft_log/v%08d.bloom.json`), same
+  *     carry discipline as the stats sidecar: data files are
+  *     immutable, so carried files reuse their existing filters
+  *     byte-for-byte and only new files are harvested.
+  *   - Sizing: m = 8 bits per ROW of the file (an upper bound on its
+  *     distinct keys — never under-sized, so the theoretical FPR
+  *     (1-e^(-3/8))^3 ≈ 3.06% is a ceiling), clamped to [64, 2^23]
+  *     bits. Above the 1 MiB/column/file cap the filter saturates
+  *     gracefully — more false positives, never a wrong prune.
+  *   - Hashing mirrors q146 exactly: position_i = first-32-bits of
+  *     md5("b" + i + ":" + canonicalKey) mod m, i in 1..k. Canonical
+  *     keys are the plain decimal string for integral columns and the
+  *     UTF-8 string itself for string columns — the same form on the
+  *     write side (row values) and the probe side (Catalyst
+  *     literals), which is why eligibility is restricted to integral
+  *     and string types (float equality keys are a smell anyway).
+  *
+  * Safety: a bloom can only prove ABSENCE. A file without a filter
+  * for the probed column (pre-index files, dropped columns, saturated
+  * harvest failures) is always kept, and the original Filter stays on
+  * top of the pruned scan — identical results, fewer files planned.
+  */
+object FileBloom {
+
+  /** Bits per row (≥ bits per distinct key) and hash count — the
+    * q146-validated operating point (~3% FPR). */
+  val BitsPerKey = 8
+  val K = 3
+  private val MinBits = 64
+  private val MaxBits = 1 << 23 // 1 MiB of bits per column per file
+
+  /** One column's filter for one file. `bits` length is the BitSet's
+    * compact byte form; absent trailing zero bytes are implicit. */
+  final case class Bloom(m: Int, k: Int, bits: java.util.BitSet) {
+    def mightContain(baseHashes: Array[Long]): Boolean = {
+      var i = 0
+      while (i < k && i < baseHashes.length) {
+        if (!bits.get((baseHashes(i) % m).toInt)) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** file (root-relative) → physical column → filter. */
+  type Blooms = Map[String, Map[String, Bloom]]
+
+  /** The k base hashes of a canonical key string — q146's arithmetic:
+    * the first 32 bits of md5("b" + i + ":" + key) as an unsigned
+    * long, reduced mod m only at probe time (m varies per file). */
+  def baseHashes(key: String): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(K) { j =>
+      md.reset()
+      val d = md.digest(s"b${j + 1}:$key".getBytes(UTF_8))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+  }
+
+  /** Types whose canonical key form is stable between row values and
+    * Catalyst literals (plain decimal integers / the string itself). */
+  def isEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  private[graft] def sizeFor(rows: Long): Int =
+    math.min(MaxBits.toLong, math.max(MinBits.toLong, rows * BitsPerKey)).toInt
+
+  // -- index configuration (physical column names) --------------------
+
+  private def configPath(root: String) = new Path(root, "_graft_bloom.json")
+
+  /** The indexed PHYSICAL column names, or empty when no index. */
+  def config(spark: SparkSession, root: String): Seq[String] = {
+    val p = configPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val m = text.indexOf("\"cols\":\"")
+      require(m >= 0, s"bad bloom config at $p: ${text.take(120)}")
+      val start = m + 8
+      val end = text.indexOf('"', start)
+      text.substring(start, end).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  private[graft] def saveConfig(spark: SparkSession, root: String,
+                                physCols: Seq[String]): Unit = {
+    val p = configPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, /*overwrite=*/ true)
+    // column names here are \w+ identifiers (validated at CREATE), so
+    // the flat comma join needs no escaping
+    try out.write(s"""{"bloom":{"cols":"${physCols.mkString(",")}"}}"""
+      .getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def dropConfig(spark: SparkSession, root: String): Unit = {
+    val p = configPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false): Unit
+  }
+
+  // -- sidecar ---------------------------------------------------------
+
+  private[graft] def bloomPath(root: String, v: Int) =
+    new Path(root, f"_graft_log/v$v%08d.bloom.json")
+
+  private def b64(bs: java.util.BitSet): String =
+    java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
+
+  private[graft] def render(blooms: Blooms): String = {
+    val files = blooms.toSeq.sortBy(_._1).map { case (f, cols) =>
+      val cs = cols.toSeq.sortBy(_._1).map { case (c, b) =>
+        s"""${graft.util.Json.escape(c)}:{"m":${b.m},"k":${b.k},"bits":"${b64(b.bits)}"}"""
+      }.mkString("{", ",", "}")
+      s"${graft.util.Json.escape(f)}:$cs"
+    }.mkString("{", ",", "}")
+    s"""{"v":1,"files":$files}"""
+  }
+
+  private[graft] def parse(text: String): Blooms = {
+    var i = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"bloom sidecar: $msg at offset $i")
+    def expect(c: Char): Unit = {
+      if (i >= text.length || text.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def parseStr(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (text.charAt(i) != '"') {
+        text.charAt(i) match {
+          case '\\' =>
+            text.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'u' =>
+                sb.append(Integer.parseInt(text.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case c @ ('"' | '\\') => sb.append(c); i += 2
+              case c => fail(s"unknown escape '\\$c'")
+            }
+          case c => sb.append(c); i += 1
+        }
+      }
+      i += 1
+      sb.toString
+    }
+    def parseInt(): Int = {
+      val start = i
+      while (i < text.length && text.charAt(i).isDigit) i += 1
+      if (i == start) fail("expected number")
+      text.substring(start, i).toInt
+    }
+    def parseBloom(): Bloom = {
+      expect('{')
+      var m = 0; var k = K; var bits = new java.util.BitSet()
+      var more = true
+      while (more) {
+        parseStr() match {
+          case "m" => expect(':'); m = parseInt()
+          case "k" => expect(':'); k = parseInt()
+          case "bits" => expect(':')
+            bits = java.util.BitSet.valueOf(
+              java.util.Base64.getDecoder.decode(parseStr()))
+          case other => fail(s"unknown bloom field '$other'")
+        }
+        if (text.charAt(i) == ',') i += 1 else more = false
+      }
+      expect('}')
+      require(m > 0, "bloom without m")
+      Bloom(m, k, bits)
+    }
+    val fi = text.indexOf("\"files\":")
+    if (fi < 0) fail("missing field 'files'")
+    i = fi + 8
+    expect('{')
+    val out = Map.newBuilder[String, Map[String, Bloom]]
+    if (i < text.length && text.charAt(i) == '}') return out.result()
+    var more = true
+    while (more) {
+      val f = parseStr(); expect(':'); expect('{')
+      val cols = Map.newBuilder[String, Bloom]
+      if (text.charAt(i) == '}') { i += 1 }
+      else {
+        var cm = true
+        while (cm) {
+          val c = parseStr(); expect(':'); cols += c -> parseBloom()
+          if (text.charAt(i) == ',') i += 1 else cm = false
+        }
+        expect('}')
+      }
+      out += f -> cols.result()
+      if (text.charAt(i) == ',') i += 1 else more = false
+    }
+    expect('}')
+    out.result()
+  }
+
+  /** The bloom sidecar for `version`, or empty. */
+  def read(spark: SparkSession, root: String, version: Int): Blooms = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = bloomPath(root, version)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    parse(text)
+  }
+
+  // -- harvest ---------------------------------------------------------
+
+  /** Build filters for `files` (root-relative) over `physCols` in ONE
+    * distributed job: every partition folds its rows into per-(file,
+    * column) BitSets (file boundaries tracked via input_file_name —
+    * parquet files don't split across partitions at these sizes, and a
+    * split file would just produce two partials that OR together), and
+    * the driver ORs the partials. Executor memory is bounded by
+    * files-per-partition × columns × m/8 bytes (≤ 1 MiB each).
+    *
+    * `rowsOf` sizes each file's m from its exact row count (the stats
+    * sidecar's extras); files it doesn't cover fall back to a default
+    * sizing from the first partial's observation — never wrong, at
+    * worst more false positives.
+    */
+  private[graft] def harvest(spark: SparkSession, root: String,
+                             files: Seq[String], physCols: Seq[String],
+                             schema: StructType,
+                             rowsOf: Map[String, Long]): Blooms = {
+    if (files.isEmpty || physCols.isEmpty) return Map.empty
+    val present = physCols.filter(c => schema.fieldNames.contains(c))
+    if (present.isEmpty) return Map.empty
+    val subSchema = StructType(schema.fields.filter(f => present.contains(f.name)))
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // keyed by scheme-less absolute path: input_file_name()'s URI form
+    // (file:///...) differs from makeQualified's (file:/...) — the
+    // same normalization the mutation probes use
+    def pathOf(f: String): String =
+      fs.makeQualified(new Path(rootPath, f)).toUri.getPath
+    val mOf: Map[String, Int] = files.map { f =>
+      f -> sizeFor(rowsOf.getOrElse(f, 1L << 20))
+    }.toMap
+    val mByPath = files.map(f => pathOf(f) -> mOf(f)).toMap
+    val nCols = present.size
+    val df = spark.read.schema(subSchema)
+      .parquet(files.map(f => s"$root/$f"): _*)
+      .select(input_file_name().as("_graft_bloom_file") +:
+        present.map(col): _*)
+    val partials: Array[((String, Int), Array[Byte])] =
+      df.rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map.empty[(String, Int), java.util.BitSet]
+        var lastRaw: String = null
+        var lastPath: String = null
+        it.foreach { row =>
+          val raw = row.getString(0)
+          if (raw ne lastRaw) { // memoized URI→path parse, per file run
+            lastRaw = raw
+            lastPath = new Path(raw).toUri.getPath
+          }
+          val m = mByPath.getOrElse(lastPath, MaxBits)
+          var ci = 0
+          while (ci < nCols) {
+            if (!row.isNullAt(ci + 1)) {
+              val key = row.get(ci + 1).toString
+              val bs = acc.getOrElseUpdate((lastPath, ci),
+                new java.util.BitSet(m))
+              val hs = baseHashes(key)
+              var j = 0
+              while (j < hs.length) {
+                bs.set((hs(j) % m).toInt)
+                j += 1
+              }
+            }
+            ci += 1
+          }
+        }
+        acc.iterator.map { case (k, bs) => (k, bs.toByteArray) }
+      }.collect()
+    val merged = scala.collection.mutable.Map.empty[(String, Int), java.util.BitSet]
+    partials.foreach { case (k, bytes) =>
+      val bs = java.util.BitSet.valueOf(bytes)
+      merged.get(k) match {
+        case Some(m0) => m0.or(bs)
+        case None => merged.put(k, bs): Unit
+      }
+    }
+    // every (file, col) gets an entry — a file with zero non-null
+    // values in the column gets an EMPTY filter, which correctly
+    // proves every point lookup misses it
+    files.map { f =>
+      val p = pathOf(f)
+      f -> present.zipWithIndex.map { case (c, ci) =>
+        c -> Bloom(mOf(f), K,
+          merged.getOrElse((p, ci), new java.util.BitSet()))
+      }.toMap
+    }.toMap
+  }
+
+  /** Write the bloom sidecar for a just-committed snapshot: carried
+    * files reuse their filters, new files harvest — but only when the
+    * table has a bloom index configured. Called best-effort from the
+    * commit choke point, exactly like the stats sidecar. */
+  private[graft] def write(spark: SparkSession, root: String,
+                           snap: ManagedTable.Snapshot): Unit = {
+    val cols = config(spark, root)
+    if (cols.isEmpty) return
+    val prev = read(spark, root, snap.version - 1)
+    val fresh = snap.files.filterNot(prev.contains)
+    val harvested =
+      if (fresh.isEmpty) Map.empty[String, Map[String, Bloom]]
+      else {
+        val rowsOf = FileStats.readAll(spark, root, snap.version)._2
+          .map { case (f, e) => f -> e.rows }
+        harvest(spark, root, fresh, cols, snap.physicalSchema, rowsOf)
+      }
+    val merged: Blooms = snap.files.flatMap { f =>
+      prev.get(f).orElse(harvested.get(f)).map(f -> _)
+    }.toMap
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(bloomPath(root, snap.version), /*overwrite=*/ true)
+    try out.write(render(merged).getBytes("UTF-8")) finally out.close()
+  }
+}

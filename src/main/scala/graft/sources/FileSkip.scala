@@ -56,14 +56,53 @@ object FileSkip {
   final case class StrBound(lo: Option[String], hi: Option[String],
                             points: Option[Seq[String]] = None) extends Bound
 
-  // qualified file path -> column -> recorded range
-  private val byFile = TrieMap.empty[String, Map[String, ColRange]]
+  /** One column's full probe: an optional value range, an optional
+    * NULLNESS requirement — `Some(true)` = every matching row is NULL
+    * in the column (`IS NULL`), `Some(false)` = non-null (`IS NOT
+    * NULL`, also implied by any range/point predicate, which never
+    * matches NULL) — and optional pre-hashed point-lookup keys for the
+    * bloom probe. Nullness prunes against the v2 sidecar's exact
+    * per-file null counts: an all-null file fails `Some(false)`, a
+    * zero-null file fails `Some(true)` — the most common cleaning
+    * predicates (`WHERE x IS NOT NULL`) over a mostly-dirty or
+    * mostly-clean layout become file skips. `bloomKeys` (the md5 base
+    * hashes of every admissible point value, computed ONCE per query,
+    * not per file) drops any file whose bloom filter proves it holds
+    * NONE of the points — the unclustered-layout point-lookup path
+    * min/max can never serve. */
+  final case class Pred(range: Option[Bound], nullness: Option[Boolean],
+                        bloomKeys: Option[Seq[Array[Long]]] = None)
+
+  /** Everything the registry knows about one immutable data file:
+    * per-column ranges, exact row count / per-column null counts when
+    * the sidecar generation that recorded it proved them, and any
+    * bloom filters a configured index harvested. */
+  private[graft] final case class FileInfo(cols: Map[String, ColRange],
+                                           rows: Option[Long],
+                                           nulls: Map[String, Long],
+                                           blooms: Map[String, FileBloom.Bloom] =
+                                             Map.empty)
+
+  // qualified file path -> everything recorded about it
+  private val byFile = TrieMap.empty[String, FileInfo]
   // (root, version) sidecars already folded in
   private val loaded = TrieMap.empty[(String, Int), Unit]
 
   def isEmpty: Boolean = byFile.isEmpty
   private[graft] def size: Int = byFile.size
   private[graft] def clear(): Unit = { byFile.clear(); loaded.clear() }
+
+  /** Forget everything registered under `root` — the re-registration
+    * hook a bloom-index BACKFILL needs (already-cached FileInfo entries
+    * predate the new sidecar; immutability makes entries permanent
+    * facts EXCEPT when a new index adds information to them). */
+  private[graft] def invalidate(spark: SparkSession, root: String): Unit = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = fs.makeQualified(rootPath).toString + "/"
+    loaded.keys.filter(_._1 == root).foreach(loaded.remove)
+    byFile.keys.filter(_.startsWith(prefix)).foreach(byFile.remove)
+  }
 
   /** Measurement-only kill switch (ScaleBench A/B cells): clearing the
     * registry alone cannot model "skipping off", because the very read
@@ -78,19 +117,28 @@ object FileSkip {
                snap: ManagedTable.Snapshot): Unit =
     try {
       if (loaded.putIfAbsent((root, snap.version), ()).isEmpty) {
-        val stats = FileStats.read(spark, root, snap.version)
-        if (stats.nonEmpty) {
+        val (stats, extras) = FileStats.readAll(spark, root, snap.version)
+        val blooms = FileBloom.read(spark, root, snap.version)
+        if (stats.nonEmpty || blooms.nonEmpty) {
           val rootPath = new Path(root)
           val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          stats.foreach { case (rel, cols) =>
-            if (cols.nonEmpty && byFile.size < MaxFiles) {
+          (stats.keySet ++ blooms.keySet).foreach { rel =>
+            val cols = stats.getOrElse(rel, Map.empty)
+            val extra = extras.get(rel)
+            val bl = blooms.getOrElse(rel, Map.empty)
+            if ((cols.nonEmpty || extra.nonEmpty || bl.nonEmpty) &&
+                byFile.size < MaxFiles) {
               val q = fs.makeQualified(new Path(rootPath, rel)).toString
               if (!byFile.contains(q))
-                byFile.put(q, cols.map { case (c, (mn, mx)) =>
-                  c -> ColRange((mn, mx),
-                    try Some((BigDecimal(mn), BigDecimal(mx)))
-                    catch { case _: NumberFormatException => None })
-                })
+                byFile.put(q, FileInfo(
+                  cols.map { case (c, (mn, mx)) =>
+                    c -> ColRange((mn, mx),
+                      try Some((BigDecimal(mn), BigDecimal(mx)))
+                      catch { case _: NumberFormatException => None })
+                  },
+                  extra.map(_.rows),
+                  extra.map(_.nulls).getOrElse(Map.empty),
+                  bl))
             }
           }
         }
@@ -101,33 +149,54 @@ object FileSkip {
     }
 
   /** Can any row of `file` (a qualified path string) satisfy every
-    * per-column bound? Unregistered files and unconstrained columns
+    * per-column probe? Unregistered files and unconstrained columns
     * always may — pruning is a PROOF of emptiness, never a guess.
-    * Bounds are inclusive both ends ([[graft.plans.FileSkipScan]]
+    * Range bounds are inclusive both ends ([[graft.plans.FileSkipScan]]
     * relaxes strict comparisons to inclusive before calling — keeping
-    * a boundary file is safe; dropping one is not). */
-  def mayMatch(file: String, bounds: Map[String, Bound]): Boolean =
+    * a boundary file is safe; dropping one is not). Nullness prunes
+    * only on the sidecar's EXACT counts: `IS NULL` drops a file whose
+    * null count is proven 0; `IS NOT NULL` drops one whose null count
+    * equals its row count (all-null — which the min/max probe alone
+    * can never catch, because an all-null column records no range). */
+  def mayMatch(file: String, bounds: Map[String, Pred]): Boolean =
     byFile.get(file) match {
       case None => true
-      case Some(cols) => bounds.forall { case (c, bound) =>
-        cols.get(c) match {
-          case None => true
-          case Some(cr) => bound match {
-            case NumBound(lo, hi, points) => cr.num match {
-              case None => true // string-valued entry probed numerically: keep
-              case Some((mn, mx)) =>
-                lo.forall(l => mx >= l) && hi.forall(h => mn <= h) &&
-                  points.forall(_.exists(p => p >= mn && p <= mx))
+      case Some(info) => bounds.forall { case (c, pred) =>
+        val rangeOk = pred.range.forall { bound =>
+          info.cols.get(c) match {
+            case None => true
+            case Some(cr) => bound match {
+              case NumBound(lo, hi, points) => cr.num match {
+                case None => true // string-valued entry probed numerically: keep
+                case Some((mn, mx)) =>
+                  lo.forall(l => mx >= l) && hi.forall(h => mn <= h) &&
+                    points.forall(_.exists(p => p >= mn && p <= mx))
+              }
+              case StrBound(lo, hi, points) =>
+                val (mn, mx) = cr.raw
+                lo.forall(l => FileStats.utf8Compare(mx, l) >= 0) &&
+                  hi.forall(h => FileStats.utf8Compare(mn, h) <= 0) &&
+                  points.forall(_.exists(p =>
+                    FileStats.utf8Compare(p, mn) >= 0 &&
+                      FileStats.utf8Compare(p, mx) <= 0))
             }
-            case StrBound(lo, hi, points) =>
-              val (mn, mx) = cr.raw
-              lo.forall(l => FileStats.utf8Compare(mx, l) >= 0) &&
-                hi.forall(h => FileStats.utf8Compare(mn, h) <= 0) &&
-                points.forall(_.exists(p =>
-                  FileStats.utf8Compare(p, mn) >= 0 &&
-                    FileStats.utf8Compare(p, mx) <= 0))
           }
         }
+        val nullOk = pred.nullness.forall {
+          case true => !info.nulls.get(c).contains(0L)
+          case false =>
+            !(info.rows.isDefined && info.nulls.get(c) == info.rows)
+        }
+        // bloom: keep only if SOME admissible point might be present.
+        // An empty point set (contradictory equalities) proves
+        // emptiness; a file without a filter for the column is kept.
+        val bloomOk = pred.bloomKeys.forall { keys =>
+          info.blooms.get(c) match {
+            case None => true
+            case Some(b) => keys.exists(b.mightContain)
+          }
+        }
+        rangeOk && nullOk && bloomOk
       }
     }
 }

@@ -39,6 +39,21 @@ object FileStats {
   /** file (root-relative) → column → (min, max) as plain decimal strings. */
   type Stats = Map[String, Map[String, (String, String)]]
 
+  /** Per-file EXTENDED stats (v2 sidecar): exact row count plus exact
+    * per-column null counts — what `IS NULL` / `IS NOT NULL` pruning
+    * needs (an all-null file is provably empty under IS NOT NULL; a
+    * no-null file under IS NULL). `nulls` holds only columns whose
+    * count is PROVEN (every row group's footer carries a null count);
+    * an absent column is unknown and its file is simply never pruned
+    * on nullness. Unlike min/max, null counts exist for EVERY flat
+    * primitive column — binary payloads included — because parquet
+    * tracks them independently of value ordering. */
+  final case class Extra(rows: Long, nulls: Map[String, Long])
+
+  /** file (root-relative) → its extended stats (absent for files
+    * carried from pre-v2 sidecars — unknown, never pruned). */
+  type Extras = Map[String, Extra]
+
   /** Types whose parquet footer stats are totally ordered values we
     * can compare. Timestamps and dates qualify: Spark writes them as
     * INT64 micros / INT32 days, their footer stats come back as plain
@@ -122,18 +137,28 @@ object FileStats {
   private[graft] def statsPath(root: String, v: Int) =
     new Path(root, f"_graft_log/v$v%08d.stats.json")
 
-  /** Harvest (min, max) per requested column from ONE file's footer —
-    * row-group stats merged per column. `cols` maps each wanted column
-    * to its TABLE type, so every chunk's physical+logical parquet type
-    * is validated against it ([[footerComparable]]) before its stats
-    * are trusted — a millis-unit timestamp file or an INT96 legacy
-    * file contributes nothing and stays always-kept. Returns only
-    * columns with a usable range; anything doubtful is absent (→ the
-    * file is kept). String values are recorded verbatim (UTF-8
-    * decoded); numerics as plain decimal strings.
+  /** Harvest (min, max) per requested column — plus the file's exact
+    * row count and per-column null counts ([[Extra]]) — from ONE
+    * file's footer, row-group stats merged per column. `cols` maps
+    * each RANGE-eligible column to its TABLE type, so every chunk's
+    * physical+logical parquet type is validated against it
+    * ([[footerComparable]]) before its range stats are trusted — a
+    * millis-unit timestamp file or an INT96 legacy file contributes
+    * nothing and stays always-kept. Returns only columns with a
+    * usable range; anything doubtful is absent (→ the file is kept).
+    * String values are recorded verbatim (UTF-8 decoded); numerics as
+    * plain decimal strings.
+    *
+    * Null counts are harvested for `nullCols` (every flat column of
+    * the table, any type — nullness needs no value ordering, so the
+    * type gate above does not apply) and kept only when EVERY row
+    * group's footer proves one; nested columns never match their flat
+    * name and simply stay unknown.
     */
   private[graft] def harvest(spark: SparkSession, root: String, rel: String,
-                               cols: Map[String, DataType]): Map[String, (String, String)] = {
+                               cols: Map[String, DataType],
+                               nullCols: Set[String] = Set.empty)
+      : (Map[String, (String, String)], Extra) = {
     val in = HadoopInputFile.fromPath(new Path(root, rel),
       spark.sparkContext.hadoopConfiguration)
     val r = ParquetFileReader.open(in)
@@ -141,56 +166,185 @@ object FileStats {
       val num = scala.collection.mutable.Map[String, (BigDecimal, BigDecimal)]()
       val str = scala.collection.mutable.Map[String, (String, String)]()
       val bad = scala.collection.mutable.Set[String]()
-      for (b <- r.getFooter.getBlocks.asScala; c <- b.getColumns.asScala) {
-        val name = c.getPath.toDotString
-        val dt = cols.get(name)
-        if (dt.isDefined && !bad(name)) {
+      val nulls = scala.collection.mutable.Map[String, Long]()
+      val badNulls = scala.collection.mutable.Set[String]()
+      var rows = 0L
+      for (b <- r.getFooter.getBlocks.asScala) {
+        rows += b.getRowCount
+        for (c <- b.getColumns.asScala) {
+          val name = c.getPath.toDotString
           val st = c.getStatistics
-          if (st == null || st.isEmpty) bad += name // no stats: cannot prune
-          else if (!footerComparable(dt.get, c.getPrimitiveType)) bad += name
-          else if (st.hasNonNullValue) {
-            if (dt.get == StringType) {
-              val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
-                .toStringUsingUTF8
-              val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
-                .toStringUsingUTF8
-              str(name) = str.get(name).fold((mn, mx)) { case (a, b) =>
-                (if (utf8Compare(mn, a) < 0) mn else a,
-                 if (utf8Compare(mx, b) > 0) mx else b)
-              }
-            } else {
-              try {
-                val mn = BigDecimal(st.genericGetMin.toString)
-                val mx = BigDecimal(st.genericGetMax.toString)
-                val merged = num.get(name).fold((mn, mx))(p => (p._1.min(mn), p._2.max(mx)))
-                num(name) = merged
-              } catch { case _: NumberFormatException => bad += name } // NaN etc.
-            }
+          if (nullCols.contains(name) && !badNulls(name)) {
+            // a null count is a proof: every row group must carry one
+            if (st == null || !st.isNumNullsSet || st.getNumNulls < 0) {
+              badNulls += name; nulls.remove(name): Unit
+            } else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
           }
-          // all-null row group: contributes no range — a range predicate
-          // never matches NULL, so ignoring it is correct
+          val dt = cols.get(name)
+          if (dt.isDefined && !bad(name)) {
+            if (st == null || st.isEmpty) bad += name // no stats: cannot prune
+            else if (!footerComparable(dt.get, c.getPrimitiveType)) bad += name
+            else if (st.hasNonNullValue) {
+              if (dt.get == StringType) {
+                val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8
+                val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8
+                str(name) = str.get(name).fold((mn, mx)) { case (a, b) =>
+                  (if (utf8Compare(mn, a) < 0) mn else a,
+                   if (utf8Compare(mx, b) > 0) mx else b)
+                }
+              } else {
+                try {
+                  val mn = BigDecimal(st.genericGetMin.toString)
+                  val mx = BigDecimal(st.genericGetMax.toString)
+                  val merged = num.get(name).fold((mn, mx))(p => (p._1.min(mn), p._2.max(mx)))
+                  num(name) = merged
+                } catch { case _: NumberFormatException => bad += name } // NaN etc.
+              }
+            }
+            // all-null row group: contributes no range — a range predicate
+            // never matches NULL, so ignoring it is correct
+          }
         }
       }
       bad.foreach { n => num.remove(n); str.remove(n) }
-      num.map { case (k, (mn, mx)) =>
+      val ranges = num.map { case (k, (mn, mx)) =>
         k -> (mn.bigDecimal.toPlainString, mx.bigDecimal.toPlainString)
       }.toMap ++ str.toMap
+      (ranges, Extra(rows, nulls.toMap))
     } finally r.close()
   }
 
   // -- sidecar (de)serialization, same minimal discipline as the manifest --
 
-  private[graft] def render(stats: Stats): String = {
+  /** v2 sidecar: `{"v":2,"files":{"<f>":{"cols":{"c":["mn","mx"],...}
+    * [,"rows":N,"nulls":{"c":N,...}]},...}}`. `rows`/`nulls` are
+    * omitted for files whose extras are unknown (carried from a pre-v2
+    * sidecar) — readers then simply never prune those on nullness.
+    * [[parse]]/[[parseExtras]] read BOTH generations (v1 sidecars on
+    * disk keep working; their extras are empty). */
+  private[graft] def render(stats: Stats, extras: Extras = Map.empty): String = {
     val files = stats.toSeq.sortBy(_._1).map { case (f, cols) =>
       val cs = cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         s"${graft.util.Json.escape(c)}:[${graft.util.Json.escape(mn)},${graft.util.Json.escape(mx)}]"
       }.mkString("{", ",", "}")
-      s"${graft.util.Json.escape(f)}:$cs"
+      val extra = extras.get(f).map { e =>
+        val ns = e.nulls.toSeq.sortBy(_._1).map { case (c, n) =>
+          s"${graft.util.Json.escape(c)}:$n"
+        }.mkString("{", ",", "}")
+        s""","rows":${e.rows},"nulls":$ns"""
+      }.getOrElse("")
+      s"""${graft.util.Json.escape(f)}:{"cols":$cs$extra}"""
     }.mkString("{", ",", "}")
-    s"""{"files":$files}"""
+    s"""{"v":2,"files":$files}"""
   }
 
-  private[graft] def parse(text: String): Stats = {
+  private[graft] def parse(text: String): Stats = parseAll(text)._1
+
+  private[graft] def parseExtras(text: String): Extras = parseAll(text)._2
+
+  private[graft] def parseAll(text: String): (Stats, Extras) =
+    if (text.replaceAll("\\s", "").startsWith("""{"v":2""")) parseV2(text)
+    else (parseV1(text), Map.empty)
+
+  private def parseV2(text: String): (Stats, Extras) = {
+    var i = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"stats sidecar v2: $msg at offset $i")
+    def expect(c: Char): Unit = {
+      if (i >= text.length || text.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def parseStr(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (text.charAt(i) != '"') {
+        text.charAt(i) match {
+          case '\\' =>
+            text.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'u' =>
+                sb.append(Integer.parseInt(text.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case c @ ('"' | '\\') => sb.append(c); i += 2
+              case c => fail(s"unknown escape '\\$c'")
+            }
+          case c => sb.append(c); i += 1
+        }
+      }
+      i += 1
+      sb.toString
+    }
+    def parseLong(): Long = {
+      val start = i
+      if (i < text.length && text.charAt(i) == '-') i += 1
+      while (i < text.length && text.charAt(i).isDigit) i += 1
+      if (i == start) fail("expected number")
+      text.substring(start, i).toLong
+    }
+    def parseCols(): Map[String, (String, String)] = {
+      expect('{')
+      val m = Map.newBuilder[String, (String, String)]
+      if (text.charAt(i) == '}') { i += 1; return m.result() }
+      var more = true
+      while (more) {
+        val c = parseStr(); expect(':')
+        expect('['); val mn = parseStr(); expect(','); val mx = parseStr(); expect(']')
+        m += c -> ((mn, mx))
+        if (text.charAt(i) == ',') i += 1 else more = false
+      }
+      expect('}')
+      m.result()
+    }
+    def parseNulls(): Map[String, Long] = {
+      expect('{')
+      val m = Map.newBuilder[String, Long]
+      if (text.charAt(i) == '}') { i += 1; return m.result() }
+      var more = true
+      while (more) {
+        val c = parseStr(); expect(':'); m += c -> parseLong()
+        if (text.charAt(i) == ',') i += 1 else more = false
+      }
+      expect('}')
+      m.result()
+    }
+    val fi = text.indexOf("\"files\":")
+    if (fi < 0) fail("missing field 'files'")
+    i = fi + 8
+    expect('{')
+    val stats = Map.newBuilder[String, Map[String, (String, String)]]
+    val extras = Map.newBuilder[String, Extra]
+    if (i < text.length && text.charAt(i) == '}')
+      return (stats.result(), extras.result())
+    var more = true
+    while (more) {
+      val f = parseStr(); expect(':'); expect('{')
+      var cols = Map.empty[String, (String, String)]
+      var rows = Option.empty[Long]
+      var nulls = Map.empty[String, Long]
+      var fields = true
+      while (fields) {
+        parseStr() match {
+          case "cols" => expect(':'); cols = parseCols()
+          case "rows" => expect(':'); rows = Some(parseLong())
+          case "nulls" => expect(':'); nulls = parseNulls()
+          case other => fail(s"unknown file field '$other'")
+        }
+        if (text.charAt(i) == ',') i += 1 else fields = false
+      }
+      expect('}')
+      stats += f -> cols
+      rows.foreach(n => extras += f -> Extra(n, nulls))
+      if (text.charAt(i) == ',') i += 1 else more = false
+    }
+    expect('}')
+    (stats.result(), extras.result())
+  }
+
+  private def parseV1(text: String): Stats = {
     var i = 0
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"stats sidecar: $msg at offset $i")
@@ -259,14 +413,19 @@ object FileStats {
   /** The stats sidecar for `version`, or empty if never written /
     * vacuumed away (readers then keep every file — safe).
     */
-  def read(spark: SparkSession, root: String, version: Int): Stats = {
+  def read(spark: SparkSession, root: String, version: Int): Stats =
+    readAll(spark, root, version)._1
+
+  /** Ranges AND extended stats (one sidecar read). Extras are empty
+    * for pre-v2 sidecars — nullness pruning then simply never fires. */
+  def readAll(spark: SparkSession, root: String, version: Int): (Stats, Extras) = {
     val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = statsPath(root, version)
-    if (!f.exists(p)) return Map.empty
+    if (!f.exists(p)) return (Map.empty, Map.empty)
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    parse(text)
+    parseAll(text)
   }
 
   /** Write the sidecar for a just-committed snapshot: previous
@@ -274,23 +433,56 @@ object FileStats {
     * snapshot's file list); only files the previous sidecar does not
     * cover get a footer harvest. Overwrite is safe — the manifest's
     * exclusive create already picked the unique winner for this
-    * version.
+    * version. (A file carried from a pre-v2 sidecar keeps its ranges
+    * and stays WITHOUT extras — data files are immutable, so
+    * re-harvesting would be pure cost; its nullness is simply never
+    * proven.)
     */
   private[graft] def write(spark: SparkSession, root: String,
-                             snap: ManagedTable.Snapshot,
-                             prev: Stats): Unit = {
+                             snap: ManagedTable.Snapshot): Unit = {
+    val (prev, prevExtra) = readAll(spark, root, snap.version - 1)
     // keyed by PHYSICAL names — what the footers (and any pushed-down
     // predicate over the scan relation) actually carry
     val rangeCols = snap.schema.fields.filter(f => isRangeType(f.dataType))
       .map(f => snap.physicalName(f.name) -> f.dataType).toMap
+    val nullCols = snap.schema.fields.map(f => snap.physicalName(f.name)).toSet
+    val harvested: Map[String, (Map[String, (String, String)], Extra)] =
+      snap.files.filterNot(prev.contains)
+        .map(f => f -> harvest(spark, root, f, rangeCols, nullCols)).toMap
     val merged: Stats = snap.files.map { f =>
-      f -> prev.getOrElse(f,
-        if (rangeCols.isEmpty) Map.empty[String, (String, String)]
-        else harvest(spark, root, f, rangeCols))
+      f -> prev.getOrElse(f, harvested(f)._1)
+    }.toMap
+    val extras: Extras = snap.files.flatMap { f =>
+      prevExtra.get(f).orElse(harvested.get(f).map(_._2)).map(f -> _)
     }.toMap
     val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fsys.create(statsPath(root, snap.version), /*overwrite=*/ true)
-    try out.write(render(merged).getBytes("UTF-8")) finally out.close()
+    try out.write(render(merged, extras).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Re-render a FLOAT column's sidecar entries after a FLOAT→DOUBLE
+    * widening: each recorded shortest-float string becomes the EXACT
+    * decimal expansion of its float value (floats embed exactly in
+    * double/BigDecimal), so comparisons against double literals stay
+    * sound. Entries that don't parse as floats (defensive) drop — a
+    * missing entry only costs pruning, never correctness. */
+  private[graft] def refloatSidecar(spark: SparkSession, root: String,
+                                    version: Int, physName: String): Unit = {
+    val (stats, extras) = readAll(spark, root, version)
+    if (stats.isEmpty) return
+    val fixed: Stats = stats.map { case (f, cols) =>
+      f -> cols.flatMap { case (c, (mn, mx)) =>
+        if (c != physName) Some(c -> ((mn, mx)))
+        else try {
+          val lo = new java.math.BigDecimal(java.lang.Float.parseFloat(mn).toDouble)
+          val hi = new java.math.BigDecimal(java.lang.Float.parseFloat(mx).toDouble)
+          Some(c -> ((lo.toPlainString, hi.toPlainString)))
+        } catch { case _: NumberFormatException => None }
+      }
+    }
+    val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fsys.create(statsPath(root, version), /*overwrite=*/ true)
+    try out.write(render(fixed, extras).getBytes("UTF-8")) finally out.close()
   }
 
   /** The surviving file list for `lo <= colName <= hi`: a file is

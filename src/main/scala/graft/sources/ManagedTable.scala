@@ -261,10 +261,20 @@ object ManagedTable {
     // the manifest is durably staged: record it with the live
     // transaction (publish tags exactly these; abort deletes them)
     Txn.current.foreach(_.stage(root, s.version))
-    try FileStats.write(spark, root, s, FileStats.read(spark, root, s.version - 1))
+    try FileStats.write(spark, root, s)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[managed-table] stats sidecar for v${s.version} " +
         s"not written (${e.getMessage}) — range reads will scan unpruned")
+    }
+    // Bloom-filter sidecar (FileBloom): only for tables with a bloom
+    // index configured; new files get a one-job harvest, carried files
+    // reuse their filters. Same best-effort contract as the stats
+    // sidecar — a bloom failure degrades to "point lookups scan
+    // unpruned", never a failed commit.
+    try FileBloom.write(spark, root, s)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[managed-table] bloom sidecar for v${s.version} " +
+        s"not written (${e.getMessage}) — point lookups will scan unpruned")
     }
     // ANY row-changing commit makes ANALYZE statistics stale — dropped
     // HERE, at the one choke point every mutation path shares, so a
@@ -833,6 +843,69 @@ object ManagedTable {
       physical = if (phys == name) snap.physical else snap.physical + (name -> phys)))
   }
 
+  /** The legal type WIDENINGS: every old value is exactly
+    * representable in the new type AND Spark's parquet readers upcast
+    * the old physical encoding transparently (INT32/INT64 integer
+    * promotion, FLOAT→DOUBLE — verified against both the vectorized
+    * and row-based readers). Everything else would need a file
+    * rewrite and is refused. */
+  private val widenings: Map[DataType, Set[DataType]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      ByteType -> Set[DataType](ShortType, IntegerType, LongType),
+      ShortType -> Set[DataType](IntegerType, LongType),
+      IntegerType -> Set[DataType](LongType),
+      FloatType -> Set[DataType](DoubleType))
+  }
+
+  /** ALTER TABLE ALTER COLUMN c TYPE t: type WIDENING as a
+    * metadata-only commit. The manifest records the widened logical
+    * type; data files keep their physical encodings and readers
+    * upcast through the declared schema (parquet integer/float
+    * promotion — the reason only [[widenings]] qualify), so the
+    * operation costs one manifest write at ANY table size. New files
+    * written after the commit carry the widened type natively; the
+    * two generations coexist in one table transparently.
+    *
+    * Stats interplay: ANALYZE statistics are invalidated (the ndv
+    * sketch hashes values through their string forms, which change
+    * across a float widening). The FileStats sidecar is kept BUT its
+    * entries for a FLOAT→DOUBLE column are re-rendered as the exact
+    * decimal expansion of the float value: the shortest-float string
+    * "0.1" means 0.100000001490116… once rows are read as doubles,
+    * and comparing the short form against double literals could
+    * wrongly prune a boundary file. Integral widenings need no fix
+    * (decimal strings are exact).
+    */
+  def alterColumnType(spark: SparkSession, root: String, name: String,
+                      newType: DataType): Snapshot = {
+    val snap = latest(spark, root)
+    require(snap.schema.fieldNames.contains(name),
+      s"alter type: no such column '$name' (${snap.schema.toDDL})")
+    val oldType = snap.schema(name).dataType
+    require(oldType != newType,
+      s"alter type: column '$name' already is ${newType.simpleString}")
+    require(widenings.get(oldType).exists(_.contains(newType)),
+      s"alter type: ${oldType.simpleString} -> ${newType.simpleString} is not a " +
+        "widening (allowed: byte/short/int -> wider integers, float -> double); " +
+        "narrowing or re-typing would need a full rewrite — create a new table")
+    val widened = StructType(snap.schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f))
+    val committed = commit(spark, root,
+      Snapshot(snap.version + 1,
+        s"alter_column_type($name:${oldType.simpleString}->${newType.simpleString})",
+        widened.toDDL, snap.files, physical = snap.physical))
+    if (oldType == org.apache.spark.sql.types.FloatType) {
+      FileStats.refloatSidecar(spark, root, committed.version,
+        snap.physicalName(name))
+      // already-registered in-memory entries still carry the
+      // shortest-float strings — drop them so reads re-register from
+      // the re-rendered sidecar (same reasoning as the bloom backfill)
+      FileSkip.invalidate(spark, root)
+    }
+    committed
+  }
+
   /** ALTER TABLE RENAME COLUMN: a metadata-only commit remapping the
     * logical name onto the column's unchanged physical name — no data
     * file is touched at any table size. The new name must be free;
@@ -957,6 +1030,7 @@ object ManagedTable {
     h.dropRight(retainVersions).foreach { s =>
       f.delete(manifestPath(root, s.version), false)
       f.delete(FileStats.statsPath(root, s.version), false)
+      f.delete(FileBloom.bloomPath(root, s.version), false)
     }
     val live = retained.flatMap(_.files).toSet
     val dataDir = new Path(root, "data")

@@ -49,7 +49,15 @@ object TableStatistics {
   final case class ColStats(ndv: Long, min: Option[Double],
                             max: Option[Double], hist: Seq[Double],
                             sketch: String = "",
-                            histMerged: Boolean = false)
+                            histMerged: Boolean = false,
+                            nullCount: Long = -1) {
+    /** Fraction of NULL rows, or 0 when never collected (legacy
+      * sidecars) — a planner consuming 0 simply keeps the estimate it
+      * had before null statistics existed. */
+    def nullFrac(tableRows: Long): Double =
+      if (nullCount < 0 || tableRows <= 0) 0.0
+      else math.min(1.0, nullCount.toDouble / tableRows.toDouble)
+  }
 
   final case class TableStats(version: Int, rows: Long, bytes: Long,
                               cols: Map[String, ColStats]) {
@@ -118,7 +126,10 @@ object TableStatistics {
                        numeric: Seq[String]): org.apache.spark.sql.Row = {
     val fields = df.schema.fields.toSeq
     val aggs = count(lit(1)).as("_n") +: fields.flatMap { f =>
-      hll_sketch_agg(col(f.name).cast("string")).as(s"_sk_${f.name}") +:
+      Seq(hll_sketch_agg(col(f.name).cast("string")).as(s"_sk_${f.name}"),
+        // count(col) skips NULLs: rows - it = the exact null count —
+        // the selectivity input IS NULL / IS NOT NULL planning needs
+        count(col(f.name)).as(s"_cnt_${f.name}")) ++
         (if (numeric.contains(f.name))
            Seq(min(col(f.name)).cast("double").as(s"_min_${f.name}"),
              max(col(f.name)).cast("double").as(s"_max_${f.name}"))
@@ -173,7 +184,8 @@ object TableStatistics {
         max = if (numeric.contains(f.name)) opt(s"_max_${f.name}") else None,
         hist = hists.getOrElse(f.name, Nil),
         sketch = Option(row.getAs[Array[Byte]](s"_sk_${f.name}"))
-          .map(b64).getOrElse(""))
+          .map(b64).getOrElse(""),
+        nullCount = n - row.getAs[Long](s"_cnt_${f.name}"))
     }.toMap
     TableStats(version, n, bytes, cols)
   }
@@ -393,6 +405,12 @@ object TableStatistics {
             val dNdv = row.getAs[Long](s"_ndv_${f.name}")
             val dSk = Option(row.getAs[Array[Byte]](s"_sk_${f.name}"))
               .map(b64).getOrElse("")
+            // null counts merge ADDITIVELY like rows/bytes (exact, not
+            // an approximation); a legacy base without the statistic
+            // stays unknown rather than pretending
+            val dNull = deltaRows - row.getAs[Long](s"_cnt_${f.name}")
+            def addNulls(baseNull: Long): Long =
+              if (baseNull < 0) -1L else baseNull + dNull
             f.name -> (merged.get(f.name) match {
               case Some((ndv, sk)) =>
                 val baseHist = b.map(_.hist).getOrElse(Nil)
@@ -403,11 +421,21 @@ object TableStatistics {
                   mergeHistograms(baseHist, base.rows, deltaHist, deltaRows),
                   sk,
                   histMerged = b.exists(_.histMerged) ||
-                    (baseHist.size >= 2 && deltaHist.size >= 2))
-              case None => // new column, or no delta values: one side only
-                b.filter(_.sketch.nonEmpty)
-                  .getOrElse(ColStats(dNdv, dMin, dMax,
-                    deltaHists.getOrElse(f.name, Nil), dSk))
+                    (baseHist.size >= 2 && deltaHist.size >= 2),
+                  nullCount = addNulls(b.map(_.nullCount).getOrElse(-1L)))
+              case None => b.filter(_.sketch.nonEmpty) match {
+                case Some(bs) =>
+                  // no delta values in this column (its delta sketch is
+                  // null): every appended row is NULL here — values,
+                  // ranges, ndv all carry; only the null count moves
+                  bs.copy(nullCount = addNulls(bs.nullCount))
+                case None =>
+                  // column added since the base ANALYZE: the base files
+                  // lack it entirely, so every base row reads NULL
+                  ColStats(dNdv, dMin, dMax,
+                    deltaHists.getOrElse(f.name, Nil), dSk,
+                    nullCount = base.rows + dNull)
+              }
             })
           }.toMap
           val ts = TableStats(cur.version, base.rows + deltaRows,
@@ -445,6 +473,7 @@ object TableStatistics {
         "_bytes" -> ts.bytes.toString) ++
         ts.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
           val parts = Seq(s"ndv=${cs.ndv}") ++
+            (if (cs.nullCount >= 0) Seq(s"nn=${cs.nullCount}") else Nil) ++
             cs.min.map(v => s"min=$v") ++ cs.max.map(v => s"max=$v") ++
             (if (cs.hist.nonEmpty) Seq(s"hist=${cs.hist.mkString("|")}") else Nil) ++
             (if (cs.histMerged) Seq("hm=1") else Nil) ++
@@ -511,7 +540,8 @@ object TableStatistics {
         max = fields.get("max").map(_.toDouble),
         hist = fields.get("hist").toSeq.flatMap(_.split('|')).map(_.toDouble),
         sketch = fields.getOrElse("sk", ""),
-        histMerged = fields.get("hm").contains("1"))
+        histMerged = fields.get("hm").contains("1"),
+        nullCount = fields.get("nn").map(_.toLong).getOrElse(-1L))
     }
     TableStats(kv("_version").toInt, kv("_rows").toLong, kv("_bytes").toLong, cols)
   }

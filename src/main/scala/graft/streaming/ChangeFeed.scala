@@ -192,6 +192,18 @@ object ChangeFeed {
     val downSchema = ManagedTable.history(spark, downstreamRoot).last.schema
     upSnap.schema.fields.filterNot(f => downSchema.fieldNames.contains(f.name))
       .foreach(f => ManagedTable.addColumn(spark, downstreamRoot, f.name, f.dataType): Unit)
+    // mirror type WIDENINGS (int-family up, float->double): the
+    // upsert's schema check compares types exactly, so a widened
+    // upstream column must widen downstream too. A non-widening type
+    // difference is unreplayable and alterColumnType refuses it loudly.
+    val downTyped = ManagedTable.history(spark, downstreamRoot).last.schema
+    upSnap.schema.fields.foreach { f =>
+      downTyped.fields.find(_.name == f.name)
+        .filter(_.dataType != f.dataType)
+        .foreach { _ =>
+          ManagedTable.alterColumnType(spark, downstreamRoot, f.name, f.dataType): Unit
+        }
+    }
 
     val delta = ManagedTable.changes(spark, upstreamRoot, from,
       Some(upSnap.version), keys).localCheckpoint() // read once, apply twice

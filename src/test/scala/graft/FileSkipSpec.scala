@@ -278,14 +278,90 @@ class FileSkipSpec extends AnyFunSuite {
     assert(cat.exists { case (n, kind, nf) => n == t && kind == "table" && nf == 8 })
   }
 
+  test("IS NULL / IS NOT NULL prune on exact per-file null counts") {
+    val r = new SqlRouter(spark)
+    val t = s"nn${System.nanoTime()}"
+    r.execute(s"CREATE MANAGED TABLE $t (id BIGINT, v BIGINT) " +
+      s"LOCATION '${fresh()}/$t'")
+    // three single-file inserts: all-null / no-null / mixed in v
+    r.execute(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id, " +
+      s"CAST(NULL AS BIGINT) AS v FROM range(100)")
+    r.execute(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id + 100 AS id, " +
+      s"id + 100 AS v FROM range(100)")
+    r.execute(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id + 200 AS id, " +
+      s"IF(id % 2 = 0, id + 200, CAST(NULL AS BIGINT)) AS v FROM range(100)")
+
+    // IS NOT NULL drops the all-null file — which min/max alone can
+    // never prune (an all-null column records no range at all)
+    val notNull = r.execute(s"SELECT count(*) AS n FROM $t WHERE v IS NOT NULL")
+    assert(scannedFiles(notNull) == Seq(2), notNull.queryExecution.optimizedPlan)
+    assert(notNull.collect().head.getLong(0) == 150L)
+
+    // IS NULL drops the zero-null file
+    val isNull = r.execute(s"SELECT count(*) AS n FROM $t WHERE v IS NULL")
+    assert(scannedFiles(isNull) == Seq(2), isNull.queryExecution.optimizedPlan)
+    assert(isNull.collect().head.getLong(0) == 150L)
+
+    // a value predicate IMPLIES not-null: the all-null file drops even
+    // though its missing range entry would otherwise keep it
+    val point = r.execute(s"SELECT id FROM $t WHERE v = 250")
+    assert(scannedFiles(point) == Seq(1), point.queryExecution.optimizedPlan)
+    assert(point.collect().map(_.getLong(0)).toSeq == Seq(250L))
+
+    // range + nullness conjuncts compose: id < 50 narrows to the
+    // all-null file, v IS NOT NULL then proves emptiness
+    val both = r.execute(s"SELECT * FROM $t WHERE id < 50 AND v IS NOT NULL")
+    assert(scannedFiles(both) == Seq(0), both.queryExecution.optimizedPlan)
+    assert(both.count() == 0)
+
+    // the mixed file is never prunable on nullness in either direction
+    val mixed = r.execute(s"SELECT count(*) AS n FROM $t WHERE id >= 200 AND v IS NULL")
+    assert(scannedFiles(mixed) == Seq(1))
+    assert(mixed.collect().head.getLong(0) == 50L)
+  }
+
+  test("fuzz: nullness predicates over mutated files — pruned == unpruned") {
+    val rnd = new scala.util.Random(43)
+    val (r, t) = clustered()
+    // introduce null-bearing files (insert-only and rewrite-born)
+    r.execute(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id + 6000 AS id, " +
+      s"'nn' AS name, IF(id % 3 = 0, CAST(NULL AS DOUBLE), id * 1.0) AS score " +
+      s"FROM range(300)")
+    r.execute(s"UPDATE $t SET score = CAST(NULL AS DOUBLE) WHERE id BETWEEN 900 AND 950")
+    r.execute(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id + 7000 AS id, " +
+      s"CAST(NULL AS STRING) AS name, id * 1.0 AS score FROM range(100)")
+    val preds = Seq.fill(30) {
+      val c = if (rnd.nextBoolean()) "score" else "name"
+      val a = rnd.nextInt(9000)
+      rnd.nextInt(5) match {
+        case 0 => s"$c IS NULL"
+        case 1 => s"$c IS NOT NULL"
+        case 2 => s"$c IS NULL AND id > $a"
+        case 3 => s"$c IS NOT NULL AND id <= $a"
+        case _ => s"$c IS NOT NULL AND id BETWEEN $a AND ${a + 800}"
+      }
+    }
+    preds.foreach { p =>
+      val q = s"SELECT id, name, score FROM $t WHERE $p"
+      graft.sources.FileSkip.disabled = true
+      val expect = try r.execute(q).collect().map(_.toSeq.toSeq).sortBy(_.toString)
+      finally graft.sources.FileSkip.disabled = false
+      val got = r.execute(q).collect().map(_.toSeq.toSeq).sortBy(_.toString)
+      assert(got.toSeq == expect.toSeq, s"pruned != unpruned for: $q")
+    }
+  }
+
   test("mayMatch keeps unregistered files and unconstrained columns") {
     import graft.sources.FileSkip
+    def pred(b: FileSkip.Bound) = FileSkip.Pred(Some(b), Some(false))
     assert(FileSkip.mayMatch("file:/nowhere/x.parquet",
-      Map("id" -> FileSkip.NumBound(Some(BigDecimal(1)), Some(BigDecimal(2))))))
+      Map("id" -> pred(FileSkip.NumBound(Some(BigDecimal(1)), Some(BigDecimal(2)))))))
     assert(FileSkip.mayMatch("file:/nowhere/x.parquet",
-      Map("lang" -> FileSkip.StrBound(Some("de"), Some("de")))))
+      Map("lang" -> pred(FileSkip.StrBound(Some("de"), Some("de"))))))
     assert(FileSkip.mayMatch("file:/nowhere/x.parquet",
-      Map("id" -> FileSkip.NumBound(Some(BigDecimal(1)), Some(BigDecimal(9)),
-        Some(Seq(BigDecimal(5)))))))
+      Map("id" -> pred(FileSkip.NumBound(Some(BigDecimal(1)), Some(BigDecimal(9)),
+        Some(Seq(BigDecimal(5))))))))
+    assert(FileSkip.mayMatch("file:/nowhere/x.parquet",
+      Map("id" -> FileSkip.Pred(None, Some(true)))))
   }
 }

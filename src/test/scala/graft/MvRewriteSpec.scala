@@ -229,4 +229,109 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(servedBy(df, mv), scanRoots(df))
     assert(got(df) == expect(q))
   }
+
+  /** sales table plus a FILTERED view over `region = 'east' AND
+    * amount >= 100` — the "dashboard over a fixed slice" shape. */
+  private def filteredFixture(): (SqlRouter, String, String) = {
+    val r = new SqlRouter(spark)
+    val id = s"fw${System.nanoTime()}"
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE $id (k BIGINT, region STRING, " +
+      s"amount BIGINT, price DOUBLE) LOCATION '$base/base_$id'")
+    r.execute(s"INSERT INTO $id SELECT id % 5 AS k, " +
+      s"CASE WHEN id % 2 = 0 THEN 'east' ELSE 'west' END AS region, " +
+      s"id AS amount, (id % 8) * 0.25 AS price FROM range(1000)")
+    r.execute(s"CREATE MATERIALIZED VIEW v_$id OVER $id KEY (k) " +
+      s"COUNT n SUM (amount AS s_amt) MIN (amount AS mn_amt) " +
+      s"WHERE region = 'east' AND amount >= 100 " +
+      s"LOCATION '$base/mv_$id'")
+    (r, id, s"mv_$id")
+  }
+
+  test("filtered view: bootstrap equals a filtered recompute; spec round-trips the predicate") {
+    val (r, t, mv) = filteredFixture()
+    val viewRows = r.execute(s"SELECT k, n, s_amt FROM v_$t ORDER BY k")
+    val truth = expect(s"SELECT k, count(*) AS n, sum(amount) AS s_amt FROM $t " +
+      "WHERE region = 'east' AND amount >= 100 GROUP BY k ORDER BY k")
+    assert(got(viewRows) == truth)
+    val shown = r.execute("SHOW MATERIALIZED VIEWS").collect()
+      .find(_.getString(0) == s"v_$t").get
+    assert(shown.getAs[String]("where_pred").contains("region = 'east'"), shown)
+    assert(mv.nonEmpty) // silence unused warning patterns
+  }
+
+  test("filtered view serves queries whose WHERE implies the view predicate") {
+    val (r, t, mv) = filteredFixture()
+    // exact predicate match, exact grain
+    val q1 = s"SELECT k, count(*) AS n, sum(amount) AS s FROM $t " +
+      "WHERE region = 'east' AND amount >= 100 GROUP BY k"
+    val df1 = r.execute(q1)
+    assert(servedBy(df1, mv), scanRoots(df1))
+    assert(got(df1) == expect(q1))
+    // conjuncts in the OTHER order still match (set matching)
+    val q2 = s"SELECT k, count(*) AS n FROM $t " +
+      "WHERE amount >= 100 AND region = 'east' GROUP BY k"
+    val df2 = r.execute(q2)
+    assert(servedBy(df2, mv), scanRoots(df2))
+    assert(got(df2) == expect(q2))
+    // extra KEY-ONLY conjuncts ride along over the view
+    val q3 = s"SELECT k, sum(amount) AS s FROM $t " +
+      "WHERE region = 'east' AND amount >= 100 AND k IN (1, 3) GROUP BY k"
+    val df3 = r.execute(q3)
+    assert(servedBy(df3, mv), scanRoots(df3))
+    assert(got(df3) == expect(q3))
+    // rollup grain (global aggregate) under the matching predicate
+    val q4 = s"SELECT count(*) AS n, min(amount) AS mn FROM $t " +
+      "WHERE region = 'east' AND amount >= 100"
+    val df4 = r.execute(q4)
+    assert(servedBy(df4, mv), scanRoots(df4))
+    assert(got(df4) == expect(q4))
+  }
+
+  test("filtered view refuses queries that do NOT imply its predicate") {
+    val (r, t, mv) = filteredFixture()
+    // no WHERE at all: the view holds a strict subset — must refuse
+    val q1 = s"SELECT k, count(*) AS n FROM $t GROUP BY k"
+    val df1 = r.execute(q1)
+    assert(!servedBy(df1, mv), scanRoots(df1))
+    assert(got(df1) == expect(q1))
+    // only half the view predicate
+    val q2 = s"SELECT k, count(*) AS n FROM $t WHERE region = 'east' GROUP BY k"
+    val df2 = r.execute(q2)
+    assert(!servedBy(df2, mv), scanRoots(df2))
+    assert(got(df2) == expect(q2))
+    // a DIFFERENT predicate on the same columns
+    val q3 = s"SELECT k, count(*) AS n FROM $t " +
+      "WHERE region = 'west' AND amount >= 100 GROUP BY k"
+    val df3 = r.execute(q3)
+    assert(!servedBy(df3, mv), scanRoots(df3))
+    assert(got(df3) == expect(q3))
+  }
+
+  test("filtered view maintains exactly across DML, incl. rows entering/leaving the predicate") {
+    val (r, t, mv) = filteredFixture()
+    // rows ENTER the predicate (amount crosses 100 upward; region flips
+    // to east) and LEAVE it (delete easts; amount drops below 100)
+    r.execute(s"UPDATE $t SET amount = amount + 95 WHERE k = 1 AND amount < 20")
+    r.execute(s"UPDATE $t SET region = 'east' WHERE k = 3 AND region = 'west' AND amount BETWEEN 200 AND 300")
+    r.execute(s"UPDATE $t SET amount = amount - 150 WHERE k = 2 AND region = 'east' AND amount BETWEEN 100 AND 160")
+    r.execute(s"DELETE FROM $t WHERE region = 'east' AND amount BETWEEN 400 AND 500")
+    r.execute(s"INSERT INTO $t VALUES (9, 'east', 250, 1.0), (9, 'west', 999, 2.0), (9, 'east', 50, 3.0)")
+    // the maintained view equals a cold filtered recompute
+    val viewRows = got(r.execute(s"SELECT k, n, s_amt, mn_amt FROM v_$t"))
+    val truth = expect(s"SELECT k, count(*) AS n, sum(amount) AS s_amt, " +
+      s"min(amount) AS mn_amt FROM $t WHERE region = 'east' AND amount >= 100 GROUP BY k")
+    assert(viewRows == truth)
+    // and the rewrite still serves, exactly
+    val q = s"SELECT k, count(*) AS n, sum(amount) AS s FROM $t " +
+      "WHERE region = 'east' AND amount >= 100 GROUP BY k"
+    val df = r.execute(q)
+    assert(servedBy(df, mv), scanRoots(df))
+    assert(got(df) == expect(q))
+    // the persisted spec round-trips the predicate (restart path):
+    // the sidecar text carries the WHERE clause verbatim
+    val sidecar = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(r.registered(s"v_$t"), "_graft_mv.json")), "UTF-8")
+    assert(sidecar.contains("region = 'east'"), sidecar)
+  }
 }

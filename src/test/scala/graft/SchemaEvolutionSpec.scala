@@ -218,6 +218,119 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(got(3L) == "CHANGED" && got(7L) == "v7" && got.size == 10)
   }
 
+  test("type widening is metadata-only; old and new files coexist; mutations keep working") {
+    val root = freshRoot()
+    ManagedTable.create(spark, root, StructType(Seq(
+      StructField("id", LongType), StructField("n", IntegerType),
+      StructField("f", org.apache.spark.sql.types.FloatType))))
+    ManagedTable.insert(spark, root,
+      (1 to 50).map(i => (i.toLong, i, i * 0.5f)).toDF("id", "n", "f"))
+    val filesBefore = ManagedTable.history(spark, root).last.files.toSet
+
+    ManagedTable.alterColumnType(spark, root, "n", LongType)
+    ManagedTable.alterColumnType(spark, root, "f", DoubleType)
+    val snap = ManagedTable.history(spark, root).last
+    // metadata-only: the data files are carried by reference
+    assert(snap.files.toSet == filesBefore)
+    assert(snap.schema("n").dataType == LongType)
+    assert(snap.schema("f").dataType == DoubleType)
+
+    // old INT32/FLOAT files read through the widened schema
+    val rows = ManagedTable.read(spark, root)
+      .selectExpr("sum(n) AS sn", "count(*) AS c").head
+    assert(rows.getLong(0) == (1 to 50).sum.toLong && rows.getLong(1) == 50)
+
+    // new files write the widened type natively; both generations mix
+    ManagedTable.insert(spark, root,
+      Seq((100L, 5000000000L, 1.25)).toDF("id", "n", "f"))
+    ManagedTable.update(spark, root, org.apache.spark.sql.functions.col("id") === 7L,
+      Map("n" -> org.apache.spark.sql.functions.lit(7000000000L)))
+    val all = ManagedTable.read(spark, root)
+    assert(all.filter("n > 4000000000").count() == 2)
+    assert(all.count() == 51)
+
+    // CDC across the widening: old side casts up, a pure widening
+    // commit diffs as unchanged
+    val delta = ManagedTable.changes(spark, root, 1, Some(3), Seq("id"))
+    assert(delta.count() == 0, delta.collect().mkString(","))
+
+    // refusals: narrowing, unknown, already-there, non-widenable
+    intercept[IllegalArgumentException](
+      ManagedTable.alterColumnType(spark, root, "n", IntegerType))
+    intercept[IllegalArgumentException](
+      ManagedTable.alterColumnType(spark, root, "nope", LongType))
+    intercept[IllegalArgumentException](
+      ManagedTable.alterColumnType(spark, root, "n", LongType))
+    intercept[IllegalArgumentException](
+      ManagedTable.alterColumnType(spark, root, "id", StringType))
+  }
+
+  test("float->double widening keeps boundary pruning sound (refloated sidecar)") {
+    val r = new SqlRouter(spark)
+    val t = s"wf${System.nanoTime()}"
+    val base = Files.createTempDirectory("graft_evo").toString
+    r.execute(s"CREATE MANAGED TABLE $t (id BIGINT, x FLOAT) LOCATION '$base/$t'")
+    // x = id * 0.1f: many values (0.1f, 0.2f, ...) whose shortest-float
+    // strings differ from their exact double expansions
+    r.execute(s"INSERT INTO $t SELECT id, CAST(id * 0.1 AS FLOAT) AS x FROM range(4000)")
+    r.execute(s"OPTIMIZE $t INTO 8 FILES BY (x)")
+    r.execute(s"ALTER TABLE $t ALTER COLUMN x TYPE DOUBLE")
+    assert(r.execute(s"SHOW SCHEMA FOR $t").collect()
+      .find(_.getString(0) == "x").get.getString(1) == "double")
+    // probes STRADDLING float-vs-double representations of the same
+    // decimals: pruned must equal unpruned row-for-row (the wrong-prune
+    // trap: the sidecar's "0.1" < double lo 0.100000000)
+    val probes = Seq(
+      "x <= 0.1", "x >= 0.1", "x > 0.0999999 AND x < 0.1000001",
+      "x >= 0.100000000 AND x <= 0.100000002",
+      "x BETWEEN 199.9 AND 200.1", "x = CAST(CAST(123.4 AS FLOAT) AS DOUBLE)")
+    probes.foreach { p =>
+      val q = s"SELECT id, x FROM $t WHERE $p"
+      graft.sources.FileSkip.disabled = true
+      val expect = try r.execute(q).collect().map(_.toSeq.toSeq).sortBy(_.toString)
+      finally graft.sources.FileSkip.disabled = false
+      val got = r.execute(q).collect().map(_.toSeq.toSeq).sortBy(_.toString)
+      assert(got.toSeq == expect.toSeq, s"pruned != unpruned for: $q")
+    }
+    // and the clustered layout still PRUNES on the widened column
+    val sel = r.execute(s"SELECT id FROM $t WHERE x BETWEEN 10.0 AND 10.5")
+    val scanned = sel.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.size
+    }
+    assert(scanned.head <= 2, sel.queryExecution.optimizedPlan)
+  }
+
+  test("router widening: MV-referenced columns refuse; SYNC mirrors the widening") {
+    val r = new SqlRouter(spark)
+    val up = s"wu${System.nanoTime()}"
+    val dn = s"wd${System.nanoTime()}"
+    val mv = s"wm${System.nanoTime()}"
+    val base = Files.createTempDirectory("graft_evo").toString
+    r.execute(s"CREATE MANAGED TABLE $up (k BIGINT, n INT, u INT) LOCATION '$base/$up'")
+    r.execute(s"INSERT INTO $up SELECT id AS k, CAST(id AS INT) AS n, " +
+      s"CAST(id AS INT) AS u FROM range(20)")
+    r.execute(s"CREATE MATERIALIZED VIEW $mv OVER $up KEY (k) COUNT cnt " +
+      s"SUM (n AS sn) LOCATION '$base/$mv'")
+    val e = intercept[IllegalArgumentException](
+      r.execute(s"ALTER TABLE $up ALTER COLUMN n TYPE BIGINT"))
+    assert(e.getMessage.contains("materialized view"), e.getMessage)
+    // an un-referenced column widens fine through the router
+    r.execute(s"ALTER TABLE $up ALTER COLUMN u TYPE BIGINT")
+    r.execute(s"DROP MATERIALIZED VIEW $mv PURGE")
+
+    // follower: bootstrap, widen upstream + write a wide value, sync
+    r.execute(s"SYNC TABLE $dn FROM $up KEY (k) LOCATION '$base/$dn'")
+    r.execute(s"ALTER TABLE $up ALTER COLUMN n TYPE BIGINT")
+    r.execute(s"INSERT INTO $up VALUES (99, 6000000000, 1)")
+    r.execute(s"SYNC TABLE $dn FROM $up KEY (k)")
+    val down = r.execute(s"SELECT * FROM $dn WHERE k = 99").collect()
+    assert(down.head.getLong(1) == 6000000000L, down.mkString(","))
+    assert(r.execute(s"SHOW SCHEMA FOR $dn").collect()
+      .find(_.getString(0) == "n").get.getString(1) == "bigint")
+  }
+
   test("manifest round-trips the physical map (old manifests parse as identity)") {
     val root = freshRoot()
     seed(root, n = 5)
