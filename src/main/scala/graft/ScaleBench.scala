@@ -445,6 +445,85 @@ object ScaleBench {
         cell("g_skip_on")(batch())
         cell("g_skip_files_on")(plannedFiles(probes.head).toLong)
       }
+      // SPARK_GRAFT_SCALE_BLOOM=1 — the bloom-index A/B on an
+      // UNCLUSTERED layout (the case min/max skipping can never serve:
+      // a round-robin 64-file layout gives every file the full doc_id
+      // envelope, so point lookups scan all 64 without the index).
+      // g_bloom_build prices the one-job backfill harvest; the
+      // off/on batches run 50 point lookups; g_bloom_files_* report
+      // files planned for one probe (64 vs ~1-3 incl. the ~3% FPR).
+      // The companion NULL-skipping cells use a doc_id-clustered table
+      // whose `flag` column is non-null only in the lowest doc_id
+      // slice: `flag IS NOT NULL` prunes the ~62/64 all-null files —
+      // provable only through the v2 sidecar's exact null counts.
+      if (sys.env.get("SPARK_GRAFT_SCALE_BLOOM").contains("1")) locally {
+        import graft.sources.{FileBloom, FileSkip, ManagedTable}
+        import graft.plans.FileSkipScan
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        FileSkipScan.install(spark)
+        def cell(label: String)(body: => Long): Unit = {
+          val load = osBean.getSystemLoadAverage
+          val t0 = System.nanoTime()
+          val rows = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          summary.getOrElseUpdate(label, scala.collection.mutable.LinkedHashMap.empty)
+            .put(f, sec)
+          val line = f"""{"factor":$f,"query":"$label","sec":$sec%.3f,"rows":$rows,"load":$load%.2f}"""
+          println(line)
+          out.append(line).append('\n'): Unit
+        }
+        def planned(df: org.apache.spark.sql.DataFrame): Long =
+          df.queryExecution.optimizedPlan.collect {
+            case l: LogicalRelation => l.relation match {
+              case h: HadoopFsRelation => h.location.rootPaths.size
+              case _ => 0
+            }
+          }.sum.toLong
+        val docs = graft.sources.Tables.load(spark, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val probes = (1 to 50).map(i => i.toLong * maxId / 51)
+        locally { // bloom over an unclustered layout
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_scale_bloom").toString + "/t"
+          ManagedTable.create(spark, root, docs.schema)
+          ManagedTable.insert(spark, root, docs)
+          ManagedTable.compactTable(spark, root, 64) // round-robin: NO clustering
+          def batch(): Long = probes.map { q =>
+            ManagedTable.read(spark, root).filter(col("doc_id") === q).count()
+          }.sum
+          FileSkip.disabled = true
+          cell("g_bloom_off")(batch())
+          cell("g_bloom_files_off")(planned(
+            ManagedTable.read(spark, root).filter(col("doc_id") === probes.head)))
+          FileSkip.disabled = false
+          cell("g_bloom_build") {
+            FileBloom.saveConfig(spark, root, Seq("doc_id"))
+            FileBloom.write(spark, root, ManagedTable.history(spark, root).last)
+            FileSkip.invalidate(spark, root)
+            64L
+          }
+          cell("g_bloom_on")(batch())
+          cell("g_bloom_files_on")(planned(
+            ManagedTable.read(spark, root).filter(col("doc_id") === probes.head)))
+        }
+        locally { // null-count skipping over mostly-all-null files
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_scale_null").toString + "/t"
+          val flagged = docs.withColumn("flag",
+            when(col("doc_id") < maxId / 32, col("n_chars")))
+          ManagedTable.create(spark, root, flagged.schema)
+          ManagedTable.insert(spark, root, flagged)
+          ManagedTable.compactTable(spark, root, 64, Seq("doc_id"))
+          def q() = ManagedTable.read(spark, root).filter(col("flag").isNotNull)
+          FileSkip.disabled = true
+          cell("g_nullskip_off")(q().agg(org.apache.spark.sql.functions.sum(col("flag"))).head().getLong(0))
+          cell("g_nullskip_files_off")(planned(q()))
+          FileSkip.disabled = false
+          cell("g_nullskip_on")(q().agg(org.apache.spark.sql.functions.sum(col("flag"))).head().getLong(0))
+          cell("g_nullskip_files_on")(planned(q()))
+        }
+      }
       // SPARK_GRAFT_SCALE_MVR=1 — materialized-view rewrite A/B
       // (server.MvRewrite): a fact table derived from the factor-k
       // documents corpus (the table that actually scales with factor)

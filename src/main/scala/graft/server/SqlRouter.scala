@@ -31,9 +31,18 @@ import graft.sources.ManagedTable
   *   DELETE FROM t [WHERE pred]
   *   UPSERT INTO t BY (k1, k2) SELECT ...          -- MERGE: replace
   *                                                 -- matched, insert new
+  *   ALTER TABLE t ALTER COLUMN c TYPE BIGINT      -- metadata-only type
+  *                                                 -- WIDENING (int-family
+  *                                                 -- up, float->double)
+  *   CREATE BLOOM INDEX ON t (c1, c2)              -- per-file bloom
+  *                                                 -- filters: point/IN
+  *                                                 -- pruning on
+  *                                                 -- UNCLUSTERED columns
+  *   DROP BLOOM INDEX ON t | SHOW BLOOM INDEX FOR t
   *   ANALYZE TABLE t [INCREMENTAL]                 -- collect optimizer
   *                                                 -- stats (see below)
   *   SHOW STATS [FOR] t                            -- inspect them
+  *                                                 -- (incl. null counts)
   *   SHOW CHANGES t FROM v [TO v2] KEY (k1, ...)   -- CDC read: keyed
   *                                                 -- row deltas between
   *                                                 -- two versions
