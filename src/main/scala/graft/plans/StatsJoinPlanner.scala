@@ -164,8 +164,13 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
             .map { ts =>
               val attrs = l.output.flatMap(a =>
                 ts.cols.get(a.name).map(a.exprId -> _)).toMap
-              val nf = attrs.map { case (id, cs) => id -> cs.nullFrac(ts.rows) }
-                .filter(_._2 > 0.0)
+              // known fractions only — including EXACT ZERO, which must
+              // stay distinguishable from "never collected" (an IS NULL
+              // over a proven-no-nulls column estimates ~empty, not 1.0)
+              val nf = attrs.collect {
+                case (id, cs) if cs.nullCount >= 0 =>
+                  id -> cs.nullFrac(ts.rows)
+              }
               Est(math.max(1.0, ts.rows.toDouble), ts.avgRowBytes, attrs, nf)
             }
         case _ => None
@@ -316,9 +321,10 @@ class StatsJoinPlanner extends Rule[LogicalPlan] with PredicateHelper {
       case IsNotNull(a: Attribute) =>
         math.max(notNullFrac(a), 1.0 / math.max(1.0, e.rows))
       case IsNull(a: Attribute) =>
-        val f = e.nf.getOrElse(a.exprId, -1.0)
-        if (f < 0.0) 1.0 // unknown: never shrink on a guess
-        else math.max(f, 1.0 / math.max(1.0, e.rows))
+        e.nf.get(a.exprId) match {
+          case None => 1.0 // unknown: never shrink on a guess
+          case Some(f) => math.max(f, 1.0 / math.max(1.0, e.rows))
+        }
       case _ => 1.0 // unknown shape: never shrink on a guess
     }
   }

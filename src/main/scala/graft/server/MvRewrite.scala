@@ -219,18 +219,29 @@ object MvRewrite {
           Seq(a.name.toLowerCase))
     }
 
+  // canonical view-predicate conjuncts per (view, base, predicate
+  // text): a pure function of the immutable spec — the resolution
+  // cannot drift because where-pred-referenced base columns refuse
+  // schema evolution (requireNoMvReference covers the predicate).
+  // Without the cache, every rewrite ATTEMPT against a filtered view
+  // paid a parse + full Catalyst analysis round-trip on the hot
+  // serving path.
+  private val predCanonCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Seq[Expression]]
+
   /** The view's declared predicate, resolved against the registered
-    * base table and canonicalized per conjunct. */
+    * base table and canonicalized per conjunct (memoized). */
   private def viewPredCanon(spark: SparkSession,
-                            v: SqlRouter.MvSpec): Seq[Expression] = {
-    val parsed = spark.sessionState.sqlParser.parseExpression(v.where.get)
-    val analyzed = spark.table(v.over).filter(ColumnBridge.column(parsed))
-      .queryExecution.analyzed
-    val cond = analyzed.collectFirst { case Filter(c, _) => c }
-      .getOrElse(throw new IllegalStateException(
-        s"view predicate '${v.where.get}' did not analyze to a Filter"))
-    conjuncts(cond).map(canon)
-  }
+                            v: SqlRouter.MvSpec): Seq[Expression] =
+    predCanonCache.getOrElseUpdate((v.name, v.over, v.where.get), {
+      val parsed = spark.sessionState.sqlParser.parseExpression(v.where.get)
+      val analyzed = spark.table(v.over).filter(ColumnBridge.column(parsed))
+        .queryExecution.analyzed
+      val cond = analyzed.collectFirst { case Filter(c, _) => c }
+        .getOrElse(throw new IllegalStateException(
+          s"view predicate '${v.where.get}' did not analyze to a Filter"))
+      conjuncts(cond).map(canon)
+    })
 
   /** A registered aggregate expression that is a BARE column name —
     * the only form we can equate to the query's attribute. */

@@ -271,48 +271,66 @@ object FileBloom {
     val present = physCols.filter(c => schema.fieldNames.contains(c))
     if (present.isEmpty) return Map.empty
     val subSchema = StructType(schema.fields.filter(f => present.contains(f.name)))
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // keyed by scheme-less absolute path: input_file_name()'s URI form
-    // (file:///...) differs from makeQualified's (file:/...) — the
-    // same normalization the mutation probes use
-    def pathOf(f: String): String =
-      fs.makeQualified(new Path(rootPath, f)).toUri.getPath
+    // Files are keyed by their LAST TWO path segments
+    // ("<commit-uuid>/<part-file>") — unique within one table (every
+    // commit writes into its own uuid directory) and IDENTICAL on both
+    // sides by construction: those segments are plain [A-Za-z0-9.-]
+    // names, so input_file_name()'s URI form and the manifest's
+    // relative path agree even when the table ROOT contains characters
+    // the two representations encode differently (spaces etc.) — a
+    // full-path key silently mis-attributed every row there, and a
+    // wrong modulus poisons the filter with FALSE NEGATIVES.
+    def suffixOf(path: String): String = {
+      val parts = path.split('/')
+      parts.takeRight(2).mkString("/")
+    }
     val mOf: Map[String, Int] = files.map { f =>
       f -> sizeFor(rowsOf.getOrElse(f, 1L << 20))
     }.toMap
-    val mByPath = files.map(f => pathOf(f) -> mOf(f)).toMap
+    val mBySuffix = files.map(f => suffixOf(f) -> mOf(f)).toMap
+    require(mBySuffix.size == files.size,
+      s"bloom harvest: non-unique file suffixes among ${files.size} files")
     val nCols = present.size
     val df = spark.read.schema(subSchema)
       .parquet(files.map(f => s"$root/$f"): _*)
       .select(input_file_name().as("_graft_bloom_file") +:
         present.map(col): _*)
+    // partials per (file-suffix, column); column index -1 is the
+    // "file seen" marker, emitted once per file per partition so the
+    // driver can tell "no non-null values" (empty filter is a correct
+    // proof) apart from "rows never attributed" (no filter at all —
+    // the file is simply never pruned)
     val partials: Array[((String, Int), Array[Byte])] =
       df.rdd.mapPartitions { it =>
         val acc = scala.collection.mutable.Map.empty[(String, Int), java.util.BitSet]
         var lastRaw: String = null
-        var lastPath: String = null
+        var lastSuffix: String = null
+        var lastM = 0
         it.foreach { row =>
           val raw = row.getString(0)
-          if (raw ne lastRaw) { // memoized URI→path parse, per file run
+          if (raw ne lastRaw) { // memoized per file run within the partition
             lastRaw = raw
-            lastPath = new Path(raw).toUri.getPath
+            lastSuffix = suffixOf(raw)
+            lastM = mBySuffix.getOrElse(lastSuffix, -1)
+            if (lastM > 0)
+              acc.getOrElseUpdate((lastSuffix, -1), new java.util.BitSet(1)): Unit
           }
-          val m = mByPath.getOrElse(lastPath, MaxBits)
-          var ci = 0
-          while (ci < nCols) {
-            if (!row.isNullAt(ci + 1)) {
-              val key = row.get(ci + 1).toString
-              val bs = acc.getOrElseUpdate((lastPath, ci),
-                new java.util.BitSet(m))
-              val hs = baseHashes(key)
-              var j = 0
-              while (j < hs.length) {
-                bs.set((hs(j) % m).toInt)
-                j += 1
+          if (lastM > 0) { // unknown file: contribute nothing (never wrong)
+            var ci = 0
+            while (ci < nCols) {
+              if (!row.isNullAt(ci + 1)) {
+                val key = row.get(ci + 1).toString
+                val bs = acc.getOrElseUpdate((lastSuffix, ci),
+                  new java.util.BitSet(lastM))
+                val hs = baseHashes(key)
+                var j = 0
+                while (j < hs.length) {
+                  bs.set((hs(j) % lastM).toInt)
+                  j += 1
+                }
               }
+              ci += 1
             }
-            ci += 1
           }
         }
         acc.iterator.map { case (k, bs) => (k, bs.toByteArray) }
@@ -325,15 +343,19 @@ object FileBloom {
         case None => merged.put(k, bs): Unit
       }
     }
-    // every (file, col) gets an entry — a file with zero non-null
-    // values in the column gets an EMPTY filter, which correctly
-    // proves every point lookup misses it
-    files.map { f =>
-      val p = pathOf(f)
-      f -> present.zipWithIndex.map { case (c, ci) =>
+    val seen: Set[String] = merged.keysIterator.collect {
+      case (sfx, -1) => sfx
+    }.toSet
+    // a filter is emitted only for files whose rows were provably
+    // attributed (seen marker) or that provably have no rows at all —
+    // an unattributed file gets NO filter and is simply never pruned
+    files.flatMap { f =>
+      val sfx = suffixOf(f)
+      if (!seen(sfx) && rowsOf.getOrElse(f, -1L) != 0L) None
+      else Some(f -> present.zipWithIndex.map { case (c, ci) =>
         c -> Bloom(mOf(f), K,
-          merged.getOrElse((p, ci), new java.util.BitSet()))
-      }.toMap
+          merged.getOrElse((sfx, ci), new java.util.BitSet()))
+      }.toMap)
     }.toMap
   }
 
@@ -346,16 +368,24 @@ object FileBloom {
     val cols = config(spark, root)
     if (cols.isEmpty) return
     val prev = read(spark, root, snap.version - 1)
-    val fresh = snap.files.filterNot(prev.contains)
+    // a carried entry must cover EVERY currently-configured column
+    // that exists in the schema — a re-CREATE that ADDED columns
+    // re-harvests the old files for the full set (per-file coverage
+    // check, not mere presence: otherwise the new column's index would
+    // silently never exist for pre-index files)
+    val required = cols.filter(snap.physicalSchema.fieldNames.contains)
+    def covered(f: String): Boolean =
+      prev.get(f).exists(e => required.forall(e.contains))
+    val fresh = snap.files.filterNot(covered)
     val harvested =
       if (fresh.isEmpty) Map.empty[String, Map[String, Bloom]]
       else {
         val rowsOf = FileStats.readAll(spark, root, snap.version)._2
           .map { case (f, e) => f -> e.rows }
-        harvest(spark, root, fresh, cols, snap.physicalSchema, rowsOf)
+        harvest(spark, root, fresh, required, snap.physicalSchema, rowsOf)
       }
     val merged: Blooms = snap.files.flatMap { f =>
-      prev.get(f).orElse(harvested.get(f)).map(f -> _)
+      (if (covered(f)) prev.get(f) else harvested.get(f)).map(f -> _)
     }.toMap
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(bloomPath(root, snap.version), /*overwrite=*/ true)

@@ -168,25 +168,39 @@ object ChangeFeed {
               "cannot replay; DROP CONSTRAINTS on the follower (or re-bootstrap " +
               "it) before syncing")
         }
-        // pre-validation 2: every rename target must be free AFTER the
-        // drops apply (simulated). An occupied target — whether a swap
-        // (A<->B), a chain (A->B while B->C), or a name reused for an
-        // unrelated downstream column — is unreplayable with
-        // single-column renames and no temp name.
-        val afterDrops = downSchema0.fieldNames.filterNot(dropList.contains).toSet
-        val occupied = renameList.filter { case (_, to) => afterDrops.contains(to) }
-        if (occupied.nonEmpty) {
-          val bad = occupied.map { case (f, t) => s"$f->$t" }
+        // pre-validation 2: ORDER the renames so every target is free
+        // when its rename applies (simulated over the post-drop name
+        // set): a chain (b->c then a->b) replays by applying b->c
+        // first. Only a genuine CYCLE (swap a<->b) or a name reused
+        // for an unrelated still-present column has no such order —
+        // that is unreplayable with single-column renames and no temp
+        // name, and must fail loudly.
+        var names = downSchema0.fieldNames.filterNot(dropList.contains).toSet
+        var pending = renameList
+        val ordered = Seq.newBuilder[(String, String)]
+        var progress = true
+        while (pending.nonEmpty && progress) {
+          pending.find { case (_, to) => !names.contains(to) } match {
+            case Some(r @ (from0, to)) =>
+              ordered += r
+              names = names - from0 + to
+              pending = pending.filterNot(_ == r)
+            case None => progress = false
+          }
+        }
+        if (pending.nonEmpty) {
+          val bad = pending.map { case (f, t) => s"$f->$t" }
           throw new IllegalStateException(
             s"sync: upstream rename(s) ${bad.mkString(", ")} cannot replay on " +
-              s"$downstreamRoot — the target name is occupied downstream (a pure " +
-              "rename's row diff is empty, so skipping it would diverge the " +
-              "follower silently and permanently). Re-bootstrap the follower " +
-              "(drop it and ChangeFeed.init) to adopt the upstream schema")
+              s"$downstreamRoot in any order — the target name stays occupied " +
+              "downstream (a pure rename's row diff is empty, so skipping it " +
+              "would diverge the follower silently and permanently). " +
+              "Re-bootstrap the follower (drop it and ChangeFeed.init) to " +
+              "adopt the upstream schema")
         }
         dropList.foreach(c =>
           ManagedTable.dropColumn(spark, downstreamRoot, c): Unit)
-        renameList.foreach { case (from0, to) =>
+        ordered.result().foreach { case (from0, to) =>
           ManagedTable.renameColumn(spark, downstreamRoot, from0, to): Unit }
       }
     val downSchema = ManagedTable.history(spark, downstreamRoot).last.schema

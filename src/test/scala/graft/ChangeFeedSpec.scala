@@ -193,6 +193,27 @@ class ChangeFeedSpec extends AnyFunSuite {
       Seq("id", "a", "b"))
   }
 
+  test("sync replays a rename CHAIN in dependency order; a swap still fails loudly") {
+    // upstream: b->c then a->b — replayable by applying b->c first
+    // (rejecting it would force an unnecessary full re-bootstrap)
+    val base = Files.createTempDirectory("graft_feed_chain").toString
+    val (up, down) = (s"$base/up", s"$base/down")
+    import spark.implicits._
+    ManagedTable.create(spark, up,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, a BIGINT, b BIGINT"))
+    ManagedTable.insert(spark, up, Seq((1L, 10L, 20L)).toDF("id", "a", "b"))
+    ChangeFeed.init(spark, up, down)
+    ManagedTable.renameColumn(spark, up, "b", "c")
+    ManagedTable.renameColumn(spark, up, "a", "b")
+    ManagedTable.update(spark, up, col("id") === 1L,
+      Map("b" -> org.apache.spark.sql.functions.lit(11L)))
+    ChangeFeed.sync(spark, up, down, Seq("id"))
+    val downDf = ManagedTable.read(spark, down)
+    assert(downDf.columns.toSet == Set("id", "b", "c"), downDf.columns.toSeq)
+    val row = downDf.collect().head
+    assert(row.getAs[Long]("b") == 11L && row.getAs[Long]("c") == 20L, row)
+  }
+
   test("sync surfaces follower-declared constraints on mirrored columns before mutating") {
     val base = Files.createTempDirectory("graft_feed_cons").toString
     val (up, down) = (s"$base/up", s"$base/down")

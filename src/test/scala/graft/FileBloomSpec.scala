@@ -170,6 +170,52 @@ class FileBloomSpec extends AnyFunSuite {
     assert(FileBloom.read(spark, root, v).isEmpty)
   }
 
+  test("a table ROOT with a space never mis-attributes the harvest (URI-encoding trap)") {
+    // input_file_name() returns percent-encoded URIs while relative
+    // manifest paths are raw — a full-path partials key mis-attributed
+    // every row on such roots, and the wrong modulus poisoned the
+    // filter with FALSE NEGATIVES (wrong prunes). Keying by the last
+    // two path segments is encoding-free; this pins it.
+    val r = new SqlRouter(spark)
+    val t = s"sp${System.nanoTime()}"
+    r.execute(s"CREATE MANAGED TABLE $t (id BIGINT, v BIGINT) " +
+      s"LOCATION '${fresh()}/with space/$t'")
+    (0 until 4).foreach { j =>
+      r.execute(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id * 4 + $j AS id, " +
+        s"id AS v FROM range(250)")
+    }
+    r.execute(s"CREATE BLOOM INDEX ON $t (id)")
+    // every present key must be FOUND (a false negative = silent row loss)
+    Seq(0L, 17L, 399L, 998L).foreach { k =>
+      val got = r.execute(s"SELECT v FROM $t WHERE id = $k").collect()
+      assert(got.length == 1 && got.head.getLong(0) == k / 4, s"id=$k -> ${got.toSeq}")
+    }
+    // and absent keys still prune below the full file count
+    val miss = r.execute(s"SELECT v FROM $t WHERE id = 999999")
+    assert(miss.count() == 0)
+  }
+
+  test("re-CREATE with an added column backfills existing files for that column") {
+    val (r, t) = unclustered()
+    r.execute(s"CREATE BLOOM INDEX ON $t (id)")
+    // a commit so the sidecar generation advances past the backfill
+    r.execute(s"INSERT INTO $t VALUES (90000, 'tagx', 1)")
+    // now ADD a second column: every pre-existing file must gain a
+    // tag filter too, not only files written after this point
+    r.execute(s"CREATE BLOOM INDEX ON $t (tag)")
+    val root = r.registered(t)
+    val snap = graft.sources.ManagedTable.history(spark, root).last
+    val side = FileBloom.read(spark, root, snap.version)
+    assert(snap.files.forall(f => side.get(f).exists(_.contains("tag"))),
+      s"files missing the added tag filter: " +
+        snap.files.filterNot(f => side.get(f).exists(_.contains("tag"))))
+    // and the new index actually prunes on the old files (the CREATE
+    // handler already re-registered the registry + re-pinned the view)
+    val stag = r.execute(s"SELECT count(*) AS n FROM $t WHERE tag = 'tag17'")
+    assert(scannedFiles(stag).head <= 3, stag.queryExecution.optimizedPlan)
+    assert(stag.collect().head.getLong(0) == 4L)
+  }
+
   test("rename keeps the index (physical names); ineligible types refuse") {
     val (r, t) = unclustered()
     r.execute(s"CREATE BLOOM INDEX ON $t (id)")

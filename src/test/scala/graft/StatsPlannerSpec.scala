@@ -463,6 +463,13 @@ class StatsPlannerSpec extends AnyFunSuite {
         "(SELECT * FROM nc WHERE x IS NOT NULL) f JOIN nb ON f.k = nb.k"))
       assert(!leftHinted("SELECT f.k, nb.w FROM " +
         "(SELECT * FROM nd WHERE x IS NULL) f JOIN nb ON f.k = nb.k"))
+      // a PROVEN-zero-nulls column (p — never the join key, so the
+      // filter survives optimization) is not "unknown": IS NULL over
+      // it estimates ~empty and broadcasts — the exact statistic the
+      // round collects must not be conflated with its absence
+      assert(leftHinted("SELECT f.k, nb.w FROM " +
+        "(SELECT * FROM nd WHERE p IS NULL) f JOIN nb ON f.k = nb.k"),
+        "IS NULL over a proven-no-nulls column must estimate ~empty")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
