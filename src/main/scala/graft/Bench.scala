@@ -107,6 +107,41 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Scrape ONE named flat object (`"name":{"q..":n,...}`) out of a
+    * bench artifact — object-scoped, because `queries`, `query_cpu`
+    * and `query_load` share the same keys and a whole-file scrape
+    * would collide. */
+  private[graft] def scrapeObj(json: String, name: String): Map[String, Double] =
+    ("\"" + name + "\":\\{([^}]*)\\}").r.findFirstMatchIn(json)
+      .map(m => "\"(q[A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+        .findAllMatchIn(m.group(1))
+        .map(g => g.group(1) -> g.group(2).toDouble).toMap)
+      .getOrElse(Map.empty)
+
+  /** COLLAPSE-AWARE reference refresh (the round-10 lesson: the ref
+    * was regenerated verbatim from a cold run whose q203–q224 block
+    * sat in a transient host window, baking the collapsed ratios into
+    * the reference and disabling the trigger for exactly those
+    * queries). Per query: the new ratio is adopted only when the new
+    * run's wall time corroborates it as quiet — if the new wall
+    * exceeds [[refreshSuspectWall]]× the prior quiet artifact's wall
+    * for the same query, the query is collapse-suspect and the
+    * reference NEVER LOWERS (max(old, new) is kept). Queries no
+    * longer in the battery drop out; new queries enter at their
+    * measured ratio (there is nothing to protect yet). */
+  private[graft] val refreshSuspectWall = 2.0
+
+  private[graft] def refreshRef(oldRef: Map[String, Double],
+                                newCpu: Map[String, Double],
+                                newWall: Map[String, Double],
+                                priorWall: Map[String, Double]): Map[String, Double] =
+    newCpu.map { case (q, ratio) =>
+      val suspect = priorWall.get(q).zip(newWall.get(q)).exists {
+        case (prior, wall) => wall > refreshSuspectWall * prior
+      }
+      q -> (if (suspect) math.max(oldRef.getOrElse(q, ratio), ratio) else ratio)
+    }
+
   /** The one full bench record, built in ONE place so the ship-gate
     * below and BenchSpec exercise exactly what main emits. */
   private[graft] def record(results: Seq[QRun],
@@ -114,7 +149,8 @@ object Bench {
                             load: Double, warmupSec: Double,
                             cpus: Int, statsOn: Boolean = false,
                             retries: Map[String, Double] = Map.empty,
-                            cpuFlagged: Seq[String] = Nil): String = {
+                            cpuFlagged: Seq[String] = Nil,
+                            refTriggerable: Int = -1): String = {
     val qs = results.map { r => s"\"" + r.name + "\":" + r.sec }
       .mkString("{", ",", "}")
     val qload = results.map { r => s"\"" + r.name + "\":" + r.load }
@@ -130,7 +166,13 @@ object Bench {
       .map { case (n, s) => s"\"" + n + "\":" + s }.mkString("{", ",", "}")
     val cflag = cpuFlagged.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_.sec).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.escape(sfDir)},"load":$load,"warmup_sec":$warmupSec,"query_load":$qload,"query_cpu":$qcpu,"load_flagged":$flagged,"env_flagged":${envFlagged(load)},"stats_on":$statsOn,"query_retry":$qretry,"cpu_flagged":$cflag}"""
+    // `cpus` is the run's actual parallelism and `cpu_ref_triggerable`
+    // how many reference ratios could fire a retry (-1 = reference not
+    // loaded). Both are GRADED provenance: the r10 committed cold ran
+    // at the default local[4] with the cpus=32 reference silently
+    // disengaged, and nothing in the artifact said so — 260/268
+    // load_flagged entries were the only (unread) tell.
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.escape(sfDir)},"load":$load,"warmup_sec":$warmupSec,"cpus":$cpus,"cpu_ref_triggerable":$refTriggerable,"query_load":$qload,"query_cpu":$qcpu,"load_flagged":$flagged,"env_flagged":${envFlagged(load)},"stats_on":$statsOn,"query_retry":$qretry,"cpu_flagged":$cflag}"""
   }
 
   /** Why this artifact must NOT ship (empty = good): it fails to parse
@@ -152,7 +194,8 @@ object Bench {
     if (extra.nonEmpty)
       ps += s"unknown queries in record: ${extra.toSeq.sorted.mkString(",")}"
     Seq("\"metric\"", "\"value\"", "\"queries\"", "\"errors\"", "\"sf\"",
-      "\"load\"", "\"query_load\"", "\"query_cpu\"", "\"load_flagged\"",
+      "\"load\"", "\"cpus\"", "\"cpu_ref_triggerable\"",
+      "\"query_load\"", "\"query_cpu\"", "\"load_flagged\"",
       "\"env_flagged\"", "\"query_retry\"", "\"cpu_flagged\"")
       .foreach(f => if (!json.contains(f + ":")) ps += s"missing field $f")
     ps.result()
@@ -160,7 +203,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default = this host's full width (the graded local[32] shape).
+    // The old default of 4 is how the r10 committed artifacts silently
+    // ran at local[4] with the cpus=32 cpu-reference disengaged.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -264,8 +310,19 @@ object Bench {
     // per-query contamination self-defense: quiet cpu-ratio reference
     // (committed bench_ref.json; SPARK_GRAFT_CPU_REF overrides, any
     // missing file just disables triggers)
-    val cpuRef = loadCpuRef(
-      sys.env.getOrElse("SPARK_GRAFT_CPU_REF", "bench_ref.json"), cpus.toInt)
+    val cpuRefPath = sys.env.getOrElse("SPARK_GRAFT_CPU_REF", "bench_ref.json")
+    val cpuRef = loadCpuRef(cpuRefPath, cpus.toInt)
+    // the reference's engagement state must be LOUD and land in the
+    // artifact: a graded run with the self-defense silently off is
+    // exactly how the r10 cold shipped a 22.6 s q207 unflagged
+    val refTriggerable = if (cpuRef.isEmpty) -1 else cpuRef.count(_._2 >= cpuRefFloor)
+    if (cpuRef.isEmpty)
+      System.err.println(s"[bench] WARNING: per-query self-defense INACTIVE — " +
+        s"$cpuRefPath missing/corrupt or measured at a different parallelism " +
+        s"than cpus=$cpus; collapses will NOT retry")
+    else
+      System.err.println(s"[bench] self-defense active: ${cpuRef.size} reference " +
+        s"ratios, $refTriggerable trigger-able (>= $cpuRefFloor) at cpus=$cpus")
     var retries = Map.empty[String, Double]
     var cpuFlaggedList = List.empty[String]
     val results = selected.map { case (name, fn) =>
@@ -300,7 +357,7 @@ object Bench {
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jstr(s: String) = graft.util.Json.escape(s)
     val full = record(results, failed, sfDir, load, warmupSec, cpus.toInt,
-      statsOn, retries, cpuFlaggedList)
+      statsOn, retries, cpuFlaggedList, refTriggerable)
     // Ship-gate: a record that doesn't parse or doesn't cover exactly
     // the graded battery must fail THIS run loudly, not surface as a
     // truncated-but-plausible graded artifact later. An unfiltered run
@@ -358,7 +415,8 @@ object Bench {
       }
       val warmPath = outPath.stripSuffix(".json") + "_warm.json"
       try java.nio.file.Files.write(java.nio.file.Paths.get(warmPath),
-        (record(warm, warmFailed, sfDir, load, 0.0, cpus.toInt) + "\n").getBytes("UTF-8"))
+        (record(warm, warmFailed, sfDir, load, 0.0, cpus.toInt,
+          statsOn, refTriggerable = refTriggerable) + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $warmPath: ${e.getMessage}")
       }

@@ -5,7 +5,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -130,21 +131,26 @@ object MvRewrite {
       case Filter(cond, c) => (Some(cond), c)
       case c => (None, c)
     }
-    val scan = baseScan(scanChild, None)
-    if (scan.isEmpty) return None
-    val (tbl, rel) = scan.get
-    // grouping must be bare columns
-    val groupNames = agg.groupingExpressions.map {
-      case a: AttributeReference => a.name.toLowerCase
-      case _ => return None
-    }.toSet
-    if (groupNames.size != agg.groupingExpressions.size) return None
+    scanChild match {
+      case j: Join =>
+        rewriteJoinAgg(spark, agg, where, j, views.filter(_.joins.nonEmpty), rootOf)
+      case _ =>
+        val scan = baseScan(scanChild, None)
+        if (scan.isEmpty) return None
+        val (tbl, rel) = scan.get
+        // grouping must be bare columns
+        val groupNames = agg.groupingExpressions.map {
+          case a: AttributeReference => a.name.toLowerCase
+          case _ => return None
+        }.toSet
+        if (groupNames.size != agg.groupingExpressions.size) return None
 
-    views.iterator
-      .filter(v => v.over.equalsIgnoreCase(tbl) &&
-        rootOf(v.over).exists(underRoot(spark, rel, _)))
-      .flatMap(v => tryView(spark, agg, groupNames, where, v))
-      .nextOption()
+        views.iterator
+          .filter(v => v.joins.isEmpty && v.over.equalsIgnoreCase(tbl) &&
+            rootOf(v.over).exists(underRoot(spark, rel, _)))
+          .flatMap(v => tryView(spark, agg, groupNames, where, v))
+          .nextOption()
+    }
   }
 
   /** Is `cond` servable from the view: deterministic, no subqueries,
@@ -229,6 +235,18 @@ object MvRewrite {
   private val predCanonCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), Seq[Expression]]
 
+  /** Drop every cached canonical predicate (and join-view resolution)
+    * for `view` — called on DROP MATERIALIZED VIEW and on CREATE
+    * (re-creation under the same key must re-resolve against the
+    * current base schema; a stale entry only ever REFUSED rewrites,
+    * but silently, and the caches would otherwise grow without bound
+    * across view churn). */
+  private[server] def invalidatePredCache(view: String): Unit = {
+    predCanonCache.keys.filter(_._1 == view).foreach(predCanonCache.remove)
+    joinInfoCache.keys.filter(_.startsWith(view + " "))
+      .foreach(joinInfoCache.remove)
+  }
+
   /** The view's declared predicate, resolved against the registered
     * base table and canonicalized per conjunct (memoized). */
   private def viewPredCanon(spark: SparkSession,
@@ -293,7 +311,19 @@ object MvRewrite {
       mapOutput(ne, groupNames, v, exact, mvCols, find)
     }
     if (built.exists(_.isEmpty)) return None
-    val cols = built.map(_.get)
+    assemble(agg, mvDf, built.map(_.get), exact, groupNames.toSeq.sorted,
+      v.name, (if (exact) "exact" else "rollup") +
+        where.map(_ => "+where").getOrElse(""))
+  }
+
+  /** Build the replacement frame over the (already filtered) view and
+    * graft it under the original Aggregate's attribute ids/types, so
+    * everything above keeps resolving. `rollupKeys` are the VIEW
+    * column names the coarser re-aggregation groups by. */
+  private def assemble(agg: Aggregate, mvDf: DataFrame, cols: Seq[Mapped],
+                       exact: Boolean, rollupKeys: Seq[String],
+                       vName: String, mode: String)
+      : Option[(LogicalPlan, String, String)] = {
     def tag(i: Int) = s"__mv_o_$i"
 
     val replacement: DataFrame =
@@ -306,7 +336,7 @@ object MvRewrite {
           mvDf.select(cols.zipWithIndex.map { case (c, i) => c.expr.as(tag(i)) }: _*)
             .distinct()
         else {
-          val keyCols = groupNames.toSeq.sorted.map(col)
+          val keyCols = rollupKeys.map(col)
           val aggCols = aggOut.map { case (c, i) => c.expr.as(tag(i)) }
           val g = mvDf.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
           // restore the query's output order (groupBy puts keys first)
@@ -326,8 +356,283 @@ object MvRewrite {
           else Cast(repl, orig.dataType)
         Alias(e, orig.name)(exprId = orig.exprId)
     }
-    Some((Project(aliases, rplan), v.name,
-      (if (exact) "exact" else "rollup") + where.map(_ => "+where").getOrElse("")))
+    Some((Project(aliases, rplan), vName, mode))
+  }
+
+  // ---------------- join-view matching ------------------------------
+  //
+  // A view declared `OVER fact JOIN d1 ON c1 [JOIN d2 ON c2]...` is
+  // served to queries whose FROM is an inner-join tree over the SAME
+  // member tables with the SAME total condition set — associativity
+  // and join order fall away because an inner-join tree is exactly
+  // sigma(all conditions)(t1 x t2 x ...). Attributes are matched by
+  // RESOLVED IDENTITY (leaf table, column name), never by alias, so
+  // `FROM orders o JOIN customer c ON o.custkey = c.custkey` matches a
+  // view declared over `orders JOIN customer ON
+  // orders.custkey = customer.custkey`. Extra query conjuncts (from ON
+  // or WHERE) are leftovers and must be key-only, exactly like the
+  // single-table path; a missing view conjunct refuses.
+
+  import org.apache.spark.sql.catalyst.expressions.ExprId
+
+  /** The query side of a join match: leaf tables (alias-resolved name,
+    * relation, subtree output) and every inner-join conjunct. */
+  private final case class JoinTree(
+      leaves: Seq[(String, LogicalRelation,
+        Seq[org.apache.spark.sql.catalyst.expressions.Attribute])],
+      onConds: Seq[Expression])
+
+  /** Collect an inner-join tree: every internal node a conditioned
+    * INNER Join, every leaf a bare (aliased) table scan. Any other
+    * shape (outer joins, subquery leaves, cross joins) returns None —
+    * the rewrite refuses rather than risks. */
+  private def collectTree(p: LogicalPlan): Option[JoinTree] = p match {
+    case j: Join if j.joinType == Inner && j.condition.isDefined =>
+      for { l <- collectTree(j.left); r <- collectTree(j.right) }
+        yield JoinTree(l.leaves ++ r.leaves,
+          l.onConds ++ r.onConds ++ conjuncts(j.condition.get))
+    case leaf => baseScan(leaf, None).map { case (t, rel) =>
+      JoinTree(Seq((t, rel, leaf.output)), Nil) }
+  }
+
+  /** Canonical form with RESOLVED table identity: each attribute
+    * becomes `table.column` (both lowercased) via the leaf it resolves
+    * to — the qualifier survives aliasing, so two predicates over the
+    * same join compare equal iff they constrain the same columns of
+    * the same tables. */
+  private def canonId(e: Expression, attrTable: Map[ExprId, String]): Expression =
+    normalize(e).transformUp {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(attrTable.getOrElse(a.exprId, "__unresolved"), a.name.toLowerCase))
+    }
+
+  /** A join view's resolution against its registered member tables:
+    * member set, required canonical conjuncts (ON ++ WHERE), and the
+    * identity -> view-column maps for keys and each aggregate kind. */
+  private final case class JoinViewInfo(
+      members: Set[String],
+      required: Seq[Expression],
+      countCol: String,
+      keyIds: Map[(String, String), String],
+      sumIds: Map[(String, String), String],
+      minIds: Map[(String, String), String],
+      maxIds: Map[(String, String), String],
+      avgIds: Map[(String, String), String])
+
+  // keyed by "<name> <spec fingerprint>"; invalidated with the
+  // predicate cache on CREATE/DROP of the view
+  private val joinInfoCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[JoinViewInfo]]
+
+  private def joinViewInfo(spark: SparkSession,
+                           v: SqlRouter.MvSpec): Option[JoinViewInfo] = {
+    val fp = (Seq(v.name + " ", v.over) ++
+      v.joins.flatMap { case (t, c) => Seq(t, c) } ++ v.keys ++
+      Seq(v.where.getOrElse(""), v.countCol) ++
+      (v.sums ++ v.mins ++ v.maxs ++ v.avgs).flatMap { case (n, e) => Seq(n, e) })
+      .mkString(" ")
+    joinInfoCache.getOrElseUpdate(fp, buildJoinViewInfo(spark, v))
+  }
+
+  private def buildJoinViewInfo(spark: SparkSession,
+                                v: SqlRouter.MvSpec): Option[JoinViewInfo] =
+    try {
+      def pcol(t: String) = ColumnBridge.column(
+        spark.sessionState.sqlParser.parseExpression(t))
+      val frame = v.joins.foldLeft(spark.table(v.over).alias(v.over)) {
+        case (acc, (t, c)) => acc.join(spark.table(t).alias(t), pcol(c), "inner")
+      }
+      val full = v.where.map(w => frame.filter(pcol(w))).getOrElse(frame)
+      @tailrec def peel(p: LogicalPlan, acc: Seq[Expression])
+          : (LogicalPlan, Seq[Expression]) = p match {
+        case Filter(c, ch) => peel(ch, acc ++ conjuncts(c))
+        case x => (x, acc)
+      }
+      val (jp, wconjs) = peel(full.queryExecution.analyzed, Nil)
+      collectTree(jp).flatMap { tree =>
+        val attrT = tree.leaves.flatMap { case (t, _, out) =>
+          out.map(_.exprId -> t.toLowerCase) }.toMap
+        // a declared key/aggregate source must resolve to a bare
+        // column of one member — anything else is unservable
+        def ident(text: String): Option[(String, String)] =
+          frame.select(pcol(text)).queryExecution.analyzed match {
+            case Project(Seq(ne), _) =>
+              (ne match { case Alias(c, _) => c; case x => x }) match {
+                case a: AttributeReference =>
+                  attrT.get(a.exprId).map(t => (t, a.name.toLowerCase))
+                case _ => None
+              }
+            case _ => None
+          }
+        def aggMap(xs: Seq[(String, String)]): Map[(String, String), String] =
+          xs.flatMap { case (n, e) => ident(e).map(_ -> n) }.toMap
+        val keyIdsOpt = v.keys.map(k =>
+          ident(k).map(_ -> SqlRouter.MvSpec.storageName(k).toLowerCase))
+        if (keyIdsOpt.exists(_.isEmpty)) None
+        else Some(JoinViewInfo(
+          tree.leaves.map(_._1.toLowerCase).toSet,
+          (tree.onConds ++ wconjs).map(canonId(_, attrT)),
+          v.countCol,
+          keyIdsOpt.flatten.toMap,
+          aggMap(v.sums), aggMap(v.mins), aggMap(v.maxs), aggMap(v.avgs)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def rewriteJoinAgg(spark: SparkSession, agg: Aggregate,
+                             where: Option[Expression], join: Join,
+                             views: Seq[SqlRouter.MvSpec],
+                             rootOf: String => Option[String])
+      : Option[(LogicalPlan, String, String)] = {
+    if (views.isEmpty) return None
+    val tree = collectTree(join) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val names = tree.leaves.map(_._1.toLowerCase)
+    if (names.distinct.size != names.size) return None // self-join: refuse
+    val attrTable: Map[ExprId, String] = tree.leaves.flatMap {
+      case (t, _, out) => out.map(_.exprId -> t.toLowerCase) }.toMap
+    val groupIds = agg.groupingExpressions.map {
+      case a: AttributeReference if attrTable.contains(a.exprId) =>
+        (attrTable(a.exprId), a.name.toLowerCase)
+      case _ => return None
+    }
+    if (groupIds.distinct.size != groupIds.size) return None
+    val qcanon = (tree.onConds ++ where.toSeq.flatMap(conjuncts))
+      .map(c => (c, canonId(c, attrTable)))
+    views.iterator
+      .flatMap(v => tryJoinView(spark, agg, groupIds.toSet, qcanon,
+        tree, attrTable, v, rootOf, where.nonEmpty))
+      .nextOption()
+  }
+
+  private def tryJoinView(spark: SparkSession, agg: Aggregate,
+                          groupIds: Set[(String, String)],
+                          qcanon: Seq[(Expression, Expression)],
+                          tree: JoinTree, attrTable: Map[ExprId, String],
+                          v: SqlRouter.MvSpec,
+                          rootOf: String => Option[String],
+                          hadWhere: Boolean)
+      : Option[(LogicalPlan, String, String)] = {
+    val info = joinViewInfo(spark, v) match {
+      case Some(i) => i
+      case None => return None
+    }
+    if (info.members != tree.leaves.map(_._1.toLowerCase).toSet) return None
+    // pin every leaf relation to its registered root (a shadowing temp
+    // view must not rewrite)
+    if (!tree.leaves.forall { case (t, rel, _) =>
+      rootOf(t).exists(underRoot(spark, rel, _)) }) return None
+    val exact = groupIds == info.keyIds.keySet
+    if (!exact && !groupIds.subsetOf(info.keyIds.keySet)) return None
+    // every view conjunct (ON and WHERE) must appear in the query's
+    // total conjunct set; leftovers must be key-only and re-apply
+    var remaining = qcanon
+    val allMatched = info.required.forall { rc =>
+      remaining.indexWhere(_._2 == rc) match {
+        case -1 => false
+        case i => remaining = remaining.patch(i, Nil, 1); true
+      }
+    }
+    if (!allMatched) return None
+    val leftover = remaining.map(_._1)
+    def identOf(a: org.apache.spark.sql.catalyst.expressions.Attribute)
+        : Option[(String, String)] =
+      attrTable.get(a.exprId).map(t => (t, a.name.toLowerCase))
+    val keyOnly = leftover.forall(c => c.deterministic &&
+      c.find(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]).isEmpty &&
+      c.references.forall(a => identOf(a).exists(info.keyIds.contains)))
+    if (!keyOnly) return None
+
+    // leftover predicates re-target the view's storage-named keys
+    val mvDf = leftover.foldLeft(spark.table(v.name)) { (df, cond) =>
+      val rebound = normalize(cond).transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq(info.keyIds(identOf(a).get)))
+      }
+      df.filter(ColumnBridge.column(rebound))
+    }
+    val mvCols = mvDf.columns.map(_.toLowerCase).toSet
+    val built = agg.aggregateExpressions.map(ne =>
+      mapOutputJoin(ne, groupIds, attrTable, info, exact, mvCols))
+    if (built.exists(_.isEmpty)) return None
+    val rollupKeys = groupIds.toSeq.map(info.keyIds).sorted
+    assemble(agg, mvDf, built.map(_.get), exact, rollupKeys, v.name,
+      (if (exact) "exact" else "rollup") + "+join" +
+        (if (hadWhere) "+where" else ""))
+  }
+
+  /** One query output expression -> its view-side form for a JOIN
+    * view, matching aggregate sources by resolved (table, column)
+    * identity. */
+  private def mapOutputJoin(ne: NamedExpression,
+                            groupIds: Set[(String, String)],
+                            attrTable: Map[ExprId, String],
+                            info: JoinViewInfo, exact: Boolean,
+                            mvCols: Set[String]): Option[Mapped] = {
+    def ident(a: AttributeReference): Option[(String, String)] =
+      attrTable.get(a.exprId).map(t => (t, a.name.toLowerCase))
+    def key(a: AttributeReference): Option[Mapped] =
+      ident(a).filter(groupIds.contains).flatMap(info.keyIds.get)
+        .map(n => Mapped(col(n), isKey = true))
+    def agg(ae: AggregateExpression): Option[Mapped] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case c: Count if c.children.sizeIs == 1 &&
+            c.children.head.isInstanceOf[Literal] &&
+            c.children.head.asInstanceOf[Literal].value != null =>
+          val n = info.countCol
+          Some(Mapped(if (exact) col(n)
+                      else coalesce(sum(col(n)), lit(0L)), isKey = false))
+        case s: Sum => s.child match {
+          case a: AttributeReference =>
+            ident(a).flatMap(info.sumIds.get).map(n =>
+              Mapped(if (exact) col(n) else sum(col(n)), isKey = false))
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference =>
+            ident(a).flatMap(info.minIds.get).map(n =>
+              Mapped(if (exact) col(n) else min(col(n)), isKey = false))
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference =>
+            ident(a).flatMap(info.maxIds.get).map(n =>
+              Mapped(if (exact) col(n) else max(col(n)), isKey = false))
+          case _ => None
+        }
+        case av: Average => av.child match {
+          case a: AttributeReference =>
+            ident(a).flatMap(info.avgIds.get).flatMap { n =>
+              if (exact) Some(Mapped(col(n), isKey = false))
+              else {
+                val (bs, bc) = (Mvm.avgBackingSum(n), Mvm.avgBackingCnt(n))
+                if (mvCols.contains(bs.toLowerCase) &&
+                    mvCols.contains(bc.toLowerCase)) {
+                  val ratio = ne.dataType match {
+                    case _: org.apache.spark.sql.types.DecimalType =>
+                      sum(col(bs)) / sum(col(bc))
+                    case _ => sum(col(bs)).cast("double") / sum(col(bc))
+                  }
+                  Some(Mapped(when(sum(col(bc)) > 0, ratio), isKey = false))
+                } else None
+              }
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    ne match {
+      case a: AttributeReference => key(a)
+      case Alias(a: AttributeReference, _) => key(a)
+      case Alias(ae: AggregateExpression, _) => agg(ae)
+      case _ => None
+    }
   }
 
   /** A mapped output: the Column over the view, and whether it is a

@@ -203,7 +203,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     * instead). */
   private def maintainViews(tbl: String, preVersion: Int,
                             newVersion: Int): Unit = {
-    val specs = mviews.values.filter(_.over == tbl)
+    val specs = mviews.values.filter(_.members.contains(tbl))
     if (specs.nonEmpty && newVersion > preVersion) {
       val r = root(tbl)
       val oldV = ManagedTable.read(spark, r, asOf = Some(preVersion))
@@ -212,31 +212,84 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       // views share one bag; a FILTERED view diffs its own predicate's
       // restriction of both versions — a row entering/leaving the
       // predicate then shows up as an add/remove, which is exactly the
-      // delta its rollup needs
+      // delta its rollup needs. (Join views filter AFTER the delta is
+      // joined — their predicate may reference other members.)
       lazy val commonBag =
         graft.operators.Mvm.delta(oldV, newV, shared).localCheckpoint()
       specs.foreach { mv =>
         def cols(xs: Seq[(String, String)]) =
           xs.map { case (n, e) => (n, parseCol(e)) }
-        val (mins, maxs) = (cols(mv.mins), cols(mv.maxs))
-        val (bag, repairBase) = mv.where match {
-          case None => (commonBag, newV)
-          case Some(w) =>
-            val pred = parseCol(w)
-            (graft.operators.Mvm.delta(oldV.filter(pred), newV.filter(pred), shared)
-              .localCheckpoint(), newV.filter(pred))
+        if (mv.joins.isEmpty) {
+          val (mins, maxs) = (cols(mv.mins), cols(mv.maxs))
+          val (bag, repairBase) = mv.where match {
+            case None => (commonBag, newV)
+            case Some(w) =>
+              val pred = parseCol(w)
+              (graft.operators.Mvm.delta(oldV.filter(pred), newV.filter(pred), shared)
+                .localCheckpoint(), newV.filter(pred))
+          }
+          graft.streaming.MvSink.mergeBagIntoView(spark, mv.root, bag,
+            mv.keys, mv.countCol, cols(mv.sums), mins, maxs,
+            // extrema delete-repair reads the post-mutation base version
+            // (restricted to the view's predicate when it has one)
+            if (mins.isEmpty && maxs.isEmpty) None else Some(repairBase),
+            cols(mv.avgs))
+        } else {
+          // JOIN view, one member changed: Δ(F ⋈ D1 ⋈ ...) when only
+          // T changed is exactly (ΔT) joined with every OTHER member's
+          // CURRENT state — the delta-keyed probe (|ΔT| drives the
+          // probe; dimensions broadcast when small, and no
+          // inclusion-exclusion is needed because the router mutates
+          // one table per statement). The bag's __mult multiplies
+          // through the join unchanged (+1/-1 per produced row).
+          def frameAt(t: String): DataFrame =
+            if (t == tbl) commonBag else ManagedTable.read(spark, root(t))
+          val bag = mvFlatJoin(mv, frameAt, withMult = true).localCheckpoint()
+          val needRepair = mv.mins.nonEmpty || mv.maxs.nonEmpty
+          graft.streaming.MvSink.mergeBagIntoView(spark, mv.root, bag,
+            mv.storageKeys, mv.countCol, mvFlatAggs(mv.sums),
+            mvFlatAggs(mv.mins), mvFlatAggs(mv.maxs),
+            // extrema delete-repair recomputes dirty groups from the
+            // post-mutation JOIN (flattened the same way)
+            if (!needRepair) None
+            else Some(mvFlatJoin(mv,
+              t => ManagedTable.read(spark, root(t)), withMult = false)),
+            mvFlatAggs(mv.avgs))
         }
-        graft.streaming.MvSink.mergeBagIntoView(spark, mv.root, bag,
-          mv.keys, mv.countCol, cols(mv.sums), mins, maxs,
-          // extrema delete-repair reads the post-mutation base version
-          // (restricted to the view's predicate when it has one)
-          if (mins.isEmpty && maxs.isEmpty) None else Some(repairBase),
-          cols(mv.avgs))
         graft.sources.TableStatistics.invalidate(mv.root)
         refreshView(mv.name)
       }
     }
   }
+
+  /** A join view's NORMALIZED input relation: the declared inner-join
+    * tree (each member aliased by its table name, so qualified
+    * references in ON/WHERE/aggregates resolve), the view predicate
+    * applied, then projected to storage-named keys plus one generated
+    * `__in_<agg>` column per aggregate source — the flat single-
+    * relation shape Mvm's delta algebra consumes unchanged. `frameOf`
+    * supplies each member's relation: current state for
+    * compute/refresh; during maintenance, the changed member's delta
+    * bag (carrying [[graft.operators.Mvm.MultCol]]). */
+  private def mvFlatJoin(mv: SqlRouter.MvSpec,
+                         frameOf: String => DataFrame,
+                         withMult: Boolean): DataFrame = {
+    val joined = mv.joins.foldLeft(frameOf(mv.over).alias(mv.over)) {
+      case (acc, (t, cond)) => acc.join(frameOf(t).alias(t), parseCol(cond), "inner")
+    }
+    val filtered = mv.where.map(w => joined.filter(parseCol(w))).getOrElse(joined)
+    val keyCols = mv.keys.map(k => parseCol(k).as(SqlRouter.MvSpec.storageName(k)))
+    def ins(xs: Seq[(String, String)]) =
+      xs.map { case (n, e) => parseCol(e).as(s"__in_$n") }
+    val aggCols = ins(mv.sums) ++ ins(mv.mins) ++ ins(mv.maxs) ++ ins(mv.avgs)
+    val mult =
+      if (withMult) Seq(col(graft.operators.Mvm.MultCol)) else Nil
+    filtered.select(keyCols ++ aggCols ++ mult: _*)
+  }
+
+  /** The flattened relation's aggregate sources, by generated name. */
+  private def mvFlatAggs(xs: Seq[(String, String)]): Seq[(String, Column)] =
+    xs.map { case (n, _) => (n, col(s"__in_$n")) }
 
   /** Streaming-ingest apply: one idempotent last-writer-wins
     * MERGE-upsert batch into managed table `name`, plus incremental
@@ -381,8 +434,14 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(\w+)\s+INTO\s+(\d+)\s+FILES(?:\s+(ZORDER\s+)?BY\s*\(([^)]+)\))?\s*""".r
+  // the tail (agg clauses / WHERE / LOCATION) is split quote-aware by
+  // SqlRouter.splitMvTail, not by this regex: a lazy-regex WHERE group
+  // terminated by LOCATION '...' silently misparsed any predicate
+  // containing the token LOCATION inside a string literal
+  // OVER captures a table name OR an inner-join tree ("fact JOIN dim
+  // ON cond ..."), parsed quote-aware by SqlRouter.parseOverBlob
   private val CreateMv =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+OVER\s+(\w+)\s+KEY\s*\(([^)]+)\)\s+COUNT\s+(\w+)(.*?)(?:\s+WHERE\s+(.+?))?\s+LOCATION\s+'([^']+)'\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+OVER\s+(.+?)\s+KEY\s*\(([^)]+)\)\s+COUNT\s+(\w+)(.*)""".r
   private val DropMv =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)(\s+PURGE)?\s*""".r
   private val RefreshMv =
@@ -474,7 +533,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
          AddConstraintStmt(_, _, _) | DropConstraintsStmt(_) |
          Optimize(_, _, _, _) | Drop(_, _) | VacuumStmt(_, _) |
          CreateBloomIdx(_, _) | DropBloomIdx(_) |
-         Restore(_, _) | CreateMv(_, _, _, _, _, _, _) | DropMv(_, _) |
+         Restore(_, _) | CreateMv(_, _, _, _, _) | DropMv(_, _) |
          RefreshMv(_) | Analyze(_, _) | TxnBatch(_, _) | BareTxnKw(_) => true
     case other =>
       val kw = other.trim.takeWhile(!_.isWhitespace).toUpperCase
@@ -815,25 +874,44 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // SELECT-visible, versioned, durable, with its maintenance spec
     // in a _graft_mv.json sidecar so a restarted router resumes
     // maintaining it.
-    case CreateMv(name, over, keys, countCol, aggBlob, whereOpt, path) =>
+    case CreateMv(name, overBlob, keys, countCol, tail) =>
       require(!tables.contains(name), s"name '$name' is already registered")
-      val r = root(over)
+      val (over, joins) = SqlRouter.parseOverBlob(overBlob)
+      val memberNames = over +: joins.map(_._1)
+      require(memberNames.map(_.toLowerCase).distinct.size == memberNames.size,
+        s"OVER join tree repeats a table (${memberNames.mkString(", ")}) — " +
+          "self-joins are not maintainable incrementally")
+      memberNames.foreach(t => root(t): Unit) // every member must be registered
       val keyCols = splitTop(keys, ',').map(_.trim)
+      val (aggBlob, where, path) = SqlRouter.splitMvTail(tail)
       val (sums, mins, maxs, avgs) = SqlRouter.parseAggClauses(aggBlob)
       def cols(xs: Seq[(String, String)]) =
         xs.map { case (n, e) => (n, parseCol(e)) }
       // optional WHERE: the view maintains a FILTERED rollup — the
       // delta algebra is unchanged (deltas just pass the predicate
-      // first), and MvRewrite serves queries whose WHERE implies it
-      val where = Option(whereOpt).map(_.trim).filter(_.nonEmpty)
-      val base0 = ManagedTable.read(spark, r)
-      val base = where.map(w => base0.filter(parseCol(w))).getOrElse(base0)
-      val mv0 = graft.operators.Mvm.compute(base,
-        keyCols, countCol, cols(sums), cols(mins), cols(maxs), cols(avgs))
+      // first), and MvRewrite serves queries whose WHERE implies it.
+      // A recreated view under the same (name, over, where) key must
+      // re-resolve its predicate against the CURRENT base schema.
+      MvRewrite.invalidatePredCache(name)
+      val spec = SqlRouter.MvSpec(name, over, path, keyCols, countCol,
+        sums, mins, maxs, avgs, where, joins)
+      val mv0 =
+        if (joins.isEmpty) {
+          val base0 = ManagedTable.read(spark, root(over))
+          val base = where.map(w => base0.filter(parseCol(w))).getOrElse(base0)
+          graft.operators.Mvm.compute(base,
+            keyCols, countCol, cols(sums), cols(mins), cols(maxs), cols(avgs))
+        } else {
+          require(spec.storageKeys.map(_.toLowerCase).distinct.size == keyCols.size,
+            s"join-view keys collide after dropping qualifiers " +
+              s"(${keyCols.mkString(", ")}) — stored key names must be distinct")
+          val flat = mvFlatJoin(spec, t => ManagedTable.read(spark, root(t)),
+            withMult = false)
+          graft.operators.Mvm.compute(flat, spec.storageKeys, countCol,
+            mvFlatAggs(sums), mvFlatAggs(mins), mvFlatAggs(maxs), mvFlatAggs(avgs))
+        }
       ManagedTable.create(spark, path, mv0.schema)
       val snap = ManagedTable.insert(spark, path, mv0)
-      val spec = SqlRouter.MvSpec(name, over, path, keyCols, countCol,
-        sums, mins, maxs, avgs, where)
       SqlRouter.writeMvSidecar(spark, spec)
       mviews.put(name, spec)
       register(name, path)
@@ -844,6 +922,7 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val v = ManagedTable.history(spark, r).last.version
       mviews.remove(name)
       tables.remove(name)
+      MvRewrite.invalidatePredCache(name)
       spark.catalog.dropTempView(name): Unit
       persist()
       val purged = purge != null
@@ -858,15 +937,20 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     // to the base table, or a schema evolution the delta path refuses)
     case RefreshMv(name) if mviews.contains(name) =>
       val mv = mviews(name)
-      val refreshBase0 = ManagedTable.read(spark, root(mv.over))
-      val refreshBase = mv.where.map(w => refreshBase0.filter(parseCol(w)))
-        .getOrElse(refreshBase0)
-      val fresh = graft.operators.Mvm.compute(
-        refreshBase, mv.keys, mv.countCol,
-        mv.sums.map { case (n, e) => (n, parseCol(e)) },
-        mv.mins.map { case (n, e) => (n, parseCol(e)) },
-        mv.maxs.map { case (n, e) => (n, parseCol(e)) },
-        mv.avgs.map { case (n, e) => (n, parseCol(e)) })
+      val fresh = if (mv.joins.isEmpty) {
+        val refreshBase0 = ManagedTable.read(spark, root(mv.over))
+        val refreshBase = mv.where.map(w => refreshBase0.filter(parseCol(w)))
+          .getOrElse(refreshBase0)
+        graft.operators.Mvm.compute(
+          refreshBase, mv.keys, mv.countCol,
+          mv.sums.map { case (n, e) => (n, parseCol(e)) },
+          mv.mins.map { case (n, e) => (n, parseCol(e)) },
+          mv.maxs.map { case (n, e) => (n, parseCol(e)) },
+          mv.avgs.map { case (n, e) => (n, parseCol(e)) })
+      } else graft.operators.Mvm.compute(
+        mvFlatJoin(mv, t => ManagedTable.read(spark, root(t)), withMult = false),
+        mv.storageKeys, mv.countCol, mvFlatAggs(mv.sums),
+        mvFlatAggs(mv.mins), mvFlatAggs(mv.maxs), mvFlatAggs(mv.avgs))
       ManagedTable.delete(spark, mv.root, lit(true))
       val snap = ManagedTable.insert(spark, mv.root, fresh)
       graft.sources.TableStatistics.invalidate(mv.root)
@@ -1012,6 +1096,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
         fs.listStatus(logDir).map(_.getPath)
           .filter(_.getName.matches("v\\d{8}\\.bloom\\.json"))
           .foreach(p => fs.delete(p, false): Unit)
+      val segDir = graft.sources.FileBloom.segDirPath(r)
+      if (fs.exists(segDir)) fs.delete(segDir, true): Unit
       graft.sources.FileSkip.invalidate(spark, r)
       summary("drop_bloom_index", name,
         ManagedTable.history(spark, r).last.version)
@@ -1032,7 +1118,9 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       def show(xs: Seq[(String, String)]) =
         xs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
       mviews.values.toSeq.sortBy(_.name)
-        .map(m => (m.name, m.over, m.root, m.keys.mkString(","), m.countCol,
+        .map(m => (m.name,
+          m.over + m.joins.map { case (t, c) => s" JOIN $t ON $c" }.mkString,
+          m.root, m.keys.mkString(","), m.countCol,
           show(m.sums), show(m.mins), show(m.maxs), show(m.avgs),
           m.where.getOrElse("")))
         .toDF("name", "over_table", "location", "key_cols", "count_col",
@@ -1154,17 +1242,26 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
   private def requireNoMvReference(tbl: String, colName: String,
                                    op: String): Unit = {
     val lc = colName.toLowerCase
-    val dependents = mviews.values.filter(_.over.equalsIgnoreCase(tbl)).filter { mv =>
-      mv.keys.exists(_.equalsIgnoreCase(colName)) ||
-        (mv.sums ++ mv.mins ++ mv.maxs ++ mv.avgs ++
-          mv.where.map(w => ("where", w)).toSeq).exists { case (_, e) =>
-          try spark.sessionState.sqlParser.parseExpression(e).collect {
-            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              ua.name.toLowerCase
-          }.contains(lc)
-          catch { case scala.util.control.NonFatal(_) => true } // unparseable: be safe
-        }
-    }.map(_.name).toSeq.sorted
+    // a qualified reference `t.c` only pins `tbl` when its qualifier
+    // does; a bare `c` in a view over `tbl` (single-table or join
+    // member) is conservatively treated as referencing it
+    def refs(e: String): Boolean =
+      try spark.sessionState.sqlParser.parseExpression(e).collect {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          ua.nameParts.map(_.toLowerCase)
+      }.exists(parts => parts.last == lc &&
+        (parts.sizeIs == 1 || parts.init.last == tbl.toLowerCase))
+      catch { case scala.util.control.NonFatal(_) => true } // unparseable: be safe
+    val dependents = mviews.values
+      .filter(_.members.exists(_.equalsIgnoreCase(tbl))).filter { mv =>
+        mv.keys.exists(k => k.equalsIgnoreCase(colName) ||
+          k.equalsIgnoreCase(s"$tbl.$colName")) ||
+          (mv.sums ++ mv.mins ++ mv.maxs ++ mv.avgs ++
+            mv.where.map(w => ("where", w)).toSeq ++
+            mv.joins.map { case (t, c) => (s"on_$t", c) }).exists { case (_, e) =>
+            refs(e)
+          }
+      }.map(_.name).toSeq.sorted
     require(dependents.isEmpty,
       s"$op column '$colName': read by materialized view(s) " +
         s"${dependents.mkString(", ")} — DROP MATERIALIZED VIEW first")
@@ -1237,7 +1334,129 @@ object SqlRouter {
                           mins: Seq[(String, String)] = Nil,
                           maxs: Seq[(String, String)] = Nil,
                           avgs: Seq[(String, String)] = Nil,
-                          where: Option[String] = None)
+                          where: Option[String] = None,
+                          joins: Seq[(String, String)] = Nil) {
+    /** Every member table: the base plus each joined dimension. */
+    def members: Seq[String] = over +: joins.map(_._1)
+    /** A (possibly `t.c`-qualified) key's stored column name. */
+    def storageKeys: Seq[String] = keys.map(MvSpec.storageName)
+  }
+
+  object MvSpec {
+    /** The column name a declared key is STORED under in the view:
+      * the last dot-component (`region.r_name` -> `r_name`). Join
+      * views declare qualified keys to disambiguate; the rollup's
+      * groupBy output drops the qualifier. */
+    def storageName(key: String): String = {
+      val t = key.trim
+      val i = t.lastIndexOf('.')
+      if (i < 0) t else t.substring(i + 1)
+    }
+  }
+
+  /** Parse the CREATE MATERIALIZED VIEW `OVER` blob — either a single
+    * table name or an inner-join tree `fact JOIN d1 ON cond [JOIN d2
+    * ON cond]...` — into (base table, Seq[(table, onCondition)]).
+    * Split points are TOP-LEVEL `JOIN` keywords (outside quotes and
+    * parens), so a condition may itself contain parenthesized or
+    * quoted anything. */
+  private[server] def parseOverBlob(blob: String): (String, Seq[(String, String)]) = {
+    val segs = splitAtKeyword(blob, "JOIN")
+    val base = segs.head.trim
+    require(base.matches("\\w+"),
+      s"OVER must start with a table name, got '${base.take(40)}'")
+    val JoinSeg = """(?is)\s*(\w+)\s+ON\s+(.+?)\s*""".r
+    val joins = segs.tail.map {
+      case JoinSeg(t, cond) => (t, cond)
+      case other => throw new IllegalArgumentException(
+        s"malformed JOIN clause '${other.trim.take(40)}' — expected 'table ON condition'")
+    }
+    (base, joins)
+  }
+
+  /** Split `s` at every top-level occurrence of keyword `kw` (outside
+    * quotes/parens, word-bounded); the keyword itself is dropped. */
+  private[server] def splitAtKeyword(s: String, kw: String): Seq[String] = {
+    val up = s.toUpperCase
+    val KW = kw.toUpperCase
+    def kwAt(i: Int): Boolean =
+      up.startsWith(KW, i) &&
+        (i == 0 || { val p = up.charAt(i - 1); !p.isLetterOrDigit && p != '_' }) &&
+        (i + KW.length >= up.length || { val n = up.charAt(i + KW.length)
+          !n.isLetterOrDigit && n != '_' })
+    val cuts = Seq.newBuilder[Int]
+    var i = 0; var depth = 0; var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => if (depth == 0 && kwAt(i)) cuts += i
+      }
+      i += 1
+    }
+    val idx = cuts.result()
+    if (idx.isEmpty) Seq(s)
+    else {
+      val parts = Seq.newBuilder[String]
+      parts += s.substring(0, idx.head)
+      idx.indices.foreach { k =>
+        val from = idx(k) + KW.length
+        val to = if (k + 1 < idx.length) idx(k + 1) else s.length
+        parts += s.substring(from, to)
+      }
+      parts.result()
+    }
+  }
+
+  /** Quote/paren-aware split of the CREATE MATERIALIZED VIEW tail
+    * (everything after `COUNT col`) into (aggregate blob, optional
+    * WHERE predicate, LOCATION path). The WHERE boundary is the first
+    * top-level `WHERE` keyword and the LOCATION boundary the LAST
+    * top-level `LOCATION` keyword — both outside quotes and parens —
+    * so a predicate like `note <> 'x LOCATION ''y'''` can no longer
+    * split the statement inside a string literal. */
+  private[server] def splitMvTail(tail: String): (String, Option[String], String) = {
+    val up = tail.toUpperCase
+    def kwAt(i: Int, kw: String): Boolean =
+      up.startsWith(kw, i) &&
+        (i == 0 || { val p = up.charAt(i - 1)
+          !p.isLetterOrDigit && p != '_' }) &&
+        (i + kw.length >= up.length || { val n = up.charAt(i + kw.length)
+          !n.isLetterOrDigit && n != '_' })
+    var i = 0; var depth = 0; var quote: Char = 0
+    var whereAt = -1; var locAt = -1
+    while (i < tail.length) {
+      val c = tail.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0) {
+            if (whereAt < 0 && kwAt(i, "WHERE")) whereAt = i
+            if (kwAt(i, "LOCATION")) locAt = i
+          }
+      }
+      i += 1
+    }
+    require(locAt >= 0,
+      "CREATE MATERIALIZED VIEW requires a trailing LOCATION '<path>'")
+    val PathRe = """(?s)\s*'([^']+)'\s*""".r
+    val path = tail.substring(locAt + "LOCATION".length) match {
+      case PathRe(p) => p
+      case other => throw new IllegalArgumentException(
+        s"malformed LOCATION clause '${other.trim.take(40)}'")
+    }
+    if (whereAt >= 0 && whereAt < locAt)
+      (tail.substring(0, whereAt),
+        Some(tail.substring(whereAt + "WHERE".length, locAt).trim).filter(_.nonEmpty),
+        path)
+    else (tail.substring(0, locAt), None, path)
+  }
 
   /** Parse the CREATE MATERIALIZED VIEW aggregate-clause blob — zero
     * or more of `SUM (...)`, `MIN (...)`, `MAX (...)` in any order,
@@ -1344,7 +1563,9 @@ object SqlRouter {
       j("mins") + ":" + j(aggList(spec.mins)),
       j("maxs") + ":" + j(aggList(spec.maxs)),
       j("avgs") + ":" + j(aggList(spec.avgs)),
-      j("where") + ":" + j(spec.where.getOrElse(""))
+      j("where") + ":" + j(spec.where.getOrElse("")),
+      j("joins") + ":" + j(spec.joins
+        .map { case (t, c) => s"$t ON $c" }.mkString(" JOIN "))
     ).mkString("{", ",", "}")
     val out = f.create(p, /*overwrite=*/ true)
     try out.write(s"""{"mv":$body}""".getBytes("UTF-8")) finally out.close()
@@ -1367,10 +1588,19 @@ object SqlRouter {
       // mins/maxs default empty so pre-extrema sidecars still load
       def aggList(k: String): Seq[(String, String)] =
         m.get(k).filter(_.trim.nonEmpty).map(parseSumList).getOrElse(Nil)
+      // joins default empty so pre-join-view sidecars still load
+      val joins = m.get("joins").filter(_.trim.nonEmpty).map { blob =>
+        val JoinSeg = """(?is)\s*(\w+)\s+ON\s+(.+?)\s*""".r
+        splitAtKeyword(blob, "JOIN").map {
+          case JoinSeg(t, cond) => (t, cond)
+          case other => throw new IllegalArgumentException(
+            s"MV sidecar $p: malformed joins segment '${other.trim.take(40)}'")
+        }
+      }.getOrElse(Nil)
       Some(MvSpec(need("name"), need("over"), root,
         need("keys").split(',').map(_.trim).toSeq, need("count"),
         aggList("sums"), aggList("mins"), aggList("maxs"), aggList("avgs"),
-        m.get("where").map(_.trim).filter(_.nonEmpty)))
+        m.get("where").map(_.trim).filter(_.nonEmpty), joins))
     }
   }
 

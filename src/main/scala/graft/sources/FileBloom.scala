@@ -237,8 +237,133 @@ object FileBloom {
     out.result()
   }
 
-  /** The bloom sidecar for `version`, or empty. */
-  def read(spark: SparkSession, root: String, version: Int): Blooms = {
+  // -- segment shards --------------------------------------------------
+  //
+  // Round 11: the per-version monolith (every live file's filter
+  // re-rendered into one JSON on each commit, parsed whole by the
+  // registry) is replaced by APPEND-ONLY SEGMENT SHARDS under
+  // `_graft_log/bloomseg/`: each commit (or backfill partition) writes
+  // one `<name>.seg.json` holding ONLY its own files' filters, plus a
+  // light `<name>.meta.json` (covered columns + file list, no
+  // filters). Data files are immutable, so a filter is a permanent
+  // fact and a superset of segments is always safe to consult — no
+  // per-version rewrite exists at all. Driver work per commit is
+  // O(files in the commit); the commit-time carry check reads metas,
+  // never filters. Legacy per-version monoliths are migrated into one
+  // segment the first time a commit touches the table.
+
+  private[graft] def segDirPath(root: String) = new Path(root, "_graft_log/bloomseg")
+
+  private[graft] final case class SegEntry(name: String, cols: Set[String],
+                                           files: Seq[String])
+
+  private def renderMeta(e: SegEntry): String =
+    s"""{"cols":${graft.util.Json.escape(e.cols.toSeq.sorted.mkString(","))},"files":[${e.files.map(graft.util.Json.escape).mkString(",")}]}"""
+
+  private val MetaStr = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+
+  private def parseMeta(name: String, text: String): SegEntry = {
+    val ci = text.indexOf("\"cols\":")
+    require(ci >= 0, s"bloom segment meta $name: missing cols")
+    val colsRaw = MetaStr.findFirstMatchIn(text.substring(ci + 7))
+      .map(_.group(1)).getOrElse("")
+    val fi = text.indexOf("\"files\":[")
+    require(fi >= 0, s"bloom segment meta $name: missing files")
+    val body = text.substring(fi + 9, text.lastIndexOf(']'))
+    SegEntry(name,
+      colsRaw.split(',').map(_.trim).filter(_.nonEmpty).toSet,
+      MetaStr.findAllMatchIn(body).map(_.group(1)).toSeq)
+  }
+
+  /** List the table's segment names (one FS listing). */
+  private def listSegments(spark: SparkSession, root: String): Seq[String] = {
+    val dir = segDirPath(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".meta.json")).map(_.stripSuffix(".meta.json")).toSeq.sorted
+  }
+
+  // per-root coverage cache: (segment names it reflects, file -> cols)
+  private val coverCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Set[String], Map[String, Set[String]])]
+  // segments already DELIVERED to the FileSkip registry, per root
+  private val delivered = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Unit]
+
+  /** Which columns each file provably has filters for — from segment
+    * METAS only (no filter bytes touched); memoized per root and
+    * refreshed when the segment listing changes. */
+  private[graft] def coverage(spark: SparkSession,
+                              root: String): Map[String, Set[String]] = {
+    val names = listSegments(spark, root).toSet
+    coverCache.get(root) match {
+      case Some((seen, cov)) if seen == names => cov
+      case prior =>
+        val dir = segDirPath(root)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val (seen0, cov0) = prior.getOrElse((Set.empty[String],
+          Map.empty[String, Set[String]]))
+        val fresh = (names -- seen0).toSeq.sorted.map { n =>
+          val in = fs.open(new Path(dir, s"$n.meta.json"))
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          parseMeta(n, text)
+        }
+        val cov = fresh.foldLeft(cov0) { (acc, e) =>
+          e.files.foldLeft(acc)((a, f) =>
+            a.updated(f, a.getOrElse(f, Set.empty) ++ e.cols))
+        }
+        coverCache.put(root, (names, cov))
+        cov
+    }
+  }
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                        text: String): Unit = {
+    val out = fs.create(p, /*overwrite=*/ true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Driver-side segment write for a DELTA-sized bloom batch (the
+    * per-commit path; the table-sized backfill goes through
+    * [[backfillSegments]] and never holds filters on the driver). */
+  private[graft] def writeSegment(spark: SparkSession, root: String,
+                                  blooms: Blooms, cols: Set[String],
+                                  tag: String): Option[SegEntry] = {
+    if (blooms.isEmpty) return None
+    val dir = segDirPath(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) fs.mkdirs(dir): Unit
+    val name = f"$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+    writeText(fs, new Path(dir, s"$name.seg.json"), render(blooms))
+    val entry = SegEntry(name, cols, blooms.keys.toSeq.sorted)
+    writeText(fs, new Path(dir, s"$name.meta.json"), renderMeta(entry))
+    coverCache.remove(root): Unit // listing changed; recompute lazily
+    Some(entry)
+  }
+
+  private def readSegment(spark: SparkSession, root: String,
+                          name: String): Blooms = {
+    val p = new Path(segDirPath(root), s"$name.seg.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    parse(text)
+  }
+
+  /** Column-wise merge (same file may appear in an old narrow segment
+    * and a re-CREATE's wider one — contents for a shared column are
+    * identical by determinism, so precedence is irrelevant). */
+  private def mergeBlooms(a: Blooms, b: Blooms): Blooms =
+    b.foldLeft(a) { case (acc, (f, cols)) =>
+      acc.updated(f, acc.getOrElse(f, Map.empty) ++ cols)
+    }
+
+  private def readLegacy(spark: SparkSession, root: String,
+                         version: Int): Blooms = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = bloomPath(root, version)
     if (!fs.exists(p)) return Map.empty
@@ -247,6 +372,38 @@ object FileBloom {
     finally in.close()
     parse(text)
   }
+
+  /** The full bloom view at `version`: the legacy per-version sidecar
+    * (pre-shard tables) plus every segment shard. Segments hold only
+    * immutable-file facts, so a superset is always safe. */
+  def read(spark: SparkSession, root: String, version: Int): Blooms =
+    listSegments(spark, root).foldLeft(readLegacy(spark, root, version)) {
+      (acc, n) => mergeBlooms(acc, readSegment(spark, root, n))
+    }
+
+  /** The registry-feeding read: the legacy sidecar for `version` plus
+    * only segments NOT yet delivered for this root — with
+    * [[FileSkip]]'s gain-only merge, repeated registrations fold in
+    * exactly the new shards instead of re-parsing the table
+    * ([[invalidate]] resets delivery so a fresh registry reloads
+    * everything). */
+  private[graft] def readDelta(spark: SparkSession, root: String,
+                               version: Int): Blooms = {
+    val undeliveredSegs = listSegments(spark, root)
+      .filter(n => delivered.putIfAbsent((root, n), ()).isEmpty)
+    undeliveredSegs.foldLeft(readLegacy(spark, root, version)) {
+      (acc, n) => mergeBlooms(acc, readSegment(spark, root, n))
+    }
+  }
+
+  /** Forget this root's delivery/coverage state (DROP/re-CREATE index,
+    * registry invalidation). */
+  private[graft] def invalidate(root: String): Unit = {
+    coverCache.remove(root): Unit
+    delivered.keys.filter(_._1 == root).foreach(delivered.remove)
+  }
+
+  private[graft] def clearAll(): Unit = { coverCache.clear(); delivered.clear() }
 
   // -- harvest ---------------------------------------------------------
 
@@ -359,36 +516,179 @@ object FileBloom {
     }.toMap
   }
 
-  /** Write the bloom sidecar for a just-committed snapshot: carried
-    * files reuse their filters, new files harvest — but only when the
-    * table has a bloom index configured. Called best-effort from the
-    * commit choke point, exactly like the stats sidecar. */
+  /** Files-per-segment target for the distributed backfill, and the
+    * batch size above which the harvest folds and WRITES on executors
+    * instead of collecting partials to the driver. */
+  private[graft] val SegmentFiles = 512
+  private[graft] val DriverHarvestMax = 256
+
+  /** Maintain the bloom shards for a just-committed snapshot: files
+    * whose metas already cover every required column carry FOR FREE
+    * (their segments are immutable facts — nothing is rewritten); only
+    * uncovered files harvest, into one new delta-sized segment (or,
+    * for a table-sized backfill, executor-written segment shards —
+    * the driver never holds a table's worth of filters). Called
+    * best-effort from the commit choke point, exactly like the stats
+    * sidecar. */
   private[graft] def write(spark: SparkSession, root: String,
                            snap: ManagedTable.Snapshot): Unit = {
     val cols = config(spark, root)
     if (cols.isEmpty) return
-    val prev = read(spark, root, snap.version - 1)
-    // a carried entry must cover EVERY currently-configured column
-    // that exists in the schema — a re-CREATE that ADDED columns
-    // re-harvests the old files for the full set (per-file coverage
-    // check, not mere presence: otherwise the new column's index would
-    // silently never exist for pre-index files)
     val required = cols.filter(snap.physicalSchema.fieldNames.contains)
-    def covered(f: String): Boolean =
-      prev.get(f).exists(e => required.forall(e.contains))
-    val fresh = snap.files.filterNot(covered)
-    val harvested =
-      if (fresh.isEmpty) Map.empty[String, Map[String, Bloom]]
-      else {
-        val rowsOf = FileStats.readAll(spark, root, snap.version)._2
-          .map { case (f, e) => f -> e.rows }
-        harvest(spark, root, fresh, required, snap.physicalSchema, rowsOf)
+    if (required.isEmpty) return
+    // one-time migration: a pre-shard table's latest monolith becomes
+    // the first segment, so coverage and carry are uniform from here
+    if (listSegments(spark, root).isEmpty) {
+      val legacy = readLegacy(spark, root, snap.version - 1)
+      if (legacy.nonEmpty) {
+        val legacyCols = legacy.valuesIterator.flatMap(_.keys).toSet
+        writeSegment(spark, root, legacy, legacyCols, "migrate"): Unit
       }
-    val merged: Blooms = snap.files.flatMap { f =>
-      (if (covered(f)) prev.get(f) else harvested.get(f)).map(f -> _)
+    }
+    val cov = coverage(spark, root)
+    val fresh = snap.files.filterNot(f =>
+      cov.get(f).exists(c => required.forall(c.contains)))
+    if (fresh.isEmpty) return
+    val rowsOf = FileStats.readAll(spark, root, snap.version)._2
+      .map { case (f, e) => f -> e.rows }
+    if (fresh.size <= DriverHarvestMax) {
+      val harvested = harvest(spark, root, fresh, required,
+        snap.physicalSchema, rowsOf)
+      writeSegment(spark, root, harvested, required.toSet, "commit"): Unit
+    } else
+      backfillSegments(spark, root, fresh, required,
+        snap.physicalSchema, rowsOf)
+  }
+
+  /** Table-sized backfill with EXECUTOR-SIDE fold and write-out: row
+    * partials reduce per (file, column) across the cluster
+    * (`reduceByKey` — the OR happens where the partials live), group
+    * per file, and each output partition STREAMS its files' filters
+    * into its own segment shard directly from the task. The driver
+    * sees segment names and file lists, never a filter — memory
+    * O(files-per-commit) as the shard layout promises. Files with
+    * zero rows (no partials can exist) get their empty-filter proofs
+    * in one driver-written segment. */
+  private[graft] def backfillSegments(spark: SparkSession, root: String,
+                                      files: Seq[String], physCols: Seq[String],
+                                      schema: StructType,
+                                      rowsOf: Map[String, Long]): Unit = {
+    val present = physCols.filter(c => schema.fieldNames.contains(c))
+    if (files.isEmpty || present.isEmpty) return
+    val subSchema = StructType(schema.fields.filter(f => present.contains(f.name)))
+    def suffixOf(path: String): String =
+      path.split('/').takeRight(2).mkString("/")
+    val mOf: Map[String, Int] = files.map { f =>
+      f -> sizeFor(rowsOf.getOrElse(f, 1L << 20))
     }.toMap
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(bloomPath(root, snap.version), /*overwrite=*/ true)
-    try out.write(render(merged).getBytes("UTF-8")) finally out.close()
+    val bySuffix: Map[String, (String, Int)] =
+      files.map(f => suffixOf(f) -> (f, mOf(f))).toMap
+    require(bySuffix.size == files.size,
+      s"bloom backfill: non-unique file suffixes among ${files.size} files")
+    val nCols = present.size
+    val sc = spark.sparkContext
+    val bSuffix = sc.broadcast(bySuffix)
+    val bConf = sc.broadcast(new org.apache.spark.sql.graftbridge.SerConf(
+      sc.hadoopConfiguration))
+    val segDirStr = segDirPath(root).toString
+    val df = spark.read.schema(subSchema)
+      .parquet(files.map(f => s"$root/$f"): _*)
+      .select(input_file_name().as("_graft_bloom_file") +:
+        present.map(col): _*)
+    val partials = df.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.Map.empty[(String, Int), java.util.BitSet]
+      var lastRaw: String = null
+      var lastSuffix: String = null
+      var lastM = 0
+      it.foreach { row =>
+        val raw = row.getString(0)
+        if (raw ne lastRaw) {
+          lastRaw = raw
+          lastSuffix = suffixOf(raw)
+          lastM = bSuffix.value.get(lastSuffix).map(_._2).getOrElse(-1)
+          if (lastM > 0)
+            acc.getOrElseUpdate((lastSuffix, -1), new java.util.BitSet(1)): Unit
+        }
+        if (lastM > 0) {
+          var ci = 0
+          while (ci < nCols) {
+            if (!row.isNullAt(ci + 1)) {
+              val key = row.get(ci + 1).toString
+              val bs = acc.getOrElseUpdate((lastSuffix, ci),
+                new java.util.BitSet(lastM))
+              val hs = baseHashes(key)
+              var j = 0
+              while (j < hs.length) {
+                bs.set((hs(j) % lastM).toInt)
+                j += 1
+              }
+            }
+            ci += 1
+          }
+        }
+      }
+      acc.iterator.map { case (k, bs) => (k, bs.toByteArray) }
+    }
+    val numSegs = math.max(1, (files.size + SegmentFiles - 1) / SegmentFiles)
+    // the fold happens ON EXECUTORS; each output partition then writes
+    // one shard — the only things collected are (name, files) pairs
+    val entries: Array[(String, Seq[String])] = partials
+      .reduceByKey { (a, b) =>
+        val x = java.util.BitSet.valueOf(a); x.or(java.util.BitSet.valueOf(b))
+        x.toByteArray
+      }
+      .map { case ((sfx, ci), bytes) => (sfx, (ci, bytes)) }
+      .groupByKey(new org.apache.spark.HashPartitioner(numSegs))
+      .mapPartitionsWithIndex { (pi, it) =>
+        val buffered = it.toSeq
+        if (buffered.isEmpty) Iterator.empty
+        else {
+          val dir = new Path(segDirStr)
+          val fs = dir.getFileSystem(bConf.value.value)
+          if (!fs.exists(dir)) fs.mkdirs(dir): Unit
+          val name = f"backfill-${java.util.UUID.randomUUID().toString.take(8)}-p$pi"
+          val out = fs.create(new Path(dir, s"$name.seg.json"), true)
+          val written = Seq.newBuilder[String]
+          try {
+            out.write("""{"v":1,"files":{""".getBytes(UTF_8))
+            var first = true
+            buffered.foreach { case (sfx, colBits) =>
+              bSuffix.value.get(sfx).foreach { case (rel, m) =>
+                val bits = colBits.filter(_._1 >= 0).toMap
+                val entry = present.zipWithIndex.map { case (c, ci) =>
+                  val bs = bits.get(ci).map(java.util.BitSet.valueOf)
+                    .getOrElse(new java.util.BitSet())
+                  s"""${graft.util.Json.escape(c)}:{"m":$m,"k":$K,"bits":"${b64(bs)}"}"""
+                }.mkString("{", ",", "}")
+                if (!first) out.write(','.toInt)
+                first = false
+                out.write(s"${graft.util.Json.escape(rel)}:$entry".getBytes(UTF_8))
+                written += rel
+              }
+            }
+            out.write("}}".getBytes(UTF_8))
+          } finally out.close()
+          Iterator.single((name, written.result()))
+        }
+      }.collect()
+    // zero-row files never produce partials: their empty filters (a
+    // correct proof of total absence) land in one driver-side segment
+    val covered = entries.iterator.flatMap(_._2).toSet
+    val zeroRow: Blooms = files.filterNot(covered)
+      .filter(f => rowsOf.get(f).contains(0L))
+      .map(f => f -> present.map(c =>
+        c -> Bloom(mOf(f), K, new java.util.BitSet())).toMap).toMap
+    if (zeroRow.nonEmpty)
+      writeSegment(spark, root, zeroRow, present.toSet, "backfill-empty"): Unit
+    // metas for the executor-written shards (names + file lists only)
+    val dir = segDirPath(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    entries.foreach { case (name, fileList) =>
+      writeText(fs, new Path(dir, s"$name.meta.json"),
+        renderMeta(SegEntry(name, present.toSet, fileList.sorted)))
+    }
+    coverCache.remove(root): Unit
+    bSuffix.destroy()
+    bConf.destroy()
   }
 }

@@ -90,7 +90,9 @@ object FileSkip {
 
   def isEmpty: Boolean = byFile.isEmpty
   private[graft] def size: Int = byFile.size
-  private[graft] def clear(): Unit = { byFile.clear(); loaded.clear() }
+  private[graft] def clear(): Unit = {
+    byFile.clear(); loaded.clear(); FileBloom.clearAll()
+  }
 
   /** Forget everything registered under `root` — the re-registration
     * hook a bloom-index BACKFILL needs (already-cached FileInfo entries
@@ -102,6 +104,7 @@ object FileSkip {
     val prefix = fs.makeQualified(rootPath).toString + "/"
     loaded.keys.filter(_._1 == root).foreach(loaded.remove)
     byFile.keys.filter(_.startsWith(prefix)).foreach(byFile.remove)
+    FileBloom.invalidate(root) // re-deliver every shard on re-register
   }
 
   /** Measurement-only kill switch (ScaleBench A/B cells): clearing the
@@ -118,7 +121,10 @@ object FileSkip {
     try {
       if (loaded.putIfAbsent((root, snap.version), ()).isEmpty) {
         val (stats, extras) = FileStats.readAll(spark, root, snap.version)
-        val blooms = FileBloom.read(spark, root, snap.version)
+        // delta semantics: only bloom shards not yet folded into this
+        // registry re-parse (the gain-only merge below makes repeated
+        // registrations additive, whatever order versions arrive in)
+        val blooms = FileBloom.readDelta(spark, root, snap.version)
         if (stats.nonEmpty || blooms.nonEmpty) {
           val rootPath = new Path(root)
           val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -129,16 +135,33 @@ object FileSkip {
             if ((cols.nonEmpty || extra.nonEmpty || bl.nonEmpty) &&
                 byFile.size < MaxFiles) {
               val q = fs.makeQualified(new Path(rootPath, rel)).toString
-              if (!byFile.contains(q))
-                byFile.put(q, FileInfo(
-                  cols.map { case (c, (mn, mx)) =>
-                    c -> ColRange((mn, mx),
-                      try Some((BigDecimal(mn), BigDecimal(mx)))
-                      catch { case _: NumberFormatException => None })
-                  },
-                  extra.map(_.rows),
-                  extra.map(_.nulls).getOrElse(Map.empty),
-                  bl))
+              val fresh = FileInfo(
+                cols.map { case (c, (mn, mx)) =>
+                  c -> ColRange((mn, mx),
+                    try Some((BigDecimal(mn), BigDecimal(mx)))
+                    catch { case _: NumberFormatException => None })
+                },
+                extra.map(_.rows),
+                extra.map(_.nulls).getOrElse(Map.empty),
+                bl)
+              byFile.get(q) match {
+                case None => byFile.put(q, fresh): Unit
+                case Some(old) =>
+                  // The file is immutable, so each sidecar generation
+                  // only ever ADDS information about it (v2 row/null
+                  // counts, bloom filters a later index harvested).
+                  // An entry cached from an older-generation sidecar —
+                  // e.g. a time-travel read of a pre-bloom version
+                  // registering the shared files first — must still
+                  // gain what this sidecar proves, or bloom/nullness
+                  // pruning silently depends on read ORDER.
+                  val merged = FileInfo(
+                    old.cols ++ fresh.cols.filterNot(kv => old.cols.contains(kv._1)),
+                    old.rows.orElse(fresh.rows),
+                    old.nulls ++ fresh.nulls.filterNot(kv => old.nulls.contains(kv._1)),
+                    old.blooms ++ fresh.blooms.filterNot(kv => old.blooms.contains(kv._1)))
+                  if (merged != old) byFile.put(q, merged): Unit
+              }
             }
           }
         }

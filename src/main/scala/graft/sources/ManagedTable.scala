@@ -858,6 +858,13 @@ object ManagedTable {
       FloatType -> Set[DataType](DoubleType))
   }
 
+  /** Does `from` legally widen to `to`? (The [[widenings]] table as a
+    * predicate — ChangeFeed's mirror uses it to tell a downstream-
+    * already-wider column, a no-op, from a genuinely incompatible
+    * pair.) */
+  private[graft] def isWidening(from: DataType, to: DataType): Boolean =
+    widenings.get(from).exists(_.contains(to))
+
   /** ALTER TABLE ALTER COLUMN c TYPE t: type WIDENING as a
     * metadata-only commit. The manifest records the widened logical
     * type; data files keep their physical encodings and readers

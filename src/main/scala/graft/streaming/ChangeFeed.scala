@@ -208,16 +208,32 @@ object ChangeFeed {
       .foreach(f => ManagedTable.addColumn(spark, downstreamRoot, f.name, f.dataType): Unit)
     // mirror type WIDENINGS (int-family up, float->double): the
     // upsert's schema check compares types exactly, so a widened
-    // upstream column must widen downstream too. A non-widening type
-    // difference is unreplayable and alterColumnType refuses it loudly.
+    // upstream column must widen downstream too. A downstream column
+    // that is ALREADY wider than upstream (someone widened the
+    // follower directly) is a no-op — the delta apply below casts the
+    // narrower upstream values up into it. Only a type pair where
+    // NEITHER side widens to the other is unreplayable, and that gets
+    // a sync-specific loud failure (not alterColumnType's misleading
+    // "narrowing" refusal).
     val downTyped = ManagedTable.history(spark, downstreamRoot).last.schema
     upSnap.schema.fields.foreach { f =>
       downTyped.fields.find(_.name == f.name)
         .filter(_.dataType != f.dataType)
-        .foreach { _ =>
-          ManagedTable.alterColumnType(spark, downstreamRoot, f.name, f.dataType): Unit
+        .foreach { d =>
+          if (ManagedTable.isWidening(f.dataType, d.dataType)) {
+            () // downstream already wider: delta casts up on apply
+          } else if (ManagedTable.isWidening(d.dataType, f.dataType)) {
+            ManagedTable.alterColumnType(spark, downstreamRoot, f.name, f.dataType): Unit
+          } else throw new IllegalStateException(
+            s"sync: column '${f.name}' is ${f.dataType.simpleString} upstream " +
+              s"but ${d.dataType.simpleString} downstream — neither widens to " +
+              "the other, so the delta cannot replay. Re-bootstrap the " +
+              "follower (drop it and ChangeFeed.init) to adopt the upstream schema")
         }
     }
+    // the schema the apply must match: downstream's, post-mirroring
+    // (identical to upstream's except for downstream-wider columns)
+    val applySchema = ManagedTable.history(spark, downstreamRoot).last.schema
 
     val delta = ManagedTable.changes(spark, upstreamRoot, from,
       Some(upSnap.version), keys).localCheckpoint() // read once, apply twice
@@ -228,9 +244,12 @@ object ChangeFeed {
     val nRm = removed.count()
     if (nUp > 0)
       ManagedTable.upsert(spark, downstreamRoot,
-        upserts.select(upSnap.schema.fieldNames.map(col): _*), keys): Unit
+        upserts.select(upSnap.schema.fieldNames.map(n =>
+          col(n).cast(applySchema(n).dataType).as(n)): _*), keys): Unit
     if (nRm > 0)
-      ManagedTable.deleteKeys(spark, downstreamRoot, removed, keys): Unit
+      ManagedTable.deleteKeys(spark, downstreamRoot,
+        removed.select(keys.map(k =>
+          col(k).cast(applySchema(k).dataType).as(k)): _*), keys): Unit
     writeCursor(spark, downstreamRoot, upstreamRoot, upSnap.version)
     SyncResult(from, upSnap.version, nUp, nRm)
   }

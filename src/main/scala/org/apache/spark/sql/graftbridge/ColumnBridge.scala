@@ -32,3 +32,13 @@ object ColumnBridge {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }
+
+/** A Hadoop `Configuration` in Spark's serializable wrapper
+  * (`org.apache.spark.util.SerializableConfiguration`, private[spark])
+  * — what an executor-side sidecar writer needs to open the table's
+  * FileSystem with the driver's exact conf inside a task closure. */
+final class SerConf(@transient conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private val inner = new org.apache.spark.util.SerializableConfiguration(conf)
+  def value: org.apache.hadoop.conf.Configuration = inner.value
+}

@@ -117,6 +117,61 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadCpuRef("/nowhere/nothing.json", cpus = 32).isEmpty)
   }
 
+  test("record carries its parallelism and reference engagement (r10 provenance fix)") {
+    val rec = Bench.record(runs(Seq("q01_a")), Nil, "/sf", 0.5, 1.0, 32,
+      refTriggerable = 137)
+    assert(rec.contains("\"cpus\":32"), rec.takeRight(300))
+    assert(rec.contains("\"cpu_ref_triggerable\":137"), rec.takeRight(300))
+    // a record stripped of either provenance field must not ship
+    val noCpus = rec.replace(",\"cpus\":32", "")
+    assert(Bench.artifactProblems(noCpus, Set("q01_a"))
+      .exists(_.contains("cpus")), noCpus)
+    val noRef = rec.replace(",\"cpu_ref_triggerable\":137", "")
+    assert(Bench.artifactProblems(noRef, Set("q01_a"))
+      .exists(_.contains("cpu_ref_triggerable")), noRef)
+  }
+
+  test("scrapeObj is object-scoped: queries and query_cpu share keys, not values") {
+    val art = """{"queries":{"q01_a":5.5,"q02_b":1.0},"query_cpu":{"q01_a":2.9,"q02_b":1.1}}"""
+    assert(Bench.scrapeObj(art, "queries") == Map("q01_a" -> 5.5, "q02_b" -> 1.0))
+    assert(Bench.scrapeObj(art, "query_cpu") == Map("q01_a" -> 2.9, "q02_b" -> 1.1))
+    assert(Bench.scrapeObj(art, "nothing").isEmpty)
+  }
+
+  test("refresh gate replay: the r10 q207 window cannot lower the reference") {
+    // the actual round-10 incident numbers: the cold being used as the
+    // refresh source carried a transient host window — q207 ran 22.59 s
+    // (prior quiet artifact: 4.96 s) at collapsed cpu-ratio 1.033. The
+    // old verbatim refresh adopted 1.033, dropping q207 below the 1.3
+    // trigger floor and disabling its self-defense.
+    val oldRef = Map("q207_value_mad" -> 2.915, "q01_scan" -> 2.0)
+    val newCpu = Map("q207_value_mad" -> 1.033, "q01_scan" -> 2.1)
+    val newWall = Map("q207_value_mad" -> 22.59, "q01_scan" -> 1.4)
+    val priorWall = Map("q207_value_mad" -> 4.96, "q01_scan" -> 1.5)
+    val merged = Bench.refreshRef(oldRef, newCpu, newWall, priorWall)
+    // q207 is collapse-suspect (22.59 > 2x 4.96): reference NEVER lowers
+    assert(merged("q207_value_mad") == 2.915, merged)
+    // q01 is quiet (1.4 < 2x 1.5): the new ratio is adopted
+    assert(merged("q01_scan") == 2.1, merged)
+    // the suspect query stays trigger-able: a re-run of the same
+    // collapsed measurement against the merged ref fires the retry
+    assert(Bench.cpuTriggered(
+      Bench.QRun("q207_value_mad", 22.59, 1.0, 1.033), merged))
+  }
+
+  test("refresh gate: battery churn, unknown-prior and suspect-new-query shapes") {
+    val merged = Bench.refreshRef(
+      oldRef = Map("q90_gone" -> 2.0, "q91_stay" -> 1.8),
+      newCpu = Map("q91_stay" -> 1.9, "q92_new" -> 2.4, "q93_newslow" -> 0.9),
+      newWall = Map("q91_stay" -> 1.0, "q92_new" -> 1.0, "q93_newslow" -> 9.0),
+      priorWall = Map("q91_stay" -> 1.1, "q93_newslow" -> 1.0))
+    assert(!merged.contains("q90_gone"))          // left the battery
+    assert(merged("q91_stay") == 1.9)             // quiet: adopted
+    assert(merged("q92_new") == 2.4)              // no prior wall: adopted
+    assert(merged("q93_newslow") == 0.9)          // suspect but no old ref:
+    assert(merged.size == 3)                      //   nothing to protect
+  }
+
   test("record survives hostile sfDir paths (quotes, backslashes)") {
     val rec = Bench.record(runs(Seq("q01_x")), Seq("q01_x"),
       "/tmp/we\"ird\\dir", 1.5, 2.0, 4)

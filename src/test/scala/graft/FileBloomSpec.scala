@@ -42,6 +42,109 @@ class FileBloomSpec extends AnyFunSuite {
     (r, t)
   }
 
+  test("commits write SEGMENT SHARDS, never a per-version monolith (r11 layout)") {
+    val (r, t) = unclustered()
+    r.execute(s"CREATE BLOOM INDEX ON $t (id)")
+    r.execute(s"INSERT INTO $t VALUES (70001, 'x', 1)")
+    r.execute(s"INSERT INTO $t VALUES (70002, 'y', 2)")
+    val root = r.registered(t)
+    val snap = graft.sources.ManagedTable.history(spark, root).last
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // no monolith for any post-index version
+    (0 to snap.version).foreach { v =>
+      assert(!fs.exists(graft.sources.FileBloom.bloomPath(root, v)),
+        s"monolithic sidecar written at v$v")
+    }
+    // shards: one backfill-or-commit segment per bloom-writing commit,
+    // each with a light meta; the full view still covers every file
+    val segDir = graft.sources.FileBloom.segDirPath(root)
+    val metas = fs.listStatus(segDir).map(_.getPath.getName)
+      .filter(_.endsWith(".meta.json"))
+    assert(metas.length >= 3, metas.toSeq) // backfill + 2 commits
+    val side = FileBloom.read(spark, root, snap.version)
+    assert(snap.files.forall(side.contains),
+      snap.files.filterNot(side.contains))
+    // coverage (metas only, no filter bytes) agrees
+    val cov = graft.sources.FileBloom.coverage(spark, root)
+    assert(snap.files.forall(f => cov.get(f).exists(_.contains("id"))))
+  }
+
+  test("executor-written backfill segments equal the driver harvest bit-for-bit") {
+    val (r, t) = unclustered()
+    val root = r.registered(t)
+    val snap = graft.sources.ManagedTable.history(spark, root).last
+    val rowsOf = graft.sources.FileStats.readAll(spark, root, snap.version)._2
+      .map { case (f, e) => f -> e.rows }
+    val truth = graft.sources.FileBloom.harvest(spark, root, snap.files,
+      Seq("id", "tag"), snap.physicalSchema, rowsOf)
+    graft.sources.FileBloom.backfillSegments(spark, root, snap.files,
+      Seq("id", "tag"), snap.physicalSchema, rowsOf)
+    val got = FileBloom.read(spark, root, snap.version)
+    assert(got.keySet == truth.keySet, got.keySet.diff(truth.keySet))
+    got.foreach { case (f, cols) =>
+      assert(cols.keySet == truth(f).keySet, f)
+      cols.foreach { case (c, b) =>
+        val tb = truth(f)(c)
+        assert(b.m == tb.m && b.k == tb.k && b.bits == tb.bits,
+          s"$f/$c differs: executor vs driver")
+      }
+    }
+  }
+
+  test("legacy monolith migrates into a segment on the next commit; carry still works") {
+    val (r, t) = unclustered()
+    val root = r.registered(t)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a pre-shard table: index configured + a legacy
+    // per-version monolith at the current version, no segments
+    val snap0 = graft.sources.ManagedTable.history(spark, root).last
+    val rowsOf = graft.sources.FileStats.readAll(spark, root, snap0.version)._2
+      .map { case (f, e) => f -> e.rows }
+    val legacy = graft.sources.FileBloom.harvest(spark, root, snap0.files,
+      Seq("id"), snap0.physicalSchema, rowsOf)
+    val out = fs.create(graft.sources.FileBloom.bloomPath(root, snap0.version), true)
+    out.write(graft.sources.FileBloom.render(legacy).getBytes("UTF-8")); out.close()
+    graft.sources.FileBloom.saveConfig(spark, root, Seq("id"))
+    graft.sources.FileSkip.invalidate(spark, root)
+    // the next commit migrates + harvests ONLY its own file
+    r.execute(s"INSERT INTO $t VALUES (80001, 'm', 5)")
+    val snap1 = graft.sources.ManagedTable.history(spark, root).last
+    val segDir = graft.sources.FileBloom.segDirPath(root)
+    val names = fs.listStatus(segDir).map(_.getPath.getName)
+      .filter(_.endsWith(".meta.json"))
+    assert(names.exists(_.startsWith("migrate-")), names.toSeq)
+    assert(names.exists(_.startsWith("commit-")), names.toSeq)
+    val side = FileBloom.read(spark, root, snap1.version)
+    assert(snap1.files.forall(side.contains),
+      snap1.files.filterNot(side.contains))
+    // pruning still exact after migration
+    val got = r.execute(s"SELECT v FROM $t WHERE id = 80001").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("readDelta delivers each shard once; invalidate re-delivers") {
+    val (r, t) = unclustered()
+    r.execute(s"CREATE BLOOM INDEX ON $t (id)")
+    val root = r.registered(t)
+    val v = graft.sources.ManagedTable.history(spark, root).last.version
+    graft.sources.FileSkip.invalidate(spark, root) // reset delivery
+    val first = graft.sources.FileBloom.readDelta(spark, root, v)
+    assert(first.nonEmpty)
+    assert(graft.sources.FileBloom.readDelta(spark, root, v).isEmpty)
+    // a newly-appearing shard is delivered incrementally — JUST it
+    graft.sources.FileBloom.writeSegment(spark, root,
+      Map("zz-fake/part-x.parquet" -> Map("id" ->
+        graft.sources.FileBloom.Bloom(64, 3, new java.util.BitSet()))),
+      Set("id"), "commit")
+    val delta = graft.sources.FileBloom.readDelta(spark, root, v)
+    assert(delta.keySet == Set("zz-fake/part-x.parquet"), delta.keys)
+    graft.sources.FileBloom.invalidate(root)
+    assert(graft.sources.FileBloom.readDelta(spark, root, v).size
+      >= first.size)
+  }
+
   test("baseHashes matches q146's in-engine SQL hash arithmetic") {
     Seq("42", "0", "hello", "tag999", "-7").foreach { key =>
       val sqlHashes = (1 to FileBloom.K).map { i =>
