@@ -965,12 +965,20 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       import spark.implicits._
       if (inc != null) {
         // delta-only refresh: scans just the files appended since the
-        // last ANALYZE (sketch union), reports how many it touched
-        val (ts, scanned) =
+        // last ANALYZE (sketch union), reports how many it touched.
+        // `mode` says what actually ran — in particular the
+        // full_drift(...) self-escalation when the histogram drift
+        // budget was exceeded (the caller asked for INCREMENTAL and
+        // got a full rescan, and must see that in the response).
+        val (ts, scanned, mode) =
           graft.sources.TableStatistics.incrementalAnalyze(spark, root(name))
+        if (mode.startsWith("full_drift"))
+          System.err.println(s"[analyze] $name: $mode — histogram drift " +
+            "budget exceeded; escalated to a full rescan")
         Seq(("analyze_incremental", name, ts.version, ts.rows, ts.bytes,
-          scanned.toLong))
-          .toDF("op", "tbl", "version", "n_rows", "n_bytes", "n_files_scanned")
+          scanned.toLong, mode))
+          .toDF("op", "tbl", "version", "n_rows", "n_bytes",
+            "n_files_scanned", "mode")
       } else {
         val ts = graft.sources.TableStatistics.analyze(spark, root(name))
         Seq(("analyze", name, ts.version, ts.rows, ts.bytes))
@@ -1074,8 +1082,9 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
       val bad = cols.filterNot(c =>
         graft.sources.FileBloom.isEligible(snap.schema(c).dataType))
       require(bad.isEmpty,
-        s"bloom index: column(s) ${bad.mkString(", ")} are not integral/string " +
-          "— bloom point lookups need a canonical key form")
+        s"bloom index: column(s) ${bad.mkString(", ")} are not " +
+          "integral/string/date/timestamp — bloom point lookups need a " +
+          "canonical key form")
       val merged = (graft.sources.FileBloom.config(spark, r) ++
         cols.map(snap.physicalName)).distinct
       graft.sources.FileBloom.saveConfig(spark, r, merged)

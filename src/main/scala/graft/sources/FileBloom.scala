@@ -91,11 +91,32 @@ object FileBloom {
   }
 
   /** Types whose canonical key form is stable between row values and
-    * Catalyst literals (plain decimal integers / the string itself). */
+    * Catalyst literals: plain decimal integers (integral columns),
+    * the string itself, and — round 11 — dates/timestamps through
+    * their PHYSICAL integer forms (managed writes pin INT32 days /
+    * INT64 micros end-to-end, and a Catalyst date/timestamp literal's
+    * value IS that integer, so the probe side needs no conversion at
+    * all; the harvest projects the column through unix_date /
+    * unix_micros). TIMESTAMP_NTZ stays excluded: extracting its
+    * micros goes through a session-timezone-dependent cast, and a tz
+    * mismatch between harvest and probe would poison the filter with
+    * false negatives. */
   def isEligible(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType | TimestampType => true
     case _ => false
   }
+
+  /** The harvest-side canonical key column: time types project to
+    * their physical integers (days / micros) so the hashed string
+    * equals the probe side's literal rendering; everything else scans
+    * raw. */
+  private def canonicalKeyCol(f: StructField): org.apache.spark.sql.Column =
+    f.dataType match {
+      case TimestampType => unix_micros(col(f.name)).as(f.name)
+      case DateType => unix_date(col(f.name)).as(f.name)
+      case _ => col(f.name)
+    }
 
   private[graft] def sizeFor(rows: Long): Int =
     math.min(MaxBits.toLong, math.max(MinBits.toLong, rows * BitsPerKey)).toInt
@@ -451,7 +472,7 @@ object FileBloom {
     val df = spark.read.schema(subSchema)
       .parquet(files.map(f => s"$root/$f"): _*)
       .select(input_file_name().as("_graft_bloom_file") +:
-        present.map(col): _*)
+        present.map(c => canonicalKeyCol(subSchema(c))): _*)
     // partials per (file-suffix, column); column index -1 is the
     // "file seen" marker, emitted once per file per partition so the
     // driver can tell "no non-null values" (empty filter is a correct
@@ -594,7 +615,7 @@ object FileBloom {
     val df = spark.read.schema(subSchema)
       .parquet(files.map(f => s"$root/$f"): _*)
       .select(input_file_name().as("_graft_bloom_file") +:
-        present.map(col): _*)
+        present.map(c => canonicalKeyCol(subSchema(c))): _*)
     val partials = df.rdd.mapPartitions { it =>
       val acc = scala.collection.mutable.Map.empty[(String, Int), java.util.BitSet]
       var lastRaw: String = null

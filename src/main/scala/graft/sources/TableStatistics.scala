@@ -60,9 +60,22 @@ object TableStatistics {
   }
 
   final case class TableStats(version: Int, rows: Long, bytes: Long,
-                              cols: Map[String, ColStats]) {
+                              cols: Map[String, ColStats],
+                              histMerges: Int = 0,
+                              mergedRows: Long = 0) {
     def avgRowBytes: Double = if (rows <= 0) 64.0 else bytes.toDouble / rows
   }
+
+  /** Histogram DRIFT BUDGET: each incremental merge is a ≤18-knot
+    * piecewise-linear CDF combination and adds approximation error, so
+    * `hist_mode=merged` degrades silently over many cycles. When the
+    * NEXT merge would exceed either budget — merge count, or the
+    * fraction of the table's rows that arrived through merges since
+    * the last exact histogram — ANALYZE INCREMENTAL escalates itself
+    * to the full rescan (and says so in its response) instead of
+    * waiting for someone to notice. */
+  private[graft] val MaxHistMerges = 8
+  private[graft] val MaxMergedFrac = 0.5
 
   // process-wide registry keyed by normalized table root — statistics
   // describe the TABLE, not a session, so sharing across sessions in
@@ -292,13 +305,14 @@ object TableStatistics {
     * Returns the stats and the number of data files actually scanned
     * (0 = metadata-only, the full file count = fallback).
     */
-  def incrementalAnalyze(spark: SparkSession, root: String): (TableStats, Int) = {
+  def incrementalAnalyze(spark: SparkSession, root: String)
+      : (TableStats, Int, String) = {
     val snaps = ManagedTable.history(spark, root)
     val cur = snaps.last
     val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val baseSnap = snaps.reverse.find(s => fsys.exists(statsPath(root, s.version)))
     baseSnap match {
-      case None => (analyze(spark, root), cur.files.size)
+      case None => (analyze(spark, root), cur.files.size, "full(no_prior_stats)")
       case Some(bs) =>
         val in = fsys.open(statsPath(root, bs.version))
         val base = parse(
@@ -320,9 +334,17 @@ object TableStatistics {
           cur.schema.fieldNames.flatMap(c =>
             cols.get(baseLogicalOf(c)).map(c -> _)).toMap
         if (base.version == cur.version) {
-          registry.put(norm(root), base); (base, 0)
+          registry.put(norm(root), base); (base, 0, "carry")
         } else if (removed.nonEmpty || !hasSketches) {
-          (analyze(spark, root), cur.files.size)
+          (analyze(spark, root), cur.files.size,
+            if (removed.nonEmpty) "full(files_removed)" else "full(legacy_sidecar)")
+        } else if (base.histMerges + 1 > MaxHistMerges &&
+            base.cols.values.exists(_.histMerged)) {
+          // DRIFT BUDGET (merge count): the next merge would be the
+          // (MaxHistMerges+1)-th piecewise-linear combination since the
+          // last exact histogram — rescan instead, loudly
+          (analyze(spark, root), cur.files.size,
+            s"full_drift(hist_merges=${base.histMerges + 1}>$MaxHistMerges)")
         } else if (added.isEmpty) {
           // metadata-only commits since the base (addColumn, rename,
           // drop, restore onto the same file set): stats carry over to
@@ -330,7 +352,8 @@ object TableStatistics {
           // columns have no stats until the next data commit or full
           // ANALYZE
           (persist(spark, root,
-            base.copy(version = cur.version, cols = remapped(base.cols))), 0)
+            base.copy(version = cur.version, cols = remapped(base.cols))), 0,
+            "metadata")
         } else {
           val fields = cur.schema.fields.toSeq
           val numeric = fields.collect {
@@ -438,9 +461,32 @@ object TableStatistics {
               }
             })
           }.toMap
-          val ts = TableStats(cur.version, base.rows + deltaRows,
-            base.bytes + deltaBytes, cols)
-          (persist(spark, root, ts), added.size)
+          // did any column's histogram actually go through the
+          // piecewise-linear merge this cycle? Only then does drift
+          // accumulate (a hist-less or empty delta adds no error)
+          val histsMergedNow = deltaRows > 0 && deltaHists.nonEmpty &&
+            base.cols.values.exists(_.hist.size >= 2)
+          val mergedRowsNow =
+            if (histsMergedNow) base.mergedRows + deltaRows else base.mergedRows
+          val totalRows = base.rows + deltaRows
+          // DRIFT BUDGET (delta-mass fraction): if most of the table's
+          // rows arrived through merged histograms, the knots no
+          // longer describe the data — rescan now, loudly. (The delta
+          // scan above is delta-sized; paying it once before the
+          // escalation is cheaper than acting on a drifted histogram.)
+          if (histsMergedNow && totalRows > 0 &&
+              mergedRowsNow.toDouble / totalRows > MaxMergedFrac) {
+            (analyze(spark, root), cur.files.size,
+              f"full_drift(merged_frac=${mergedRowsNow.toDouble / totalRows}%.2f>" +
+                f"$MaxMergedFrac%.2f)")
+          } else {
+            val ts = TableStats(cur.version, totalRows,
+              base.bytes + deltaBytes, cols,
+              histMerges =
+                if (histsMergedNow) base.histMerges + 1 else base.histMerges,
+              mergedRows = mergedRowsNow)
+            (persist(spark, root, ts), added.size, "merged")
+          }
         }
     }
   }
@@ -471,6 +517,8 @@ object TableStatistics {
     val entries =
       Seq("_version" -> ts.version.toString, "_rows" -> ts.rows.toString,
         "_bytes" -> ts.bytes.toString) ++
+        (if (ts.histMerges > 0) Seq("_hist_merges" -> ts.histMerges.toString,
+          "_merged_rows" -> ts.mergedRows.toString) else Nil) ++
         ts.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
           val parts = Seq(s"ndv=${cs.ndv}") ++
             (if (cs.nullCount >= 0) Seq(s"nn=${cs.nullCount}") else Nil) ++
@@ -543,6 +591,8 @@ object TableStatistics {
         histMerged = fields.get("hm").contains("1"),
         nullCount = fields.get("nn").map(_.toLong).getOrElse(-1L))
     }
-    TableStats(kv("_version").toInt, kv("_rows").toLong, kv("_bytes").toLong, cols)
+    TableStats(kv("_version").toInt, kv("_rows").toLong, kv("_bytes").toLong, cols,
+      histMerges = kv.get("_hist_merges").map(_.toInt).getOrElse(0),
+      mergedRows = kv.get("_merged_rows").map(_.toLong).getOrElse(0L))
   }
 }

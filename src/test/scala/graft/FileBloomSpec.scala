@@ -145,6 +145,52 @@ class FileBloomSpec extends AnyFunSuite {
       >= first.size)
   }
 
+  test("timestamp/date bloom: event-time point lookups prune an UNCLUSTERED layout") {
+    val r = new SqlRouter(spark)
+    val t = s"tb${System.nanoTime()}"
+    r.execute(s"CREATE MANAGED TABLE $t (ts TIMESTAMP, d DATE, v BIGINT) " +
+      s"LOCATION '${fresh()}/$t'")
+    // interleaved event times: file j holds hours ≡ j mod 6, so every
+    // file's [min, max] spans the whole range — min/max cannot prune
+    (0 until 6).foreach { j =>
+      r.execute(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ " +
+        s"timestamp_micros(1700000000000000 + (id * 6 + $j) * 3600000000) AS ts, " +
+        s"to_date(timestamp_micros(1700000000000000 + (id * 6 + $j) * 86400000000)) AS d, " +
+        s"id * 6 + $j AS v FROM range(400)")
+    }
+    r.execute(s"CREATE BLOOM INDEX ON $t (ts, d)")
+    // present timestamp point: found exactly, from few files
+    val hit = r.execute(s"SELECT v FROM $t WHERE " +
+      s"ts = timestamp_micros(1700000000000000 + 1234 * 3600000000)")
+    assert(scannedFiles(hit).head <= 2, hit.queryExecution.optimizedPlan)
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+    // absent in-envelope timestamp: bloom prunes where min/max cannot
+    val miss = r.execute(s"SELECT v FROM $t WHERE " +
+      s"ts = timestamp_micros(1700000000000000 + 1234 * 3600000000 + 1)")
+    assert(scannedFiles(miss).headOption.forall(_ <= 2),
+      miss.queryExecution.optimizedPlan)
+    assert(miss.count() == 0)
+    // date point + IN list
+    val dhit = r.execute(s"SELECT count(*) AS n FROM $t WHERE " +
+      s"d = to_date(timestamp_micros(1700000000000000 + 100 * 86400000000))")
+    assert(scannedFiles(dhit).headOption.forall(_ <= 2))
+    assert(dhit.collect().head.getLong(0) >= 1L)
+    // pruned == unpruned across a mixed probe batch
+    Seq(
+      s"ts IN (timestamp_micros(1700000000000000 + 7 * 3600000000), " +
+        s"timestamp_micros(1700000000000000 + 1800 * 3600000000))",
+      s"d = DATE'2023-11-20'",
+      s"ts = timestamp_micros(1700000000000000)"
+    ).foreach { p =>
+      val q = s"SELECT v FROM $t WHERE $p"
+      graft.sources.FileSkip.disabled = true
+      val expect = try r.execute(q).collect().map(_.toSeq.toSeq).sortBy(_.toString)
+      finally graft.sources.FileSkip.disabled = false
+      val got = r.execute(q).collect().map(_.toSeq.toSeq).sortBy(_.toString)
+      assert(got.toSeq == expect.toSeq, s"pruned != unpruned for: $q")
+    }
+  }
+
   test("baseHashes matches q146's in-engine SQL hash arithmetic") {
     Seq("42", "0", "hello", "tag999", "-7").foreach { key =>
       val sqlHashes = (1 to FileBloom.K).map { i =>

@@ -345,6 +345,69 @@ class StatsPlannerSpec extends AnyFunSuite {
       r.execute("SELECT COUNT(*) n FROM ti").collect().head.getLong(0))
   }
 
+  test("histogram drift budget: repeated merges self-escalate to a full rescan") {
+    val r = new SqlRouter(spark)
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE td (k BIGINT, v DOUBLE) LOCATION '$base/td'")
+    r.execute("INSERT INTO td SELECT id % 50 AS k, CAST(id AS DOUBLE) AS v FROM range(2000)")
+    r.execute("ANALYZE TABLE td")
+    assert(TableStatistics.get(s"$base/td").get.histMerges == 0)
+    // drive merge cycles; each INSERT + INCREMENTAL adds one
+    // piecewise-linear combination. The count budget is MaxHistMerges;
+    // the cycle AFTER the budget fills must run the full path WITHOUT
+    // anyone asking for it — and the response must say so.
+    var sawEscalation = false
+    var cycles = 0
+    while (!sawEscalation && cycles < TableStatistics.MaxHistMerges + 2) {
+      cycles += 1
+      r.execute(s"INSERT INTO td SELECT id % 50 AS k, " +
+        s"CAST(${cycles * 10000} + id AS DOUBLE) AS v FROM range(500)")
+      val resp = r.execute("ANALYZE TABLE td INCREMENTAL").collect().head
+      val mode = resp.getAs[String]("mode")
+      val st = TableStatistics.get(s"$base/td").get
+      if (mode.startsWith("full_drift")) {
+        sawEscalation = true
+        // escalation = exact again: counters reset, hist_mode exact
+        assert(st.histMerges == 0 && st.mergedRows == 0L, st)
+        assert(st.cols.values.forall(!_.histMerged), "escalation must be exact")
+      } else {
+        assert(mode == "merged", mode)
+        assert(st.histMerges == cycles, s"cycle $cycles -> ${st.histMerges}")
+        assert(st.cols("v").histMerged)
+      }
+    }
+    assert(sawEscalation,
+      s"no self-escalation within ${cycles} merge cycles")
+    // drift state round-trips through the sidecar (restart path)
+    r.execute("INSERT INTO td VALUES (1, 1.0)")
+    r.execute("ANALYZE TABLE td INCREMENTAL").collect()
+    val persisted = TableStatistics.get(s"$base/td").get
+    TableStatistics.invalidate(s"$base/td")
+    val reloaded = TableStatistics.load(spark, s"$base/td").get
+    assert(reloaded.histMerges == persisted.histMerges &&
+      reloaded.mergedRows == persisted.mergedRows)
+  }
+
+  test("drift budget: the delta-mass fraction alone escalates a huge merge") {
+    val r = new SqlRouter(spark)
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE tf (k BIGINT, v DOUBLE) LOCATION '$base/tf'")
+    r.execute("INSERT INTO tf SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(1000)")
+    r.execute("ANALYZE TABLE tf")
+    // one merge under the fraction budget passes...
+    r.execute("INSERT INTO tf SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(400)")
+    val ok = r.execute("ANALYZE TABLE tf INCREMENTAL").collect().head
+    assert(ok.getAs[String]("mode") == "merged", ok)
+    // ...then a delta that pushes merged rows past half the table
+    // escalates even though the merge COUNT is tiny
+    r.execute("INSERT INTO tf SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(3000)")
+    val esc = r.execute("ANALYZE TABLE tf INCREMENTAL").collect().head
+    assert(esc.getAs[String]("mode").startsWith("full_drift(merged_frac"),
+      esc.getAs[String]("mode"))
+    val st = TableStatistics.get(s"$base/tf").get
+    assert(st.histMerges == 0 && !st.cols("v").histMerged)
+  }
+
   test("broadcast hints are restricted to legally-buildable sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
     val r = new SqlRouter(spark)
