@@ -575,6 +575,123 @@ object ScaleBench {
             .collect().head.getAs[Int]("version").toLong
         }
       }
+      // SPARK_GRAFT_SCALE_MVJ=1 — materialized view OVER A JOIN
+      // (round 11): the star-schema rollup a dashboard wants. The fact
+      // grows with the factor; the dim is fixed (3000 keys). The SAME
+      // grouped-join SELECT runs as a full join recompute
+      // (g_mvj_recompute — grows with the data) and served from the
+      // join view (g_mvj_rewrite — |view|-bound, flat). Maintenance is
+      // priced on BOTH sides: a fixed 10k-row fact INSERT
+      // (g_mvj_maintain_fact, delta-keyed probe into the dim) and a
+      // one-key dim UPDATE (g_mvj_maintain_dim — fact ⋈ Δdim, the
+      // group-moving case).
+      if (sys.env.get("SPARK_GRAFT_SCALE_MVJ").contains("1")) locally {
+        import graft.server.{MvRewrite, SqlRouter}
+        val r = new SqlRouter(spark)
+        val t = s"g_jfact_x$f"
+        val d = s"g_jdim_x$f"
+        val base2 = java.nio.file.Files
+          .createTempDirectory("graft_scale_mvj").toString
+        r.execute(s"CREATE MANAGED TABLE $t (sk BIGINT, amt DOUBLE) " +
+          s"LOCATION '$base2/$t'")
+        r.execute(s"CREATE MANAGED TABLE $d (sk BIGINT, grp STRING) " +
+          s"LOCATION '$base2/$d'")
+        // ×64 replication so the fact is big enough that the base
+        // recompute's growth clears the ~0.3 s job-launch floor
+        // (x50 → ~20M fact rows)
+        graft.sources.Tables.load(spark, dir, "documents")
+          .selectExpr("explode(sequence(1, 64)) AS rep", "doc_id", "n_chars")
+          .selectExpr("(doc_id * 64 + rep) % 3000 AS sk",
+            "CAST(n_chars AS DOUBLE) AS amt")
+          .createOrReplaceTempView(s"__mvj_fact_$f")
+        spark.range(3000)
+          .selectExpr("id AS sk", "concat('g', id % 40) AS grp")
+          .createOrReplaceTempView(s"__mvj_dim_$f")
+        r.execute(s"INSERT INTO $t SELECT * FROM __mvj_fact_$f")
+        r.execute(s"INSERT INTO $d SELECT * FROM __mvj_dim_$f")
+        r.execute(s"CREATE MATERIALIZED VIEW ${t}_v OVER $t JOIN $d " +
+          s"ON $t.sk = $d.sk KEY ($d.grp) COUNT n SUM ($t.amt AS s_amt) " +
+          s"LOCATION '$base2/${t}_v'")
+        val q = s"SELECT $d.grp, count(*) AS n, sum($t.amt) AS s " +
+          s"FROM $t JOIN $d ON $t.sk = $d.sk GROUP BY $d.grp"
+        def cell(label: String)(body: => Long): Unit = {
+          val load = osBean.getSystemLoadAverage
+          val t0 = System.nanoTime()
+          val rows = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          summary.getOrElseUpdate(label, scala.collection.mutable.LinkedHashMap.empty)
+            .put(f, sec)
+          val line = f"""{"factor":$f,"query":"$label","sec":$sec%.3f,"rows":$rows,"load":$load%.2f}"""
+          println(line)
+          out.append(line).append('\n'): Unit
+        }
+        MvRewrite.disabled = true
+        cell("g_mvj_recompute")(r.execute(q).count())
+        MvRewrite.disabled = false
+        cell("g_mvj_rewrite")(r.execute(q).count())
+        spark.range(10000)
+          .selectExpr("id % 3000 AS sk", "1.0 AS amt")
+          .createOrReplaceTempView(s"__mvj_delta_$f")
+        cell("g_mvj_maintain_fact") {
+          r.execute(s"INSERT INTO $t SELECT * FROM __mvj_delta_$f")
+            .collect().head.getAs[Int]("version").toLong
+        }
+        cell("g_mvj_maintain_dim") {
+          r.execute(s"UPDATE $d SET grp = 'moved' WHERE sk = 7")
+            .collect().head.getAs[Int]("version").toLong
+        }
+      }
+      // SPARK_GRAFT_SCALE_BLOOMSHARD=1 — the round-11 segment-shard
+      // claim, swept over FILE COUNT (independent of the data factor,
+      // so it runs once): per-commit bloom maintenance must be
+      // O(files-in-the-commit), never O(table). For each table of F
+      // indexed files: the full backfill (executor-written shards
+      // above 256 files), then ONE single-file INSERT's commit — the
+      // number that the old per-version monolith made O(F) — and the
+      // metadata footprint the commit-time carry check actually reads.
+      if (f == factors.min &&
+          sys.env.get("SPARK_GRAFT_SCALE_BLOOMSHARD").contains("1")) locally {
+        import graft.sources.{FileBloom, ManagedTable}
+        graft.plans.FileSkipScan.install(spark)
+        def cell(label: String)(body: => Long): Unit = {
+          val load = osBean.getSystemLoadAverage
+          val t0 = System.nanoTime()
+          val rows = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          summary.getOrElseUpdate(label, scala.collection.mutable.LinkedHashMap.empty)
+            .put(f, sec)
+          val line = f"""{"factor":$f,"query":"$label","sec":$sec%.3f,"rows":$rows,"load":$load%.2f}"""
+          println(line)
+          out.append(line).append('\n'): Unit
+        }
+        Seq(64, 512, 2048).foreach { nf =>
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_scale_bseg").toString + s"/t$nf"
+          val df0 = spark.range(nf * 1000L)
+            .selectExpr("id AS doc_id", "id % 97 AS v")
+          ManagedTable.create(spark, root, df0.schema)
+          ManagedTable.insert(spark, root, df0)
+          ManagedTable.compactTable(spark, root, nf)
+          FileBloom.saveConfig(spark, root, Seq("doc_id"))
+          cell(s"g_bseg_backfill_f$nf") {
+            FileBloom.write(spark, root,
+              ManagedTable.history(spark, root).last)
+            nf.toLong
+          }
+          cell(s"g_bseg_commit_f$nf") {
+            ManagedTable.insert(spark, root,
+              spark.range(1000)
+                .selectExpr(s"id + ${nf * 1000L} AS doc_id", "id % 97 AS v")
+                .coalesce(1)).version.toLong
+          }
+          cell(s"g_bseg_meta_kb_f$nf") {
+            val sd = FileBloom.segDirPath(root)
+            val fsys = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fsys.listStatus(sd).filter(_.getPath.getName.endsWith(".meta.json"))
+              .map(_.getLen).sum / 1024
+          }
+        }
+      }
     }
     val sum = summary.map { case (k, m) =>
       s"\"$k\":{${m.map { case (f, s) => f""""x$f":$s%.3f""" }.mkString(",")}}"

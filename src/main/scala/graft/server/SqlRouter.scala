@@ -836,7 +836,8 @@ final class SqlRouter(spark: SparkSession, catalogRoot: Option[String] = None) {
     case Drop(name, purge) if tables.contains(name) =>
       require(!mviews.contains(name),
         s"'$name' is a materialized view — use DROP MATERIALIZED VIEW")
-      val dependents = mviews.values.filter(_.over == name).map(_.name).toSeq.sorted
+      val dependents = mviews.values
+        .filter(_.members.exists(_.equalsIgnoreCase(name))).map(_.name).toSeq.sorted
       require(dependents.isEmpty,
         s"table '$name' has dependent materialized view(s) " +
           s"${dependents.mkString(", ")} — DROP those first")

@@ -265,6 +265,14 @@ class MvJoinSpec extends AnyFunSuite {
     r.execute(s"ALTER TABLE $d RENAME COLUMN grade TO tier")
   }
 
+  test("DROP TABLE refuses while a join view reads the table — either member") {
+    val (r, f, d, _) = fixture()
+    Seq(f, d).foreach { m =>
+      val e = intercept[Exception](r.execute(s"DROP MANAGED TABLE $m"))
+      assert(e.getMessage.contains("dependent materialized view"), e.getMessage)
+    }
+  }
+
   test("self-join declarations are refused at CREATE") {
     val r = new SqlRouter(spark)
     val id = s"sj${System.nanoTime()}"
