@@ -127,4 +127,80 @@ class LakeIndexSpec extends AnyFunSuite {
     val hit = r.execute(s"SELECT tag FROM $t WHERE doc_id = 5000000001")
     assert(rows(hit) == Seq(Seq("t3")))
   }
+
+  /** The round-11 features composed: a JOIN materialized view over an
+    * event-time fact whose TIMESTAMP column carries a bloom index
+    * (segment-sharded sidecars), while repeated ingest + ANALYZE
+    * INCREMENTAL cycles run the histogram drift budget to its
+    * self-escalation — with the dashboard (served from the join view,
+    * equal to the cold join recompute) and the event-time point
+    * lookup (pruned, row-identical) asserted after every phase. */
+  test("join view + timestamp bloom + drift-budgeted ANALYZE hold together") {
+    val r = new SqlRouter(spark)
+    val id = s"lj${System.nanoTime()}"
+    val (t, d, jv) = (s"${id}_f", s"${id}_d", s"${id}_v")
+    val base = fresh()
+    r.execute(s"CREATE MANAGED TABLE $t (ts TIMESTAMP, sk BIGINT, " +
+      s"amt DOUBLE) LOCATION '$base/$t'")
+    r.execute(s"CREATE MANAGED TABLE $d (sk BIGINT, grp STRING) " +
+      s"LOCATION '$base/$d'")
+    r.execute(s"INSERT INTO $d SELECT id AS sk, concat('g', id % 7) AS grp " +
+      s"FROM range(40)")
+    def wave(w: Int): Unit =
+      r.execute(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ " +
+        s"timestamp_micros(1700000000000000 + (id * 8 + $w) * 60000000) AS ts, " +
+        s"(id * 8 + $w) % 40 AS sk, CAST((id * 8 + $w) % 97 AS DOUBLE) AS amt " +
+        s"FROM range(300)")
+    (0 until 4).foreach(wave)
+    r.execute(s"CREATE BLOOM INDEX ON $t (ts)")
+    r.execute(s"CREATE MATERIALIZED VIEW $jv OVER $t JOIN $d " +
+      s"ON $t.sk = $d.sk KEY ($d.grp) COUNT n SUM ($t.amt AS s_amt) " +
+      s"LOCATION '$base/$jv'")
+    r.execute(s"ANALYZE TABLE $t")
+
+    def dashboard(): Unit = {
+      val q = s"SELECT $d.grp, count(*) AS n, sum($t.amt) AS s " +
+        s"FROM $t JOIN $d ON $t.sk = $d.sk GROUP BY $d.grp"
+      val df = r.execute(q)
+      val roots = df.queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.head.toString
+          case _ => "?"
+        }
+      }
+      assert(roots.nonEmpty && roots.forall(_.contains(jv)), roots)
+      assert(rows(df) == rows(spark.sql(q)))
+    }
+    def tsLookup(expectFiles: Int): Unit = {
+      val point = s"timestamp_micros(${1700000000000000L + 1001L * 60000000L})"
+      val df = r.execute(s"SELECT sk FROM $t WHERE ts = $point")
+      assert(planned(df) <= expectFiles, s"planned ${planned(df)}")
+      graft.sources.FileSkip.disabled = true
+      val expect = try rows(r.execute(s"SELECT sk FROM $t WHERE ts = $point"))
+      finally graft.sources.FileSkip.disabled = false
+      assert(rows(df) == expect && expect.nonEmpty)
+    }
+    dashboard(); tsLookup(2)
+
+    // ingest + INCREMENTAL cycles until the drift budget escalates;
+    // the join view maintains through every wave
+    var sawEscalation = false
+    var w = 4
+    while (!sawEscalation &&
+        w < 4 + graft.sources.TableStatistics.MaxHistMerges + 2) {
+      wave(w); w += 1
+      val mode = r.execute(s"ANALYZE TABLE $t INCREMENTAL")
+        .collect().head.getAs[String]("mode")
+      if (mode.startsWith("full_drift")) sawEscalation = true
+      else assert(mode == "merged", mode)
+      dashboard()
+    }
+    assert(sawEscalation, s"no escalation after ${w - 4} cycles")
+    val st = graft.sources.TableStatistics.get(s"$base/$t").get
+    assert(st.histMerges == 0 && st.cols.values.forall(!_.histMerged))
+
+    // a dim relabel moves whole groups; everything still holds
+    r.execute(s"UPDATE $d SET grp = 'moved' WHERE sk IN (3, 17)")
+    dashboard(); tsLookup(3)
+  }
 }
