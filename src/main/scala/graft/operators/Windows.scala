@@ -135,7 +135,21 @@ object Windows {
     */
   def prefixSum(df: DataFrame, partitionCols: Seq[String], orderCol: String,
                 valueCol: String, outCol: String, exclusive: Boolean = false,
-                buckets: Int = 256, orderNum: Option[Column] = None): DataFrame = {
+                buckets: Int = 256, orderNum: Option[Column] = None): DataFrame =
+    prefixSumN(df, partitionCols, orderCol, Seq(valueCol -> outCol),
+      exclusive, buckets, orderNum)
+
+  /** Multi-value [[prefixSum]]: running totals of EVERY column in
+    * `valueCols` (valueCol -> outCol) over ONE shared (group, order)
+    * pass — the window sums share a single WindowExec and the bucket
+    * machinery (range broadcast, offsets) runs once, where chaining
+    * single-column prefixSums pays the whole two-level scan per
+    * column (guide §2.4). Same contract as [[prefixSum]].
+    */
+  def prefixSumN(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+                 valueCols: Seq[(String, String)], exclusive: Boolean = false,
+                 buckets: Int = 256, orderNum: Option[Column] = None): DataFrame = {
+    require(valueCols.nonEmpty, "prefixSumN needs at least one value column")
     val num = orderNum.getOrElse(col(orderCol)).cast("double")
     // loud failure on null keys (see contract above): a filter whose
     // predicate raises cannot be pruned away, and costs one null check
@@ -159,24 +173,39 @@ object Windows {
         .cast("int"))
     val grpB = partitionCols :+ "_ps_b"
     val w = Window.partitionBy(grpB.map(col): _*).orderBy(orderCol)
-    val local = bucketed.withColumn("_ps_cum", sum(valueCol).over(w))
-    val totals = bucketed.groupBy(grpB.map(col): _*)
-      .agg(sum(valueCol).as("_ps_t"))
+    val idx = valueCols.indices
+    val local = idx.foldLeft(bucketed) { (d, i) =>
+      d.withColumn(s"_ps_cum$i", sum(valueCols(i)._1).over(w))
+    }
+    // Bucket totals derive from the SAME window pass: the running sum
+    // at the bucket's LAST row (max_by on the distinct order key) is
+    // the bucket total. The groupBy rides the window exchange's
+    // hash(grpB) partitioning — no second scan of the input and no
+    // extra Exchange, where the previous `bucketed.groupBy` re-read
+    // the whole input and shuffled it again (guide §2.4: two
+    // operations keyed the same way share one exchange).
+    val tAggs = idx.map(i => expr(s"max_by(_ps_cum$i, `$orderCol`)").as(s"_ps_t$i"))
+    val totals = local.groupBy(grpB.map(col): _*).agg(tAggs.head, tAggs.tail: _*)
     // every name on the lower (broadcast) side is fresh, so the
     // triangle self-join needs no dataset-id disambiguation
     val lower = totals.select(
       partitionCols.zipWithIndex.map { case (c, i) => col(c).as(s"_ps_p$i") } ++
-        Seq(col("_ps_b").as("_ps_lb"), col("_ps_t").as("_ps_lt")): _*)
+        Seq(col("_ps_b").as("_ps_lb")) ++
+        idx.map(i => col(s"_ps_t$i").as(s"_ps_lt$i")): _*)
     val cond = partitionCols.zipWithIndex
       .map { case (c, i) => col(c) === col(s"_ps_p$i") }
       .foldLeft(col("_ps_lb") < col("_ps_b"))(_ && _)
+    val oAggs = idx.map(i => coalesce(sum(s"_ps_lt$i"), lit(0L)).as(s"_ps_off$i"))
     val offs = totals.join(broadcast(lower), cond, "left")
-      .groupBy(grpB.map(col): _*)
-      .agg(coalesce(sum("_ps_lt"), lit(0L)).as("_ps_off"))
-    local.join(broadcast(offs), grpB)
-      .withColumn(outCol,
-        if (exclusive) col("_ps_off") + col("_ps_cum") - col(valueCol)
-        else col("_ps_off") + col("_ps_cum"))
-      .drop("_ps_mn", "_ps_mx", "_ps_b", "_ps_cum", "_ps_off")
+      .groupBy(grpB.map(col): _*).agg(oAggs.head, oAggs.tail: _*)
+    val joined = local.join(broadcast(offs), grpB)
+    val withOut = idx.foldLeft(joined) { (d, i) =>
+      val (valueCol, outCol) = valueCols(i)
+      d.withColumn(outCol,
+        if (exclusive) col(s"_ps_off$i") + col(s"_ps_cum$i") - col(valueCol)
+        else col(s"_ps_off$i") + col(s"_ps_cum$i"))
+    }
+    withOut.drop(Seq("_ps_mn", "_ps_mx", "_ps_b") ++
+      idx.flatMap(i => Seq(s"_ps_cum$i", s"_ps_off$i")): _*)
   }
 }

@@ -175,14 +175,16 @@ object Concord {
         .groupBy("pos", "x").agg(cnt.as("c"))
         .localCheckpoint() // CDF + totals + clip legs
       val tot = xc.groupBy("pos").agg(sum("c").as("n"))
-      val cum = Windows.prefixSum(xc, Seq("pos"), "x", "c", "cum")
+      // round-11: both percentile picks are conditional mins of ONE
+      // aggregate that also carries n — one broadcast join into the
+      // clip census instead of three (guide §2.4; identical values)
+      val pq = Windows.prefixSum(xc, Seq("pos"), "x", "c", "cum")
         .join(broadcast(tot), "pos")
-      val p01 = cum.filter(expr("cum >= (n + 99) DIV 100"))
-        .groupBy("pos").agg(min("x").as("p01"))
-      val p99 = cum.filter(expr("cum >= (n * 99 + 99) DIV 100"))
-        .groupBy("pos").agg(min("x").as("p99"))
-      xc.join(broadcast(p01), "pos").join(broadcast(p99), "pos")
-        .join(broadcast(tot), "pos")
+        .groupBy("pos")
+        .agg(min(when(expr("cum >= (n + 99) DIV 100"), col("x"))).as("p01"),
+          min(when(expr("cum >= (n * 99 + 99) DIV 100"), col("x"))).as("p99"),
+          max("n").as("n")) // n is constant per pos
+      xc.join(broadcast(pq), "pos")
         .groupBy("pos", "n", "p01", "p99")
         .agg(sum(when(col("x") < col("p01") || col("x") > col("p99"),
           col("c")).otherwise(0L)).as("n_clip"))

@@ -42,14 +42,16 @@ object Division {
         .groupBy(col("event_type"), col("value").as("v")).agg(cnt.as("c"))
         .localCheckpoint() // CDF + totals + fence-census legs
       val tot = vc.groupBy("event_type").agg(sum("c").as("n"))
-      val cum = Windows.prefixSum(vc, Seq("event_type"), "v", "c", "cum")
+      // round-11: both quartile picks are conditional mins of ONE
+      // aggregate that also carries n — one broadcast join into the
+      // fence census instead of three (guide §2.4; identical values)
+      val qq = Windows.prefixSum(vc, Seq("event_type"), "v", "c", "cum")
         .join(broadcast(tot), "event_type")
-      val q1 = cum.filter(expr("cum >= (n + 3) DIV 4"))
-        .groupBy("event_type").agg(min("v").as("q1"))
-      val q3 = cum.filter(expr("cum >= (3 * n + 3) DIV 4"))
-        .groupBy("event_type").agg(min("v").as("q3"))
-      vc.join(broadcast(q1), "event_type").join(broadcast(q3), "event_type")
-        .join(broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(min(when(expr("cum >= (n + 3) DIV 4"), col("v"))).as("q1"),
+          min(when(expr("cum >= (3 * n + 3) DIV 4"), col("v"))).as("q3"),
+          max("n").as("n")) // n is constant per type
+      vc.join(broadcast(qq), "event_type")
         .groupBy("event_type", "n", "q1", "q3")
         .agg(sum(when(col("v") < col("q1") - (col("q3") - col("q1")) * 1.5,
             col("c")).otherwise(0L)).as("n_lo"),

@@ -107,21 +107,33 @@ object Flows {
         .groupBy("o_custkey", "half").agg(sum("cents").as("spend"))
       val both = spend.groupBy("o_custkey").agg(cnt.as("nh"))
         .filter(col("nh") === 2L).select("o_custkey")
-      val sp = spend.join(both, "o_custkey").localCheckpoint() // 2 quartile legs + the pivot
-      def quartiles(h: Int) = {
-        val vals = sp.filter(col("half") === h).groupBy("spend").agg(cnt.as("c"))
-        val n = sp.filter(col("half") === h).agg(cnt.as("n"))
-        Windows.prefixSum(vals, Nil, "spend", "c", "below", exclusive = true)
-          .crossJoin(broadcast(n))
-          .selectExpr("spend", s"below * 4 DIV n + 1 AS q$h")
-      }
-      val q1 = quartiles(1)
-      val q2 = quartiles(2)
-      val h1 = sp.filter(col("half") === 1).join(q1, "spend")
-        .select("o_custkey", "q1")
-      val h2 = sp.filter(col("half") === 2).join(q2, "spend")
-        .select("o_custkey", "q2")
-      val matrix = h1.join(h2, "o_custkey")
+      val sp = spend.join(both, "o_custkey").localCheckpoint() // quartile leg + the pivot
+      // round-11: ONE prefix sum KEYED by half replaces the two
+      // per-half legs, and the quartile assignment becomes three
+      // broadcast THRESHOLDS + a CASE projection instead of a
+      // value-level join back onto the spends (q = below*4 DIV n + 1
+      // is a monotone step of `below`, so v >= min{v : below*4 >= j*n}
+      // ⟺ q >= j+1 — same ties-share-a-quartile assignment, no
+      // shuffle of the customer relation; guide §2.4/§3). The 4×4
+      // pivot is one conditional-max groupBy, not an o_custkey
+      // self-join.
+      val vals = sp.groupBy("half", "spend").agg(cnt.as("c"))
+      val nh = sp.groupBy("half").agg(cnt.as("n"))
+      val thr = Windows.prefixSum(vals, Seq("half"), "spend", "c", "below",
+          exclusive = true)
+        .join(broadcast(nh), "half")
+        .groupBy("half")
+        .agg(min(when(expr("below * 4 >= n"), col("spend"))).as("t2"),
+          min(when(expr("below * 4 >= 2 * n"), col("spend"))).as("t3"),
+          min(when(expr("below * 4 >= 3 * n"), col("spend"))).as("t4"))
+      val qs = sp.join(broadcast(thr), "half")
+        .selectExpr("o_custkey", "half",
+          "CASE WHEN t4 IS NOT NULL AND spend >= t4 THEN 4 " +
+            "WHEN t3 IS NOT NULL AND spend >= t3 THEN 3 " +
+            "WHEN t2 IS NOT NULL AND spend >= t2 THEN 2 ELSE 1 END AS q")
+      val matrix = qs.groupBy("o_custkey")
+        .agg(max(when(col("half") === 1, col("q"))).as("q1"),
+          max(when(col("half") === 2, col("q"))).as("q2"))
         .groupBy("q1", "q2").agg(cnt.as("n_customers"))
       val rowTot = matrix.groupBy("q1").agg(sum("n_customers").as("row_n"))
       matrix.join(broadcast(rowTot), "q1")
@@ -194,11 +206,13 @@ object Flows {
       val vals = spend.groupBy("spend").agg(cnt.as("c"), sum("spend").as("rev"))
         .withColumn("neg", -col("spend"))
         .localCheckpoint() // two prefix-sum legs
-      val tot = spend.agg(cnt.as("n"), sum("spend").as("tot_rev"))
-      val cumC = Windows.prefixSum(vals, Nil, "neg", "c", "cum_cust")
-      val cumR = Windows.prefixSum(vals, Nil, "neg", "rev", "cum_rev")
-        .select("neg", "cum_rev")
-      cumC.join(cumR, "neg").crossJoin(broadcast(tot))
+      // round-11: tot re-reduces from `vals` (no second scan of the
+      // spend relation) and both cumulatives run in ONE prefix-sum
+      // pass instead of two legs re-joined on the order key
+      val tot = vals.agg(sum("c").as("n"), sum("rev").as("tot_rev"))
+      Windows.prefixSumN(vals, Nil, "neg",
+          Seq("c" -> "cum_cust", "rev" -> "cum_rev"))
+        .crossJoin(broadcast(tot))
         .selectExpr("(cum_cust * 10 + n - 1) DIV n AS decile",
           "cum_cust", "cum_rev * 1000000 DIV tot_rev AS rev_ppm")
         .groupBy("decile").agg(max("cum_cust").as("n_customers_cum"),

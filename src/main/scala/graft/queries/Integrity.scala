@@ -131,13 +131,19 @@ object Integrity {
         .groupBy("event_type", "sec").agg(cnt.as("c"))
         .localCheckpoint() // CDF + totals
       val tot = gc.groupBy("event_type").agg(sum("c").as("n"))
-      val cum = Windows.prefixSum(gc, Seq("event_type"), "sec", "c", "cum")
-        .join(broadcast(tot), "event_type")
+      // round-11: all three percentile picks are conditional mins of
+      // ONE aggregate carrying n — the previous shape ran three pick
+      // legs over the CDF and a 4-relation join fan-in (guide §2.4;
+      // identical values)
       def pick(cond: String, name: String) =
-        cum.filter(expr(cond)).groupBy("event_type").agg(min("sec").as(name))
-      tot.join(pick("cum >= (n + 1) DIV 2", "p50_s"), "event_type")
-        .join(pick("cum >= (9 * n + 9) DIV 10", "p90_s"), "event_type")
-        .join(pick("cum >= (99 * n + 99) DIV 100", "p99_s"), "event_type")
+        min(when(expr(cond), col("sec"))).as(name)
+      Windows.prefixSum(gc, Seq("event_type"), "sec", "c", "cum")
+        .join(broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"), // n is constant per type
+          pick("cum >= (n + 1) DIV 2", "p50_s"),
+          pick("cum >= (9 * n + 9) DIV 10", "p90_s"),
+          pick("cum >= (99 * n + 99) DIV 100", "p99_s"))
         .selectExpr("event_type", "n AS n_gaps", "p50_s", "p90_s", "p99_s")
         .orderBy("event_type")
     }),
@@ -215,11 +221,14 @@ object Integrity {
         .localCheckpoint() // CDF + mass legs
       val rc = rev.groupBy("n_name", "rev").agg(cnt.as("c"))
       val rt = rc.groupBy("n_name").agg(sum("c").as("n"))
+      // round-11: the threshold pick carries n, folding the rt re-join
+      // into one broadcast (guide §2.4; identical values)
       val thr = Windows.prefixSum(rc, Seq("n_name"), "rev", "c", "cum")
         .join(broadcast(rt), "n_name")
-        .filter(expr("cum >= n - 2"))
-        .groupBy("n_name").agg(min("rev").as("thr"))
-      rev.join(broadcast(thr), "n_name").join(broadcast(rt), "n_name")
+        .groupBy("n_name")
+        .agg(min(when(expr("cum >= n - 2"), col("rev"))).as("thr"),
+          max("n").as("n")) // n is constant per nation
+      rev.join(broadcast(thr), "n_name")
         .groupBy("n_name", "n")
         .agg(sum("rev").as("total_rev"),
           sum(when(col("rev") >= col("thr"), col("rev")).otherwise(0L))

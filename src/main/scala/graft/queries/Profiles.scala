@@ -51,9 +51,9 @@ object Profiles {
         .agg(cnt.as("n_docs"), sum("n_chars").as("chars"))
         .withColumn("neg", -col("ttr"))
         .localCheckpoint() // feeds two prefix sums + totals
-      val p = Windows.prefixSum(
-        Windows.prefixSum(byTtr, Nil, "neg", "n_docs", "cum_docs"),
-        Nil, "neg", "chars", "cum_chars")
+      // round-11: both running totals in ONE prefix-sum pass
+      val p = Windows.prefixSumN(byTtr, Nil, "neg",
+        Seq("n_docs" -> "cum_docs", "chars" -> "cum_chars"))
       val tot = byTtr.agg(sum("n_docs").as("n_total"),
         sum("chars").as("chars_total"))
       val knots = s.range(1, 11).toDF("decile")
@@ -133,8 +133,16 @@ object Profiles {
         .withColumn("bucket", expr("cum_ex * 8 DIV total"))
         .groupBy("bucket")
         .agg(min("v").as("lo"), max("v").as("hi"), sum("c").as("n_rows"))
-      val bcum = Windows.prefixSum(buckets, Nil, "bucket", "n_rows", "cumb",
-          exclusive = true)
+      // round-11: `buckets` is 8 rows BY CONSTRUCTION (cum_ex*8 DIV
+      // total ∈ 0..7 at any scale), so its exclusive prefix is a
+      // broadcast lower-triangle join — the full two-level prefix-sum
+      // machinery (range agg + window exchange + offsets) costs ~6
+      // stages for eight rows (guide §1.2; identical values)
+      val bcum = buckets
+        .join(broadcast(buckets.select(col("bucket").as("_b2"),
+          col("n_rows").as("_nr2"))), col("_b2") < col("bucket"), "left")
+        .groupBy("bucket", "lo", "hi", "n_rows")
+        .agg(coalesce(sum("_nr2"), lit(0L)).as("cumb"))
         .withColumn("probe", expr("(lo + hi) DIV 2"))
       val actual = vc.crossJoin(broadcast(bcum.select("bucket", "probe")))
         .filter(col("v") <= col("probe"))

@@ -115,23 +115,29 @@ object Robust {
         .agg(cnt.as("c"))
         .localCheckpoint() // CDF + totals + deviation re-reduce
       val tot = vc.groupBy("event_type").agg(sum("c").as("n"))
+      // round-11: the median pick is ONE conditional-min aggregate that
+      // carries n along, and `dev` keeps (n, med) as grouping keys — so
+      // the MAD leg reads its threshold from its own rows (no second
+      // tot join) and the within-MAD census folds into the FINAL
+      // aggregate (the previous shape ran a separate `within` leg and a
+      // 4-relation join fan-in; guide §2.4 — fewer legs, fewer
+      // exchanges, identical values)
       val med = Windows.prefixSum(vc, Seq("event_type"), "v", "c", "cum")
         .join(broadcast(tot), "event_type")
-        .filter(expr("cum >= (n + 1) DIV 2")) // integer k, not a double /
-        .groupBy("event_type").agg(min("v").as("med"))
+        .groupBy("event_type")
+        .agg(min(when(expr("cum >= (n + 1) DIV 2"), col("v"))).as("med"),
+          max("n").as("n")) // n is constant per type
       val dev = vc.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("v") - col("med")))
-        .groupBy("event_type", "med", "dev").agg(sum("c").as("c"))
+        .groupBy("event_type", "n", "med", "dev").agg(sum("c").as("c"))
         .localCheckpoint() // CDF + within-MAD legs
       val mad = Windows.prefixSum(dev, Seq("event_type"), "dev", "c", "cum")
-        .join(broadcast(tot), "event_type")
-        .filter(expr("cum >= (n + 1) DIV 2"))
-        .groupBy("event_type").agg(min("dev").as("mad"))
-      val within = dev.join(broadcast(mad), "event_type")
-        .filter(col("dev") <= col("mad"))
-        .groupBy("event_type").agg(sum("c").as("n_within"))
-      tot.join(med, "event_type").join(mad, "event_type")
-        .join(within, "event_type")
+        .groupBy("event_type")
+        .agg(min(when(expr("cum >= (n + 1) DIV 2"), col("dev"))).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(sum(when(col("dev") <= col("mad"), col("c")).otherwise(0L))
+          .as("n_within"))
         .selectExpr("event_type", "n", "med", "mad",
           "n_within * 1000000 DIV n AS within_mad_ppm")
         .orderBy("event_type")

@@ -68,26 +68,33 @@ object Spectrum {
           "CASE WHEN year(o_orderdate) = y1 THEN 1 ELSE 2 END AS ep",
           "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents")
         .groupBy("ep", "o_custkey").agg(sum("cents").as("spend"))
-        .localCheckpoint() // threshold legs + the set joins
-      def topSet(ep: Int) = {
-        val vals = spend.filter(col("ep") === ep)
-          .groupBy("spend").agg(cnt.as("c")).withColumn("neg", -col("spend"))
-        val n = spend.filter(col("ep") === ep).agg(cnt.as("n"))
-        val thr = Windows.prefixSum(vals, Nil, "neg", "c", "cum")
-          .crossJoin(broadcast(n))
-          .agg(max(when(col("cum") >= least(lit(100L), col("n")), col("spend")))
-            .as("thr"))
-        spend.filter(col("ep") === ep).crossJoin(broadcast(thr))
-          .filter(col("spend") >= col("thr"))
-          .select(col("o_custkey"), col("thr"))
-      }
-      val t1 = topSet(1).localCheckpoint()
-      val t2 = topSet(2).localCheckpoint()
-      val n1 = t1.agg(cnt.as("n_top_first"), min("thr").as("thr_first_cents"))
-      val n2 = t2.agg(cnt.as("n_top_last"), min("thr").as("thr_last_cents"))
-      val common = t1.select("o_custkey").join(t2.select("o_custkey"), "o_custkey")
-        .agg(cnt.as("n_common"))
-      yy.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .localCheckpoint() // threshold leg + the set census
+      // round-11: ONE prefix sum KEYED by epoch replaces the two
+      // per-epoch legs and their two checkpoints; the top sets live in
+      // one ep-tagged relation, set sizes pivot by conditional max and
+      // the overlap is a per-customer count==2 census instead of a
+      // self-join (guide §2.4; identical values)
+      val vals = spend.groupBy("ep", "spend").agg(cnt.as("c"))
+        .withColumn("neg", -col("spend"))
+      val n = spend.groupBy("ep").agg(cnt.as("n"))
+      val thr = Windows.prefixSum(vals, Seq("ep"), "neg", "c", "cum")
+        .join(broadcast(n), "ep")
+        .groupBy("ep")
+        .agg(max(when(col("cum") >= least(lit(100L), col("n")), col("spend")))
+          .as("thr"))
+      val tops = spend.join(broadcast(thr), "ep")
+        .filter(col("spend") >= col("thr"))
+        .select(col("ep"), col("o_custkey"), col("thr"))
+        .localCheckpoint() // sizes pivot + overlap census
+      val nn = tops.groupBy("ep").agg(cnt.as("nt"), min("thr").as("thrv"))
+        .groupBy()
+        .agg(max(when(col("ep") === 1, col("nt"))).as("n_top_first"),
+          max(when(col("ep") === 2, col("nt"))).as("n_top_last"),
+          max(when(col("ep") === 1, col("thrv"))).as("thr_first_cents"),
+          max(when(col("ep") === 2, col("thrv"))).as("thr_last_cents"))
+      val common = tops.groupBy("o_custkey").agg(cnt.as("k"))
+        .agg(sum(when(col("k") === 2L, 1L).otherwise(0L)).as("n_common"))
+      yy.crossJoin(broadcast(nn))
         .crossJoin(broadcast(common))
         .selectExpr("CAST(y1 AS BIGINT) AS year_first", "CAST(y2 AS BIGINT) AS year_last",
           "n_top_first", "n_top_last", "n_common",
@@ -157,13 +164,37 @@ object Spectrum {
         .selectExpr("c_custkey", "bal", "coalesce(rev, 0L) AS rev")
         .localCheckpoint() // two quartile legs + the final grid
       val n = cr.agg(cnt.as("n"))
-      def quartile(c: String) = {
-        val vals = cr.groupBy(c).agg(cnt.as("cn"))
-        Windows.prefixSum(vals, Nil, c, "cn", "below", exclusive = true)
-          .crossJoin(broadcast(n))
-          .selectExpr(c, s"below * 4 DIV n + 1 AS q_$c")
-      }
-      val grid = cr.join(quartile("bal"), "bal").join(quartile("rev"), "rev")
+      // round-11: the two per-column CDF legs STACK into one keyed
+      // prefix sum, and the quartile assignment becomes three
+      // broadcast THRESHOLDS + a CASE projection instead of two
+      // value-level shuffle joins back onto the customers
+      // (q = below*4 DIV n + 1 is a monotone step of `below`, so
+      // v >= min{v : below*4 >= j*n} ⟺ q >= j+1 — identical
+      // ties-share-a-quartile assignment, zero shuffles of the
+      // customer relation; guide §2.4/§3)
+      val vals = cr
+        .selectExpr("stack(2, 'bal', bal, 'rev', rev) AS (k, v)")
+        .groupBy("k", "v").agg(cnt.as("cn"))
+      val thr = Windows.prefixSum(vals, Seq("k"), "v", "cn", "below",
+          exclusive = true)
+        .crossJoin(broadcast(n))
+        .groupBy("k")
+        .agg(min(when(expr("below * 4 >= n"), col("v"))).as("t2"),
+          min(when(expr("below * 4 >= 2 * n"), col("v"))).as("t3"),
+          min(when(expr("below * 4 >= 3 * n"), col("v"))).as("t4"))
+      val thr1 = thr.groupBy()
+        .agg(max(when(col("k") === "bal", col("t2"))).as("b2"),
+          max(when(col("k") === "bal", col("t3"))).as("b3"),
+          max(when(col("k") === "bal", col("t4"))).as("b4"),
+          max(when(col("k") === "rev", col("t2"))).as("r2"),
+          max(when(col("k") === "rev", col("t3"))).as("r3"),
+          max(when(col("k") === "rev", col("t4"))).as("r4"))
+      def q(v: String, t: String) = // BIGINT like the CDF-position form
+        s"CAST(CASE WHEN ${t}4 IS NOT NULL AND $v >= ${t}4 THEN 4 " +
+          s"WHEN ${t}3 IS NOT NULL AND $v >= ${t}3 THEN 3 " +
+          s"WHEN ${t}2 IS NOT NULL AND $v >= ${t}2 THEN 2 ELSE 1 END AS BIGINT)"
+      val grid = cr.crossJoin(broadcast(thr1))
+        .selectExpr(s"${q("bal", "b")} AS q_bal", s"${q("rev", "r")} AS q_rev")
         .groupBy("q_bal", "q_rev").agg(cnt.as("n_customers"))
       val rowTot = grid.groupBy("q_bal").agg(sum("n_customers").as("row_n"))
       grid.join(broadcast(rowTot), "q_bal")
@@ -186,19 +217,30 @@ object Spectrum {
         .localCheckpoint() // counts, day census, and the value census
       val days = ev.select("we", "d").distinct()
         .groupBy("we").agg(cnt.as("n_days"))
-      val counts = ev.groupBy("event_type", "we").agg(cnt.as("n"))
+      // round-11: per-(type, we) counts re-reduce from the value census
+      // (one scan of ev instead of two), the median pick carries n and
+      // n_days, and the weekday/weekend pivot is one conditional-max
+      // groupBy instead of a two-leg self-join (guide §2.4; identical
+      // values)
       val vals = ev.groupBy("event_type", "we", "value").agg(cnt.as("c"))
-      val cum = Windows.prefixSum(vals, Seq("event_type", "we"), "value", "c", "cum")
-      val med = cum.join(broadcast(counts), Seq("event_type", "we"))
+      val counts = vals.groupBy("event_type", "we").agg(sum("c").as("n"))
+      val med = Windows.prefixSum(vals, Seq("event_type", "we"), "value", "c", "cum")
+        .join(broadcast(counts), Seq("event_type", "we"))
         .groupBy("event_type", "we")
         .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("value")))
-          .as("median_value"))
-      def side(h: Int, out: String) =
-        counts.join(broadcast(days), "we").filter(col("we") === h)
-          .join(med.filter(col("we") === h), Seq("event_type", "we"))
-          .selectExpr("event_type", s"n AS n_$out", s"n_days AS days_$out",
-            s"median_value AS median_$out")
-      side(0, "wd").join(side(1, "we"), "event_type")
+          .as("median_value"),
+          max("n").as("n")) // n is constant per (type, we)
+      med.join(broadcast(days), "we")
+        .groupBy("event_type")
+        .agg(max(when(col("we") === 0, col("n"))).as("n_wd"),
+          max(when(col("we") === 1, col("n"))).as("n_we"),
+          max(when(col("we") === 0, col("median_value"))).as("median_wd"),
+          max(when(col("we") === 1, col("median_value"))).as("median_we"),
+          max(when(col("we") === 0, col("n_days"))).as("days_wd"),
+          max(when(col("we") === 1, col("n_days"))).as("days_we"))
+        // the previous shape inner-joined the two sides — a type seen
+        // on only one side must stay excluded
+        .filter(col("n_wd").isNotNull && col("n_we").isNotNull)
         .selectExpr("event_type", "n_wd", "n_we", "median_wd", "median_we",
           "(n_we * days_wd) * 1000000 DIV (n_wd * days_we) AS rate_ratio_ppm")
         .orderBy("event_type")

@@ -105,22 +105,30 @@ object Tenure {
     // reduced domains via the two-level prefix sum; the premium is a
     // non-negative integer ratio.
     "q247_priority_premium" -> ((s, dir) => {
-      val oc = Tables.load(s, dir, "orders")
+      // round-11: the checkpointed relation is the REDUCED (prio, c2)
+      // count grid, and the corpus domain re-reduces from it (same
+      // counts, summed over prio) instead of re-scanning the order
+      // projection; the median picks are conditional mins carrying n,
+      // so the assembly needs no pt re-join (guide §2.3/§2.4 — one
+      // scan, fewer exchanges, identical values)
+      val pc = Tables.load(s, dir, "orders")
         .selectExpr("o_orderpriority AS prio", s"$orderCents AS c2")
-        .localCheckpoint() // per-priority + corpus CDFs
-      val pc = oc.groupBy("prio", "c2").agg(cnt.as("c"))
+        .groupBy("prio", "c2").agg(cnt.as("c"))
+        .localCheckpoint() // per-priority CDF + corpus re-reduce
       val pt = pc.groupBy("prio").agg(sum("c").as("n"))
       val med = Windows.prefixSum(pc, Seq("prio"), "c2", "c", "cum")
         .join(broadcast(pt), "prio")
-        .filter(expr("cum >= (n + 1) DIV 2"))
-        .groupBy("prio").agg(min("c2").as("median_cents"))
-      val gc = oc.groupBy("c2").agg(cnt.as("c"))
+        .groupBy("prio")
+        .agg(min(when(expr("cum >= (n + 1) DIV 2"), col("c2")))
+            .as("median_cents"),
+          max("n").as("n")) // n is constant per priority
+      val gc = pc.groupBy("c2").agg(sum("c").as("c"))
       val gt = gc.agg(sum("c").as("n"))
       val gmed = Windows.prefixSum(gc, Nil, "c2", "c", "cum")
         .crossJoin(broadcast(gt))
-        .filter(expr("cum >= (n + 1) DIV 2"))
-        .agg(min("c2").as("g_median"))
-      med.join(pt, "prio").crossJoin(broadcast(gmed))
+        .agg(min(when(expr("cum >= (n + 1) DIV 2"), col("c2")))
+          .as("g_median"))
+      med.crossJoin(broadcast(gmed))
         .selectExpr("prio", "n", "median_cents", "g_median",
           "median_cents * 1000000 DIV g_median AS rel_ppm")
         .orderBy("prio")

@@ -69,9 +69,9 @@ object Tuning {
         .withColumn("occ", col("c") * col("m"))
         .withColumn("neg", -col("c"))
         .localCheckpoint() // two prefix sums + the totals
-      val p = Windows.prefixSum(
-        Windows.prefixSum(byC, Nil, "neg", "m", "cum_m"),
-        Nil, "neg", "occ", "cum_occ")
+      // round-11: both running totals in ONE prefix-sum pass
+      val p = Windows.prefixSumN(byC, Nil, "neg",
+        Seq("m" -> "cum_m", "occ" -> "cum_occ"))
       val tot = byC.agg(sum("m").as("ndv"), sum("occ").as("total_occ"))
       val ks = s.createDataset(Seq(1L, 10L, 100L, 1000L))(
         org.apache.spark.sql.Encoders.scalaLong).toDF("k")

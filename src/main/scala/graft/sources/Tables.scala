@@ -34,7 +34,50 @@ object Tables {
     *     values are identical to what DuckDB reads — the same naive
     *     instants, no shift.
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Memo of resolved relations keyed by (session, dir, name, dir
+    * fingerprint). A bench/verify session calls load ~700 times over
+    * the same ten immutable parquet paths; each un-memoized call pays
+    * file listing + footer schema resolution + the session lock. The
+    * memo reuses the resolved DataFrame (an immutable logical plan —
+    * the DATA is still scanned from parquet on every execution, so
+    * nothing here caches results). The fingerprint (file count +
+    * max mtime + total bytes of the path's files) invalidates the
+    * entry if a caller rewrites a table dir in-place — rebuilt corpora
+    * (ScaleBench) resolve fresh, read-only testdata hits the memo.
+    */
+  // weak session keys, like `registered`: a stopped session must not be
+  // pinned in memory by its resolved relations
+  private val resolved = scala.collection.mutable.WeakHashMap
+    .empty[SparkSession, scala.collection.mutable.HashMap[(String, String, Long), DataFrame]]
+
+  private def dirFingerprint(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.foldLeft(f.listFiles.length.toLong) {
+          (acc, c) => acc * 1000003L + walk(c)
+        }).getOrElse(0L)
+      else f.lastModified() * 31L + f.length()
+    walk(new java.io.File(path))
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = (sfDir, name, dirFingerprint(s"$sfDir/$name.parquet"))
+    resolved.synchronized {
+      resolved.getOrElseUpdate(spark, scala.collection.mutable.HashMap.empty)
+        .get(key)
+    } match {
+      case Some(df) => df
+      case None =>
+        val df = doLoad(spark, sfDir, name)
+        resolved.synchronized {
+          resolved.getOrElseUpdate(spark, scala.collection.mutable.HashMap.empty)
+            .update(key, df)
+        }
+        df
+    }
+  }
+
+  private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame =
     // EVERY load takes the session lock, not just the events branch:
     // the nanosAsLong flag is session-global and consulted at plan
     // time, so while one thread holds it flipped for the events schema
