@@ -95,13 +95,16 @@ object Forensics {
           .select("p_partkey", "p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "day").agg(sum("c4").as("w"))
-        .localCheckpoint() // cum + totals + span legs
-      val tot = bd.groupBy("p_brand")
-        .agg(sum("w").as("tw"), min("day").as("first_day"),
-          max("day").as("last_day"))
+      // round-11: totals/span ride a second unordered window over the
+      // SAME brand exchange instead of a separate agg + broadcast join
+      // (guide §2.4: two operations keyed the same way share one
+      // exchange) — with one consumer left, the checkpoint goes too
+      val wb = Window.partitionBy("p_brand")
       bd.withColumn("cum",
           sum("w").over(Window.partitionBy("p_brand").orderBy("day")))
-        .join(broadcast(tot), "p_brand")
+        .withColumn("tw", sum("w").over(wb))
+        .withColumn("first_day", min("day").over(wb))
+        .withColumn("last_day", max("day").over(wb))
         .filter(col("cum") * 2 >= col("tw"))
         .groupBy("p_brand", "first_day", "last_day")
         .agg(min("day").as("half_day"))
@@ -179,19 +182,20 @@ object Forensics {
         .agg(Text.minhashComponent(col("tok"), "").as("h1"),
           Text.minhashComponent(col("tok"), "a").as("h2"),
           Text.minhashComponent(col("tok"), "b").as("h3"))
-        .localCheckpoint() // the three policy reductions share it
+      // (single consumer since the min-struct rewrite — no checkpoint)
       val keys = Seq("h1", "h2", "h3")
+      // round-11: all three policies are min-struct argmaxes of ONE
+      // aggregation — "longest text, tie lowest id" minimizes
+      // (−n_chars, doc_id) and "preferred source, tie lowest id"
+      // minimizes (source, doc_id) — replacing the two join-back
+      // policy legs and the 3-way reassembly join (guide §2.4;
+      // identical survivors, same tie rules)
       val grp = sig.groupBy(keys.map(col): _*)
         .agg(cnt.as("ng"), min("doc_id").as("p1"),
-          max("n_chars").as("mx"), min("source").as("ms"))
+          min(struct((-col("n_chars")).as("nl"), col("doc_id").as("d"))).as("w2"),
+          min(struct(col("source").as("s"), col("doc_id").as("d"))).as("w3"))
         .filter(col("ng") > 1)
-      val p2 = sig.join(grp, keys)
-        .filter(col("n_chars") === col("mx"))
-        .groupBy(keys.map(col): _*).agg(min("doc_id").as("p2"))
-      val p3 = sig.join(grp, keys)
-        .filter(col("source") === col("ms"))
-        .groupBy(keys.map(col): _*).agg(min("doc_id").as("p3"))
-      grp.join(p2, keys).join(p3, keys)
+      grp.selectExpr("ng", "p1", "w2.d AS p2", "w3.d AS p3")
         .selectExpr(
           "CASE WHEN p1 = p2 AND p2 = p3 THEN 1L ELSE 0L END AS all3",
           "CASE WHEN p1 = p2 THEN 1L ELSE 0L END AS a12",

@@ -129,18 +129,23 @@ object Gains {
           col("l_partkey") === col("p_partkey"))
         .select("o_custkey", "o_orderdate", "o_orderkey", "l_linenumber",
           "p_brand")
-        .localCheckpoint() // first-pick + modal legs
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey"), col("l_linenumber"),
-          col("p_brand"))
-      val first = lines.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("o_custkey"), col("p_brand").as("first_brand"))
-      val bc = lines.groupBy("o_custkey", "p_brand").agg(cnt.as("c"))
-      val mx = bc.groupBy("o_custkey").agg(max("c").as("mc"))
-      val modal = bc.join(mx, "o_custkey").filter(col("c") === col("mc"))
-        .groupBy("o_custkey").agg(min("p_brand").as("modal_brand"))
-      first.join(modal, "o_custkey")
+      // round-11: the first pick and the modal argmax come out of ONE
+      // two-level aggregation — per (customer, brand) the earliest
+      // (date, order, line) triple and the line count, then per
+      // customer min-struct on ((triple), brand) for the first pick
+      // (same 4-key tie order the row_number window used) and on
+      // (−count, brand) for the modal — replacing the window leg, the
+      // mx join-back, the first⋈modal join and the checkpoint
+      // (guide §2.4; identical values)
+      val pick = lines.groupBy("o_custkey", "p_brand")
+        .agg(cnt.as("c"),
+          min(struct(col("o_orderdate").as("d"), col("o_orderkey").as("o"),
+            col("l_linenumber").as("l"))).as("m"))
+        .groupBy("o_custkey")
+        .agg(min(struct(col("m").as("m"), col("p_brand").as("b"))).as("f"),
+          min(struct((-col("c")).as("nc"), col("p_brand").as("b"))).as("w"))
+        .selectExpr("o_custkey", "f.b AS first_brand", "w.b AS modal_brand")
+      pick
         .join(broadcast(Tables.load(s, dir, "customer")
           .select("c_custkey", "c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
@@ -166,15 +171,29 @@ object Gains {
         .localCheckpoint() // CDF + membership legs
       val rc = yr.groupBy("y", "rev").agg(cnt.as("c"))
       val rt = rc.groupBy("y").agg(sum("c").as("n"))
-      val q = Windows.prefixSum(rc, Seq("y"), "rev", "c", "cum")
+      // round-11: the quartile assignment becomes three broadcast
+      // THRESHOLDS + a CASE projection instead of a value-level
+      // shuffle join back onto the suppliers ((cum−1)*4 DIV n is a
+      // monotone step of cum, so rev >= min{rev : (cum−1)*4 >= j*n}
+      // ⟺ quart >= j — identical ties-share-a-quartile assignment),
+      // and the 1995→2000 pivot is one conditional-max groupBy per
+      // supplier instead of a self-join (guide §2.4/§3; identical
+      // values)
+      val thr = Windows.prefixSum(rc, Seq("y"), "rev", "c", "cum")
         .join(broadcast(rt), "y")
-        .selectExpr("y", "rev", "(cum - 1) * 4 DIV n AS quart")
-      val qs = yr.join(q, Seq("y", "rev"))
-      val a = qs.filter(col("y") === 1995L)
-        .select(col("l_suppkey"), col("quart").as("q95"))
-      val b = qs.filter(col("y") === 2000L)
-        .select(col("l_suppkey").as("sk2"), col("quart").as("q00"))
-      a.join(b, col("l_suppkey") === col("sk2"))
+        .groupBy("y")
+        .agg(min(when(expr("(cum - 1) * 4 >= n"), col("rev"))).as("t1"),
+          min(when(expr("(cum - 1) * 4 >= 2 * n"), col("rev"))).as("t2"),
+          min(when(expr("(cum - 1) * 4 >= 3 * n"), col("rev"))).as("t3"))
+      val qs = yr.join(broadcast(thr), "y")
+        .selectExpr("y", "l_suppkey",
+          "CAST(CASE WHEN t3 IS NOT NULL AND rev >= t3 THEN 3 " +
+            "WHEN t2 IS NOT NULL AND rev >= t2 THEN 2 " +
+            "WHEN t1 IS NOT NULL AND rev >= t1 THEN 1 ELSE 0 END AS BIGINT) AS quart")
+      qs.groupBy("l_suppkey")
+        .agg(max(when(col("y") === 1995L, col("quart"))).as("q95"),
+          max(when(col("y") === 2000L, col("quart"))).as("q00"))
+        .filter(col("q95").isNotNull && col("q00").isNotNull)
         .groupBy("q95", "q00").agg(cnt.as("n_suppliers"))
         .orderBy("q95", "q00")
     }),
@@ -197,20 +216,19 @@ object Gains {
     // size's share — catalog uniformity. Argmax ties to the smallest
     // size; a dimension-only query (no fact scan at all).
     "q268_size_profile" -> ((s, dir) => {
-      val sc = Tables.load(s, dir, "part")
+      // round-11: totals and the (max count, min size) modal argmax
+      // are ONE aggregation — min-struct on (−c, sz) — replacing the
+      // separate mx leg, join-back filter and reassembly join
+      // (guide §2.4; identical values)
+      Tables.load(s, dir, "part")
         .selectExpr("p_brand", "CAST(p_size AS BIGINT) AS sz")
         .groupBy("p_brand", "sz").agg(cnt.as("c"))
-        .localCheckpoint() // totals + argmax legs
-      val tot = sc.groupBy("p_brand")
+        .groupBy("p_brand")
         .agg(sum("c").as("n_parts"), cnt.as("n_sizes"),
-          min("sz").as("min_size"), max("sz").as("max_size"))
-      val mx = sc.groupBy("p_brand").agg(max("c").as("mc"))
-      val modal = sc.join(broadcast(mx), "p_brand")
-        .filter(col("c") === col("mc"))
-        .groupBy("p_brand", "mc").agg(min("sz").as("modal_size"))
-      tot.join(modal, "p_brand")
+          min("sz").as("min_size"), max("sz").as("max_size"),
+          min(struct((-col("c")).as("nc"), col("sz").as("v"))).as("w"))
         .selectExpr("p_brand", "n_parts", "n_sizes", "min_size", "max_size",
-          "modal_size", "mc * 1000000 DIV n_parts AS modal_ppm")
+          "w.v AS modal_size", "(-w.nc) * 1000000 DIV n_parts AS modal_ppm")
         .orderBy("p_brand")
     })
   )

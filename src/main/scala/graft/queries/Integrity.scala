@@ -44,16 +44,24 @@ object Integrity {
         .filter(size(col("l")) >= 1)
         .selectExpr("lang", "element_at(l, 1) AS ft",
           "element_at(l, size(l)) AS lt")
-        .localCheckpoint() // first-token + last-token argmax legs
-      def top(c: String, out: String) = {
-        val counts = fl.groupBy(col("lang"), col(c).as("tok")).agg(cnt.as("n"))
-        val mx = counts.groupBy("lang").agg(max("n").as("mn"))
-        counts.join(broadcast(mx), "lang").filter(col("n") === col("mn"))
-          .groupBy("lang", "mn").agg(min("tok").as(s"top_$out"))
-          .selectExpr("lang", s"top_$out", s"mn AS ${out}_n")
-      }
-      val tot = fl.groupBy("lang").agg(cnt.as("n_docs"))
-      tot.join(top("ft", "first"), "lang").join(top("lt", "last"), "lang")
+      // round-11: both positional argmaxes STACK into one (lang, pos,
+      // token) census, the (max count, min token) pick is a min-struct
+      // on (−n, tok), and the doc total re-reduces from the same
+      // census (each doc contributes exactly one opening token) — one
+      // scan and one pivot instead of two argmax legs, a totals leg
+      // and a 3-way join (guide §2.4; identical values, same tie rule)
+      val counts = fl
+        .selectExpr("lang", "stack(2, 'f', ft, 'l', lt) AS (pos, tok)")
+        .groupBy("lang", "pos", "tok").agg(cnt.as("n"))
+      counts.groupBy("lang", "pos")
+        .agg(sum("n").as("nd"),
+          min(struct((-col("n")).as("nn"), col("tok").as("t"))).as("w"))
+        .groupBy("lang")
+        .agg(max(when(col("pos") === "f", col("nd"))).as("n_docs"),
+          max(when(col("pos") === "f", col("w.t"))).as("top_first"),
+          max(when(col("pos") === "f", -col("w.nn"))).as("first_n"),
+          max(when(col("pos") === "l", col("w.t"))).as("top_last"),
+          max(when(col("pos") === "l", -col("w.nn"))).as("last_n"))
         .selectExpr("lang", "n_docs", "top_first",
           "first_n * 1000000 DIV n_docs AS first_ppm",
           "top_last", "last_n * 1000000 DIV n_docs AS last_ppm")
@@ -98,19 +106,20 @@ object Integrity {
         .selectExpr("event_type", "value",
           "CASE WHEN md5(CAST(event_id AS STRING)) < '8' THEN 'a' ELSE 'b' END AS half")
         .groupBy("event_type", "half", "value").agg(cnt.as("c"))
-        .localCheckpoint() // argmax + totals legs
-      val mx = vc.groupBy("event_type", "half").agg(max("c").as("mc"),
-        sum("c").as("n_h"))
-      val mode = vc.join(broadcast(mx), Seq("event_type", "half"))
-        .filter(col("c") === col("mc"))
-        .groupBy("event_type", "half", "n_h").agg(min("value").as("mval"))
-      val a = mode.filter(col("half") === "a")
-        .select(col("event_type"), col("mval").as("mode_a"),
-          col("n_h").as("n_a"))
-      val b = mode.filter(col("half") === "b")
-        .select(col("event_type"), col("mval").as("mode_b"),
-          col("n_h").as("n_b"))
-      a.join(b, "event_type")
+      // round-11: the (max count, min value) mode is ONE min-struct
+      // aggregation on (−c, value), and the a/b pivot is a
+      // conditional-max groupBy instead of a self-join (guide §2.4;
+      // identical values, same tie rule). An inner-join replica: a
+      // type must appear in BOTH halves to report.
+      val mode = vc.groupBy("event_type", "half")
+        .agg(sum("c").as("n_h"),
+          min(struct((-col("c")).as("nc"), col("value").as("v"))).as("w"))
+      mode.groupBy("event_type")
+        .agg(max(when(col("half") === "a", col("n_h"))).as("n_a"),
+          max(when(col("half") === "b", col("n_h"))).as("n_b"),
+          max(when(col("half") === "a", col("w.v"))).as("mode_a"),
+          max(when(col("half") === "b", col("w.v"))).as("mode_b"))
+        .filter(col("n_a").isNotNull && col("n_b").isNotNull)
         .selectExpr("event_type", "n_a", "n_b", "mode_a", "mode_b",
           "CASE WHEN mode_a = mode_b THEN 1L ELSE 0L END AS stable")
         .orderBy("event_type")

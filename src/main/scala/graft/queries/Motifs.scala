@@ -57,17 +57,16 @@ object Motifs {
     // two hash aggs + a keyed join, the engine-portable tie rule (no
     // float struct ordering in the shuffle).
     "q190_mode_value" -> ((s, dir) => {
-      val counts = Tables.load(s, dir, "events")
+      // round-11: the (max count, min value) mode is ONE min-struct
+      // aggregation on (−c, value) — same tie rule, no max leg, no
+      // join-back probe, no checkpoint (guide §2.4; identical values)
+      Tables.load(s, dir, "events")
         .groupBy("event_type", "value").agg(cnt.as("c"))
-        .localCheckpoint() // max leg + the tie-break probe
-      val mx = counts.groupBy("event_type")
-        .agg(max("c").as("mx"), sum("c").as("n_events"))
-      counts.join(broadcast(mx), "event_type")
-        .filter(col("c") === col("mx"))
         .groupBy("event_type")
-        .agg(min("value").as("mode_value"), first("mx").as("mode_count"),
-          first("n_events").as("n_events"))
-        .selectExpr("event_type", "mode_value", "mode_count", "n_events",
+        .agg(sum("c").as("n_events"),
+          min(struct((-col("c")).as("nc"), col("value").as("v"))).as("w"))
+        .selectExpr("event_type", "w.v AS mode_value",
+          "(-w.nc) AS mode_count", "n_events",
           "mode_count * 1000000 DIV n_events AS support_ppm")
         .orderBy("event_type")
     }),

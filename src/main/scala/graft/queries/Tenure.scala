@@ -181,15 +181,16 @@ object Tenure {
           "transform(sequence(1, n - 1), i -> concat(element_at(l, i), '>', element_at(l, i + 1)))"))
           .as("bigram"))
         .groupBy("source", "bigram").agg(cnt.as("c"))
-        .localCheckpoint() // totals + argmax legs
-      val tot = bg.groupBy("source").agg(sum("c").as("n_bigrams"))
-      val mx = bg.groupBy("source").agg(max("c").as("mc"))
-      val top = bg.join(broadcast(mx), "source")
-        .filter(col("c") === col("mc"))
-        .groupBy("source", "mc").agg(min("bigram").as("top_bigram"))
-      tot.join(top, "source")
-        .selectExpr("source", "n_bigrams", "top_bigram", "mc AS top_n",
-          "mc * 1000000 DIV n_bigrams AS top_share_ppm")
+      // round-11: totals and the (max count, min bigram) argmax are
+      // ONE aggregation — min-struct on (−c, bigram) — replacing the
+      // mx leg, join-back filter and reassembly join (guide §2.4;
+      // identical values, same tie rule)
+      bg.groupBy("source")
+        .agg(sum("c").as("n_bigrams"),
+          min(struct((-col("c")).as("nc"), col("bigram").as("b"))).as("w"))
+        .selectExpr("source", "n_bigrams", "w.b AS top_bigram",
+          "(-w.nc) AS top_n",
+          "(-w.nc) * 1000000 DIV n_bigrams AS top_share_ppm")
         .orderBy("source")
     }),
 
@@ -201,14 +202,20 @@ object Tenure {
     "q250_churn_census" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
-        .localCheckpoint() // horizon + last-seen + modal-type legs
+        .localCheckpoint() // horizon + per-user reduction legs
       val horizon = ev.agg(max("us").as("h_us"))
-      val last = ev.groupBy("user_id").agg(max("us").as("last_us"))
-      val tc = ev.groupBy("user_id", "event_type").agg(cnt.as("c"))
-      val mx = tc.groupBy("user_id").agg(max("c").as("mc"))
-      val modal = tc.join(mx, "user_id").filter(col("c") === col("mc"))
-        .groupBy("user_id").agg(min("event_type").as("modal_type"))
-      last.join(modal, "user_id").crossJoin(broadcast(horizon))
+      // round-11: last-seen and the (max count, min type) modal fold
+      // into ONE two-level aggregation — per (user, type) the count
+      // and last timestamp, then per user a min-struct on (−c, type)
+      // and a max — replacing the mx join-back and the last⋈modal
+      // join (guide §2.4; identical values, same tie rule)
+      val perUser = ev.groupBy("user_id", "event_type")
+        .agg(cnt.as("c"), max("us").as("lu"))
+        .groupBy("user_id")
+        .agg(max("lu").as("last_us"),
+          min(struct((-col("c")).as("nc"), col("event_type").as("t"))).as("w"))
+        .selectExpr("user_id", "last_us", "w.t AS modal_type")
+      perUser.crossJoin(broadcast(horizon))
         .selectExpr("modal_type",
           "CASE WHEN last_us < h_us - 60L * 86400000000 THEN 1L ELSE 0L END AS churned")
         .groupBy("modal_type")
@@ -229,13 +236,15 @@ object Tenure {
           .select("p_partkey", "p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "qoy").agg(sum("c4").as("qc"))
-        .localCheckpoint() // totals + argmax legs
-      val tot = bq.groupBy("p_brand").agg(sum("qc").as("tc"))
-      val mx = bq.groupBy("p_brand").agg(max("qc").as("mc"))
-      bq.join(broadcast(mx), "p_brand").filter(col("qc") === col("mc"))
-        .groupBy("p_brand", "mc").agg(min("qoy").as("peak_q"))
-        .join(broadcast(tot), "p_brand")
-        .selectExpr("p_brand", "peak_q", "mc * 1000000 DIV tc AS peak_ppm")
+      // round-11: totals and the (max revenue, min quarter) argmax are
+      // ONE min-struct aggregation on (−qc, qoy) — no mx leg, no
+      // join-back, no reassembly join, no checkpoint (guide §2.4;
+      // identical values, same tie rule)
+      bq.groupBy("p_brand")
+        .agg(sum("qc").as("tc"),
+          min(struct((-col("qc")).as("nc"), col("qoy").as("q"))).as("w"))
+        .selectExpr("p_brand", "w.q AS peak_q",
+          "(-w.nc) * 1000000 DIV tc AS peak_ppm")
         .orderBy("p_brand")
     }),
 
@@ -261,18 +270,28 @@ object Tenure {
       val cust = ltv.join(firstVal, col("o_custkey") === col("ck"))
         .select(col("o_custkey"), col("fv"), col("lv"))
         .localCheckpoint() // two CDFs + the grid
-      def quartiles(colName: String, out: String) = {
-        val vc = cust.groupBy(colName).agg(cnt.as("c"))
-        val n = vc.agg(sum("c").as("n"))
-        Windows.prefixSum(vc, Nil, colName, "c", "cum")
-          .crossJoin(broadcast(n))
-          .selectExpr(colName, "cum", "n")
-          .agg(min(when(expr("cum >= (n + 3) DIV 4"), col(colName))).as(s"${out}1"),
-            min(when(expr("cum >= (n + 1) DIV 2"), col(colName))).as(s"${out}2"),
-            min(when(expr("cum >= (3 * n + 3) DIV 4"), col(colName))).as(s"${out}3"))
-      }
-      cust.crossJoin(broadcast(quartiles("fv", "f")))
-        .crossJoin(broadcast(quartiles("lv", "l")))
+      // round-11: the two per-column CDF legs STACK into one keyed
+      // prefix sum (both domains share the customer count n), pivoted
+      // to a single broadcast threshold row (guide §2.4; identical
+      // values)
+      val vc = cust
+        .selectExpr("stack(2, 'f', fv, 'l', lv) AS (k, v)")
+        .groupBy("k", "v").agg(cnt.as("c"))
+      val n = cust.agg(cnt.as("n"))
+      val qq = Windows.prefixSum(vc, Seq("k"), "v", "c", "cum")
+        .crossJoin(broadcast(n))
+        .groupBy("k")
+        .agg(min(when(expr("cum >= (n + 3) DIV 4"), col("v"))).as("q1"),
+          min(when(expr("cum >= (n + 1) DIV 2"), col("v"))).as("q2"),
+          min(when(expr("cum >= (3 * n + 3) DIV 4"), col("v"))).as("q3"))
+      val thr = qq.groupBy()
+        .agg(max(when(col("k") === "f", col("q1"))).as("f1"),
+          max(when(col("k") === "f", col("q2"))).as("f2"),
+          max(when(col("k") === "f", col("q3"))).as("f3"),
+          max(when(col("k") === "l", col("q1"))).as("l1"),
+          max(when(col("k") === "l", col("q2"))).as("l2"),
+          max(when(col("k") === "l", col("q3"))).as("l3"))
+      cust.crossJoin(broadcast(thr))
         .selectExpr(
           "CASE WHEN fv < f1 THEN 1 WHEN fv < f2 THEN 2 WHEN fv < f3 THEN 3 ELSE 4 END AS first_q",
           "CASE WHEN lv < l1 THEN 1 WHEN lv < l2 THEN 2 WHEN lv < l3 THEN 3 ELSE 4 END AS ltv_q")
