@@ -25,18 +25,25 @@ object AnnSearch {
   /** Element-wise mean vector per `labelCol` group as an ordered double
     * array: (clabel, cent). Exact-decimal averages rounded to 6 digits
     * — partitioning-independent, so the same data gives bit-identical
-    * centroids on any cluster size. Two shuffles over |vecs| x dims
-    * rows. */
-  private def meanCentroids(vecs: DataFrame, dims: Int, labelCol: String): DataFrame =
-    vecs
-      .select(col(labelCol).as("clabel"), explode(sequence(lit(1), lit(dims))).as("pos"),
-        col("embedding"))
-      .groupBy("clabel", "pos")
-      .agg(round(avg(element_at(col("embedding"), col("pos")).cast(DecimalType(18, 9))), 6)
-        .cast("double").as("c"))
-      .groupBy("clabel")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("cent"))
+    * centroids on any cluster size.
+    *
+    * ONE hash aggregate with `dims` decimal-avg columns (then packed
+    * into the array in position order) instead of the previous
+    * dims×-row explode + two exchanges (groupBy(clabel, pos), then
+    * collect_list per clabel): same avg over the same DECIMAL(18,9)
+    * casts per position, so values are bit-identical (positions with
+    * null/short embeddings average to null in both forms), but the
+    * shuffle carries k partial rows of dims sums instead of k×dims
+    * exploded value rows and the second exchange disappears
+    * (guide §2.3 aggregate-before-shuffle / §2.4 remove exchanges). */
+  private def meanCentroids(vecs: DataFrame, dims: Int, labelCol: String): DataFrame = {
+    val avgs = (1 to dims).map(i =>
+      round(avg(element_at(col("embedding"), i).cast(DecimalType(18, 9))), 6)
+        .cast("double").as(s"_mc$i"))
+    vecs.groupBy(col(labelCol).as("clabel"))
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col("clabel"), array((1 to dims).map(i => col(s"_mc$i")): _*).as("cent"))
+  }
 
   /** Per-`labelCol` element-wise centroids as ordered double arrays:
     * (clabel, cent). `dims` = embedding width. A stand-in quantizer for

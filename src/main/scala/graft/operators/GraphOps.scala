@@ -71,14 +71,26 @@ object GraphOps {
   }
 
   /** The damped-iteration loop shared by both entries: uniform start,
-    * `iters` [[step]]s, each round checkpointed so lineage stays flat. */
+    * `iters` [[step]]s, ONE checkpoint at the end.
+    *
+    * Round-11: the per-ROUND localCheckpoint was dropped — each rank
+    * frame is consumed exactly once (by the next round), so the chain
+    * is a linear plan, and a checkpoint's LogicalRDD comes back
+    * `UnknownPartitioning` under AQE, which re-shuffled the rank side
+    * of every round's src join (prepare's cache keeps the EDGE side
+    * partitioned; this keeps the rank side flowing hash-partitioned
+    * through the whole chain — guide §2.4). The single final
+    * checkpoint still (a) materializes the ranks while the callers'
+    * caches are alive — pagerankPpb unpersists nds/eod on return, so a
+    * fully-lazy result would recompute the edge relation per consumer
+    * — and (b) keeps the consumer's plan flat. */
   private def rounds(nds: DataFrame, n1: DataFrame, eod: DataFrame,
                      iters: Int, dampPct: Int): DataFrame = {
     val uniform = nds.crossJoin(broadcast(n1))
       .selectExpr("id", "CAST(1000000000 DIV n AS BIGINT) AS r")
-    (1 to iters).foldLeft(uniform.localCheckpoint()) { (r, _) =>
-      step(nds, n1, eod, r, dampPct).localCheckpoint()
-    }
+    (1 to iters).foldLeft(uniform) { (r, _) =>
+      step(nds, n1, eod, r, dampPct)
+    }.localCheckpoint()
   }
 
   /** CO-PARTITIONED once-materialized inputs: the node set hashed on

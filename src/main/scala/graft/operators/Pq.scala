@@ -190,16 +190,19 @@ object Pq {
       val assigned = subs.join(broadcast(perSubArray(cents)), Seq("sub"))
         .withColumn("bucket", array_min(distStructs).getField("l"))
       // meanCentroids' exact-decimal element-wise mean, grouped by
-      // (sub, bucket): identical arithmetic, 1/m the barriers
+      // (sub, bucket): identical arithmetic, 1/m the barriers — and as
+      // of round 11 the same ONE-exchange wide aggregate as
+      // AnnSearch.meanCentroids (w decimal-avg columns packed into the
+      // array in position order) instead of a w×-row explode + two
+      // exchanges; bit-identical values, half the barriers per round
+      val mAvgs = (1 to w).map(i =>
+        round(avg(element_at(col("embedding"), i).cast(DecimalType(18, 9))), 6)
+          .cast("double").as(s"_mc$i"))
       val means = assigned
-        .select(col("sub"), col("bucket").as("clabel"),
-          explode(sequence(lit(1), lit(w))).as("pos"), col("embedding"))
-        .groupBy("sub", "clabel", "pos")
-        .agg(round(avg(element_at(col("embedding"), col("pos")).cast(DecimalType(18, 9))), 6)
-          .cast("double").as("c"))
-        .groupBy("sub", "clabel")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("ncent"))
+        .groupBy(col("sub"), col("bucket").as("clabel"))
+        .agg(mAvgs.head, mAvgs.tail: _*)
+        .select(col("sub"), col("clabel"),
+          array((1 to w).map(i => col(s"_mc$i")): _*).as("ncent"))
       cents = cents.join(means, Seq("sub", "clabel"), "left")
         .select(col("sub"), col("clabel"),
           coalesce(col("ncent"), col("cent")).as("cent"))

@@ -94,21 +94,38 @@ object Calibration {
       def actualOf(a: DataFrame, b: DataFrame) =
         a.join(b.withColumnRenamed("c", "cb"), "k")
           .agg(coalesce(sum(col("c") * col("cb")), lit(0L)).as("actual_rows"))
+      // round-11: the q143 discipline — n and filtered-side scalars
+      // derive from the per-key count relations (n = SUM(c); a null
+      // key's rows still count toward n, as COUNT(*) did), and both
+      // BASE-table ndvs come from ONE orders aggregate, so each
+      // relation is scanned once per grouping key instead of once per
+      // scalar leg (guide §1.2 step 1; identical exact integers).
       def arm(name: String, nL: DataFrame, nR: DataFrame,
               ndvL: DataFrame, ndvR: DataFrame, actual: DataFrame) =
         nL.crossJoin(nR).crossJoin(ndvL).crossJoin(ndvR).crossJoin(actual)
           .selectExpr(s"'$name' AS join_order",
             "n_l * n_r DIV GREATEST(ndv_l, ndv_r) AS est_rows", "actual_rows")
+      def nOf(d: DataFrame, as: String) =
+        d.agg(coalesce(sum(col("c")), lit(0L)).as(as))
+      // NOT checkpointed: every consumer lives in the ONE final plan,
+      // so repeated grouped subtrees dedupe via ReusedExchange (a
+      // checkpoint per relation measured +8 jobs for nothing)
+      val cok = counts(li, "l_orderkey")   // n_l/ndv_l + actual A
+      val fok = counts(oF, "o_orderkey")   // n_r + actual A
+      val focu = counts(oF, "o_custkey")   // n_l + actual B
+      val ccu = counts(cu, "c_custkey")    // n_r/ndv_r + actual B
+      val ondv = o.agg(countDistinct(col("o_orderkey")).as("ndv_okey"),
+        countDistinct(col("o_custkey")).as("ndv_ckey"))
       val a = arm("A_lineitem_x_filtered_orders",
-        li.agg(cnt.as("n_l")), oF.agg(cnt.as("n_r")),
-        li.agg(countDistinct(col("l_orderkey")).as("ndv_l")),
-        o.agg(countDistinct(col("o_orderkey")).as("ndv_r")),
-        actualOf(counts(li, "l_orderkey"), counts(oF, "o_orderkey")))
+        nOf(cok, "n_l"), nOf(fok, "n_r"),
+        cok.agg(count(col("k")).as("ndv_l")),
+        ondv.select(col("ndv_okey").as("ndv_r")),
+        actualOf(cok, fok))
       val b = arm("B_filtered_orders_x_customer",
-        oF.agg(cnt.as("n_l")), cu.agg(cnt.as("n_r")),
-        o.agg(countDistinct(col("o_custkey")).as("ndv_l")),
-        cu.agg(countDistinct(col("c_custkey")).as("ndv_r")),
-        actualOf(counts(oF, "o_custkey"), counts(cu, "c_custkey")))
+        nOf(focu, "n_l"), nOf(ccu, "n_r"),
+        ondv.select(col("ndv_ckey").as("ndv_l")),
+        ccu.agg(count(col("k")).as("ndv_r")),
+        actualOf(focu, ccu))
       a.unionByName(b)
         .withColumn("err_ppm",
           expr("ABS(est_rows - actual_rows) * 1000000 DIV actual_rows"))

@@ -17,14 +17,6 @@ object Governance {
 
   private def cnt = count(lit(1))
 
-  /** One audited constraint: a 1-row (constraint_name, n_checked,
-    * n_violations) frame from independently-aggregated sides. */
-  private def check(name: String, checked: DataFrame,
-                    violations: DataFrame): DataFrame =
-    checked.crossJoin(violations)
-      .select(lit(name).as("constraint_name"),
-        col("n_checked"), col("n_violations"))
-
   def queries: Map[String, Queries.QueryFn] = Map(
 
     // Declared-constraint audit (round 5): primary-key uniqueness,
@@ -46,13 +38,21 @@ object Governance {
       val n = Tables.load(s, dir, "nation")
       val ev = Tables.load(s, dir, "events")
       val d = Tables.load(s, dir, "documents")
+      // round-11: only the two EVENTS legs merge (one scan, one
+      // aggregate, zero added joins — strictly fewer passes). A fuller
+      // merge that rode FK flags on the fact scan as left joins
+      // against distinct dim keys was MEASURED WORSE (+3 jobs and
+      // higher task CPU than the leg-parallel anti joins at sf0.1,
+      // with the old form's extra scans being narrow column-pruned
+      // reads) — reverted, see OPTIMIZATION_r11.md.
       def fk(name: String, fact: DataFrame, factKey: String,
              dim: DataFrame, dimKey: String): DataFrame =
-        check(name,
-          fact.agg(cnt.as("n_checked")),
-          fact.join(dim.select(col(dimKey)),
+        fact.agg(cnt.as("n_checked"))
+          .crossJoin(fact.join(dim.select(col(dimKey)),
               fact(factKey) === col(dimKey), "left_anti")
             .agg(cnt.as("n_violations")))
+          .select(lit(name).as("constraint_name"),
+            col("n_checked"), col("n_violations"))
       val c1 = o.agg(cnt.as("n_checked"),
           (cnt - countDistinct(col("o_orderkey"))).as("n_violations"))
         .select(lit("c1_orders_pk_unique").as("constraint_name"),
@@ -66,23 +66,22 @@ object Governance {
       val c4 = fk("c4_lineitem_fk_part", li, "l_partkey", p, "p_partkey")
       val c5 = fk("c5_orders_fk_customer", o, "o_custkey", c, "c_custkey")
       val c6 = fk("c6_customer_fk_nation", c, "c_nationkey", n, "n_nationkey")
-      val c7 = ev.agg(cnt.as("n_checked"),
+      val evAgg = ev.agg(cnt.as("n"),
           sum(when(col("value").isNull || col("value") < 0, 1L).otherwise(0L))
-            .as("n_violations"))
-        .select(lit("c7_events_value_nonneg").as("constraint_name"),
-          col("n_checked"), col("n_violations"))
-      val c8 = ev.agg(cnt.as("n_checked"),
+            .as("val_v"),
           sum(when(col("event_type").isNull ||
               !col("event_type").isin("click", "error", "purchase", "signup", "view"),
-            1L).otherwise(0L)).as("n_violations"))
-        .select(lit("c8_events_type_enum").as("constraint_name"),
-          col("n_checked"), col("n_violations"))
+            1L).otherwise(0L)).as("typ_v"))
+        .selectExpr("stack(2, " +
+          "'c7_events_value_nonneg', n, val_v, " +
+          "'c8_events_type_enum', n, typ_v) " +
+          "AS (constraint_name, n_checked, n_violations)")
       val c9 = d.agg(cnt.as("n_checked"),
           sum(when(col("text").isNull || col("text") === "", 1L).otherwise(0L))
             .as("n_violations"))
         .select(lit("c9_documents_text_nonempty").as("constraint_name"),
           col("n_checked"), col("n_violations"))
-      Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9)
+      Seq(c1, c2, c3, c4, c5, c6, evAgg, c9)
         .reduce(_ unionByName _)
         .orderBy("constraint_name")
     }),

@@ -72,34 +72,53 @@ object Graph {
       val cu = Tables.load(s, dir, "customer")
       def counts(df: DataFrame, k: String) =
         df.groupBy(col(k).as("k")).agg(cnt.as("c"))
+      // round-11: every scalar derives from the per-key count
+      // relations — n = SUM(c) over all groups, ndv = COUNT(k) (counts
+      // non-null group keys, exactly what COUNT(DISTINCT k) counted;
+      // a null-key group's rows still land in n) — so each table is
+      // scanned once per grouping key instead of once per scalar leg
+      // (guide §1.2 step 1: 12 base scans -> 6 grouped ones over the
+      // same tables; identical exact integers).
+      def stats(d: DataFrame, nName: String, ndvName: String) =
+        d.agg(coalesce(sum(col("c")), lit(0L)).as(nName),
+          count(col("k")).as(ndvName))
       def actualOf(a: DataFrame, b: DataFrame) =
         a.join(b.withColumnRenamed("c", "cb"), "k")
           .agg(coalesce(sum(col("c") * col("cb")), lit(0L)).as("actual"))
-      def row(name: String, nL: DataFrame, nR: DataFrame,
-              ndvL: DataFrame, ndvR: DataFrame, actual: DataFrame) =
-        nL.crossJoin(nR).crossJoin(ndvL).crossJoin(ndvR).crossJoin(actual)
+      def row(name: String, l: DataFrame, r: DataFrame, actual: DataFrame) =
+        l.crossJoin(r).crossJoin(actual)
           .selectExpr(s"'$name' AS join_name",
             "n_left", "n_right", "ndv_left", "ndv_right", "actual",
             "n_left * n_right DIV GREATEST(ndv_left, ndv_right) AS est_uniform",
             "ABS(n_left * n_right DIV GREATEST(ndv_left, ndv_right) - actual)" +
               " * 1000000 DIV actual AS err_ppm")
+      // NOT checkpointed: all consumers live in the ONE final plan, so
+      // the repeated grouped subtrees dedupe via ReusedExchange — a
+      // checkpoint per relation measured +8 jobs (materialization
+      // barriers) for scans the reuse already avoided
+      val cok = counts(li, "l_orderkey")   // stats + actual
+      val csk = counts(li, "l_suppkey")    // one-agg self arm
+      val ook = counts(o, "o_orderkey")    // stats + actual
+      val foc = counts(o.filter(col("o_orderstatus") === "F"), "o_custkey") // n_left + actual
+      val ccu = counts(cu, "c_custkey")    // stats + actual
       val j1 = row("j1_lineitem_orders",
-        li.agg(cnt.as("n_left")), o.agg(cnt.as("n_right")),
-        li.agg(countDistinct(col("l_orderkey")).as("ndv_left")),
-        o.agg(countDistinct(col("o_orderkey")).as("ndv_right")),
-        actualOf(counts(li, "l_orderkey"), counts(o, "o_orderkey")))
-      val selfC = counts(li, "l_suppkey")
-      val j2 = row("j2_lineitem_self_suppkey",
-        li.agg(cnt.as("n_left")), li.agg(cnt.as("n_right")),
-        li.agg(countDistinct(col("l_suppkey")).as("ndv_left")),
-        li.agg(countDistinct(col("l_suppkey")).as("ndv_right")),
-        selfC.agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("actual")))
-      val oF = o.filter(col("o_orderstatus") === "F")
+        stats(cok, "n_left", "ndv_left"), stats(ook, "n_right", "ndv_right"),
+        actualOf(cok, ook))
+      // self-join arm: all five scalars from ONE aggregate over csk
+      val j2 = csk.agg(coalesce(sum(col("c")), lit(0L)).as("n_left"),
+          coalesce(sum(col("c")), lit(0L)).as("n_right"),
+          count(col("k")).as("ndv_left"), count(col("k")).as("ndv_right"),
+          coalesce(sum(col("c") * col("c")), lit(0L)).as("actual"))
+        .selectExpr("'j2_lineitem_self_suppkey' AS join_name",
+          "n_left", "n_right", "ndv_left", "ndv_right", "actual",
+          "n_left * n_right DIV GREATEST(ndv_left, ndv_right) AS est_uniform",
+          "ABS(n_left * n_right DIV GREATEST(ndv_left, ndv_right) - actual)" +
+            " * 1000000 DIV actual AS err_ppm")
       val j3 = row("j3_orders_F_customer",
-        oF.agg(cnt.as("n_left")), cu.agg(cnt.as("n_right")),
-        o.agg(countDistinct(col("o_custkey")).as("ndv_left")), // BASE-table ndv
-        cu.agg(countDistinct(col("c_custkey")).as("ndv_right")),
-        actualOf(counts(oF, "o_custkey"), counts(cu, "c_custkey")))
+        foc.agg(coalesce(sum(col("c")), lit(0L)).as("n_left")).crossJoin(
+          o.agg(countDistinct(col("o_custkey")).as("ndv_left"))), // BASE-table ndv
+        stats(ccu, "n_right", "ndv_right"),
+        actualOf(foc, ccu))
       j1.unionByName(j2).unionByName(j3).orderBy("join_name")
     })
   )

@@ -128,13 +128,22 @@ object Introspection {
         .select(col("l_orderkey").as("k")).distinct().localCheckpoint()
       val pass = positions(probe).join(broadcast(pos), "p")
         .groupBy("k").agg(cnt.as("nh")).filter(col("nh") === 3)
-      val tru = probe.join(bkeys, Seq("k"), "left_semi")
-      bkeys.agg(cnt.as("n_build"))
-        .crossJoin(mm.select(col("m").as("m_bits")))
+      // round-11: n_probe / n_pass / n_true come from ONE pass over the
+      // probe keys (two key-multiplicity-1 left joins — bkeys and pass
+      // are both distinct on k — then one count/sum aggregate) instead
+      // of three separate agg legs, and n_build/m_bits share one
+      // aggregate over the checkpointed build keys (guide §2.4;
+      // identical values — a left join against a distinct key set
+      // counts exactly what the semi join counted).
+      val probeStats = probe
+        .join(pass.select(col("k"), lit(1L).as("_pass")), Seq("k"), "left")
+        .join(bkeys.select(col("k"), lit(1L).as("_true")), Seq("k"), "left")
+        .agg(cnt.as("n_probe"),
+          coalesce(sum("_pass"), lit(0L)).as("n_pass"),
+          coalesce(sum("_true"), lit(0L)).as("n_true"))
+      bkeys.agg(cnt.as("n_build"), (cnt * 8).as("m_bits"))
         .crossJoin(pos.agg(cnt.as("n_bits_set")))
-        .crossJoin(probe.agg(cnt.as("n_probe")))
-        .crossJoin(pass.agg(cnt.as("n_pass")))
-        .crossJoin(tru.agg(cnt.as("n_true")))
+        .crossJoin(probeStats)
         .selectExpr("n_build", "m_bits", "n_bits_set", "n_probe", "n_pass",
           "n_true", "n_pass - n_true AS n_false_pos",
           "CASE WHEN n_probe - n_true = 0 THEN 0L " +

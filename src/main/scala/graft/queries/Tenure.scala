@@ -114,21 +114,27 @@ object Tenure {
       val pc = Tables.load(s, dir, "orders")
         .selectExpr("o_orderpriority AS prio", s"$orderCents AS c2")
         .groupBy("prio", "c2").agg(cnt.as("c"))
-        .localCheckpoint() // per-priority CDF + corpus re-reduce
-      val pt = pc.groupBy("prio").agg(sum("c").as("n"))
-      val med = Windows.prefixSum(pc, Seq("prio"), "c2", "c", "cum")
+        .localCheckpoint() // per-priority CDF rows + corpus re-reduce
+      // round-11b: the corpus CDF STACKS into the same keyed prefix sum
+      // as the per-priority CDFs under a sentinel key (per-key passes
+      // are independent, so values are identical to the former second
+      // Nil-keyed prefixSum call; one bucket machinery instead of two —
+      // guide §2.4). The 6-row median relation is checkpointed so the
+      // sentinel split below does not replay the pass per consumer.
+      val vc = pc.unionByName(
+        pc.groupBy("c2").agg(sum("c").as("c"))
+          .select(lit("__all").as("prio"), col("c2"), col("c")))
+      val pt = vc.groupBy("prio").agg(sum("c").as("n"))
+      val med = Windows.prefixSum(vc, Seq("prio"), "c2", "c", "cum")
         .join(broadcast(pt), "prio")
         .groupBy("prio")
         .agg(min(when(expr("cum >= (n + 1) DIV 2"), col("c2")))
             .as("median_cents"),
           max("n").as("n")) // n is constant per priority
-      val gc = pc.groupBy("c2").agg(sum("c").as("c"))
-      val gt = gc.agg(sum("c").as("n"))
-      val gmed = Windows.prefixSum(gc, Nil, "c2", "c", "cum")
-        .crossJoin(broadcast(gt))
-        .agg(min(when(expr("cum >= (n + 1) DIV 2"), col("c2")))
-          .as("g_median"))
-      med.crossJoin(broadcast(gmed))
+        .localCheckpoint() // priority rows + the corpus row
+      med.filter(col("prio") =!= "__all")
+        .crossJoin(broadcast(med.filter(col("prio") === "__all")
+          .select(col("median_cents").as("g_median"))))
         .selectExpr("prio", "n", "median_cents", "g_median",
           "median_cents * 1000000 DIV g_median AS rel_ppm")
         .orderBy("prio")
@@ -257,18 +263,19 @@ object Tenure {
       val o = Tables.load(s, dir, "orders")
         .selectExpr("o_custkey", "o_orderkey", "o_orderdate",
           s"$orderCents AS c2")
-        .localCheckpoint() // first-order + lifetime legs
-      val firstDate = o.groupBy("o_custkey").agg(min("o_orderdate").as("fd"))
-      val firstKey = o.join(broadcast(firstDate), "o_custkey")
-        .filter(col("o_orderdate") === col("fd"))
-        .groupBy("o_custkey").agg(min("o_orderkey").as("fk"))
-        .select(col("o_custkey").as("fck"), col("fk")) // fresh names: o is
-      val firstVal = o.select("o_orderkey", "c2")     // self-joined below
-        .join(firstKey, col("o_orderkey") === col("fk"))
-        .select(col("fck").as("ck"), col("c2").as("fv"))
-      val ltv = o.groupBy("o_custkey").agg(sum("c2").as("lv"))
-      val cust = ltv.join(firstVal, col("o_custkey") === col("ck"))
-        .select(col("o_custkey"), col("fv"), col("lv"))
+      // round-11b: first-order value and lifetime value come out of ONE
+      // aggregation — min(struct(date, orderkey, c2)) picks the same
+      // (min date, min orderkey) row the fd/fk/firstVal legs picked
+      // (o_orderkey is unique, so c2 is never consulted as a tie-break)
+      // and carries its c2 along, while sum(c2) rides the same pass.
+      // Replaces two joins, three aggregations and the orders
+      // checkpoint (guide §2.4; identical values — the oracle's
+      // fd/fk/cust CTEs pin the tie rule this struct reproduces).
+      val cust = o.groupBy("o_custkey")
+        .agg(min(struct(col("o_orderdate").as("d"), col("o_orderkey").as("k"),
+            col("c2").as("v"))).as("m"),
+          sum("c2").as("lv"))
+        .select(col("o_custkey"), col("m.v").as("fv"), col("lv"))
         .localCheckpoint() // two CDFs + the grid
       // round-11: the two per-column CDF legs STACK into one keyed
       // prefix sum (both domains share the customer count n), pivoted
