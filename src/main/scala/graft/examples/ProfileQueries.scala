@@ -36,15 +36,23 @@ object ProfileQueries {
     val tasks = new AtomicInteger(0)
     val taskNanos = new AtomicLong(0L)
     val verbose = sys.env.get("PROFILE_VERBOSE").contains("1")
+    // verbose mode also prints each job's wall duration (start→end) so
+    // per-job fixed overhead is attributable without the UI
+    val jobStartNanos = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         if (verbose) {
+          jobStartNanos.put(j.jobId, System.nanoTime())
           val cs = Option(j.properties)
             .map(_.getProperty("callSite.short", "?")).getOrElse("?")
           System.err.println(s"[job] ${j.jobId} stages=${j.stageInfos.size} at $cs")
         }
       }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (verbose) Option(jobStartNanos.remove(e.jobId)).foreach { t0 =>
+          System.err.println(f"[job] ${e.jobId} done ${(System.nanoTime() - t0) / 1e9}%.3fs")
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = { stages.incrementAndGet(): Unit }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()

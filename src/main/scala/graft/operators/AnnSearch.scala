@@ -27,23 +27,32 @@ object AnnSearch {
     * — partitioning-independent, so the same data gives bit-identical
     * centroids on any cluster size.
     *
-    * ONE hash aggregate with `dims` decimal-avg columns (then packed
-    * into the array in position order) instead of the previous
-    * dims×-row explode + two exchanges (groupBy(clabel, pos), then
-    * collect_list per clabel): same avg over the same DECIMAL(18,9)
-    * casts per position, so values are bit-identical (positions with
-    * null/short embeddings average to null in both forms), but the
-    * shuffle carries k partial rows of dims sums instead of k×dims
-    * exploded value rows and the second exchange disappears
-    * (guide §2.3 aggregate-before-shuffle / §2.4 remove exchanges). */
-  private def meanCentroids(vecs: DataFrame, dims: Int, labelCol: String): DataFrame = {
-    val avgs = (1 to dims).map(i =>
-      round(avg(element_at(col("embedding"), i).cast(DecimalType(18, 9))), 6)
-        .cast("double").as(s"_mc$i"))
-    vecs.groupBy(col(labelCol).as("clabel"))
-      .agg(avgs.head, avgs.tail: _*)
-      .select(col("clabel"), array((1 to dims).map(i => col(s"_mc$i")): _*).as("cent"))
-  }
+    * Explode + groupBy(clabel, pos) + collect_list — deliberately NOT
+    * the round-11 "one wide hash aggregate with dims decimal-avg
+    * columns": at dims=64 that form carries ~128 aggregation-buffer
+    * fields, over `spark.sql.codegen.maxFields` (100), so the hot
+    * map side fell out of WholeStageCodegen into interpreted decimal
+    * aggregation; raising maxFields instead traded it for multi-second
+    * Janino compiles of the giant generated method (measured round 12:
+    * q101 11.4 s → 18.7 s with maxFields=260, and the whole ANN family
+    * regressed ×1.3–1.6 vs the round-10 explode form in a quiet A/B).
+    * This form keeps every stage inside default codegen limits: the
+    * explode multiplies rows ×dims, but they stream through a
+    * codegen'd partial aggregate (map-side combine, guide §2.3), the
+    * first exchange carries k×dims PARTIAL rows, and the second
+    * (k×dims → k arrays) is k rows of payload. Values are
+    * bit-identical in both forms (same DECIMAL(18,9) avg per
+    * position). */
+  private def meanCentroids(vecs: DataFrame, dims: Int, labelCol: String): DataFrame =
+    vecs
+      .select(col(labelCol).as("clabel"), explode(sequence(lit(1), lit(dims))).as("pos"),
+        col("embedding"))
+      .groupBy("clabel", "pos")
+      .agg(round(avg(element_at(col("embedding"), col("pos")).cast(DecimalType(18, 9))), 6)
+        .cast("double").as("c"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
 
   /** Per-`labelCol` element-wise centroids as ordered double arrays:
     * (clabel, cent). `dims` = embedding width. A stand-in quantizer for
@@ -111,12 +120,18 @@ object AnnSearch {
         s"sampleBound '$b' is not lowercase hex"))
     val key = md5(col(vecIdCol).cast("string"))
     // Materialized once (the repo's intra-query reuse convention):
-    // lazily, the md5 filter + projection over the full input would
-    // re-run for the seeding pass, each of the k-1 farthest passes,
-    // and every Lloyd round — 2+iters(+k-1) full re-scans with the
-    // hash recomputed each time.
+    // lazily-planned, the md5 filter + projection over the full input
+    // would re-run for the seeding pass, each of the k-1 farthest
+    // passes, and every Lloyd round — 2+iters(+k-1) full re-scans with
+    // the hash recomputed each time. localCheckpoint(false) — LAZY,
+    // the connectedComponents discipline: the seeding pass (the first
+    // job that reads it) materializes the checkpoint as its side
+    // effect, where the eager default runs a separate
+    // materialization-only job first (round 12: each eager checkpoint
+    // in this family costs one extra ~0.2 s single-task job at sf0.1,
+    // and the family runs 2+iters of them per query).
     val sample = sampleBound.fold(emb)(b => emb.filter(key < lit(b)))
-      .select(col(vecIdCol), col("embedding")).localCheckpoint()
+      .select(col(vecIdCol), col("embedding")).localCheckpoint(false)
     val seedOrd = Seq(key, col(vecIdCol))
     val asCent = transform(col("embedding"), x => x.cast("double")).as("cent")
     var cents =
@@ -126,10 +141,10 @@ object AnnSearch {
         sample.orderBy(seedOrd: _*).limit(k)
           .withColumn("clabel", row_number().over(Window.orderBy(seedOrd: _*)))
           .select(col("clabel"), asCent)
-          .localCheckpoint()
+          .localCheckpoint(false) // lazy: the seeding require's count materializes it
       else {
         var seeds = sample.orderBy(seedOrd: _*).limit(1)
-          .select(lit(1).as("clabel"), asCent).localCheckpoint()
+          .select(lit(1).as("clabel"), asCent).localCheckpoint(false)
         for (i <- 2 to k) {
           val far = withCentroidArray(sample, seeds, "_mind")
             .withColumn("_mind", array_min(distStructs).getField("d"))
@@ -140,7 +155,9 @@ object AnnSearch {
             .orderBy(negate(col("_mind")).asc_nulls_last +: seedOrd: _*)
             .limit(1)
           seeds = seeds.union(far.select(lit(i).as("clabel"), asCent))
-            .localCheckpoint()
+            // lazy: the next pass's centroid-array broadcast build (or
+            // the seeding require) materializes it
+            .localCheckpoint(false)
         }
         seeds
       }
@@ -159,7 +176,10 @@ object AnnSearch {
         .join(meanCentroids(assigned, dims, "bucket")
           .withColumnRenamed("cent", "ncent"), Seq("clabel"), "left")
         .select(col("clabel"), coalesce(col("ncent"), col("cent")).as("cent"))
-        .localCheckpoint()
+        // lazy: the next round's centroid-array broadcast build (or the
+        // caller's first action) materializes it — one job per Lloyd
+        // round instead of two
+        .localCheckpoint(false)
     }
     cents
   }

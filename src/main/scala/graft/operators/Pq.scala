@@ -136,7 +136,10 @@ object Pq {
     // in the sequential form) — seeding, farthest passes, and every
     // Lloyd round re-derive their subvector slices from this.
     val sample = sampleBound.fold(checked)(b => checked.filter(key < lit(b)))
-      .localCheckpoint()
+      // lazy (the connectedComponents discipline): the seeding pass
+      // materializes it with its own job instead of a separate
+      // materialization-only job per checkpoint
+      .localCheckpoint(false)
     // Narrow re-derivable projection: each sample vector's m slices.
     val subs = sample.select(col(vecIdCol),
       explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
@@ -155,11 +158,11 @@ object Pq {
           .select(col("clabel"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
             col("embedding"))
           .select(sliced(col("clabel")): _*)
-          .localCheckpoint()
+          .localCheckpoint(false) // lazy: the seeding require's count materializes it
       else {
         var seeds = sample.orderBy(seedOrd: _*).limit(1)
           .select(explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
-          .select(sliced(lit(1)): _*).localCheckpoint()
+          .select(sliced(lit(1)): _*).localCheckpoint(false)
         for (i <- 2 to k) {
           // per-subspace farthest-first pick as ONE grouped min-struct
           // pass (vs an orderBy().limit(1) per subspace per pass): the
@@ -176,7 +179,7 @@ object Pq {
               col("embedding").as("e"))).as("_p"))
             .select(col("sub"), lit(i).as("clabel"),
               transform(col("_p").getField("e"), x => x.cast("double")).as("cent"))
-          seeds = seeds.unionByName(far).localCheckpoint()
+          seeds = seeds.unionByName(far).localCheckpoint(false)
         }
         seeds
       }
@@ -190,23 +193,28 @@ object Pq {
       val assigned = subs.join(broadcast(perSubArray(cents)), Seq("sub"))
         .withColumn("bucket", array_min(distStructs).getField("l"))
       // meanCentroids' exact-decimal element-wise mean, grouped by
-      // (sub, bucket): identical arithmetic, 1/m the barriers — and as
-      // of round 11 the same ONE-exchange wide aggregate as
-      // AnnSearch.meanCentroids (w decimal-avg columns packed into the
-      // array in position order) instead of a w×-row explode + two
-      // exchanges; bit-identical values, half the barriers per round
-      val mAvgs = (1 to w).map(i =>
-        round(avg(element_at(col("embedding"), i).cast(DecimalType(18, 9))), 6)
-          .cast("double").as(s"_mc$i"))
+      // (sub, bucket): identical arithmetic, 1/m the barriers. The
+      // explode + (sub, clabel, pos) aggregate form, like
+      // AnnSearch.meanCentroids — the round-11 wide decimal-avg
+      // aggregate fell out of WholeStageCodegen (buffer fields >
+      // codegen maxFields at larger w) and measured slower in the
+      // round-12 quiet A/B; this form keeps the partial aggregate
+      // codegen'd and shuffles only partial rows (guide §2.3).
       val means = assigned
-        .groupBy(col("sub"), col("bucket").as("clabel"))
-        .agg(mAvgs.head, mAvgs.tail: _*)
-        .select(col("sub"), col("clabel"),
-          array((1 to w).map(i => col(s"_mc$i")): _*).as("ncent"))
+        .select(col("sub"), col("bucket").as("clabel"),
+          explode(sequence(lit(1), lit(w))).as("pos"), col("embedding"))
+        .groupBy("sub", "clabel", "pos")
+        .agg(round(avg(element_at(col("embedding"), col("pos")).cast(DecimalType(18, 9))), 6)
+          .cast("double").as("c"))
+        .groupBy("sub", "clabel")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("ncent"))
       cents = cents.join(means, Seq("sub", "clabel"), "left")
         .select(col("sub"), col("clabel"),
           coalesce(col("ncent"), col("cent")).as("cent"))
-        .localCheckpoint()
+        // lazy: the next round's per-sub codebook broadcast build (or
+        // the caller's first action) materializes it
+        .localCheckpoint(false)
     }
     cents
   }
