@@ -39,9 +39,15 @@ object Graph {
       // only on the final top-20.
       val pe = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .distinct().localCheckpoint()
-      val nodes = pe.select(col("pk").as("id")).distinct()
-        .unionByName(pe.select((-col("sk") - 1).as("id")).distinct())
+        // lazy: prepare()'s cache build is the first consumer and
+        // materializes it — no separate materialization-only job
+        .distinct().localCheckpoint(false)
+      // ONE distinct over the exploded id stream instead of a distinct
+      // per side + union: part ids (>= 0) and supplier ids (< 0) are
+      // disjoint domains, so distinct(union) == union(distincts) —
+      // same rows, one exchange instead of two (guide §2.4)
+      val nodes = pe.select(explode(array(col("pk"), -col("sk") - 1)).as("id"))
+        .distinct()
       val edges = pe.select(col("pk").as("src"), (-col("sk") - 1).as("dst"))
         .unionByName(pe.select((-col("sk") - 1).as("src"), col("pk").as("dst")))
       val deg = edges.groupBy("src").agg(cnt.as("od"))
